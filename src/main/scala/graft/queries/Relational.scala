@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QuerySpec
+import graft.sources.Tables
+
+/** Shared query helpers. */
+object Q {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Exact cross-engine SUM of a 2-decimal double measure: aggregate in
+    * decimal (associative + exact, so partial/final agg order is
+    * irrelevant), emit double. Plain double sums differ in low bits
+    * between engines/partitionings and would break the hash compare.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+}
+
+/** The reference's relational operator surface (SURVEY.md §2) re-expressed
+  * as Spark-first queries over the harness tables, each with a DuckDB
+  * oracle twin. Reference sites cited per query.
+  */
+object Relational {
+  import Q._
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ----- S1/S2: scan + projection with pushed filter ------------------
+    // Reference: CSV scans at etl.py:54-56,122-124; ours is a parquet scan
+    // where both the filter and the 3-column projection reach the reader.
+    QuerySpec(
+      "s1_scan_project",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 10") {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") < 10)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // ----- S5: in-memory literal seed table -----------------------------
+    // Reference: 22-row NOAA WT weather-type catalog built from literal
+    // rows (etl.py:137-164). Descriptions paraphrased from the public
+    // GHCN-Daily documentation (WT01..WT22 codes).
+    QuerySpec(
+      "s5_seed_weather_type",
+      "SELECT * FROM (VALUES " +
+        WeatherTypeCatalog.rows
+          .map { case (i, s) => s"($i, '$s')" }
+          .mkString(", ") +
+        ") AS t(weather_type_id, description)") { (s, _) =>
+      WeatherTypeCatalog.df(s)
+    },
+
+    // ----- S7/U2: series generation — the hourly datetime spine ---------
+    // Reference: generate_series via spark.range at etl.py:8-24,184 plus
+    // calendar widening at etl.py:186-192. Divergence (SURVEY.md §7.5):
+    // inclusive full leap year (8,784 hours), not the end-exclusive 8,760.
+    // Computed calendar parts emitted as BIGINT on both sides.
+    QuerySpec(
+      "s7_datetime_spine",
+      """SELECT ts AS date_hour,
+        |  hour(ts) AS hour, day(ts) AS day, weekofyear(ts) AS week,
+        |  month(ts) AS month, dayofweek(ts) + 1 AS weekday,
+        |  year(ts) AS year, quarter(ts) AS quarter
+        |FROM generate_series(TIMESTAMP '2020-01-01 00:00:00',
+        |  TIMESTAMP '2020-12-31 23:00:00', INTERVAL 1 HOUR) t(ts)""".stripMargin) {
+      (s, _) =>
+        graft.transform.DatetimeSpine.hourly(s, "2020-01-01", "2021-01-01")
+    },
+
+    // ----- F1: project + rename -----------------------------------------
+    // Reference: station projections etl.py:61-64,69-72.
+    QuerySpec(
+      "f1_project_rename",
+      "SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS balance FROM customer") {
+      (s, d) =>
+        t(s, d, "customer").select(
+          col("c_custkey").as("cust_id"),
+          col("c_name").as("name"),
+          col("c_acctbal").as("balance"))
+    },
+
+    // ----- F2-F5 + D1 + D3: the trip-clean compound ---------------------
+    // Reference: subtract(same-station && duration<300) at etl.py:58 —
+    // EXCEPT keeps the anti-semijoin-by-value + distinct semantics.
+    QuerySpec(
+      "d1_except_clean",
+      """SELECT * FROM lineitem
+        |EXCEPT
+        |SELECT * FROM lineitem
+        |WHERE l_returnflag = l_linestatus AND l_quantity < 5""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem")
+        li.except(
+          li.filter(col("l_returnflag") === col("l_linestatus") &&
+            col("l_quantity") < 5))
+    },
+
+    // ----- F5: null predicate -------------------------------------------
+    // Reference: bikeid non-null filter etl.py:64-65,72-73. The testdata
+    // has no nulls, so a derived nullable column exercises the operator.
+    QuerySpec(
+      "f5_null_filter",
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders WHERE nullif(o_orderstatus, 'O') IS NOT NULL""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(nullif(col("o_orderstatus"), lit("O")).isNotNull)
+          .select("o_orderkey", "o_orderstatus")
+    },
+
+    // ----- F6/F7: derived columns + casts -------------------------------
+    // Reference: withColumn + cast chains at etl.py:19,23,91-93,174-177.
+    // epoch seconds via ts→long cast; cents via floor (truncating double→
+    // long casts round differently across engines, floor is IEEE-stable).
+    QuerySpec(
+      "f6_derive_cast",
+      """SELECT o_orderkey,
+        |  epoch_us(o_orderdate) // 1000000 AS epoch_s,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("long").as("epoch_s"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    },
+
+    // ----- D2: union + distinct -----------------------------------------
+    // Reference: start ∪ end station ids at etl.py:76,103.
+    QuerySpec(
+      "d2_union_distinct",
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier") {
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+    },
+
+    // ----- U1: unpivot / melt (wide→long) -------------------------------
+    // Reference: WT-flag melt at etl.py:107-118 (driver loop replaced by
+    // the native unpivot — single scan, no per-column pass).
+    QuerySpec(
+      "u1_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem").unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+    },
+
+    // ----- J1: star equi-join + grouped agg -----------------------------
+    // Reference: schema-implied star joins (create_tables.sql:12-16,24-44;
+    // README.md:56-63). Small dims broadcast — no shuffle of the fact side
+    // beyond the final group-by.
+    QuerySpec(
+      "j1_star_join",
+      """SELECT r_name, year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year, month""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(
+          col("r_name"),
+          year(col("o_orderdate")).cast("long").as("year"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ----- J2: multi-condition LEFT equi-join ---------------------------
+    // Reference: sql_queries.py:13-19 (3-condition left join).
+    QuerySpec(
+      "j2_left_join_multi",
+      """SELECT l_returnflag, count(p_partkey) AS matched, count(*) AS total
+        |FROM lineitem LEFT JOIN part
+        |  ON l_partkey = p_partkey AND l_quantity < p_size
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(
+          broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") < col("p_size"),
+          "left")
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("p_partkey")).as("matched"), count(lit(1)).as("total"))
+    },
+
+    // ----- J3: bridge-table join (1-to-many chain) ----------------------
+    // Reference: weather_fact → date_with_weather_type → weather_type
+    // (create_tables.sql:12-16, etl.py:165-168).
+    QuerySpec(
+      "j3_bridge_join",
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, d) =>
+      broadcast(t(s, d, "region"))
+        .join(broadcast(t(s, d, "nation")), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
+    // ----- J4/J5: semi + anti joins (EXISTS / NOT EXISTS) ---------------
+    // Query-time idioms over the star FKs (SURVEY.md §2.3).
+    QuerySpec(
+      "j4_semi_join",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders WHERE EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(
+          t(s, d, "lineitem").filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    },
+    QuerySpec(
+      "j5_anti_join",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(
+          t(s, d, "lineitem").filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    },
+
+    // ----- A1/A2: data-quality probes ------------------------------------
+    // Reference: data_quality.py:5-6 count + null-key gates; strict ==0
+    // semantics per SURVEY.md §7.5.
+    QuerySpec(
+      "a1_count",
+      "SELECT count(*) AS n FROM lineitem") { (s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))
+    },
+    QuerySpec(
+      "a2_null_probe",
+      "SELECT count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_null FROM lineitem") {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .agg(count(when(col("l_orderkey").isNull, 1)).as("n_null"))
+    },
+
+    // ----- A3: grouped counts (trips per month/year) --------------------
+    // Reference: README.md:59 "total trips monthly and yearly".
+    QuerySpec(
+      "a3_group_count",
+      """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month, count(*) AS n
+        |FROM orders GROUP BY year, month""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("year"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- A4: grouped sums (TPC-H Q1 shape; ride-hours README.md:61) ----
+    // Decimal-exact aggregation; avg as exact-sum / count (double division
+    // of identical inputs is IEEE-deterministic across engines).
+    QuerySpec(
+      "a4_group_sum",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ----- A5: top group (highest-trip month, README.md:62) -------------
+    QuerySpec(
+      "a5_top_month",
+      """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month, count(*) AS n
+        |FROM orders GROUP BY year, month
+        |ORDER BY n DESC, year, month LIMIT 1""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("year"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("year"), col("month"))
+        .limit(1)
+    },
+
+    // ----- A6: distinct aggregation -------------------------------------
+    QuerySpec(
+      "a6_count_distinct",
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    },
+
+    // ----- X1/X2: timestamp format round-trip ---------------------------
+    // Reference: to_timestamp(date_format(...)) second-truncation at
+    // etl.py:92-93; ours keeps the semantics via an explicit round-trip.
+    QuerySpec(
+      "x1_timestamp_roundtrip",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt
+        |FROM orders""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        to_timestamp(
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("ts_rt"))
+    },
+
+    // ----- X6: md5 surrogate key ----------------------------------------
+    // Reference: md5(a || b) at sql_queries.py:4.
+    QuerySpec(
+      "x6_md5_key",
+      """SELECT l_orderkey, l_linenumber,
+        |  md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR) AS row_md5
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))).as("row_md5"))
+    },
+
+    // ----- X7: epoch-millis ↔ timestamp ---------------------------------
+    // Reference: TIMESTAMP 'epoch' + ts/1000 * interval '1 second' at
+    // sql_queries.py:13 → native timestamp_millis/unix_millis.
+    QuerySpec(
+      "x7_epoch_millis",
+      """SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        |  epoch_ms(epoch_ms(CAST(ts AS TIMESTAMP))) AS ts_ms
+        |FROM events""".stripMargin) { (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
+    },
+
+    // ----- O1: global sort + limit --------------------------------------
+    // Query-time top-N (SURVEY.md §2.8); unique tiebreak for determinism.
+    QuerySpec(
+      "o1_sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ----- W1: deterministic surrogate key via row_number ----------------
+    // Replaces monotonically_increasing_id (etl.py:91) per SURVEY.md §7.5.
+    QuerySpec(
+      "w1_row_number",
+      """SELECT c_custkey,
+        |  row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        row_number().over(
+          Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+          .cast("long").as("rn"))
+    },
+
+    // ----- W2: partitioned running aggregate ----------------------------
+    QuerySpec(
+      "w2_running_sum",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+    },
+
+    // ----- W3: rank within group ----------------------------------------
+    QuerySpec(
+      "w3_rank_in_group",
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |FROM part""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(
+          Window.partitionBy(col("p_brand"))
+            .orderBy(col("p_retailprice").desc, col("p_partkey")))
+          .cast("long").as("rnk"))
+    })
+}
+
+/** NOAA GHCN-Daily WT weather-type catalog (etl.py:142-163 semantics;
+  * descriptions paraphrased from the public GHCN-Daily readme WT codes).
+  */
+object WeatherTypeCatalog {
+  val rows: Seq[(Int, String)] = Seq(
+    1 -> "Fog or ice fog",
+    2 -> "Heavy fog",
+    3 -> "Thunder",
+    4 -> "Ice pellets or sleet",
+    5 -> "Hail",
+    6 -> "Glaze or rime",
+    7 -> "Dust or blowing sand",
+    8 -> "Smoke or haze",
+    9 -> "Blowing or drifting snow",
+    10 -> "Tornado or funnel cloud",
+    11 -> "High or damaging winds",
+    12 -> "Blowing spray",
+    13 -> "Mist",
+    14 -> "Drizzle",
+    15 -> "Freezing drizzle",
+    16 -> "Rain",
+    17 -> "Freezing rain",
+    18 -> "Snow or snow pellets",
+    19 -> "Unknown precipitation",
+    21 -> "Ground fog",
+    22 -> "Ice fog or freezing fog",
+    23 -> "Unknown weather type")
+
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rows.toDF("weather_type_id", "description")
+  }
+}

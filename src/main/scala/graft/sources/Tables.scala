@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Readers for the harness tables (/root/repo/TESTDATA.md).
+  *
+  * Parquet-only (SURVEY.md §1.3): explicit footer schemas, vectorized
+  * reader, column pruning + predicate pushdown for free. The reference's
+  * CSV ingest (etl.py:54-56,122-124) survives as [[graft.transform.CsvIngest]]
+  * for raw bikeshare files; the engine proper speaks parquet.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    // Read parquet timestamps as TimestampType (session TZ pinned UTC),
+    // not TIMESTAMP_NTZ — identical values to DuckDB's naive TIMESTAMP
+    // and compatible with epoch casts/unix_* functions.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
+      // read natively; read nanos as long and truncate to micros
+      // (integer `div` — a double division would lose precision above
+      // 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP) truncates identically.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

