@@ -1,24 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+/** Benchmark main: times every registered query at the given sf dir and
+  * prints ONE JSON line (driver contract). The same JSON is also written
+  * to BENCH.json so the metric survives sbt's stdout prefixing.
+  *
+  * Action is a noop-format write, not count(): count() lets Catalyst
+  * prune projection-only plans down to a row count, so expression cost
+  * (md5, window funcs, HOFs) would never be measured. The noop sink
+  * evaluates every output column and discards the rows.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Warmup: session/codegen/reader init so the first timed query is not
+    // charged ~2s of JVM warmup (round-1 f6 artifact).
+    spark.range(1000000L).selectExpr("sum(id * 2) AS s")
+      .write.format("noop").mode("overwrite").save()
+    SparkEntry.queries.get("s1_scan_project")
+      .foreach(fn => try run("warmup", fn) catch { case _: Throwable => () })
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name, fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH.json"), json)
     spark.stop()
   }
 }

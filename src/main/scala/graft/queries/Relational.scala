@@ -45,14 +45,14 @@ object Relational {
     },
 
     // ----- S5: in-memory literal seed table -----------------------------
-    // Reference: 22-row NOAA WT weather-type catalog built from literal
-    // rows (etl.py:137-164). Descriptions paraphrased from the public
-    // GHCN-Daily documentation (WT01..WT22 codes).
+    // Reference: NOAA WT weather-type catalog built from literal rows
+    // (etl.py:142-163 — ids 1..19, 21, 22). Descriptions paraphrased
+    // from the public GHCN-Daily documentation (WT01..WT22 codes).
     QuerySpec(
       "s5_seed_weather_type",
       "SELECT * FROM (VALUES " +
         WeatherTypeCatalog.rows
-          .map { case (i, s) => s"($i, '$s')" }
+          .map { case (i, s) => s"($i, '${s.replace("'", "''")}')" }
           .mkString(", ") +
         ") AS t(weather_type_id, description)") { (s, _) =>
       WeatherTypeCatalog.df(s)
@@ -88,8 +88,12 @@ object Relational {
     },
 
     // ----- F2-F5 + D1 + D3: the trip-clean compound ---------------------
-    // Reference: subtract(same-station && duration<300) at etl.py:58 —
-    // EXCEPT keeps the anti-semijoin-by-value + distinct semantics.
+    // Reference: subtract(same-station && duration<300) at etl.py:58.
+    // The subtracted set is a subset of the left side and all columns are
+    // non-null, so EXCEPT ≡ negated-filter + distinct — one scan and one
+    // shuffle instead of the two-scan EXCEPT (the round-1 plan shuffled
+    // both sides on all 16 columns). except() remains the right tool only
+    // when the right side is a genuinely different relation.
     QuerySpec(
       "d1_except_clean",
       """SELECT * FROM lineitem
@@ -97,10 +101,10 @@ object Relational {
         |SELECT * FROM lineitem
         |WHERE l_returnflag = l_linestatus AND l_quantity < 5""".stripMargin) {
       (s, d) =>
-        val li = t(s, d, "lineitem")
-        li.except(
-          li.filter(col("l_returnflag") === col("l_linestatus") &&
+        t(s, d, "lineitem")
+          .filter(!(col("l_returnflag") === col("l_linestatus") &&
             col("l_quantity") < 5))
+          .distinct()
     },
 
     // ----- F5: null predicate -------------------------------------------
@@ -123,7 +127,7 @@ object Relational {
     QuerySpec(
       "f6_derive_cast",
       """SELECT o_orderkey,
-        |  epoch_us(o_orderdate) // 1000000 AS epoch_s,
+        |  CAST(floor(epoch_us(o_orderdate) / 1000000) AS BIGINT) AS epoch_s,
         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders""".stripMargin) { (s, d) =>
       t(s, d, "orders").select(
@@ -186,7 +190,11 @@ object Relational {
     },
 
     // ----- J2: multi-condition LEFT equi-join ---------------------------
-    // Reference: sql_queries.py:13-19 (3-condition left join).
+    // Reference: sql_queries.py:13-19 (3-condition left join). No
+    // broadcast hint: part scales with the data (~200k rows/sf), so a
+    // hard hint would OOM at 100× — AQE broadcasts it while it is small
+    // and falls back to shuffle join when it grows. (The nation/region
+    // hints elsewhere are fine: those tables are constant-size.)
     QuerySpec(
       "j2_left_join_multi",
       """SELECT l_returnflag, count(p_partkey) AS matched, count(*) AS total
@@ -195,7 +203,7 @@ object Relational {
         |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
         .join(
-          broadcast(t(s, d, "part")),
+          t(s, d, "part"),
           col("l_partkey") === col("p_partkey") && col("l_quantity") < col("p_size"),
           "left")
         .groupBy(col("l_returnflag"))
@@ -383,16 +391,18 @@ object Relational {
 
     // ----- W1: deterministic surrogate key via row_number ----------------
     // Replaces monotonically_increasing_id (etl.py:91) per SURVEY.md §7.5.
+    // Scale-safe form: range-partitioned local numbering + per-partition
+    // offsets (SurrogateKey) instead of a global single-partition window.
     QuerySpec(
       "w1_row_number",
       """SELECT c_custkey,
         |  row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
         |FROM customer""".stripMargin) { (s, d) =>
-      t(s, d, "customer").select(
-        col("c_custkey"),
-        row_number().over(
-          Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
-          .cast("long").as("rn"))
+      graft.operators.SurrogateKey
+        .denseRowNumber(
+          t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+          "rn", col("c_acctbal").desc, col("c_custkey"))
+        .select(col("c_custkey"), col("rn"))
     },
 
     // ----- W2: partitioned running aggregate ----------------------------
@@ -452,8 +462,7 @@ object WeatherTypeCatalog {
     18 -> "Snow or snow pellets",
     19 -> "Unknown precipitation",
     21 -> "Ground fog",
-    22 -> "Ice fog or freezing fog",
-    23 -> "Unknown weather type")
+    22 -> "Ice fog or freezing fog")
 
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -17,16 +17,15 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    // Read parquet timestamps as TimestampType (session TZ pinned UTC),
-    // not TIMESTAMP_NTZ — identical values to DuckDB's naive TIMESTAMP
-    // and compatible with epoch casts/unix_* functions.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Reader-affecting session config (timestamps as TimestampType not
+    // NTZ; TIMESTAMP(NANOS) surfaced as long) is set once at session
+    // construction in graft.Sessions — no conf mutation in the data path.
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-      // read natively; read nanos as long and truncate to micros
-      // (integer `div` — a double division would lose precision above
-      // 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP) truncates identically.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read natively; the session reads nanos as long and we truncate
+      // to micros here (integer `div` — a double division would lose
+      // precision above 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP)
+      // truncates identically.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

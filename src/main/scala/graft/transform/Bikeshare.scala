@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
 object Bikeshare {
 
   /** Trip cleaning (etl.py:57-58): drop trips that are BOTH same-station
-    * AND shorter than 300 s; `subtract` additionally dedups survivors —
-    * kept via except() which has identical distinct semantics.
+    * AND shorter than 300 s; the reference's `subtract` additionally
+    * dedups survivors. Single-scan form: negated filter + distinct —
+    * EXCEPT would scan and shuffle the table twice for a subtracted set
+    * that is a subset of the left side. coalesce(cond, false) keeps rows
+    * where the predicate is NULL (null station id), matching EXCEPT
+    * semantics (a null-predicate row never appears on the right side).
     */
   def cleanTrips(trips: DataFrame): DataFrame =
-    trips.except(
-      trips.filter(
+    trips.filter(
+      !coalesce(
         col("start station id") === col("end station id") &&
-          col("tripduration") < 300))
+          col("tripduration") < 300,
+        lit(false)))
+      .distinct()
 
   /** Station dimension (etl.py:59-76,103): start-side ∪ end-side
     * projections, deduped by full row. Fixes the reference bug at
@@ -48,16 +54,15 @@ object Bikeshare {
 
   /** Trip fact (etl.py:78-102): second-truncated timestamps and a
     * deterministic surrogate key. Replaces monotonically_increasing_id
-    * (etl.py:91) with row_number over the natural key — stable across
-    * runs and partitionings (SURVEY.md §7.5 #2).
-    *
-    * Scale note: the global row_number is a single total-order window —
-    * at 100 TB prefer the partitioned variant below or a
-    * hash-of-natural-key surrogate; kept here because the reference's
-    * trip_id is a dense global id.
+    * (etl.py:91) with a dense row number over the FULL column set (a
+    * total ordering — distinct cleaned rows differing only in usertype/
+    * gender/birth_year must not tie, or the key is run-dependent),
+    * computed scale-safe via [[graft.operators.SurrogateKey]]: range
+    * partitioning + per-partition offsets, never a single-partition
+    * global window (SURVEY.md §7.5 #2).
     */
-  def tripFact(cleaned: DataFrame): DataFrame =
-    cleaned
+  def tripFact(cleaned: DataFrame): DataFrame = {
+    val projected = cleaned
       .select(
         col("tripduration").cast("int").as("duration"),
         date_trunc("second", to_timestamp(col("starttime"))).as("start_time"),
@@ -68,17 +73,17 @@ object Bikeshare {
         col("usertype").cast("string").as("usertype"),
         col("gender").cast("int").as("gender"),
         col("birth year").cast("int").as("birth_year"))
-      .withColumn(
-        "trip_id",
-        row_number().over(
-          Window.orderBy(
-            col("start_time"), col("bikeid"),
-            col("start_station_id"), col("end_station_id"),
-            col("duration")))
-          .cast("long"))
+    graft.operators.SurrogateKey
+      .denseRowNumber(
+        projected, "trip_id",
+        col("start_time"), col("bikeid"),
+        col("start_station_id"), col("end_station_id"),
+        col("duration"), col("end_time"), col("usertype"),
+        col("gender"), col("birth_year"))
       .select("trip_id", "duration", "start_time", "end_time",
         "start_station_id", "end_station_id", "bikeid", "usertype",
         "gender", "birth_year")
+  }
 
   /** Weather WT-flag unpivot (etl.py:107-118): wide flag columns →
     * (date_time, weather_type_id) bridge rows where the flag is "1";
