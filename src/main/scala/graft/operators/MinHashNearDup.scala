@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection via MinHash + banded LSH over word-shingle
+  * sets — candidate pairs come only from shared LSH buckets, never from
+  * an all-pairs product, and every candidate is verified with the exact
+  * Jaccard before it is reported.
+  *
+  * Scale design (the whole point of the banding):
+  *  - signatures: one explode + one hash-partitioned groupBy(doc) —
+  *    shuffle volume is k longs per doc, independent of text size;
+  *  - candidates: self-join on (band, bandValue) — cost is quadratic
+  *    only within a bucket, and bucket sizes concentrate sharply for
+  *    non-duplicate docs (expected pair count ≈ duplicates + noise);
+  *  - verification: joins shingle sets only for candidate pairs.
+  *  At 100 TB none of the stages materializes anything driver-side and
+  *  every shuffle key (doc_id, band value) is high-cardinality/uniform.
+  *
+  * Probabilistic contract: with k=128 hashes in 32 bands × 4 rows the
+  * s-curve threshold is ≈0.42; a pair at Jaccard 0.8 is missed with
+  * probability (1-0.8^4)^32 ≈ 5e-8. The exact-Jaccard filter removes all
+  * false positives, so output = {pairs with J ≥ threshold} up to that
+  * negligible false-negative mass (the DuckDB oracle computes the exact
+  * set; see NorthStar n3).
+  *
+  * MinHash functions are xxhash64(seed=j, shingle) — engine-local is
+  * fine because candidates are an internal detail; only the exact
+  * Jaccard (integer arithmetic) must match the oracle.
+  */
+object MinHashNearDup {
+
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    // Cached: referenced by the signature path AND both sides of the
+    // exact-verify join — without persistence Spark would recompute the
+    // scan→tokenize→shingle subtree three times. The cached relation is
+    // (id, shingle array), ~the corpus size; MEMORY_AND_DISK spills
+    // rather than OOMs at scale (and at 100 TB a deployment would swap
+    // this for a checkpointed staging table).
+    val shingled = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
+      .select(col("doc_id"),
+        TextOps.shinglesFromTokens(col("ws"), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // One string hash per shingle, then k universal-hash permutations
+    // (a_j·h + b_j mod p) over the 31-bit base — multiply-adds on a
+    // long, ~100× cheaper than k independent string hashes. Constants
+    // stay below 2^31 so products fit a long (ANSI overflow-safe).
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("hb", xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
+
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rng = new scala.util.Random(42) // fixed seed: deterministic fns
+    val coef = Seq.fill(numHashes)(
+      (1 + rng.nextInt(Int.MaxValue - 1)).toLong -> rng.nextInt(Int.MaxValue).toLong)
+
+    // k min-hashes per doc: partial min() aggregation combines map-side,
+    // so the shuffle carries k longs per doc, not the shingles.
+    val sig = exploded
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("hb") * coef.head._1 + coef.head._2) % P).as("h0"),
+        (1 until numHashes).map { j =>
+          val (a, b) = coef(j)
+          min((col("hb") * a + b) % P).as(s"h$j")
+        }: _*)
+
+    // One hash value per band (hash of the band's row slice).
+    val withBands = sig.select(
+      col("doc_id") +:
+        (0 until bands).map { b =>
+          xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)
+            .as(s"band$b")
+        }: _*)
+
+    val banded = withBands.unpivot(
+      Array(col("doc_id")),
+      (0 until bands).map(b => col(s"band$b")).toArray,
+      "band", "band_val")
+
+    val candidates = banded.alias("l")
+      .join(
+        banded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+
+    val setsA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val setsB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+
+    candidates
+      .join(setsA, "id_a")
+      .join(setsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

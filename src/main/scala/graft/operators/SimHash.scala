@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 32-bit SimHash near-duplicate detection over word sets.
+  *
+  * Per document: every distinct word votes ±1 on each of 32 bit
+  * positions (sign of the bit in the word's 60-bit md5-derived hash);
+  * the simhash sets bit i iff the vote sum is positive. Similar word
+  * sets differ in few votes, so near-duplicates land within a small
+  * Hamming distance.
+  *
+  * Pair generation is exact, not probabilistic: the 32 bits are split
+  * into 4 bands of 8; two hashes within Hamming distance 3 must agree
+  * on at least one whole band (pigeonhole), so the band-bucket self-join
+  * has zero false negatives for maxHamming ≤ 3 and the final
+  * bit_count(xor) filter removes false positives. Same scale shape as
+  * MinHash LSH: cost is quadratic only within a bucket.
+  *
+  * The word hash is md5-derived (TextOps.hexHash60), deliberately
+  * engine-portable so the DuckDB oracle reproduces the simhash values
+  * bit-for-bit (NorthStar n13 builds the mirror SQL programmatically).
+  */
+object SimHash {
+  val bits = 32
+  val bandCount = 4
+  private val bandBits = bits / bandCount
+
+  /** (id, simhash) with simhash in [0, 2^32). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .distinct()
+      .withColumn("v", TextOps.hexHash60(col("w")))
+
+    val votes = words
+      .groupBy(col("doc_id"))
+      .agg(
+        voteSum(0).as("s0"),
+        (1 until bits).map(i => voteSum(i).as(s"s$i")): _*)
+
+    val hash = (0 until bits)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  private def voteSum(i: Int): Column =
+    sum(when(shiftright(col("v"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+
+  /** Pairs within `maxHamming` (≤ 3 for exhaustive recall with 4 bands). */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bandCount,
+      s"pigeonhole recall needs maxHamming < $bandCount bands")
+    val sh = simhash(docs, idCol, textCol)
+
+    val banded = sh.select(
+      col("doc_id") +: col("simhash") +:
+        (0 until bandCount).map { b =>
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as(s"band$b")
+        }: _*)
+      .unpivot(
+        Array(col("doc_id"), col("simhash")),
+        (0 until bandCount).map(b => col(s"band$b")).toArray,
+        "band", "band_val")
+
+    banded.alias("l")
+      .join(
+        banded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

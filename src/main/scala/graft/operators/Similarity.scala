@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): exact
+  * brute-force top-k cosine as the correctness baseline, sign-random
+  * hyperplane LSH bucketing as the approximate scale path, and a
+  * label-blocked near-duplicate pair join.
+  *
+  * All vector math is higher-order array functions (zip_with/aggregate)
+  * in double precision — codegen'd Catalyst expressions, no UDF
+  * serialization on the hot path. A custom codegen Expression would be
+  * the next step if profiling demanded it (SURVEY.md §7.3), but HOFs
+  * keep the whole scan→score→top-k pipeline inside whole-stage codegen.
+  *
+  * Scale notes:
+  *  - brute-force top-k: one scan, per-partition partial top-k via
+  *    orderBy+limit (Spark plans TakeOrderedAndProject — no global
+  *    sort shuffle, only k rows per partition reach the driver-side
+  *    merge);
+  *  - LSH: bucket id is a cheap projection; the search touches only the
+  *    probe bucket's partitions (1/2^planes of the data in expectation);
+  *  - near-dup: the pair join is blocked on the label key, so the
+  *    quadratic blow-up is bounded by the largest block, not the table.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns (element-wise fold —
+    * sequential, deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  /** Exact top-k by cosine against a single query vector (broadcast
+    * 1-row cross join). Ties broken by id; similarity rounded so the
+    * ordering survives cross-engine double comparison. */
+  def topKCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int): DataFrame =
+    emb
+      .crossJoin(broadcast(query.select(asDouble(col(queryVecCol)).as("graft__qv"))))
+      .select(
+        col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("graft__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic ±1 hyperplanes: component (j,i) is +1 iff the first
+    * hex digit of md5("j_i") is even. Shared with the DuckDB oracle by
+    * embedding the generated constants on both sides — no RNG state.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"${j}_$i".getBytes(StandardCharsets.UTF_8))
+        val first = (hex(0) >> 4) & 0xf
+        if (first % 2 == 0) 1 else -1
+      }
+    }
+  }
+
+  /** LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
+  def bucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lit_p = array(p.map(x => lit(x.toDouble)): _*)
+      val dot = aggregate(
+        zip_with(vec, lit_p, (x, h) => x * h), lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: brute-force search restricted to the query
+    * vector's LSH bucket. */
+  def annTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      planes: Seq[Seq[Int]],
+      k: Int): DataFrame = {
+    val q = query.select(
+      asDouble(col(queryVecCol)).as("graft__qv"),
+      bucket(asDouble(col(queryVecCol)), planes).as("graft__qb"))
+    emb
+      .withColumn("graft__b", bucket(asDouble(col(vecCol)), planes))
+      .crossJoin(broadcast(q))
+      .filter(col("graft__b") === col("graft__qb"))
+      .select(
+        col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("graft__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-duplicate vector pairs within a blocking key (e.g. label):
+    * the join is equi on the block, quadratic only inside it. Norms are
+    * computed once per vector BEFORE the join (O(n) instead of O(pairs)
+    * sqrt folds); sqrt(dot(v,v)) is the identical expression either
+    * way, so the similarity value is bit-for-bit unchanged. */
+  def blockedNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val side = Partitioning.spread(emb)
+      .select(col(blockCol).as("graft__blk"), col(idCol),
+        asDouble(col(vecCol)).as("graft__v"))
+      .withColumn("graft__norm", sqrt(dot(col("graft__v"), col("graft__v"))))
+    side.alias("l")
+      .join(
+        side.alias("r"),
+        col(s"l.graft__blk") === col(s"r.graft__blk") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(
+        col(s"l.$idCol").as("id_a"),
+        col(s"r.$idCol").as("id_b"),
+        col(s"l.graft__blk").as("block"),
+        round(
+          dot(col("l.graft__v"), col("r.graft__v")) /
+            (col("l.graft__norm") * col("r.graft__norm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

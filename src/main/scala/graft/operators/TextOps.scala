@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators
+  * (builder brief; SURVEY.md §7.4): tokenization, shingling, hashing and
+  * normalization over `documents.text`-shaped columns.
+  *
+  * Everything here is a pure Catalyst expression (codegen'd built-ins —
+  * no UDFs), so whole-stage codegen keeps the scan→project pipeline
+  * fused; at 100 TB the cost is one pass over the strings.
+  *
+  * Cross-engine parity notes (for the DuckDB oracles): tokenization is a
+  * single-space split; hashes derive from md5 hex (identical in every
+  * engine), not from engine-specific hash functions.
+  */
+object TextOps {
+
+  /** Whitespace tokens. The corpus is single-space separated; a `\\s+`
+    * split would also work but `split(_, " ")` matches DuckDB's
+    * `string_split(text, ' ')` exactly, including empty-token edge cases.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count as BIGINT (DuckDB len() is BIGINT). */
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-gram shingles (distinct, space-joined) from a pre-split
+    * token array column. Callers MUST project the token array into a
+    * named column first (`df.withColumn("ws", TextOps.tokens(...))`):
+    * expressions captured inside a higher-order-function lambda are
+    * re-evaluated per element, so passing `split(text)` directly here
+    * would re-split the document once per shingle — O(n²) per row.
+    *
+    * Documents shorter than n words get an empty set — the guard
+    * matters because `sequence(0, negative)` would descend, not return
+    * empty.
+    */
+  def shinglesFromTokens(ws: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))
+    array_distinct(
+      when(size(ws) >= n, grams)
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** 60-bit positive hash from the md5 hex prefix — engine-portable
+    * (DuckDB: ('0x' || substr(md5(x),1,15))::UBIGINT::BIGINT). 15 hex
+    * digits keep the value under 2^60, clear of BIGINT sign issues.
+    */
+  def hexHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace-collapsed lowercase normalization (fingerprint input).
+    * DuckDB twin needs the 'g' flag: regexp_replace(lower(x),'\\s+',' ','g').
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Count of regex matches, as BIGINT (DuckDB:
+    * len(regexp_extract_all(x, pat))). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+}

@@ -1,10 +1,405 @@
 package graft.queries
 
-import graft.QuerySpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** North-star LLM-data-pipeline operators (SURVEY.md §7.4) — filled in
-  * incrementally; each entry follows the same queries/oracle discipline.
+import graft.QuerySpec
+import graft.operators.{Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
+import graft.streaming.EventStream
+
+/** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
+  * brief): dedup (exact, key-scoped, MinHash-LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed
+  * ANN), multimodal binary columns, text analysis (lang-ID, quality,
+  * tokens, fingerprints) and streaming-shaped event ops (tumbling/
+  * sliding windows, sessionization).
+  *
+  * Every query has a DuckDB oracle twin. Where the Spark side is
+  * probabilistic (MinHash LSH candidates), the oracle computes the
+  * EXACT answer and the Spark pipeline is expected to reach it — the
+  * false-negative mass at the tested thresholds is ≪ 1e-6 (see
+  * MinHashNearDup scaladoc), and exact verification removes all false
+  * positives, so the comparison is deterministic in practice.
+  *
+  * Cross-engine arithmetic rules used throughout: counts/len() emit
+  * BIGINT on both sides; ratios are single divisions of exact integers
+  * (bit-identical doubles); cosine similarities are rounded to 6
+  * decimals before ordering/filtering; portable hashes are md5-derived
+  * (never engine hash functions) — engine-local xxhash64 appears only
+  * in MinHash candidate generation, which the oracle never sees.
   */
 object NorthStar {
-  val all: Seq[QuerySpec] = Seq()
+  import Q._
+
+  /** Shared ±1 hyperplanes for the ANN query — 4 planes / 16 buckets so
+    * the 500-vector test table keeps ~30 candidates per bucket. */
+  private val annPlanes: Seq[Seq[Int]] = Similarity.hyperplanes(4, 64)
+
+  /** DuckDB literal for one hyperplane. */
+  private def planeSql(p: Seq[Int]): String =
+    p.mkString("[", ",", "]::DOUBLE[]")
+
+  /** DuckDB bucket expression over a DOUBLE[] column `v`. */
+  private def bucketSql(v: String): String =
+    annPlanes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($v, ${planeSql(p)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Word-3-shingle CTEs (`sh`, `shn`) shared by the Jaccard oracles. */
+  private val shingleCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Portable 60-bit md5 hash in DuckDB. */
+  private def hex60(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::UBIGINT)::BIGINT"
+
+  /** SimHash-32 oracle CTEs (`sv`, `sb`, `shash`) ending in
+    * shash(doc_id, simhash) — mirrors SimHash.simhash bit-for-bit. */
+  private val simhashCte: String = {
+    val votes = (0 until SimHash.bits)
+      .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val hash = (0 until SimHash.bits)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""wrds AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |sv AS (SELECT doc_id, ${hex60("w")} AS v FROM wrds),
+       |sb AS (SELECT doc_id,
+       |    $votes
+       |  FROM sv GROUP BY doc_id),
+       |shash AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sb)""".stripMargin
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ----- n1: exact dedup (hash-grouped, not full-row shuffle) ---------
+    // Dedup key is md5(text): the shuffle carries a 32-byte key + id per
+    // row, never the document body — the 100 TB-safe exact-dedup shape.
+    // Input is documents ∪ documents so the dedup actually collapses.
+    QuerySpec(
+      "n1_exact_dedup",
+      """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(text)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      docs.unionByName(docs)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ----- n2: key-scoped dedup (keep best row per key) -----------------
+    // Partitioned window, deterministic tiebreak — per-key shuffle only.
+    QuerySpec(
+      "n2_key_dedup",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("lang"), col("source"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    },
+
+    // ----- n3: MinHash-LSH near-dup (banded buckets, exact verify) ------
+    // Spark: 128 minhashes → 32 banded buckets → candidate pairs only
+    // within buckets → exact Jaccard filter. Oracle: exact all-pairs
+    // Jaccard via a shingle equi-join (small data makes that feasible;
+    // at scale that join IS the quadratic blow-up LSH avoids).
+    QuerySpec(
+      "n3_minhash_neardup",
+      s"""WITH $shingleCte,
+         |pair AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |FROM pair
+         |JOIN shn ca ON ca.doc_id = id_a
+         |JOIN shn cb ON cb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8""".stripMargin) {
+      (s, d) =>
+        MinHashNearDup.nearDupPairs(
+          t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+    },
+
+    // ----- n13: SimHash near-dup (pigeonhole bands, exact recall) -------
+    QuerySpec(
+      "n13_simhash_neardup",
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM shash a JOIN shash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) {
+      (s, d) =>
+        SimHash.nearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+    },
+
+    // ----- n4: brute-force top-k cosine (the ANN correctness baseline) --
+    QuerySpec(
+      "n4_topk_cosine",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        (SELECT qv FROM q)), 6) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.topKCosine(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", k = 20)
+    },
+
+    // ----- n5: LSH-bucketed ANN top-k (the scale path) ------------------
+    // Search only the probe bucket (1/16 of the data in expectation);
+    // bucket id from fixed ±1 hyperplanes shared with the oracle.
+    QuerySpec(
+      "n5_ann_lsh_topk",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bkt
+         |      FROM embeddings)
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+         |FROM b
+         |WHERE bkt = (SELECT bkt FROM b WHERE vec_id = 0) AND vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", annPlanes, k = 10)
+    },
+
+    // ----- n6: embedding-cosine near-dup (label-blocked pair join) ------
+    QuerySpec(
+      "n6_embed_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a
+        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin) {
+      (s, d) =>
+        Similarity.blockedNearDupPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.4)
+    },
+
+    // ----- n7: JSON props extraction (multimodal metadata column) -------
+    QuerySpec(
+      "n7_props_json",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
+
+    // ----- n8: corpus text stats per (lang, source) ---------------------
+    QuerySpec(
+      "n8_text_stats",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang, source""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          sum(TextOps.nTokens(col("text"))).as("total_tokens"),
+          (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"))
+    },
+
+    // ----- n9: language-ID (marker-word scoring + argmax) ---------------
+    // Profiles are pluggable marker-word groups; this corpus is
+    // vocabulary-uniform across its lang labels, so the operator's value
+    // here is the deterministic scoring/argmax mechanics (confusion
+    // matrix output), not linguistic accuracy.
+    QuerySpec(
+      "n9_lang_id",
+      """SELECT lang,
+        |  CASE
+        |    WHEN len(regexp_extract_all(text, '\b(the|a|key|row|line)\b')) >= len(regexp_extract_all(text, '\b(stream|batch|window|spark)\b'))
+        |     AND len(regexp_extract_all(text, '\b(the|a|key|row|line)\b')) >= len(regexp_extract_all(text, '\b(table|join|query|scan)\b'))
+        |    THEN 'en'
+        |    WHEN len(regexp_extract_all(text, '\b(stream|batch|window|spark)\b')) >= len(regexp_extract_all(text, '\b(table|join|query|scan)\b'))
+        |    THEN 'de'
+        |    ELSE 'fr' END AS predicted,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sEn = TextOps.matchCount(col("text"), "\\b(the|a|key|row|line)\\b")
+      val sDe = TextOps.matchCount(col("text"), "\\b(stream|batch|window|spark)\\b")
+      val sFr = TextOps.matchCount(col("text"), "\\b(table|join|query|scan)\\b")
+      t(s, d, "documents")
+        .select(col("lang"),
+          when(sEn >= sDe && sEn >= sFr, "en")
+            .when(sDe >= sFr, "de")
+            .otherwise("fr").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- n10: quality scoring (length/stopword/word-shape bands) ------
+    // All ratios are single divisions of exact integers → bit-identical
+    // doubles cross-engine, so the band cutoffs compare identically.
+    QuerySpec(
+      "n10_quality_score",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_wlen,
+        |  CASE
+        |    WHEN len(string_split(text, ' ')) >= 30
+        |     AND CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)
+        |         / len(string_split(text, ' ')) <= 0.15
+        |    THEN 'high'
+        |    WHEN len(string_split(text, ' ')) >= 15 THEN 'medium'
+        |    ELSE 'low' END AS band
+        |FROM documents""".stripMargin) { (s, d) =>
+      val nt = TextOps.nTokens(col("text"))
+      val nStop = TextOps.matchCount(col("text"), "\\b(the|a)\\b")
+      val stopRatio = nStop.cast("double") / nt
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nt.as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        ((length(col("text")).cast("long") - nt + 1).cast("double") / nt)
+          .as("mean_wlen"),
+        when(nt >= 30 && stopRatio <= 0.15, "high")
+          .when(nt >= 15, "medium")
+          .otherwise("low").as("band"))
+    },
+
+    // ----- n11: token counting (whitespace + BPE-ish regex pieces) ------
+    QuerySpec(
+      "n11_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_obs
+        |FROM documents""".stripMargin) { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("ws_tokens"),
+        TextOps.matchCount(col("text"), "[a-z]+|[0-9]+|[^a-z0-9 ]").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+    },
+
+    // ----- n12: document fingerprinting (md5 + min/max shingle sketch) --
+    QuerySpec(
+      "n12_fingerprint",
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id, ${hex60("shingle")} AS v FROM sh)
+         |SELECT d.doc_id,
+         |  md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS fp_md5,
+         |  min(h.v) AS min_h, max(h.v) AS max_h
+         |FROM documents d JOIN h ON h.doc_id = d.doc_id
+         |GROUP BY d.doc_id, md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))""".stripMargin) {
+      (s, d) =>
+        graft.operators.Partitioning.spread(t(s, d, "documents"))
+          .select(
+            col("doc_id"),
+            md5(TextOps.normalized(col("text"))).as("fp_md5"),
+            TextOps.tokens(col("text")).as("ws"))
+          .select(
+            col("doc_id"), col("fp_md5"),
+            explode(TextOps.shinglesFromTokens(col("ws"), 3)).as("s"))
+          .groupBy(col("doc_id"), col("fp_md5"))
+          .agg(
+            min(TextOps.hexHash60(col("s"))).as("min_h"),
+            max(TextOps.hexHash60(col("s"))).as("max_h"))
+    },
+
+    // ----- n14: tumbling-window event aggregation -----------------------
+    QuerySpec(
+      "n14_event_tumbling",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      EventStream.tumblingAgg(t(s, d, "events"), "ts", "1 hour")
+    },
+
+    // ----- n16: sliding-window event counts -----------------------------
+    QuerySpec(
+      "n16_event_sliding",
+      """SELECT ws AS window_start, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+        |           - k * (INTERVAL 15 MINUTE) AS ws
+        |  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+        |GROUP BY ws""".stripMargin) { (s, d) =>
+      EventStream.slidingCounts(t(s, d, "events"), "ts", "1 hour", "15 minutes")
+    },
+
+    // ----- n15: sessionization (30-minute gap rule) ---------------------
+    QuerySpec(
+      "n15_event_sessions",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR date_diff('second',
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  date_diff('second', min(ts), max(ts)) AS span_s
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      Sessionize.sessions(t(s, d, "events"), "ts", gapMinutes = 30)
+    },
+
+    // ----- n17: multimodal binary-column metadata -----------------------
+    // Payload = utf-8 bytes of text (the corpus is ascii, so the DuckDB
+    // twin can mirror byte ops through encode()); see Multimodal for the
+    // stubbed decode stage exercised in unit tests.
+    QuerySpec(
+      "n17_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN hex(encode(substr(text, 1, 4))) = '89504E47' THEN 'png'
+        |       WHEN hex(encode(substr(text, 1, 2))) = 'FFD8' THEN 'jpeg'
+        |       WHEN hex(encode(substr(text, 1, 4))) = '52494646' THEN 'riff'
+        |       WHEN hex(encode(substr(text, 1, 4))) = '25504446' THEN 'pdf'
+        |       ELSE 'unknown' END AS format,
+        |  md5(text) AS content_md5,
+        |  md5(substr(text, 1, 64)) AS frame0_md5,
+        |  md5(substr(text, 65, 64)) AS frame1_md5
+        |FROM documents""".stripMargin) { (s, d) =>
+      Multimodal.withMediaMeta(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+        .select("doc_id", "n_bytes", "format", "content_md5",
+          "frame0_md5", "frame1_md5")
+    })
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-shaped event transforms, written source-agnostic: the same
+  * DataFrame→DataFrame function runs over a batch `events` table (the
+  * NorthStar n14/n16 queries do) and over a `readStream` source — only
+  * the watermark/output-mode wiring differs, which is what the
+  * `streaming*` entry points add.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.8); these are
+  * the north-star extensions (§7.4): tumbling/sliding window aggregates
+  * and state-store sessionization.
+  */
+object EventStream {
+
+  /** Tumbling-window counts+sums per event_type. Batch & streaming.
+    * The sum aggregates in DECIMAL(18,2) and emits double: decimal
+    * addition is exact and associative, so the result is independent of
+    * partial/final aggregation order (raw double sums are not). */
+  def tumblingAgg(events: DataFrame, tsCol: String, width: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window counts (width/slide). Batch & streaming. */
+  def slidingCounts(
+      events: DataFrame, tsCol: String, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** Watermarked streaming variant of [[tumblingAgg]] — append mode
+    * emits a window once the watermark passes its end. */
+  def streamingTumblingAgg(
+      stream: DataFrame, tsCol: String, width: String, watermark: String): DataFrame =
+    tumblingAgg(stream.withWatermark(tsCol, watermark), tsCol, width)
+
+  // --- state-store sessionization -----------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+
+  /** Custom-state sessionization with flatMapGroupsWithState: one state
+    * entry per user (start/last/count), emitted when the processing-time
+    * timeout fires after `gapMinutes` of silence. State size is O(users),
+    * independent of event volume — the 100 TB-safe shape.
+    */
+  def streamingSessions(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}
