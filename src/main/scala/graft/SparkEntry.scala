@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{NorthStar, Relational}
+import graft.queries.{NorthStar, Relational, Sinks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{NorthStar, Relational}
   */
 object SparkEntry {
   private def packs: Seq[QuerySpec] =
-    Relational.all ++ NorthStar.all
+    Relational.all ++ Sinks.all ++ NorthStar.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join monthly rollup (J1+A3 — the reference's headline

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.warehouse.Warehouse
+
+/** Sink/warehouse operator queries (SURVEY.md §2.1 S3/S4/S8/S9): each
+  * performs a REAL write (parquet path or catalog table) and returns a
+  * read-back aggregate the DuckDB oracle reproduces from the source
+  * table — proving round-trip fidelity, append/overwrite semantics and
+  * catalog DDL, not just the transform.
+  *
+  * Writes go under target/sinks and the session warehouse dir
+  * (target/warehouse); every query starts with an overwrite or DROP so
+  * re-runs are deterministic. Writers are distributed (one file per
+  * task — no coalesce funnel).
+  */
+object Sinks {
+  import Q._
+
+  private val base = "target/sinks"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ----- S3: append sink (etl.py:101-102 month-append, done right) ----
+    // Overwrite half the rows, append the other half, read the union
+    // back. Partitioned by the rollup key so the read-back prunes.
+    QuerySpec(
+      "s3_sink_append",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val path = s"$base/s3_append"
+      Warehouse.overwrite(
+        orders.filter(col("o_orderkey") % 2 === 0), path, Seq("o_orderstatus"))
+      Warehouse.append(
+        orders.filter(col("o_orderkey") % 2 === 1), path, Seq("o_orderstatus"))
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ----- S4: overwrite sink (etl.py:105,178-180; last-write-wins) -----
+    QuerySpec(
+      "s4_sink_overwrite",
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem WHERE l_quantity <= 25 GROUP BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem")
+        val path = s"$base/s4_overwrite"
+        Warehouse.overwrite(li, path)
+        Warehouse.overwrite(li.filter(col("l_quantity") <= 25), path)
+        s.read.parquet(path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- S8: warehouse staging (stage_redshift.py DELETE+COPY) --------
+    QuerySpec(
+      "s8_warehouse_stage",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      Warehouse.createDatabase(s, "graft")
+      Warehouse.stage(t(s, d, "customer"), "graft.s8_customer")
+      s.table("graft.s8_customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("balance"))
+    },
+
+    // ----- S9: DDL + INSERT (create_tables.sql / load_dimension.py) -----
+    QuerySpec(
+      "s9_ddl_catalog",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      Warehouse.createDatabase(s, "graft")
+      Warehouse.dropTable(s, "graft.s9_region")
+      Warehouse.createTable(s, "graft.s9_region", "r_regionkey INT, r_name STRING")
+      t(s, d, "region").createOrReplaceTempView("graft__s9_src")
+      s.sql("INSERT INTO graft.s9_region SELECT r_regionkey, r_name FROM graft__s9_src")
+      s.table("graft.s9_region").select(col("r_regionkey"), col("r_name"))
+    })
+}

@@ -54,9 +54,12 @@ object EventStream {
       n_events: Long)
 
   /** Custom-state sessionization with flatMapGroupsWithState: one state
-    * entry per user (start/last/count), emitted when the processing-time
-    * timeout fires after `gapMinutes` of silence. State size is O(users),
-    * independent of event volume — the 100 TB-safe shape.
+    * entry per user (start/last/count). A session closes either
+    * in-batch (a later event arrives past the gap) or when the EVENT-
+    * TIME timeout fires — the watermark passing session_end + gap.
+    * Event-time (not processing-time) timeouts keep the operator
+    * deterministic and avoid busy-loop empty micro-batches. State size
+    * is O(users), independent of event volume — the 100 TB-safe shape.
     */
   def streamingSessions(
       spark: SparkSession,
@@ -65,9 +68,10 @@ object EventStream {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     events
+      .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -90,7 +94,10 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // must be strictly past the current watermark or Spark
+              // rejects the timestamp; the +1 covers late sessions
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.reverseIterator
           }

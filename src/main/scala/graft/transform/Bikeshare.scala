@@ -94,7 +94,11 @@ object Bikeshare {
   def weatherTypeBridge(weather: DataFrame, flagCols: Seq[String]): DataFrame =
     weather
       .select(
-        (to_timestamp(col("DATE")).as("date_time") +: flagCols.map(c => col(c))): _*)
+        // flags cast to string: under schema inference an all-"1"/empty
+        // column infers int while a padded "1 " infers string, and
+        // unpivot requires one common value type
+        (to_timestamp(col("DATE")).as("date_time") +:
+          flagCols.map(c => col(c).cast("string").as(c))): _*)
       .unpivot(Array(col("date_time")), flagCols.map(c => col(c)).toArray,
         "wt_name", "flag")
       .filter(trim(col("flag")) === "1")
@@ -125,10 +129,18 @@ object Bikeshare {
 /** Raw-CSV ingest options kept from the reference (etl.py:54-56,122-124);
   * engine-proper reads parquet (SURVEY.md §1.3). */
 object CsvIngest {
-  /** Trip CSV: header + explicit schema (no inferSchema double-scan). */
+  /** Trip CSV (S1): header + explicit schema (no inferSchema
+    * double-scan) or inference when no schema is supplied. */
   def csv(spark: SparkSession, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val r = spark.read.option("header", "true")
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
+
+  /** String-typed CSV (S2, etl.py:122-124): header only, every column
+    * StringType, casts pushed to the consuming transform. Required for
+    * the weather path: inference would coerce the WT flag columns
+    * ("1"/"1 "/empty) to numerics and corrupt the trim-match. */
+  def csvStringTyped(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
 }

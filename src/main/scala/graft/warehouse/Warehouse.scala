@@ -1,0 +1,80 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The warehouse side of the reference, Spark-native: the engine's
+  * tables ARE Spark catalog tables over parquet — there is no COPY hop.
+  *
+  * Reference semantics mapped (SURVEY.md §2.1):
+  *  - S3 CSV append sink (etl.py:101-102)        → [[append]]
+  *  - S4 CSV overwrite sink (etl.py:105,178-180) → [[overwrite]]
+  *  - S8 DELETE + COPY staging
+  *    (stage_redshift.py:34-48)                  → [[stage]] (overwrite
+  *    saveAsTable — atomic replace, idempotent re-runs like
+  *    DELETE-before-COPY)
+  *  - S9 DDL, DROP/CREATE IF [NOT] EXISTS ×6
+  *    (dags/sql/create_tables.sql:1-56,
+  *    drop_tables.sql:1-6)                       → [[createDatabase]] /
+  *    [[dropTable]] / catalog-managed tables
+  *
+  * Scale notes: writers are plain distributed parquet writes (one file
+  * per task — no coalesce(1) funnels); `partitionBy` is exposed so
+  * facts can lay out by their pruning key (the reference's per-month
+  * file naming, done properly); overwrite of a partitioned table with
+  * dynamic partition overwrite only rewrites touched partitions.
+  */
+object Warehouse {
+
+  /** S3: append rows to a parquet path (optionally partitioned). */
+  def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S4: overwrite a parquet path. */
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S8: stage a DataFrame as a catalog table (DELETE+COPY ≡ atomic
+    * overwrite). Qualified name, e.g. "graft.trip_fact".
+    *
+    * The DELETE half is literal: drop any existing catalog entry AND
+    * remove an orphaned managed location (an in-memory catalog forgets
+    * tables between sessions while their files survive, and Spark
+    * refuses to create a managed table over a non-empty location).
+    * This is what makes re-runs idempotent, like the reference's
+    * DELETE-before-COPY (stage_redshift.py:38). */
+  def stage(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** S9: CREATE DATABASE IF NOT EXISTS. */
+  def createDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  /** S9: DROP TABLE IF EXISTS (drop_tables.sql semantics). */
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** S9: declarative CREATE TABLE ... USING PARQUET (create_tables.sql
+    * semantics — schema-first, idempotent). */
+  def createTable(
+      spark: SparkSession, table: String, ddlSchema: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val part =
+      if (partitionBy.nonEmpty) partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+      else ""
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($ddlSchema) USING PARQUET$part")
+  }
+}

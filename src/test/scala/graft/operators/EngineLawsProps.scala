@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean, throws}
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.quality.QualityChecks
+
+/** ScalaCheck invariants (SURVEY.md §5.2): laws the reference only
+  * enforced in production, plus determinism laws for the stubbed /
+  * derived components. Spark-backed properties run few cases (each case
+  * is a job); pure properties run the default 100. */
+object EngineLawsProps extends Properties("EngineLaws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- pure laws ------------------------------------------------------
+
+  property("decodeStub is deterministic and dim-exact") =
+    forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte)), Gen.choose(1, 32)) {
+      (bytes, dim) =>
+        val a = Multimodal.decodeStub(bytes.toArray, dim)
+        val b = Multimodal.decodeStub(bytes.toArray, dim)
+        a.toSeq == b.toSeq && a.length == dim
+    }
+
+  property("hyperplanes are ±1, deterministic, shape-exact") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 64)) { (n, d) =>
+      val p = Similarity.hyperplanes(n, d)
+      p == Similarity.hyperplanes(n, d) &&
+        p.length == n && p.forall(_.length == d) &&
+        p.flatten.forall(x => x == 1 || x == -1)
+    }
+
+  // --- Spark-backed laws (few, fast cases) ----------------------------
+
+  private val sparkCases = 5
+
+  property("quality gates: nonEmpty throws iff empty") = {
+    forAll(Gen.choose(0, 3)) { n =>
+      val df = (1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      if (n == 0)
+        throws(classOf[QualityChecks.QualityViolation]) {
+          QualityChecks.requireNonEmpty(df, "t")
+        }
+      else QualityChecks.requireNonEmpty(df, "t") == n.toLong
+    }
+  }
+
+  property("quality gates: nullKeys throws iff any null") = {
+    forAll(Gen.choose(0, 2), Gen.choose(1, 3)) { (nulls, clean) =>
+      val rows = (1 to clean).map(i => (Some(i.toLong), s"c$i")) ++
+        (1 to nulls).map(i => (Option.empty[Long], s"n$i"))
+      val df = rows.toDF("id", "v")
+      if (nulls > 0)
+        throws(classOf[QualityChecks.QualityViolation]) {
+          QualityChecks.requireNoNullKeys(df, "t", "id")
+        }
+      else { QualityChecks.requireNoNullKeys(df, "t", "id"); true }
+    }
+  }
+
+  property("unpivot of a flag matrix preserves every set flag exactly once") = {
+    val flagGen = Gen.listOfN(3, Gen.listOfN(3, Gen.oneOf("1", "", "0")))
+    forAll(flagGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case (fs, i) => (i.toLong, fs(0), fs(1), fs(2)) }
+        .toDF("id", "f1", "f2", "f3")
+      val long = df.unpivot(
+        Array(col("id")), Array(col("f1"), col("f2"), col("f3")),
+        "flag_name", "flag")
+      // row count is rows × flags, and filtering "1" matches the set count
+      val expectSet = rows.map(_.count(_ == "1")).sum
+      long.count() == rows.size * 3 &&
+        long.filter(col("flag") === "1").count() == expectSet
+    }
+  }
+}

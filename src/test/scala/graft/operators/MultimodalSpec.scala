@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("sniffFormat recognizes public magic bytes on binary payloads") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val riff = "RIFF1234WAVE".getBytes("UTF-8")
+    val text = "hello world".getBytes("UTF-8")
+    val df = Seq(
+      (1L, png), (2L, jpeg), (3L, riff), (4L, text)).toDF("doc_id", "payload")
+    val got = df.select(col("doc_id"), Multimodal.sniffFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "png", 2L -> "jpeg", 3L -> "riff", 4L -> "unknown"))
+  }
+
+  test("withMediaMeta computes sizes and stable digests") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdef".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val row = Multimodal.withMediaMeta(df, "payload").head
+    assert(row.getAs[Long]("n_bytes") === 6L)
+    // md5("abcdef")
+    assert(row.getAs[String]("content_md5") === "e80b5017098950fc58aad83c8c14978e")
+    // payload shorter than the second frame → md5 of empty slice
+    assert(row.getAs[String]("frame1_md5") === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("extractFeatures: stubbed decode keeps schema, dim and determinism") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "first payload".getBytes("UTF-8")),
+      (2L, "second payload".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 8)
+    assert(feats.schema("features").dataType.simpleString === "array<float>")
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1L).length === 8)
+    assert(rows(1L) !== rows(2L)) // payload-dependent
+    val again = Multimodal.extractFeatures(df, "payload", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again === rows) // deterministic
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def embDf(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  private val rng = new scala.util.Random(11)
+  private val vecs: Seq[(Long, Seq[Float], Int)] =
+    (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextFloat() - 0.5f), (i % 5).toInt))
+
+  test("topKCosine matches a driver-side brute force") {
+    val df = embDf(vecs)
+    val q = vecs.head._2
+    val expected = vecs.tail
+      .map { case (id, v, _) => id -> BigDecimal(cos(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    val got = Similarity.topKCosine(
+      df.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      df.filter(col("vec_id") === 0), "embedding", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got === expected)
+  }
+
+  test("annTopK returns results from the probe bucket, ranked like brute force") {
+    val df = embDf(vecs)
+    val planes = Similarity.hyperplanes(3, 16)
+    val got = Similarity.annTopK(
+      df.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      df.filter(col("vec_id") === 0), "embedding", planes, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // every ANN hit must be a genuine cosine value (subset of brute force)
+    val all = vecs.tail.map { case (id, v, _) =>
+      id -> BigDecimal(cos(vecs.head._2, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got.foreach { case (id, s) => assert(math.abs(all(id) - s) < 1e-9) }
+    // ranked descending
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("hyperplanes are deterministic and ±1") {
+    val p1 = Similarity.hyperplanes(4, 16)
+    val p2 = Similarity.hyperplanes(4, 16)
+    assert(p1 === p2)
+    assert(p1.flatten.forall(x => x == 1 || x == -1))
+  }
+
+  test("blockedNearDupPairs only pairs within a block, exact threshold") {
+    // two near-identical vectors in block 0, one in block 1
+    val v = Seq.fill(8)(0.5f)
+    val almost = v.updated(0, 0.51f)
+    val df = embDf(Seq((1L, v, 0), (2L, almost, 0), (3L, v, 1)))
+    val pairs = Similarity.blockedNearDupPairs(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L))) // 1-3 identical but cross-block
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The batch transforms run unchanged under Structured Streaming —
+  * exercised with MemoryStream sources and in-memory sinks. */
+class EventStreamSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingAgg is identical in batch and streaming (watermarked)") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0),
+      (ts("2024-01-01 11:10:00"), "click", 4.0))
+
+    val batch = EventStream.tumblingAgg(
+      rows.toDF("ts", "event_type", "value"), "ts", "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = EventStream.streamingTumblingAgg(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "1 hour", "10 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("tumbling_test").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // push the watermark past every window end so append emits them
+    mem.addData((ts("2024-01-01 13:00:00"), "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .filter(col("event_type") =!= "late")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("streamingSessions emits a session after the gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SessionEvent]
+    val sessions = EventStream.streamingSessions(
+      spark, mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_test").outputMode("append").start()
+
+    mem.addData(
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:00:00")),
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // second batch: an event far past the gap → closes the first session
+    mem.addData(EventStream.SessionEvent(1L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
+  }
+}
