@@ -45,18 +45,36 @@ object NorthStar {
       s"(CASE WHEN list_dot_product($v, ${planeSql(p)}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Word-3-shingle CTEs (`sh`, `shn`) shared by the Jaccard oracles. */
-  private val shingleCte: String =
-    """toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
-      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-      |  QUALIFY shingle IS NOT NULL),
-      |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  /** Word-n-shingle CTEs (`sh`, `shn`) shared by the Jaccard oracles. */
+  private def shingleCteN(n: Int): String = {
+    val leads = (1 until n)
+      .map(i => s"|| ' ' || lead(w, $i) OVER win ").mkString
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    w ${leads}AS shingle
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY shingle IS NOT NULL),
+       |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private val shingleCte: String = shingleCteN(3)
+
+  /** Exact-Jaccard pair SQL over the `sh`/`shn` CTEs. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""pair AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |FROM pair
+       |JOIN shn ca ON ca.doc_id = id_a
+       |JOIN shn cb ON cb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
 
   /** Portable 60-bit md5 hash in DuckDB. */
   private def hex60(e: String): String =
@@ -122,19 +140,21 @@ object NorthStar {
     QuerySpec(
       "n3_minhash_neardup",
       s"""WITH $shingleCte,
-         |pair AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-         |FROM pair
-         |JOIN shn ca ON ca.doc_id = id_a
-         |JOIN shn cb ON cb.doc_id = id_b
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8""".stripMargin) {
-      (s, d) =>
-        MinHashNearDup.nearDupPairs(
-          t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+         |${jaccardPairsSql(0.8)}""".stripMargin) { (s, d) =>
+      MinHashNearDup.nearDupPairs(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.8)
+    },
+
+    // ----- n18: n-gram (bigram) Jaccard dedup ---------------------------
+    // Same LSH-candidates + exact-verify machinery at a different gram
+    // width and threshold; the oracle is the exact bigram-Jaccard set.
+    QuerySpec(
+      "n18_ngram_jaccard",
+      s"""WITH ${shingleCteN(2)},
+         |${jaccardPairsSql(0.6)}""".stripMargin) { (s, d) =>
+      MinHashNearDup.nearDupPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.6, shingleWidth = 2)
     },
 
     // ----- n13: SimHash near-dup (pigeonhole bands, exact recall) -------

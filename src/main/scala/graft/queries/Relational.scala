@@ -164,6 +164,36 @@ object Relational {
           "measure", "value")
     },
 
+    // ----- F9/X9 + U1: flag unpivot with trim + suffix parse ------------
+    // Reference: per-WT-column driver loop with row.strip()=="1" and
+    // int(name[-2:]) (etl.py:107-118) → one native unpivot, a trim
+    // filter, and a substring cast. Flags synthesized from orders so the
+    // padded-whitespace matching has a DuckDB oracle.
+    QuerySpec(
+      "f9_flag_unpivot",
+      """WITH f AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'O' THEN '1 ' ELSE '' END AS wt01,
+        |    CASE WHEN o_orderstatus = 'F' THEN ' 1' ELSE '' END AS wt02,
+        |    CASE WHEN o_orderpriority LIKE '1%' THEN '1' ELSE '' END AS wt03
+        |  FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, 'wt01' AS wt_name, wt01 AS flag FROM f
+        |  UNION ALL SELECT o_orderkey, 'wt02', wt02 FROM f
+        |  UNION ALL SELECT o_orderkey, 'wt03', wt03 FROM f)
+        |SELECT o_orderkey, CAST(substr(wt_name, 3, 2) AS INT) AS flag_id
+        |FROM u WHERE trim(flag) = '1'""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "O", "1 ").otherwise("").as("wt01"),
+          when(col("o_orderstatus") === "F", " 1").otherwise("").as("wt02"),
+          when(col("o_orderpriority").startsWith("1"), "1").otherwise("").as("wt03"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("wt01"), col("wt02"), col("wt03")), "wt_name", "flag")
+        .filter(trim(col("flag")) === "1")
+        .select(col("o_orderkey"),
+          substring(col("wt_name"), 3, 2).cast("int").as("flag_id"))
+    },
+
     // ----- J1: star equi-join + grouped agg -----------------------------
     // Reference: schema-implied star joins (create_tables.sql:12-16,24-44;
     // README.md:56-63). Small dims broadcast — no shuffle of the fact side

@@ -57,6 +57,33 @@ object Sinks {
           .agg(count(lit(1)).as("n"))
     },
 
+    // ----- S2: string-typed CSV scan (etl.py:122-124) -------------------
+    // Real CSV round-trip: write orders as CSV with the reference's
+    // timestamp format (etl.py:101), read back string-typed (every
+    // column StringType), push the casts into a select — the weather
+    // path's exact mechanism, verified against the parquet source.
+    QuerySpec(
+      "s2_csv_scan",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  CAST(o_orderdate AS TIMESTAMP) AS order_ts
+        |FROM orders""".stripMargin) { (s, d) =>
+      val path = s"$base/s2_csv"
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+      graft.transform.CsvIngest.csvStringTyped(s, path)
+        .select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"),
+          to_timestamp(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_ts"))
+    },
+
     // ----- S8: warehouse staging (stage_redshift.py DELETE+COPY) --------
     QuerySpec(
       "s8_warehouse_stage",

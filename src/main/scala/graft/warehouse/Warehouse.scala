@@ -47,13 +47,7 @@ object Warehouse {
     * This is what makes re-runs idempotent, like the reference's
     * DELETE-before-COPY (stage_redshift.py:38). */
   def stage(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(ident))
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTable(df.sparkSession, table)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(table)
@@ -63,9 +57,18 @@ object Warehouse {
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
-  /** S9: DROP TABLE IF EXISTS (drop_tables.sql semantics). */
-  def dropTable(spark: SparkSession, table: String): Unit =
+  /** S9: DROP TABLE IF EXISTS (drop_tables.sql semantics) — including
+    * an orphaned managed location left by a previous session (the
+    * in-memory catalog forgets the entry, DROP is then a no-op, and a
+    * later CREATE refuses the non-empty directory). */
+  def dropTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
   /** S9: declarative CREATE TABLE ... USING PARQUET (create_tables.sql
     * semantics — schema-first, idempotent). */
