@@ -21,6 +21,7 @@ object Sessions {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(graft.functions.GraftFunctions.register)
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine function registration through the public
+  * SparkSessionExtensions injection point (wired in graft.Sessions).
+  * SQL surface:
+  *   graft_minhash_bands(baseHash, numHashes, bands) → array<bigint>
+  *   graft_simhash(wordHash)                          → bigint
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandSketch].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) =>
+        MinHashBandSketch(args(0),
+          intLit(args(1), "numHashes"), intLit(args(2), "bands"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHashAgg(args(0))))
+  }
+}

@@ -40,7 +40,6 @@ object MinHashNearDup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     // Cached: referenced by the signature path AND both sides of the
     // exact-verify join — without persistence Spark would recompute the
@@ -55,42 +54,25 @@ object MinHashNearDup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // One string hash per shingle, then k universal-hash permutations
-    // (a_j·h + b_j mod p) over the 31-bit base — multiply-adds on a
-    // long, ~100× cheaper than k independent string hashes. Constants
-    // stay below 2^31 so products fit a long (ANSI overflow-safe).
+    // One string hash per shingle, then the banded-minhash sketch
+    // aggregate (graft.functions.MinHashBandSketch): k universal-hash
+    // minima + band mixing in one TypedImperativeAggregate with a
+    // primitive-array buffer — replaces k generated min() columns
+    // (whose fixed codegen cost dominated the query) and still
+    // partial-aggregates map-side, so the shuffle carries `bands`
+    // longs per doc.
     val exploded = shingled
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("hb", xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
+      .withColumn("hb", xxhash64(col("s")))
 
-    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val rng = new scala.util.Random(42) // fixed seed: deterministic fns
-    val coef = Seq.fill(numHashes)(
-      (1 + rng.nextInt(Int.MaxValue - 1)).toLong -> rng.nextInt(Int.MaxValue).toLong)
-
-    // k min-hashes per doc: partial min() aggregation combines map-side,
-    // so the shuffle carries k longs per doc, not the shingles.
-    val sig = exploded
+    // Persisted: both sides of the bucket self-join reference it, and
+    // without persistence each side would recompute the whole
+    // scan→shingle→hash→sketch chain. `bands` longs per doc — tiny.
+    val banded = exploded
       .groupBy(col("doc_id"))
-      .agg(
-        min((col("hb") * coef.head._1 + coef.head._2) % P).as("h0"),
-        (1 until numHashes).map { j =>
-          val (a, b) = coef(j)
-          min((col("hb") * a + b) % P).as(s"h$j")
-        }: _*)
-
-    // One hash value per band (hash of the band's row slice).
-    val withBands = sig.select(
-      col("doc_id") +:
-        (0 until bands).map { b =>
-          xxhash64((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)
-            .as(s"band$b")
-        }: _*)
-
-    val banded = withBands.unpivot(
-      Array(col("doc_id")),
-      (0 until bands).map(b => col(s"band$b")).toArray,
-      "band", "band_val")
+      .agg(expr(s"graft_minhash_bands(hb, $numHashes, $bands)").as("bh"))
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.alias("l")
       .join(

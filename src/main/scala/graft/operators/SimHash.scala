@@ -27,27 +27,19 @@ object SimHash {
   val bandCount = 4
   private val bandBits = bits / bandCount
 
-  /** (id, simhash) with simhash in [0, 2^32). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = Partitioning.spread(docs)
+  /** (id, simhash) with simhash in [0, 2^32).
+    *
+    * Bit votes + final hash are one TypedImperativeAggregate
+    * (graft.functions.SimHashAgg) over the portable md5-derived word
+    * hash — identical values to the 32-sum expression form (the DuckDB
+    * oracle mirrors the votes), at a fraction of its codegen cost. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
       .distinct()
       .withColumn("v", TextOps.hexHash60(col("w")))
-
-    val votes = words
       .groupBy(col("doc_id"))
-      .agg(
-        voteSum(0).as("s0"),
-        (1 until bits).map(i => voteSum(i).as(s"s$i")): _*)
-
-    val hash = (0 until bits)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), hash.as("simhash"))
-  }
-
-  private def voteSum(i: Int): Column =
-    sum(when(shiftright(col("v"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      .agg(expr("graft_simhash(v)").as("simhash"))
 
   /** Pairs within `maxHamming` (≤ 3 for exhaustive recall with 4 bands). */
   def nearDupPairs(
@@ -57,7 +49,10 @@ object SimHash {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bandCount,
       s"pigeonhole recall needs maxHamming < $bandCount bands")
+    // Persisted: the band self-join references it on both sides; one
+    // long per doc, so the cache is metadata-sized.
     val sh = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sh.select(
       col("doc_id") +: col("simhash") +:
