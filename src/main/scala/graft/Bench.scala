@@ -25,7 +25,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(name, fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators persist small intermediates (LSH bands, shingle sets);
+      // drop them between queries so accumulated cache pressure doesn't
+      // tax later queries' timings
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -350,10 +350,11 @@ object NorthStar {
           .select(
             col("doc_id"), col("fp_md5"),
             explode(TextOps.shinglesFromTokens(col("ws"), 3)).as("s"))
+          // hash projected once: passing the expression to both min()
+          // and max() would evaluate md5+conv twice per row
+          .withColumn("h", TextOps.hexHash60(col("s")))
           .groupBy(col("doc_id"), col("fp_md5"))
-          .agg(
-            min(TextOps.hexHash60(col("s"))).as("min_h"),
-            max(TextOps.hexHash60(col("s"))).as("max_h"))
+          .agg(min(col("h")).as("min_h"), max(col("h")).as("max_h"))
     },
 
     // ----- n14: tumbling-window event aggregation -----------------------
@@ -396,6 +397,26 @@ object NorthStar {
         |  date_diff('second', min(ts), max(ts)) AS span_s
         |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
       Sessionize.sessions(t(s, d, "events"), "ts", gapMinutes = 30)
+    },
+
+    // ----- n19: HLL sketch distinct (approx_count_distinct) -------------
+    // The approx value itself is engine-specific, so the oracle checks
+    // the exact count plus the assertion that the HLL estimate landed
+    // within a 15% band (deterministic for a fixed input + algorithm;
+    // a drift outside the band fails the gate and should).
+    QuerySpec(
+      "n19_approx_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_n,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_n"),
+          approx_count_distinct(col("user_id"), 0.05).as("graft__approx"))
+        .select(col("event_type"), col("exact_n"),
+          (abs(col("graft__approx") - col("exact_n")) <=
+            col("exact_n") * 0.15).as("approx_ok"))
     },
 
     // ----- n17: multimodal binary-column metadata -----------------------

@@ -284,6 +284,24 @@ object Relational {
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
     },
 
+    // ----- J6: salted join (skew mitigation, result-identical) ----------
+    // The salted plan must produce exactly the plain join's rows — the
+    // oracle is the unsalted join, so correctness of the salting
+    // machinery is what's being checked.
+    QuerySpec(
+      "j6_salted_join",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      graft.operators.SkewJoin
+        .saltedInnerJoin(
+          t(s, d, "lineitem"), t(s, d, "orders"),
+          "l_orderkey", "o_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
     // ----- A1/A2: data-quality probes ------------------------------------
     // Reference: data_quality.py:5-6 count + null-key gates; strict ==0
     // semantics per SURVEY.md §7.5.

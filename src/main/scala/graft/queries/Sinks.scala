@@ -100,6 +100,31 @@ object Sinks {
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("balance"))
     },
 
+    // ----- S10: bucketed tables + co-located join -----------------------
+    // Both tables bucketed 8× on the join key: the join needs NO
+    // exchange of either side — the bucketing IS the shuffle, paid once
+    // at write time and amortized over every subsequent join. This is
+    // the 100 TB co-location strategy (WarehouseSpec asserts the
+    // exchange-free plan).
+    QuerySpec(
+      "s10_bucketed_join",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Warehouse.createDatabase(s, "graft")
+      Warehouse.stageBucketed(
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft.s10_lineitem", "l_orderkey", 8)
+      Warehouse.stageBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        "graft.s10_orders", "o_orderkey", 8)
+      s.table("graft.s10_lineitem")
+        .join(s.table("graft.s10_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ----- S9: DDL + INSERT (create_tables.sql / load_dimension.py) -----
     QuerySpec(
       "s9_ddl_catalog",

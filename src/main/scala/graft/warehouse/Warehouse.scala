@@ -53,6 +53,18 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** S8 variant: stage bucketed+sorted on the join key — the shuffle
+    * is paid once at write time; subsequent equi-joins between tables
+    * bucketed the same way need no exchange on either side. */
+  def stageBucketed(
+      df: DataFrame, table: String, bucketKey: String, buckets: Int): Unit = {
+    dropTable(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketKey)
+      .sortBy(bucketKey)
+      .saveAsTable(table)
+  }
+
   /** S9: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
