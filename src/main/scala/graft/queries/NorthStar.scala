@@ -399,6 +399,37 @@ object NorthStar {
       Sessionize.sessions(t(s, d, "events"), "ts", gapMinutes = 30)
     },
 
+    // ----- n20: as-of join (purchase ← latest prior view per user) ------
+    // Spark has no native as-of join; AsofJoin composes it from a
+    // union + running-last window (one shuffle). The oracle mirrors the
+    // same construction with DuckDB's IGNORE NULLS last_value — both
+    // order by (ts, kind, view_id) so equal-timestamp behavior is
+    // pinned: views sort before purchases (inclusive bound), the
+    // highest view_id wins a view-view tie.
+    QuerySpec(
+      "n20_asof_join",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT event_id, user_id, ts, kind,
+        |        last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY ts, kind, CASE WHEN kind = 0 THEN event_id END
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+        |      FROM e)
+        |SELECT event_id, user_id, ts AS purchase_ts, view_id
+        |FROM w WHERE kind = 1""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events")
+      graft.operators.AsofJoin.asofBackward(
+        left = events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts")),
+        right = events.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        key = "user_id", leftTs = "purchase_ts", rightTs = "ts",
+        rightValue = "event_id", rightTieBreak = "event_id",
+        outCol = "view_id")
+    },
+
     // ----- n19: HLL sketch distinct (approx_count_distinct) -------------
     // The approx value itself is engine-specific, so the oracle checks
     // the exact count plus the assertion that the HLL estimate landed

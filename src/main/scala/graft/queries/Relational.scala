@@ -302,6 +302,31 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     },
 
+    // ----- J7: range join (value → tier band lookup) --------------------
+    // Non-equi join against a tiny banded dimension: broadcast the
+    // bands so the range probe is a broadcast nested-loop over 3 rows,
+    // not a shuffle — the right plan when the band table is O(10) and
+    // the fact side is the 100 TB one.
+    QuerySpec(
+      "j7_range_join",
+      """SELECT tier, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0),
+        |             ('high', 250.0, 1000.0)) AS t(tier, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY tier""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tiers = Seq(
+        ("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 1000.0))
+        .toDF("tier", "lo", "hi")
+      t(s, d, "events")
+        .join(broadcast(tiers),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    },
+
     // ----- A1/A2: data-quality probes ------------------------------------
     // Reference: data_quality.py:5-6 count + null-key gates; strict ==0
     // semantics per SURVEY.md §7.5.
