@@ -52,6 +52,37 @@ class EventStreamSpec extends SparkTestBase {
       ("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("file-source streaming: readStream over the events parquet matches batch") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchEvents = graft.sources.Tables(spark, sfDir, "events")
+    val expected = EventStream.tumblingAgg(batchEvents, "ts", "1 hour")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+
+    // same source as a file stream (file sources need a directory):
+    // schema from the batch reader, nanos→micros applied identically
+    val dir = java.nio.file.Paths.get("target/stream_src")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.tumblingAgg(raw, "ts", "1 hour")
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("file_stream_test")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
+
   test("streamingSessions emits a session after the gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
