@@ -29,5 +29,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHashAgg(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
   }
 }

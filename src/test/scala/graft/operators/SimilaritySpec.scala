@@ -57,6 +57,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(p1.flatten.forall(x => x == 1 || x == -1))
   }
 
+  test("graft_cosine generates compilable codegen (no interpreter fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = spark.range(1, 4)
+        .selectExpr("cast(array(id * 1.0, 0.0) as array<double>) AS v")
+        .selectExpr("graft_cosine(v, cast(array(1.0, 0.0) as array<double>)) AS c")
+        .collect().map(_.getDouble(0))
+      // all vectors are positive multiples of (1,0) → cosine exactly 1
+      assert(got.toSeq === Seq(1.0, 1.0, 1.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("blockedNearDupPairs only pairs within a block, exact threshold") {
     // two near-identical vectors in block 0, one in block 1
     val v = Seq.fill(8)(0.5f)
