@@ -148,13 +148,18 @@ object NorthStar {
     // ----- n18: n-gram (bigram) Jaccard dedup ---------------------------
     // Same LSH-candidates + exact-verify machinery at a different gram
     // width and threshold; the oracle is the exact bigram-Jaccard set.
+    // Steeper bands than n3 (6 rows × 11): bigrams over a small
+    // vocabulary give unrelated docs nontrivial baseline similarity, so
+    // 4-row bands would admit a quadratic candidate flood; at 6 rows a
+    // J=0.3 background pair is a candidate with p≈0.8% while the
+    // corpus's real pairs (J≥0.9) are missed with p≈2.5e-4.
     QuerySpec(
       "n18_ngram_jaccard",
       s"""WITH ${shingleCteN(2)},
          |${jaccardPairsSql(0.6)}""".stripMargin) { (s, d) =>
       MinHashNearDup.nearDupPairs(
         t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.6, shingleWidth = 2)
+        threshold = 0.6, shingleWidth = 2, numHashes = 66, bands = 11)
     },
 
     // ----- n13: SimHash near-dup (pigeonhole bands, exact recall) -------
