@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
   * negligible false-negative mass (the DuckDB oracle computes the exact
   * set; see NorthStar n3).
   *
-  * MinHash functions are xxhash64(seed=j, shingle) — engine-local is
-  * fine because candidates are an internal detail; only the exact
-  * Jaccard (integer arithmetic) must match the oracle.
+  * MinHash functions are xxhash64-based — engine-local is fine because
+  * candidates are an internal detail; only the exact Jaccard (integer
+  * arithmetic) must match the oracle.
+  *
+  * Resource note: the operator persists two small intermediates (the
+  * shingle sets and the banded signatures) because both feed multiple
+  * downstream branches; callers running many operators in one session
+  * should release them afterwards (`spark.catalog.clearCache()` —
+  * Verify/Bench do this between queries) or unpersist via the plans.
   */
 object MinHashNearDup {
 
