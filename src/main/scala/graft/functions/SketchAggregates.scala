@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -23,8 +23,10 @@ import org.apache.spark.sql.types._
 /** Banded MinHash sketch: input is a 64-bit base hash per set element
   * (e.g. xxhash64 of a shingle); the buffer holds `numHashes` running
   * minima of universal-hash permutations `(a_j·h + b_j) mod p` over the
-  * 31-bit base; eval emits `bands` FNV-mixed band hashes, ready for
-  * posexplode → LSH bucket join. Constants are fixed-seed deterministic.
+  * 31-bit base; eval emits a struct of (sig: the full signature, for
+  * sketch-estimated Jaccard prefiltering; bands: FNV-mixed band hashes
+  * ready for posexplode → LSH bucket join). Constants are fixed-seed
+  * deterministic.
   */
 case class MinHashBandSketch(
     child: Expression,
@@ -40,7 +42,9 @@ case class MinHashBandSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false)))
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
@@ -82,7 +86,8 @@ case class MinHashBandSketch(
       out(b) = acc
       b += 1
     }
-    new GenericArrayData(out)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(buf.clone()), new GenericArrayData(out)))
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {

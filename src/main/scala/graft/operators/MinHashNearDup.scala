@@ -71,14 +71,18 @@ object MinHashNearDup {
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("hb", xxhash64(col("s")))
 
-    // Persisted: both sides of the bucket self-join reference it, and
-    // without persistence each side would recompute the whole
-    // scan→shingle→hash→sketch chain. `bands` longs per doc — tiny.
-    val banded = exploded
+    // Persisted: the signature table feeds the bucket self-join (both
+    // sides) AND the estimate prefilter; without persistence each
+    // branch would recompute the whole scan→shingle→hash→sketch chain.
+    // numHashes+bands longs per doc — tiny.
+    val sketches = exploded
       .groupBy(col("doc_id"))
-      .agg(expr(s"graft_minhash_bands(hb, $numHashes, $bands)").as("bh"))
-      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+      .agg(expr(s"graft_minhash_bands(hb, $numHashes, $bands)").as("sk"))
+      .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.bands").as("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sketches
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
 
     val candidates = banded.alias("l")
       .join(
@@ -89,10 +93,30 @@ object MinHashNearDup {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
 
+    // Sketch-estimate prefilter: matching signature positions estimate
+    // Jaccard with σ = sqrt(J(1-J)/k); filtering 2.5σ under the
+    // threshold keeps true pairs (miss mass ~1e-3 AT the threshold,
+    // far less above it) while discarding the background candidates
+    // that band collisions admit — the verify stage then touches the
+    // heavy shingle arrays only for plausible pairs. This matters when
+    // the corpus has nontrivial baseline similarity (bigrams, small
+    // vocabularies): band geometry alone can admit a candidate flood.
+    val sigMargin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val minMatches = math.floor((threshold - sigMargin) * numHashes).toLong
+    val sigA = sketches.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sketches.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val plausible = candidates
+      .join(sigA, "id_a")
+      .join(sigB, "id_b")
+      .withColumn("est",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
+      .filter(col("est") >= minMatches)
+      .select(col("id_a"), col("id_b"))
+
     val setsA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val setsB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
 
-    candidates
+    plausible
       .join(setsA, "id_a")
       .join(setsB, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
