@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   *  At 100 TB none of the stages materializes anything driver-side and
   *  every shuffle key (doc_id, band value) is high-cardinality/uniform.
   *
-  * Probabilistic contract: with k=128 hashes in 32 bands × 4 rows the
-  * s-curve threshold is ≈0.42; a pair at Jaccard 0.8 is missed with
-  * probability (1-0.8^4)^32 ≈ 5e-8. The exact-Jaccard filter removes all
-  * false positives, so output = {pairs with J ≥ threshold} up to that
-  * negligible false-negative mass (the DuckDB oracle computes the exact
-  * set; see NorthStar n3).
+  * Probabilistic contract: with the default k=64 hashes in 16 bands ×
+  * 4 rows the s-curve threshold is ≈0.5; a pair at Jaccard 0.8 is
+  * missed with probability (1-0.8^4)^16 ≈ 2e-4, and pairs well above
+  * the threshold essentially never. The signature prefilter adds
+  * ~1e-3 miss mass for pairs AT the threshold (2.5σ cutoff), and the
+  * exact-Jaccard filter removes all false positives, so output =
+  * {pairs with J ≥ threshold} up to negligible false-negative mass
+  * (the DuckDB oracle computes the exact set; see NorthStar n3).
   *
   * MinHash functions are xxhash64-based — engine-local is fine because
   * candidates are an internal detail; only the exact Jaccard (integer

@@ -1,7 +1,6 @@
 package graft.transform
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The bikeshare ETL's transform surface (reference
