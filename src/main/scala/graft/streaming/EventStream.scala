@@ -19,15 +19,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling-window counts+sums per event_type. Batch & streaming.
-    * The sum aggregates in DECIMAL(18,2) and emits double: decimal
-    * addition is exact and associative, so the result is independent of
-    * partial/final aggregation order (raw double sums are not). */
+    * The 2-decimal measure sums as integer cents on longs — exact and
+    * associative, so the result is independent of partial/final
+    * aggregation order (raw double sums are not), and codegen stays on
+    * primitives (a DECIMAL aggregate would box per row). The emitted
+    * double equals the decimal oracle's: both correctly round the same
+    * exact rational n/100. */
   def tumblingAgg(events: DataFrame, tsCol: String, width: String): DataFrame =
     events
       .groupBy(window(col(tsCol), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("sum_value"))
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
