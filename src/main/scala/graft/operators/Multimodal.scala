@@ -43,6 +43,18 @@ object Multimodal {
       .withColumn("frame0_md5", md5(substring(col(payloadCol), 1, 64)))
       .withColumn("frame1_md5", md5(substring(col(payloadCol), 65, 64)))
 
+  /** Fixed-stride frame sampling: digest of each `frameBytes`-wide
+    * slice, as an array column — the media analogue of "sample every
+    * Nth frame and fingerprint it". Slices past the payload end digest
+    * the empty slice (same on every engine). `payloadCol` is spliced
+    * into a SQL lambda because `substring` with a computed position is
+    * expression-level only. */
+  def sampleFrames(df: DataFrame, payloadCol: String,
+      frameBytes: Int, nFrames: Int): DataFrame =
+    df.withColumn("frames", expr(
+      s"transform(sequence(0, ${nFrames - 1}), " +
+        s"i -> md5(substring($payloadCol, i * $frameBytes + 1, $frameBytes)))"))
+
   /** Feature-extraction stage with a STUBBED decoder.
     *
     * Real deployment: replace `decodeStub` with the codec/model call;

@@ -470,13 +470,16 @@ object NorthStar {
         |       ELSE 'unknown' END AS format,
         |  md5(text) AS content_md5,
         |  md5(substr(text, 1, 64)) AS frame0_md5,
-        |  md5(substr(text, 65, 64)) AS frame1_md5
+        |  md5(substr(text, 65, 64)) AS frame1_md5,
+        |  list_transform(range(0, 4), i -> md5(substr(text, CAST(i * 64 + 1 AS INT), 64))) AS frames
         |FROM documents""".stripMargin) { (s, d) =>
-      Multimodal.withMediaMeta(
-        t(s, d, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "payload")
+      Multimodal.sampleFrames(
+        Multimodal.withMediaMeta(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload"),
+        "payload", frameBytes = 64, nFrames = 4)
         .select("doc_id", "n_bytes", "format", "content_md5",
-          "frame0_md5", "frame1_md5")
+          "frame0_md5", "frame1_md5", "frames")
     })
 }

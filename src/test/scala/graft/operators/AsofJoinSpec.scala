@@ -33,6 +33,35 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === Map(100L -> 11L, 101L -> -1L, 102L -> 21L, 103L -> -1L))
   }
 
+  test("randomized equivalence with a driver-side brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val lefts = (1 to 400).map { i =>
+      (i.toLong, (rng.nextInt(20) + 1).toLong,
+        new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L))
+    }
+    val rights = (1 to 600).map { i =>
+      ((rng.nextInt(20) + 1).toLong,
+        new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L),
+        (10000 + i).toLong)
+    }
+    val expected = lefts.map { case (id, k, lts) =>
+      val m = rights
+        .filter(r => r._1 == k && !r._2.after(lts))
+        .sortBy(r => (r._2.getTime, r._3))
+        .lastOption.map(_._3)
+      id -> m.getOrElse(-1L)
+    }.toMap
+
+    val got = AsofJoin.asofBackward(
+      lefts.toDF("id", "k", "lts"), rights.toDF("k", "rts", "v"),
+      "k", "lts", "rts", "v", "v", "matched")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got === expected)
+  }
+
   test("as-of join plans as one shuffle (window), not a range join") {
     import spark.implicits._
     val l = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "lts")
