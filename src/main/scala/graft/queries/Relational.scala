@@ -164,6 +164,65 @@ object Relational {
           .distinct()
     },
 
+    // ----- D5: intersect (engine completeness; reference has none) ------
+    QuerySpec(
+      "d5_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
+    // ----- U4: pivot (long→wide; the inverse of U1) ---------------------
+    // Explicit pivot values pin the output schema; empty cells are NULL
+    // on both sides (count over no rows vs sum over no matches).
+    QuerySpec(
+      "u4_pivot",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+    },
+
+    // ----- A7: rollup (hierarchical subtotals) --------------------------
+    QuerySpec(
+      "a7_rollup",
+      """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .rollup(
+            year(col("o_orderdate")).cast("long").as("year"),
+            month(col("o_orderdate")).cast("long").as("month"))
+          .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- X11: string-function pack ------------------------------------
+    QuerySpec(
+      "x11_string_funcs",
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_u,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+        |  replace(c_name, '#', '-') AS dashed,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix
+        |FROM customer""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_u"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        expr("replace(c_name, '#', '-')").as("dashed"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"))
+    },
+
     // ----- U1: unpivot / melt (wide→long) -------------------------------
     // Reference: WT-flag melt at etl.py:107-118 (driver loop replaced by
     // the native unpivot — single scan, no per-column pass).
