@@ -204,6 +204,56 @@ object Relational {
           .agg(count(lit(1)).as("n"))
     },
 
+    // ----- A8: grouping sets (via the spark.sql surface) ----------------
+    // Exercises the SQL entry point over registered views — the engine
+    // speaks both DataFrame and SQL (SURVEY §3.3).
+    QuerySpec(
+      "a8_grouping_sets",
+      """SELECT year(o_orderdate) AS year, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+        |                        (year(o_orderdate)), ())""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders").createOrReplaceTempView("graft__orders")
+        s.sql(
+          """SELECT year(o_orderdate) AS year, o_orderstatus, count(*) AS n
+            |FROM graft__orders
+            |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+            |                        (year(o_orderdate)), ())""".stripMargin)
+          .withColumn("year", col("year").cast("long"))
+    },
+
+    // ----- F10: null-safe equality (<=> / IS NOT DISTINCT FROM) ---------
+    QuerySpec(
+      "f10_null_safe_eq",
+      """SELECT o_orderkey,
+        |  (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+        |   nullif(o_orderpriority, '1-URGENT')) AS same_nullness
+        |FROM orders""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        (nullif(col("o_orderstatus"), lit("O")) <=>
+          nullif(col("o_orderpriority"), lit("1-URGENT"))).as("same_nullness"))
+    },
+
+    // ----- X12: date arithmetic pack ------------------------------------
+    QuerySpec(
+      "x12_date_arith",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since"))
+    },
+
     // ----- X11: string-function pack ------------------------------------
     QuerySpec(
       "x11_string_funcs",
