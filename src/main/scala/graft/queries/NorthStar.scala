@@ -435,6 +435,38 @@ object NorthStar {
         outCol = "view_id")
     },
 
+    // ----- n21: array-function pack over the embedding column -----------
+    // Pure array ops (no arithmetic) — values pass through exactly.
+    QuerySpec(
+      "n21_array_funcs",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS DOUBLE) AS vmax,
+        |  CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS DOUBLE) AS vmin,
+        |  CAST(embedding[1:3] AS DOUBLE[]) AS first3
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_max(col("embedding").cast("array<double>")).as("vmax"),
+        array_min(col("embedding").cast("array<double>")).as("vmin"),
+        slice(col("embedding").cast("array<double>"), 1, 3).as("first3"))
+    },
+
+    // ----- n22: exact order statistics (median) per event type ----------
+    QuerySpec(
+      "n22_order_stats",
+      """SELECT event_type, count(*) AS n,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  median(value) AS vmed
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          median(col("value")).as("vmed"))
+    },
+
     // ----- n19: HLL sketch distinct (approx_count_distinct) -------------
     // The approx value itself is engine-specific, so the oracle checks
     // the exact count plus the assertion that the HLL estimate landed
