@@ -46,14 +46,18 @@ object Bench {
     // the operator), and so operator-persisted intermediates (LSH
     // bands, shingle sets) don't tax later queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dts = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try run(name, fn) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
       }
-      name -> dts.min
+      val first = once()
+      // re-run only when a noise spike would be material — sub-second
+      // queries aren't worth doubling the harness wall time for
+      val best = if (first > 1.0) math.min(first, once()) else first
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
