@@ -104,6 +104,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize vectors to their nearest centroid,
+    * then search only the `nprobe` centroids closest to the query —
+    * the inverted-file counterpart to the hyperplane LSH path. At
+    * 100 TB the assignment is a one-off projection (typically
+    * materialized as a partition/bucket key) and each query touches
+    * nprobe/nlist of the data. Centroids are caller-supplied so the
+    * index is deterministic (e.g. per-label means or a fixed sample —
+    * no RNG inside the operator).
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    def centroidLit(c: Seq[Double]): Column = array(c.map(lit): _*)
+    def dist2(v: Column, c: Seq[Double]): Column =
+      aggregate(
+        zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+    def nearest(v: Column): Column =
+      centroids.zipWithIndex
+        .map { case (c, i) => struct(dist2(v, c).as("d"), lit(i).as("i")) }
+        .reduce((a, b) => when(a.getField("d") <= b.getField("d"), a).otherwise(b))
+        .getField("i")
+    // probe set: the nprobe centroids nearest to the query vector
+    val q = query.select(asDouble(col(queryVecCol)).as("graft__qv"))
+      .withColumn("graft__probes",
+        slice(
+          transform(
+            array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+              struct(dist2(col("graft__qv"), c).as("d"), lit(i).as("i"))
+            }: _*)),
+            s => s.getField("i")),
+          1, nprobe))
+    emb
+      .withColumn("graft__cell", nearest(asDouble(col(vecCol))))
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("graft__probes"), col("graft__cell")))
+      .select(
+        col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("graft__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Near-duplicate vector pairs within a blocking key (e.g. label):
     * the join is equi on the block, quadratic only inside it. Norms are
     * computed once per vector BEFORE the join (O(n) instead of O(pairs)

@@ -254,6 +254,20 @@ object Relational {
           .as("days_since"))
     },
 
+    // ----- A9: cube (all subtotal combinations) -------------------------
+    QuerySpec(
+      "a9_cube",
+      """SELECT year(o_orderdate) AS year, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .cube(
+            year(col("o_orderdate")).cast("long").as("year"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+    },
+
     // ----- X11: string-function pack ------------------------------------
     QuerySpec(
       "x11_string_funcs",

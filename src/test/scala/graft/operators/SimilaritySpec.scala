@@ -70,6 +70,35 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("ivfTopK searches only probed cells and ranks like brute force") {
+    val df = embDf(vecs)
+    // deterministic centroids: per-label means of the fixture vectors
+    val centroids = vecs.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, vs) =>
+      val dim = vs.head._2.length
+      (0 until dim).map(i => vs.map(_._2(i).toDouble).sum / vs.size)
+    }
+    val got = Similarity.ivfTopK(
+      df.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      df.filter(col("vec_id") === 0), "embedding",
+      centroids, nprobe = 3, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got.nonEmpty && got.size <= 5)
+    // every hit is a genuine cosine value and ordering is descending
+    val all = vecs.tail.map { case (id, v, _) =>
+      id -> BigDecimal(cos(vecs.head._2, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got.foreach { case (id, s) => assert(math.abs(all(id) - s) < 1e-9) }
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // with ALL cells probed, IVF degenerates to exact brute force
+    val exhaustive = Similarity.ivfTopK(
+      df.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      df.filter(col("vec_id") === 0), "embedding",
+      centroids, nprobe = centroids.size, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val brute = all.toSeq.sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(exhaustive === brute)
+  }
+
   test("blockedNearDupPairs only pairs within a block, exact threshold") {
     // two near-identical vectors in block 0, one in block 1
     val v = Seq.fill(8)(0.5f)
