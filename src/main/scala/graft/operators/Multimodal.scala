@@ -76,6 +76,27 @@ object Multimodal {
     out.withColumn("features", col("features").cast("array<float>"))
   }
 
+  /** Resize stage with a STUBBED transform: binary in, binary out,
+    * executed per-partition like [[extractFeatures]]. The stub
+    * stride-samples every `factor`-th byte — a real image resize
+    * (libvips/PIL equivalent) plugs in with the same signature and the
+    * Spark-side shape (schema, partition batching) is unchanged. */
+  def resize(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, resizeStub(bytes, factor)) })
+      .toDF("doc_id", "resized")
+  }
+
+  private[operators] def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
   /** STUB decoder — deterministic bytes→features fake. A real decoder
     * (libjpeg/ffmpeg/model forward pass) plugs in with this signature. */
   private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {

@@ -30,6 +30,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getAs[String]("frame1_md5") === "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("resize: stubbed stride-sample keeps binary schema and shrinks payloads") {
+    import spark.implicits._
+    val df = Seq((1L, (0 until 100).map(_.toByte).toArray)).toDF("doc_id", "payload")
+    val out = Multimodal.resize(df, "payload", factor = 4)
+    assert(out.schema("resized").dataType.simpleString === "binary")
+    val r = out.head.getAs[Array[Byte]]("resized")
+    assert(r.length === 25)
+    assert(r.toSeq === (0 until 100 by 4).map(_.toByte))
+  }
+
   test("extractFeatures: stubbed decode keeps schema, dim and determinism") {
     import spark.implicits._
     val df = Seq(
