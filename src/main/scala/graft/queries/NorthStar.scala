@@ -435,6 +435,40 @@ object NorthStar {
         outCol = "view_id")
     },
 
+    // ----- n23: per-group quota dedup (source balancing) ----------------
+    // Keep the N best docs per group — the training-data move for
+    // capping over-represented sources; per-key windowed shuffle only.
+    QuerySpec(
+      "n23_quota_dedup",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "lang", "n_chars")
+    },
+
+    // ----- n24: deterministic hash sampling (stratified-safe) -----------
+    // Sampling at 100 TB must be deterministic and coordination-free:
+    // hash the key, keep a residue class. md5-derived so the oracle
+    // reproduces the exact sample (never engine-local hash functions).
+    QuerySpec(
+      "n24_hash_sample",
+      s"""SELECT doc_id, lang, source
+         |FROM documents
+         |WHERE ${hex60("CAST(doc_id AS VARCHAR)")} % 10 < 2""".stripMargin) {
+      (s, d) =>
+        t(s, d, "documents")
+          .filter(TextOps.hexHash60(col("doc_id").cast("string")) % 10 < 2)
+          .select("doc_id", "lang", "source")
+    },
+
     // ----- n21: array-function pack over the embedding column -----------
     // Pure array ops (no arithmetic) — values pass through exactly.
     QuerySpec(

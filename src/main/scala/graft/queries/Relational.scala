@@ -254,6 +254,50 @@ object Relational {
           .as("days_since"))
     },
 
+    // ----- W4: RANGE-frame rolling window (per-entity trailing hour) ----
+    // Event-time range frames (not row counts) — the per-user trailing
+    // feature window of a streaming feature store, expressed in batch.
+    QuerySpec(
+      "w4_range_frame",
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT) AS es
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY es
+        |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM e""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(
+            Window.partitionBy(col("user_id")).orderBy(col("es"))
+              .rangeBetween(-3600, Window.currentRow)).as("n_last_hour"))
+    },
+
+    // ----- X13: conditional + regex scalar pack -------------------------
+    QuerySpec(
+      "x13_conditional_regex",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'large'
+        |       WHEN o_totalprice > 100000 THEN 'medium'
+        |       ELSE 'small' END AS size_band,
+        |  greatest(o_orderkey, o_custkey) AS gkey,
+        |  least(o_orderkey, o_custkey) AS lkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num
+        |FROM orders""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "large")
+          .when(col("o_totalprice") > 100000, "medium")
+          .otherwise("small").as("size_band"),
+        greatest(col("o_orderkey"), col("o_custkey")).as("gkey"),
+        least(col("o_orderkey"), col("o_custkey")).as("lkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_or_open"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("prio_num"))
+    },
+
     // ----- A9: cube (all subtotal combinations) -------------------------
     QuerySpec(
       "a9_cube",
