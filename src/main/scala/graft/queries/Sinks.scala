@@ -125,6 +125,35 @@ object Sinks {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ----- S11: upsert / MERGE (load_fact.py DELETE-then-INSERT) --------
+    // Updates (10% of orders, repriced by an exact +1000.00 — additive
+    // so both engines transform identical doubles identically, no
+    // rounding boundary) win over base rows per key; the
+    // oracle reproduces the merge with a QUALIFY over the same union.
+    QuerySpec(
+      "s11_upsert",
+      """SELECT o_orderkey, o_totalprice, src FROM (
+        |  SELECT o_orderkey, o_totalprice, src,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn
+        |  FROM (
+        |    SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |           'update' AS src, 1 AS prec
+        |    FROM orders WHERE o_orderkey % 10 = 0
+        |    UNION ALL
+        |    SELECT o_orderkey, o_totalprice, 'base' AS src, 0 AS prec
+        |    FROM orders))
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("base").as("src"))
+      val updates = t(s, d, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("update").as("src"))
+      Warehouse.upsert(orders, updates,
+        keyCols = Seq("o_orderkey"), order = Seq("src"))
+    },
+
     // ----- S9: DDL + INSERT (create_tables.sql / load_dimension.py) -----
     QuerySpec(
       "s9_ddl_catalog",

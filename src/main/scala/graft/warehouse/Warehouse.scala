@@ -65,6 +65,34 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Upsert / MERGE semantics (SCD-1, updates win) without a
+    * transactional table format: union the update set over the base and
+    * keep one row per key with update precedence. This is the
+    * reference's DELETE-then-INSERT-SELECT load operator family
+    * (plugins/build/lib/airflow_custom_operators/load_fact.py:21-29,
+    * load_dimension.py:21-29) expressed as one declarative plan — a
+    * per-key shuffle, no row-by-row mutation. `order` breaks ties among
+    * duplicate keys WITHIN a side (pass the natural key or a version
+    * column); updates always beat base rows for the same key.
+    */
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      order: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = updates.withColumn("graft__prec", lit(1))
+      .unionByName(base.withColumn("graft__prec", lit(0)))
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("graft__prec").desc +: order.map(c => col(c).desc): _*)
+    tagged
+      .withColumn("graft__rn", row_number().over(w))
+      .filter(col("graft__rn") === 1)
+      .drop("graft__prec", "graft__rn")
+  }
+
   /** S9: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
