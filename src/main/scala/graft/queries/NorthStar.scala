@@ -469,6 +469,21 @@ object NorthStar {
           .select("doc_id", "lang", "source")
     },
 
+    // ----- n25: generator — posexplode of the embedding column ----------
+    // The one generator-shaped op in the surface (SURVEY §2.5): array →
+    // (row, position, value) rows. Values pass through exactly.
+    QuerySpec(
+      "n25_posexplode",
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS val
+        |FROM embeddings WHERE vec_id < 50""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "val")))
+    },
+
     // ----- n21: array-function pack over the embedding column -----------
     // Pure array ops (no arithmetic) — values pass through exactly.
     QuerySpec(

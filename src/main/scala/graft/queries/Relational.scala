@@ -223,6 +223,18 @@ object Relational {
           .withColumn("year", col("year").cast("long"))
     },
 
+    // ----- F11: LIKE pattern filter -------------------------------------
+    QuerySpec(
+      "f11_like_filter",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority LIKE '%URGENT%'
+        |  AND o_orderpriority NOT LIKE '2%'""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").like("%URGENT%") &&
+          !col("o_orderpriority").like("2%"))
+        .select("o_orderkey", "o_orderpriority")
+    },
+
     // ----- F10: null-safe equality (<=> / IS NOT DISTINCT FROM) ---------
     QuerySpec(
       "f10_null_safe_eq",
