@@ -469,6 +469,30 @@ object NorthStar {
           .select("doc_id", "lang", "source")
     },
 
+    // ----- n26: vocabulary document-frequency stats ----------------------
+    // The df half of tf-idf as exact integers (idf's log is engine-libm
+    // territory — exact counts and ratios are the portable core).
+    QuerySpec(
+      "n26_token_df",
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |n AS (SELECT count(*) AS total FROM documents)
+        |SELECT token, count(*) AS df,
+        |  CAST((SELECT total FROM n) AS DOUBLE) / count(*) AS inv_df,
+        |  count(*) >= 0.5 * (SELECT total FROM n) AS is_stopword_like
+        |FROM w GROUP BY token""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val total = docs.count()
+      docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .select(col("token"), col("df"),
+          (lit(total.toDouble) / col("df")).as("inv_df"),
+          (col("df") >= 0.5 * total).as("is_stopword_like"))
+    },
+
     // ----- n25: generator — posexplode of the embedding column ----------
     // The one generator-shaped op in the surface (SURVEY §2.5): array →
     // (row, position, value) rows. Values pass through exactly.

@@ -154,6 +154,25 @@ object Sinks {
         keyCols = Seq("o_orderkey"), order = Seq("src"))
     },
 
+    // ----- S12: sorted layout + predicate-pruned scan -------------------
+    // Staged sorted by the filter key: range partitioning + in-file
+    // sort cluster key ranges so the predicate below skips row groups
+    // via parquet min/max stats (and the filter is pushed to the scan).
+    QuerySpec(
+      "s12_sorted_scan",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin) {
+      (s, d) =>
+        Warehouse.createDatabase(s, "graft")
+        Warehouse.stageSorted(
+          t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+          "graft.s12_lineitem", "l_orderkey")
+        s.table("graft.s12_lineitem")
+          .filter(col("l_orderkey").between(1000, 2000))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
     // ----- S9: DDL + INSERT (create_tables.sql / load_dimension.py) -----
     QuerySpec(
       "s9_ddl_catalog",

@@ -65,6 +65,20 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Stage sorted by the expected filter key: parquet stores per-row-
+    * group min/max stats, so sorting clusters key ranges and lets scans
+    * with a key predicate skip whole row groups — the lightweight
+    * single-column cousin of Z-ordering. Pair with [[stageBucketed]]
+    * when the key is also the join key. */
+  def stageSorted(
+      df: DataFrame, table: String, sortKey: String): Unit = {
+    dropTable(df.sparkSession, table)
+    df.repartitionByRange(org.apache.spark.sql.functions.col(sortKey))
+      .sortWithinPartitions(sortKey)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Upsert / MERGE semantics (SCD-1, updates win) without a
     * transactional table format: union the update set over the base and
     * keep one row per key with update precedence. This is the
