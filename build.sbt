@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks the driver's
+// extraction of Bench's one-line {"metric":...} JSON (BENCH_r01/r02
+// both recorded "parsed": null because of the prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -510,20 +510,28 @@ object NorthStar {
 
     // ----- n21: array-function pack over the embedding column -----------
     // Pure array ops (no arithmetic) — values pass through exactly.
+    // The slice is surfaced as scalar element columns (not an array
+    // column): the driver's compare sorts the result in pandas, which
+    // cannot order array cells (r02 failed with "unhashable ndarray").
     QuerySpec(
       "n21_array_funcs",
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
         |  CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS DOUBLE) AS vmax,
         |  CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS DOUBLE) AS vmin,
-        |  CAST(embedding[1:3] AS DOUBLE[]) AS first3
+        |  CAST(embedding[1] AS DOUBLE) AS e1,
+        |  CAST(embedding[2] AS DOUBLE) AS e2,
+        |  CAST(embedding[3] AS DOUBLE) AS e3
         |FROM embeddings""".stripMargin) { (s, d) =>
+      val first3 = slice(col("embedding").cast("array<double>"), 1, 3)
       t(s, d, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         array_max(col("embedding").cast("array<double>")).as("vmax"),
         array_min(col("embedding").cast("array<double>")).as("vmin"),
-        slice(col("embedding").cast("array<double>"), 1, 3).as("first3"))
+        element_at(first3, 1).as("e1"),
+        element_at(first3, 2).as("e2"),
+        element_at(first3, 3).as("e3"))
     },
 
     // ----- n22: exact order statistics (median) per event type ----------
@@ -576,15 +584,18 @@ object NorthStar {
         |  md5(text) AS content_md5,
         |  md5(substr(text, 1, 64)) AS frame0_md5,
         |  md5(substr(text, 65, 64)) AS frame1_md5,
-        |  list_transform(range(0, 4), i -> md5(substr(text, CAST(i * 64 + 1 AS INT), 64))) AS frames
+        |  array_to_string(list_transform(range(0, 4), i -> md5(substr(text, CAST(i * 64 + 1 AS INT), 64))), ',') AS frames_csv
         |FROM documents""".stripMargin) { (s, d) =>
+      // frames is joined to one string column: the driver's compare
+      // sorts in pandas, which cannot order array cells (r02 failure).
       Multimodal.sampleFrames(
         Multimodal.withMediaMeta(
           t(s, d, "documents")
             .select(col("doc_id"), col("text").cast("binary").as("payload")),
           "payload"),
         "payload", frameBytes = 64, nFrames = 4)
-        .select("doc_id", "n_bytes", "format", "content_md5",
-          "frame0_md5", "frame1_md5", "frames")
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("content_md5"), col("frame0_md5"), col("frame1_md5"),
+          array_join(col("frames"), ",").as("frames_csv"))
     })
 }
