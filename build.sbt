@@ -16,6 +16,11 @@ run / fork := true
 // extraction of Bench's one-line {"metric":...} JSON (BENCH_r01/r02
 // both recorded "parsed": null because of the prefix).
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's "[success] Total time: ..." banner prints AFTER the
+// forked JVM's output, so a parser reading the LAST stdout line still
+// missed the JSON (BENCH_r03 "parsed": null). Suppressing the banner
+// makes Bench's JSON line the final line of stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

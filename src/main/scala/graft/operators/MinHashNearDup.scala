@@ -39,6 +39,27 @@ import org.apache.spark.sql.functions._
   */
 object MinHashNearDup {
 
+  /** How the two multiply-consumed intermediates (shingle sets, banded
+    * signatures) are materialized. Takes (relation, short name), returns
+    * the relation to read downstream. */
+  type Materializer = (DataFrame, String) => DataFrame
+
+  /** Default: executor cache, spilling to disk rather than OOMing. */
+  val cacheMaterializer: Materializer =
+    (df, _) => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** 100 TB variant: write the intermediate through a staging table and
+    * read it back — unlike a cache this survives executor loss, frees
+    * the memory a corpus-sized cache would pin, and lets the downstream
+    * branches scan a properly partitioned parquet relation. Tables are
+    * named `<prefix><name>` and overwritten per run (Warehouse.stage is
+    * idempotent DELETE+COPY). */
+  def stagedMaterializer(prefix: String): Materializer = (df, name) => {
+    val table = s"$prefix$name"
+    graft.warehouse.Warehouse.stage(df, table)
+    df.sparkSession.table(table)
+  }
+
   def nearDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -46,21 +67,23 @@ object MinHashNearDup {
       threshold: Double,
       shingleWidth: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      materialize: Materializer = cacheMaterializer): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
 
-    // Cached: referenced by the signature path AND both sides of the
-    // exact-verify join — without persistence Spark would recompute the
-    // scan→tokenize→shingle subtree three times. The cached relation is
-    // (id, shingle array), ~the corpus size; MEMORY_AND_DISK spills
-    // rather than OOMs at scale (and at 100 TB a deployment would swap
-    // this for a checkpointed staging table).
-    val shingled = Partitioning.spread(docs)
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
-      .select(col("doc_id"),
-        TextOps.shinglesFromTokens(col("ws"), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized: referenced by the signature path AND both sides of
+    // the exact-verify join — without materialization Spark would
+    // recompute the scan→tokenize→shingle subtree three times. The
+    // relation is (id, shingle array), ~the corpus size; the default
+    // cache spills rather than OOMs, and a 100 TB deployment passes
+    // `stagedMaterializer` to swap it for a staging table.
+    val shingled = materialize(
+      Partitioning.spread(docs)
+        .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
+        .select(col("doc_id"),
+          TextOps.shinglesFromTokens(col("ws"), shingleWidth).as("sh"))
+        .filter(size(col("sh")) > 0),
+      "shingled")
 
     // One string hash per shingle, then the banded-minhash sketch
     // aggregate (graft.functions.MinHashBandSketch): k universal-hash
@@ -73,15 +96,16 @@ object MinHashNearDup {
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("hb", xxhash64(col("s")))
 
-    // Persisted: the signature table feeds the bucket self-join (both
-    // sides) AND the estimate prefilter; without persistence each
-    // branch would recompute the whole scan→shingle→hash→sketch chain.
+    // Materialized: the signature table feeds the bucket self-join (both
+    // sides) AND the estimate prefilter; without it each branch would
+    // recompute the whole scan→shingle→hash→sketch chain.
     // numHashes+bands longs per doc — tiny.
-    val sketches = exploded
-      .groupBy(col("doc_id"))
-      .agg(expr(s"graft_minhash_bands(hb, $numHashes, $bands)").as("sk"))
-      .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.bands").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketches = materialize(
+      exploded
+        .groupBy(col("doc_id"))
+        .agg(expr(s"graft_minhash_bands(hb, $numHashes, $bands)").as("sk"))
+        .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.bands").as("bh")),
+      "sketches")
 
     val banded = sketches
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))

@@ -17,9 +17,22 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join handles sort-merge skew automatically when splits
   * align with partition boundaries; explicit salting remains the tool
   * when the skew is one single key or the join is broadcast-unfriendly.
-  * Salt is `pmod(hash(whole row), factor)` — deterministic, no RNG.
   */
 object SkewJoin {
+
+  /** Per-row salt in [0, saltFactor). The row-content hash alone is NOT
+    * enough: the classic hot keys (null station id, a bot replaying one
+    * payload) produce fully IDENTICAL rows, which all hash to the same
+    * salt and still pile onto one task. Mixing in
+    * `monotonically_increasing_id()` — unique per row, partition-local,
+    * no coordination — spreads even duplicate rows across buckets. The
+    * salt never reaches the output (dropped after the join), and the
+    * join result is salt-value-independent, so the id's
+    * layout-dependence is harmless.
+    */
+  def saltColumn(df: DataFrame, saltFactor: Int): Column =
+    pmod(hash(df.columns.map(col) :+ monotonically_increasing_id(): _*),
+      lit(saltFactor))
 
   def saltedInnerJoin(
       big: DataFrame,
@@ -28,9 +41,7 @@ object SkewJoin {
       smallKey: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    val salted = big.withColumn(
-      "graft__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+    val salted = big.withColumn("graft__salt", saltColumn(big, saltFactor))
     val exploded = small
       .withColumn("graft__salt", explode(
         array((0 until saltFactor).map(lit): _*)))

@@ -482,15 +482,40 @@ object NorthStar {
         |  count(*) >= 0.5 * (SELECT total FROM n) AS is_stopword_like
         |FROM w GROUP BY token""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val total = docs.count()
+      // The corpus total joins in as a broadcast 1-row aggregate, so the
+      // whole query is ONE lazy plan — a driver-side docs.count() here
+      // would fire an eager extra scan before the real job.
+      val total = docs.agg(count(lit(1)).as("graft__total"))
       docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .distinct()
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(total))
         .select(col("token"), col("df"),
-          (lit(total.toDouble) / col("df")).as("inv_df"),
-          (col("df") >= 0.5 * total).as("is_stopword_like"))
+          (col("graft__total").cast("double") / col("df")).as("inv_df"),
+          (col("df") >= lit(0.5) * col("graft__total")).as("is_stopword_like"))
+    },
+
+    // ----- n27: ArrayType round-trip via canonical serialization --------
+    // Exercises the array surface as ARRAYS (build → distinct → sort),
+    // then serializes with a fixed delimiter at the boundary: the
+    // driver's pandas compare sorts result cells and cannot order raw
+    // array values (r02's n21 "unhashable ndarray"), but a canonically
+    // sorted join-string is deterministic on both engines (binary
+    // collation in Spark UTF8 and DuckDB default).
+    QuerySpec(
+      "n27_token_array",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|')
+        |    AS tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      val distinctToks = array_distinct(TextOps.tokens(col("text")))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(distinctToks).as("n_distinct"),
+        array_join(array_sort(distinctToks), "|").as("tokens"))
     },
 
     // ----- n25: generator — posexplode of the embedding column ----------
@@ -529,9 +554,13 @@ object NorthStar {
         size(col("embedding")).as("dim"),
         array_max(col("embedding").cast("array<double>")).as("vmax"),
         array_min(col("embedding").cast("array<double>")).as("vmin"),
-        element_at(first3, 1).as("e1"),
-        element_at(first3, 2).as("e2"),
-        element_at(first3, 3).as("e3"))
+        // try_element_at, not element_at: under Spark 4's default ANSI
+        // mode an out-of-range index THROWS, while the oracle's
+        // embedding[3] yields NULL — try_ matches the SQL semantics for
+        // short/degenerate embeddings.
+        try_element_at(first3, lit(1)).as("e1"),
+        try_element_at(first3, lit(2)).as("e2"),
+        try_element_at(first3, lit(3)).as("e3"))
     },
 
     // ----- n22: exact order statistics (median) per event type ----------

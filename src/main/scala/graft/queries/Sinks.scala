@@ -173,6 +173,27 @@ object Sinks {
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     },
 
+    // ----- S13: catalog partition pruning (etl.py:53-54 done right) -----
+    // Staged partitionBy(o_orderstatus): a predicate on the partition
+    // key is resolved against the catalog's directory listing at
+    // planning time (PartitionFilters in the scan — WarehouseSpec
+    // asserts it), so non-matching partitions are never opened. This is
+    // the reference's manual per-month file naming as a first-class
+    // catalog feature; at 100 TB it is the difference between reading
+    // one month and listing-then-skipping twelve.
+    QuerySpec(
+      "s13_partition_prune",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+      Warehouse.createDatabase(s, "graft")
+      Warehouse.stage(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        "graft.s13_orders", partitionBy = Seq("o_orderstatus"))
+      s.table("graft.s13_orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
     // ----- S9: DDL + INSERT (create_tables.sql / load_dimension.py) -----
     QuerySpec(
       "s9_ddl_catalog",

@@ -10,7 +10,19 @@ import graft.{Sessions, SparkEntry}
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    def known = SparkEntry.queries.keys.toSeq.sorted.mkString(", ")
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: Profile <query>[,<query>...] [sfDir] [n]\nqueries: " + known)
+      sys.exit(2)
+    }
     val names = args(0).split(",").toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\nqueries: " + known)
+      sys.exit(2)
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 4
     val spark = Sessions.local(appName = "graft-profile")

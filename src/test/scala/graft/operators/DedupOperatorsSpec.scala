@@ -38,6 +38,24 @@ class DedupOperatorsSpec extends SparkTestBase {
     assert(math.abs(j - 57.0 / 59.0) < 1e-12)
   }
 
+  test("MinHash: staged materializer matches the cached variant") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " w99"
+    val unrelated = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+
+    def run(m: MinHashNearDup.Materializer) =
+      MinHashNearDup.nearDupPairs(docs, "doc_id", "text", 0.5, materialize = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    graft.warehouse.Warehouse.createDatabase(spark, "graft_test")
+    val staged = run(MinHashNearDup.stagedMaterializer("graft_test.mh_"))
+    assert(staged === run(MinHashNearDup.cacheMaterializer))
+    // the staging tables were really written through the catalog
+    assert(spark.catalog.tableExists("graft_test.mh_shingled"))
+    assert(spark.catalog.tableExists("graft_test.mh_sketches"))
+  }
+
   test("MinHash: disjoint docs produce no candidate pairs") {
     val docs = docsDf(Seq(
       1L -> (1 to 40).map(i => s"a$i").mkString(" "),

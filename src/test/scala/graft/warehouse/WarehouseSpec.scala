@@ -57,4 +57,40 @@ class WarehouseSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted === plain)
   }
+
+  test("salt spreads fully identical rows of a hot key") {
+    import spark.implicits._
+    // the degenerate case: N copies of ONE row (null-key / bot-payload
+    // shape) — a row-content-only salt sends all of them to one bucket
+    val factor = 8
+    val hot = Seq.fill(400)((1L, "same-payload")).toDF("k", "payload")
+    val salts = hot
+      .select(SkewJoin.saltColumn(hot, factor).as("salt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(salts.size === factor,
+      s"identical rows must cover all $factor salt buckets, got $salts")
+    assert(salts.forall(s => s >= 0 && s < factor))
+  }
+
+  test("partition-key filter prunes partitions at planning time (S13)") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"m${i % 6}")).toDF("id", "month")
+    Warehouse.createDatabase(spark, "graft_test")
+    Warehouse.stage(df, "graft_test.part_fact", partitionBy = Seq("month"))
+
+    val q = spark.table("graft_test.part_fact").filter(col("month") === "m3")
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // the month predicate must be a PartitionFilter (catalog/directory
+    // pruning), not a post-scan data filter
+    assert(scan.partitionFilters.map(_.sql).mkString(" ").contains("month"),
+      s"expected month in PartitionFilters, got: ${scan.partitionFilters}")
+    assert(q.collect().length === 50)
+    // and the executed scan must have opened only the m3 directory's
+    // files, not the whole table
+    val totalFiles = spark.table("graft_test.part_fact").inputFiles.length
+    assert(scan.metrics("numFiles").value < totalFiles,
+      s"pruned scan read ${scan.metrics("numFiles").value} of $totalFiles files")
+  }
 }
