@@ -16,6 +16,12 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd (internal rows) answers the partition count without
+    // building the row-deserializer plan that `df.rdd` would; physical
+    // planning of this probe is unavoidable for the question asked, and
+    // the downstream query compiles its own plan either way.
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

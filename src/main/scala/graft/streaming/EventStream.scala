@@ -47,6 +47,23 @@ object EventStream {
       stream: DataFrame, tsCol: String, width: String, watermark: String): DataFrame =
     tumblingAgg(stream.withWatermark(tsCol, watermark), tsCol, width)
 
+  /** Streaming exact dedup — the streaming twin of the n1 batch hash
+    * dedup. `dropDuplicatesWithinWatermark` keeps a seen-key entry only
+    * until the watermark passes its event time, so state is bounded by
+    * the keys arriving within one watermark horizon, not all history —
+    * the shape that survives an unbounded 100 TB/day feed (a plain
+    * streaming dropDuplicates accumulates state forever). Dedup on a
+    * content hash/key column, never the payload, so the state store
+    * holds fingerprints. */
+  def streamingDedup(
+      stream: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // --- state-store sessionization -----------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -83,6 +83,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("streamingDedup keeps one row per key, matching batch dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "h1", 1.0),
+      (ts("2024-01-01 10:01:00"), "h1", 2.0), // dup key within watermark
+      (ts("2024-01-01 10:02:00"), "h2", 3.0),
+      (ts("2024-01-01 10:03:00"), "h2", 4.0), // dup
+      (ts("2024-01-01 10:04:00"), "h3", 5.0))
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val deduped = EventStream.streamingDedup(
+      mem.toDF().toDF("ts", "text_hash", "value"),
+      "ts", "10 minutes", Seq("text_hash"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_test")
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    // one row per key, and it is the FIRST arrival that survives
+    assert(got.map(_._1).sorted.toSeq === Seq("h1", "h2", "h3"))
+    assert(got.toMap === Map("h1" -> 1.0, "h2" -> 3.0, "h3" -> 5.0))
+    // agrees with the batch dedup keyed the same way
+    val batchKeys = rows.toDF("ts", "text_hash", "value")
+      .dropDuplicates("text_hash").collect().map(_.getString(1)).sorted.toSeq
+    assert(got.map(_._1).sorted.toSeq === batchKeys)
+  }
+
   test("streamingSessions emits a session after the gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
