@@ -60,8 +60,14 @@ object Bench {
       }
       val first = once()
       // re-run only when a noise spike would be material — sub-second
-      // queries aren't worth doubling the harness wall time for
-      val best = if (first > 1.0) math.min(first, once()) else first
+      // queries aren't worth doubling the harness wall time for. The
+      // heaviest shapes (near-dup family) additionally take 3-4
+      // executions to finish JIT ramp even after the sf0.001 warmup,
+      // so a query still >2s after two reps gets a third.
+      val best = if (first > 1.0) {
+        val two = math.min(first, once())
+        if (two > 2.0) math.min(two, once()) else two
+      } else first
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

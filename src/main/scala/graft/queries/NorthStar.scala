@@ -518,6 +518,65 @@ object NorthStar {
         array_join(array_sort(distinctToks), "|").as("tokens"))
     },
 
+    // ----- n28: embedding L2-normalize + int8 quantize -------------------
+    // The standard pre-index transform for a vector store: unit-norm the
+    // vector, then quantize each component to int8 range. The norm is a
+    // sequential left-fold (Spark `aggregate` HOF ≡ DuckDB
+    // list_aggregate 'sum' — same summation ORDER, so the doubles are
+    // bit-identical and floor() quantization cannot straddle an ulp).
+    // Normalized values surface rounded to 6dp; quantized as exact ints.
+    QuerySpec(
+      "n28_embed_normquant",
+      """SELECT vec_id, pos, round(val / norm, 6) AS nval,
+        |  CAST(floor(val / norm * 127.0) AS INT) AS q
+        |FROM (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(e, 1) - 1 AS INT) AS pos,
+        |    unnest(e) AS val,
+        |    sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS norm
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id < 50))
+        |WHERE norm > 0""".stripMargin) { (s, d) =>
+      val e = col("embedding").cast("array<double>")
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), e.as("e"),
+          sqrt(aggregate(transform(e, x => x * x), lit(0.0), (acc, x) => acc + x))
+            .as("norm"))
+        .select(col("vec_id"), col("norm"),
+          posexplode(col("e")).as(Seq("pos", "val")))
+        .filter(col("norm") > 0)
+        .select(col("vec_id"), col("pos"),
+          round(col("val") / col("norm"), 6).as("nval"),
+          floor(col("val") / col("norm") * 127.0).cast("int").as("q"))
+    },
+
+    // ----- n29: token-repetition quality signal --------------------------
+    // The common-crawl-style repetition filter: fraction of the document
+    // its most frequent token occupies. Two-level aggregation — per
+    // (doc, token) counts, then per-doc max/sum — both stages partial-
+    // aggregate map-side; the shuffle carries (doc, token, count), never
+    // text. The ratio divides exact integers, so it is bit-identical
+    // across engines with no rounding.
+    QuerySpec(
+      "n29_repetition_ratio",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(max(c) AS BIGINT) AS max_tok,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+        |FROM cnt GROUP BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tok"))
+        .select(col("doc_id"), col("n_tokens"), col("max_tok"),
+          (col("max_tok").cast("double") / col("n_tokens")).as("rep_ratio"))
+    },
+
     // ----- n25: generator — posexplode of the embedding column ----------
     // The one generator-shaped op in the surface (SURVEY §2.5): array →
     // (row, position, value) rows. Values pass through exactly.
