@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
-import graft.operators.{Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
+import graft.operators.{DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
 import graft.streaming.EventStream
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -63,18 +63,25 @@ object NorthStar {
 
   private val shingleCte: String = shingleCteN(3)
 
-  /** Exact-Jaccard pair SQL over the `sh`/`shn` CTEs. */
-  private def jaccardPairsSql(threshold: Double): String =
+  /** CTE `dup(id_a, id_b, jaccard)`: exact-Jaccard pairs at/above the
+    * threshold, over the `sh`/`shn` CTEs. */
+  private def jaccardPairsCte(threshold: Double): String =
     s"""pair AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-       |FROM pair
-       |JOIN shn ca ON ca.doc_id = id_a
-       |JOIN shn cb ON cb.doc_id = id_b
-       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT id_a, id_b,
+       |    CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |  FROM pair
+       |  JOIN shn ca ON ca.doc_id = id_a
+       |  JOIN shn cb ON cb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold)""".stripMargin
+
+  /** Exact-Jaccard pair SQL over the `sh`/`shn` CTEs. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""${jaccardPairsCte(threshold)}
+       |SELECT id_a, id_b, jaccard FROM dup""".stripMargin
 
   /** Portable 60-bit md5 hash in DuckDB. */
   private def hex60(e: String): String =
@@ -685,5 +692,186 @@ object NorthStar {
         .select(col("doc_id"), col("n_bytes"), col("format"),
           col("content_md5"), col("frame0_md5"), col("frame1_md5"),
           array_join(col("frames"), ",").as("frames_csv"))
+    },
+
+    // ----- n30: near-dup clusters + one representative per cluster ------
+    // The step that makes near-dup PAIRS actionable: connected
+    // components over the n3 pair graph, canonical representative = min
+    // doc id. Spark resolves the fixpoint iteratively (DedupClusters —
+    // no recursion in Catalyst); the oracle is DuckDB's recursive-CTE
+    // transitive closure over the same exact-Jaccard pairs.
+    QuerySpec(
+      "n30_dedup_clusters",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS component,
+         |  u = least(u, min(v)) AS keep
+         |FROM reach GROUP BY u""".stripMargin) { (s, d) =>
+      DedupClusters.keepOnePerCluster(
+        MinHashNearDup.nearDupPairs(
+          t(s, d, "documents"), "doc_id", "text", threshold = 0.8),
+        "id_a", "id_b")
+    },
+
+    // ----- n31: tf-idf top terms per document ---------------------------
+    // The idf is kept as the exact rational N/df (no log — engine-libm
+    // territory, see n26), so every score is ONE double division of
+    // exact integer products: bit-identical across engines, and the
+    // (score DESC, token ASC) order is total. Corpus total N rides in
+    // as a broadcast 1-row aggregate; df joins on the token — the
+    // vocabulary-sized shuffle every tf-idf computation pays.
+    QuerySpec(
+      "n31_tfidf_topk",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    CAST(c * n AS DOUBLE) / (n_tokens * df) AS tfidf
+        |  FROM tf JOIN nt USING (doc_id) JOIN dfreq USING (token) CROSS JOIN tot)
+        |SELECT doc_id, token, tfidf FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, token) <= 3""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val total = docs.agg(count(lit(1)).as("graft__n"))
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val nt = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        tf
+          .join(nt, "doc_id")
+          .join(dfreq, "token")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("token"),
+            ((col("c") * col("graft__n")).cast("double") /
+              (col("n_tokens") * col("df"))).as("tfidf"))
+          .withColumn("graft__rn",
+            row_number().over(
+              Window.partitionBy(col("doc_id"))
+                .orderBy(col("tfidf").desc, col("token"))))
+          .filter(col("graft__rn") <= 3)
+          .drop("graft__rn")
+    },
+
+    // ----- n32: stratified (per-language) hash sampling ------------------
+    // Corpus rebalancing: down-sample the over-represented language,
+    // keep more of the rest. Rates live in a broadcast config dim (the
+    // realistic shape — rates change without redeploying), the keep
+    // decision is the same md5-residue as n24: deterministic,
+    // coordination-free, and pushed to the scan side of the join.
+    QuerySpec(
+      "n32_stratified_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+         |  AND ${hex60("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |    CASE WHEN lang = 'en' THEN 1000 ELSE 2500 END""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val rates = Seq(
+          ("en", 1000L), ("de", 2500L), ("es", 2500L),
+          ("fr", 2500L), ("zh", 2500L)).toDF("lang", "graft__keep")
+        t(s, d, "documents")
+          .join(broadcast(rates), Seq("lang"))
+          .filter(
+            TextOps.hexHash60(col("doc_id").cast("string")) % 10000 <
+              col("graft__keep"))
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // ----- n33: corpus-level top-k n-grams ------------------------------
+    // Global bigram document-frequencies → top 20. The aggregation
+    // partial-combines map-side and the top-k is TakeOrderedAndProject
+    // (k rows per partition reach the driver merge, never the full
+    // vocabulary); (df DESC, bigram ASC) makes the limited SET total.
+    QuerySpec(
+      "n33_ngram_topk",
+      s"""WITH ${shingleCteN(2)}
+         |SELECT shingle AS bigram, count(*) AS df
+         |FROM sh GROUP BY 1
+         |ORDER BY df DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("graft__ws", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(TextOps.shinglesFromTokens(col("graft__ws"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // ----- n34: per-group z-score outliers ------------------------------
+    // Length-distribution outlier filter, the standard quality gate
+    // shape: per-language moments from exact integer sums (count, Σx,
+    // Σx²), then a broadcast join back over the fact — two passes, no
+    // window over the corpus. Every float op (mean, variance, sqrt,
+    // divide) is the identical IEEE expression tree on both engines
+    // over identical integer inputs, so z is bit-identical and the
+    // |z| >= 2 cut is deterministic.
+    QuerySpec(
+      "n34_length_outliers",
+      """WITH st AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars, round(z, 6) AS z FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    (n_chars - CAST(s AS DOUBLE) / n) /
+        |      sqrt(CAST(sq AS DOUBLE) / n -
+        |           (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+        |  FROM documents JOIN st USING (lang))
+        |WHERE abs(z) >= 2.0""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val st = docs
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("s"),
+          sum(col("n_chars") * col("n_chars")).as("sq"))
+      val mean = col("s").cast("double") / col("n")
+      val z = (col("n_chars") - mean) /
+        sqrt(col("sq").cast("double") / col("n") - mean * mean)
+      docs
+        .join(broadcast(st), Seq("lang"))
+        .withColumn("graft__z", z)
+        .filter(abs(col("graft__z")) >= 2.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("graft__z"), 6).as("z"))
+    },
+
+    // ----- n35: IVF ANN, exhaustive probe (≡ brute force) ---------------
+    // Registers the inverted-file ANN path against an oracle: with
+    // nprobe = nlist the probe set covers every cell, so the result is
+    // exactly the brute-force top-k and the oracle needs no centroid
+    // arithmetic (cell assignment cancels out). The partial-probe
+    // speed path (nprobe < nlist) is covered by SimilaritySpec, which
+    // proves exhaustive-probe ≡ topKCosine and subset behavior.
+    QuerySpec(
+      "n35_ann_ivf",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        (SELECT qv FROM q)), 6) AS sim
+        |FROM embeddings WHERE vec_id <> 1
+        |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") =!= 1), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 1), "embedding",
+        centroids = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)),
+        nprobe = 4, k = 15)
     })
 }

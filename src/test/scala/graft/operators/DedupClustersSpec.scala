@@ -1,0 +1,72 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkTestBase
+
+class DedupClustersSpec extends SparkTestBase {
+
+  private def edgesDf(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("a", "b")
+  }
+
+  private def run(rows: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupClusters.components(edgesDf(rows), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find ground truth. */
+  private def unionFind(rows: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("components: disjoint pairs, a chain, and a triangle") {
+    // {1,2}, {3,4,5,6} (chain), {7,8,9} (triangle)
+    val edges = Seq(1L -> 2L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val got = run(edges)
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("components: reversed/duplicate edges and self-loops are harmless") {
+    val got = run(Seq(2L -> 1L, 1L -> 2L, 2L -> 1L, 5L -> 5L, 3L -> 4L))
+    // the 5-5 self-loop contributes no edge; vertex 5 disappears (it is
+    // in no pair, so a dedup pipeline has nothing to resolve for it)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("components: long chain needs multiple propagation rounds") {
+    // a path 0-1-2-...-19: diameter 19 exercises pointer jumping
+    val got = run((0L until 19L).map(i => i -> (i + 1)))
+    assert(got === (0L to 19L).map(_ -> 0L).toMap)
+  }
+
+  test("components: randomized equivalence with driver-side union-find") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(edges) === unionFind(edges))
+  }
+
+  test("keepOnePerCluster tags exactly the minimum id per component") {
+    val pairs = edgesDf(Seq(10L -> 11L, 11L -> 12L, 20L -> 21L))
+      .withColumnRenamed("a", "id_a").withColumnRenamed("b", "id_b")
+    val got = DedupClusters.keepOnePerCluster(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+}
