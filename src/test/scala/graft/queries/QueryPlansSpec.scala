@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Physical-plan shape assertions for the scale-critical registered
+  * queries: a query can be value-correct with the wrong plan (e.g. a
+  * shuffle join where a broadcast belongs, or a global sort where
+  * TakeOrdered belongs) and only regress at real scale — these tests
+  * pin the plan, not just the rows.
+  */
+class QueryPlansSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute and return the FINAL adaptive plan string (AQE only
+    * commits join strategies at runtime, so inspect after the action).
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan
+    val fin = p.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    fin.getOrElse(p).toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally spark.catalog.clearCache()
+
+  test("n32 stratified sample: rate dim joins as broadcast, filter at scan") {
+    val plan = finalPlan(q("n32_stratified_sample"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("n34 length outliers: per-group moments join back as broadcast") {
+    val plan = finalPlan(q("n34_length_outliers"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("n33 corpus top-k n-grams: TakeOrdered, not a global sort") {
+    val plan = finalPlan(q("n33_ngram_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("n31 tf-idf: corpus total rides in as a broadcast, never a shuffle") {
+    val plan = finalPlan(q("n31_tfidf_topk"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row total should be a broadcast cross join:\n$plan")
+  }
+
+  test("s1 scan: filter and projection reach the parquet reader") {
+    val df = q("s1_scan_project")
+    df.write.format("noop").mode("overwrite").save()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.metadata("PushedFilters") != "[]",
+      s"no pushed filters: ${scan.metadata("PushedFilters")}")
+    // projection pruned to the queried columns, not the full table
+    assert(scan.schema.fieldNames.length <= 4,
+      s"scan reads too many columns: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
+  test("n24 hash sample: the md5-residue filter is partition-local (no shuffle)") {
+    val plan = finalPlan(q("n24_hash_sample"))
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
