@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene step that is
+  * NOT near-dup dedup: flag corpus documents sharing any word n-gram
+  * with a benchmark/eval set, so eval data never leaks into training.
+  * (Standard practice since GPT-2/C4: exact long-n-gram collision, no
+  * similarity threshold — one shared n-gram is already contamination.)
+  *
+  * Scale design: the benchmark side is an eval suite — thousands of
+  * documents against a 100 TB corpus — so its distinct shingle set is
+  * broadcast and the corpus side never shuffles: tokenize → shingle →
+  * explode → broadcast-hash semi-lookup, all partition-local. If the
+  * benchmark outgrows broadcast size, the same plan degrades gracefully
+  * to a shuffle join on the shingle (or a bloom-filter prefilter +
+  * exact confirm); the corpus is still read exactly once.
+  */
+object Decontaminate {
+
+  /** Per-contaminated-doc collision stats against the benchmark.
+    *
+    * @return (doc_id, n_hits, n_shingles, hit_ratio) — one row per
+    *         corpus doc with ≥1 shared n-gram; `hit_ratio` is the
+    *         exact-integer ratio hits/shingles (bit-identical across
+    *         engines).
+    */
+  def collisionStats(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .withColumn("graft__ws", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shinglesFromTokens(col("graft__ws"), n)).as("shingle"))
+
+    val benchShingles = shingles(benchmark)
+      .select("shingle").distinct()
+      .withColumn("graft__hit", lit(1))
+
+    // ONE corpus pass: the broadcast left-lookup tags hits in place, so
+    // totals and hit counts come out of the same partition-local
+    // aggregation — no second scan, no extra shuffle.
+    shingles(corpus)
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("graft__hit")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        (col("n_hits").cast("double") / col("n_shingles")).as("hit_ratio"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
-import graft.operators.{DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
+import graft.operators.{Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
 import graft.streaming.EventStream
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -873,5 +873,35 @@ object NorthStar {
         emb.filter(col("vec_id") === 1), "embedding",
         centroids = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)),
         nprobe = 4, k = 15)
+    },
+
+    // ----- n36: benchmark decontamination (exact n-gram collision) ------
+    // NOT near-dup dedup: eval-set hygiene. Docs from source 'src0'
+    // stand in as the benchmark; any corpus doc sharing a word 5-gram
+    // with it is flagged with exact collision stats. The benchmark
+    // shingle set is broadcast (eval suites are tiny vs a 100 TB
+    // corpus), so the corpus side aggregates partition-local in ONE
+    // pass — see operators/Decontaminate.
+    QuerySpec(
+      "n36_contamination",
+      s"""WITH ${shingleCteN(5)},
+         |lab AS (SELECT doc_id, source FROM documents),
+         |bench AS (SELECT DISTINCT shingle FROM sh JOIN lab USING (doc_id)
+         |          WHERE source = 'src0'),
+         |corp AS (SELECT s.doc_id, s.shingle FROM sh s JOIN lab l USING (doc_id)
+         |         WHERE l.source <> 'src0')
+         |SELECT doc_id,
+         |  CAST(count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench)) AS BIGINT)
+         |    AS n_hits,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench)) AS DOUBLE)
+         |    / count(*) AS hit_ratio
+         |FROM corp GROUP BY doc_id
+         |HAVING n_hits > 0""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Decontaminate.collisionStats(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
     })
 }

@@ -64,6 +64,20 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (the standard "attach metadata to the event feed"
+    * step). The dim side is explicitly broadcast — per micro-batch
+    * Spark re-plans the join, and a dimension small enough to sit on
+    * every executor must never force a stream-side shuffle (a
+    * shuffled stream join adds a per-batch exchange of the entire
+    * micro-batch). Left join: events with no dim row pass through
+    * with nulls rather than silently dropping — a feed should never
+    * lose events to a stale dimension. Batch & streaming (the same
+    * plan shape works for both; tests prove batch ≡ stream).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   // --- state-store sessionization -----------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

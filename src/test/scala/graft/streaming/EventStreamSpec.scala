@@ -138,4 +138,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(out.toSeq === Seq(
       (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
   }
+
+  test("enrich: stream-static broadcast join matches batch, keeps unmatched") {
+    import spark.implicits._
+    val dim = Seq(("click", "engagement"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1L),
+      (ts("2024-01-01 10:06:00"), "view", 2L),
+      (ts("2024-01-01 10:07:00"), "purchase", 3L)) // not in dim → null
+
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "event_type", "category")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)))).sortBy(_._1).toSeq
+
+    val batchDf = rows.toDF("ts", "event_type", "event_id")
+    val expected = shape(EventStream.enrich(batchDf, dim, Seq("event_type")))
+    // no event lost to a missing dim row
+    assert(expected.map(_._3) === Seq(Some("engagement"), Some("passive"), None))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val q = EventStream.enrich(
+      mem.toDF().toDF("ts", "event_type", "event_id"), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(shape(spark.table("enrich_test")) === expected)
+  }
 }
