@@ -86,12 +86,16 @@ object DedupClusters {
         .join(labels, sym("v") === labels("id"))
         .groupBy(sym("u").as("id"))
         .agg(min(col("comp")).as("graft__nbr"))
-      // label of my label (pointer jump)
-      val jump = labels
-        .select(col("id").as("graft__jid"), col("comp").as("graft__jcomp"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
-        .join(jump, labels("comp") === col("graft__jid"), "left")
+      // label of my label (pointer jump) — a no-op in round 1, where
+      // every label is still its own id, so the join is skipped there
+      val next = (if (iter == 0) stepped.withColumn("graft__jcomp", lit(null).cast("long"))
+        else {
+          val jump = labels
+            .select(col("id").as("graft__jid"), col("comp").as("graft__jcomp"))
+          stepped.join(jump, stepped("comp") === col("graft__jid"), "left")
+        })
         .select(
           col("id"),
           least(

@@ -875,6 +875,41 @@ object NorthStar {
         nprobe = 4, k = 15)
     },
 
+    // ----- n37: quantile sketch (approx_percentile) with exact gate -----
+    // The quantile twin of n19's HLL pattern: the sketch value itself is
+    // engine-specific (Spark's GK summary picks real elements within a
+    // rank-error bound), so the oracle carries the EXACT interpolated
+    // percentiles — computable on both engines (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, proven by n22's median) — plus the
+    // assertion that the sketch landed within a 5% relative band. At
+    // 100 TB only the sketch path is viable (fixed-size mergeable
+    // state; the exact path needs a per-group sort), which is exactly
+    // why it must be continuously gated against the exact answer at
+    // test scale.
+    QuerySpec(
+      "n37_approx_quantile",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile(col("value"), lit(0.5)).as("graft__p50"),
+          percentile(col("value"), lit(0.9)).as("graft__p90"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("graft__a50"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("graft__a90"))
+        .select(
+          col("event_type"),
+          round(col("graft__p50"), 6).as("p50"),
+          round(col("graft__p90"), 6).as("p90"),
+          (abs(col("graft__a50") - col("graft__p50")) <=
+            abs(col("graft__p50")) * 0.05 &&
+            abs(col("graft__a90") - col("graft__p90")) <=
+              abs(col("graft__p90")) * 0.05).as("approx_ok"))
+    },
+
     // ----- n36: benchmark decontamination (exact n-gram collision) ------
     // NOT near-dup dedup: eval-set hygiene. Docs from source 'src0'
     // stand in as the benchmark; any corpus doc sharing a word 5-gram

@@ -204,5 +204,32 @@ object Sinks {
       t(s, d, "region").createOrReplaceTempView("graft__s9_src")
       s.sql("INSERT INTO graft.s9_region SELECT r_regionkey, r_name FROM graft__s9_src")
       s.table("graft.s9_region").select(col("r_regionkey"), col("r_name"))
+    },
+
+    // ----- S14: JSON-lines source round-trip ----------------------------
+    // The other ubiquitous ingest format (raw crawl/event feeds ship as
+    // JSONL). Write → read back with an EXPLICIT schema — schema
+    // inference is a full extra pass over the data plus a driver-side
+    // merge, unacceptable at 100 TB, and silently types every absent
+    // batch differently; a production reader always pins the schema —
+    // then aggregate, proving value fidelity against the parquet
+    // source of truth.
+    QuerySpec(
+      "s14_jsonl_roundtrip",
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      val path = s"$base/s14_jsonl"
+      t(s, d, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("n_sources"))
     })
 }
