@@ -90,6 +90,9 @@ object DedupClusters {
         .join(nbrMin, Seq("id"), "left")
       // label of my label (pointer jump) — a no-op in round 1, where
       // every label is still its own id, so the join is skipped there
+      // the OLD label rides along into the checkpoint, so the
+      // convergence probe below is a scan of the just-materialized
+      // blocks — no extra join/shuffle per round
       val next = (if (iter == 0) stepped.withColumn("graft__jcomp", lit(null).cast("long"))
         else {
           val jump = labels
@@ -98,6 +101,7 @@ object DedupClusters {
         })
         .select(
           col("id"),
+          col("comp").as("graft__old"),
           least(
             col("comp"),
             coalesce(col("graft__nbr"), col("comp")),
@@ -105,12 +109,10 @@ object DedupClusters {
         .localCheckpoint()
 
       val changed = next
-        .join(
-          labels.select(col("id"), col("comp").as("graft__old")), Seq("id"))
         .filter(col("comp") =!= col("graft__old"))
         .limit(1)
         .count()
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0L
       iter += 1
     }
