@@ -127,11 +127,16 @@ object Similarity {
       aggregate(
         zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d)
+    // argmin via one array + sort, NOT a when/otherwise reduce: the
+    // reduce duplicates both operand subtrees at every level, so with
+    // k centroids the expression tree holds O(2^k) copies of the
+    // 64-element distance fold — planning/codegen time explodes long
+    // before row count matters. The array form keeps exactly k folds.
     def nearest(v: Column): Column =
-      centroids.zipWithIndex
-        .map { case (c, i) => struct(dist2(v, c).as("d"), lit(i).as("i")) }
-        .reduce((a, b) => when(a.getField("d") <= b.getField("d"), a).otherwise(b))
-        .getField("i")
+      element_at(
+        array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(dist2(v, c).as("d"), lit(i).as("i"))
+        }: _*)), 1).getField("i")
     // probe set: the nprobe centroids nearest to the query vector
     val q = query.select(asDouble(col(queryVecCol)).as("graft__qv"))
       .withColumn("graft__probes",

@@ -875,6 +875,35 @@ object NorthStar {
         nprobe = 4, k = 15)
     },
 
+    // ----- n38: sequence packing (docs → fixed-token-budget packs) ------
+    // The batch-assembly step of a training pipeline: assign documents
+    // to 2048-token packs by running offset. Packing is sequential by
+    // nature, so it is SHARDED — the running sum is a window
+    // partitioned by shard (doc_id mod 32), never a global order: each
+    // shard packs independently, which is exactly how a distributed
+    // packing job works (one writer task per shard). All arithmetic is
+    // exact integer (sum, div), bit-identical across engines.
+    QuerySpec(
+      "n38_sequence_pack",
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT doc_id, shard, n_tok, (cum - n_tok) // 2048 AS pack
+        |FROM c""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+          TextOps.nTokens(col("text")).as("n_tok"))
+        .withColumn("graft__cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr("(graft__cum - n_tok) div 2048").as("pack"))
+    },
+
     // ----- n37: quantile sketch (approx_percentile) with exact gate -----
     // The quantile twin of n19's HLL pattern: the sketch value itself is
     // engine-specific (Spark's GK summary picks real elements within a
