@@ -72,4 +72,18 @@ class QueryPlansSpec extends SparkTestBase {
     val plan = finalPlan(q("n24_hash_sample"))
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("n36 decontamination: benchmark shingles broadcast, corpus side never shuffle-joins") {
+    val plan = finalPlan(q("n36_contamination"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$plan")
+  }
+
+  test("n38 sequence packing: sharded window, exactly one exchange") {
+    val plan = finalPlan(q("n38_sequence_pack"))
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "AQEShuffleRead".r.findAllIn(plan).length // reader nodes reuse the word
+    assert(plan.contains("Window"), s"no window:\n$plan")
+    assert(exchanges <= 2, s"packing should shuffle once (by shard):\n$plan")
+  }
 }
