@@ -78,6 +78,51 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Watermarked stream-stream interval join: match rows of two feeds
+    * on a key within an event-time window (right.ts ∈ [left.ts,
+    * left.ts + within]). Both sides carry watermarks and the join
+    * condition bounds the time difference in BOTH directions — that
+    * pair is what lets Spark age out buffered state: without the
+    * bounds each side's state store grows with all history (the
+    * stream-stream equivalent of an unbounded shuffle). Batch &
+    * streaming: the same function works on static frames, so tests
+    * prove stream ≡ batch.
+    *
+    * Column contract: `left`/`right` must share only the key column;
+    * their ts columns are passed by name and kept distinct in the
+    * output.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      within: String): DataFrame =
+    left.join(
+      right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "inner")
+      .drop(right(key))
+
+  /** Streaming wiring for [[intervalJoin]] — watermark both feeds
+    * before joining (state retention derives from watermark + bound).
+    */
+  def streamingIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermark: String): DataFrame =
+    intervalJoin(
+      left.withWatermark(leftTs, watermark),
+      right.withWatermark(rightTs, watermark),
+      key, leftTs, rightTs, within)
+
   // --- state-store sessionization -----------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

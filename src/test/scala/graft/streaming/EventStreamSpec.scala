@@ -139,6 +139,43 @@ class EventStreamSpec extends SparkTestBase {
       (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
   }
 
+  test("intervalJoin: stream-stream time-bounded join matches batch") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 11:00:00"), "c2"),
+      (2L, ts("2024-01-01 10:30:00"), "c3"))
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "b1"), // within 30m of c1
+      (1L, ts("2024-01-01 11:45:00"), "b2"), // outside 30m of c2
+      (2L, ts("2024-01-01 10:31:00"), "b3")) // within 30m of c3
+
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("click_id", "buy_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+
+    val batch = shape(EventStream.intervalJoin(
+      clicks.toDF("user_id", "click_ts", "click_id"),
+      buys.toDF("user_id", "buy_ts", "buy_id"),
+      "user_id", "click_ts", "buy_ts", "30 minutes"))
+    assert(batch === Set(("c1", "b1"), ("c3", "b3")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.streamingIntervalJoin(
+      memL.toDF().toDF("user_id", "click_ts", "click_id"),
+      memR.toDF().toDF("user_id", "buy_ts", "buy_id"),
+      "user_id", "click_ts", "buy_ts", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    memL.addData(clicks: _*)
+    memR.addData(buys: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(shape(spark.table("ij_test")) === batch)
+  }
+
   test("enrich: stream-static broadcast join matches batch, keeps unmatched") {
     import spark.implicits._
     val dim = Seq(("click", "engagement"), ("view", "passive"))
