@@ -123,6 +123,35 @@ object EventStream {
       right.withWatermark(rightTs, watermark),
       key, leftTs, rightTs, within)
 
+  /** foreachBatch body for an idempotent key-merge sink — the standard
+    * exactly-once recipe for sinks without transactions: every
+    * micro-batch MERGEs into the target by key (latest per `order`
+    * wins), so a replayed batch (failure between write and offset
+    * commit) re-merges the same rows into the same state instead of
+    * double-appending. Use as
+    * `stream.writeStream.foreachBatch(upsertBatch("t", keys, ord) _)`.
+    *
+    * The merged frame is localCheckpoint'd before the overwrite: the
+    * new table contents derive from the old contents, and Spark
+    * (rightly) refuses to overwrite a table that is still being read —
+    * materializing first breaks the cycle. At warehouse scale the
+    * same pattern runs against a transactional table format instead of
+    * overwrite-by-staging; the merge semantics are identical.
+    */
+  def upsertBatch(
+      table: String,
+      keyCols: Seq[String],
+      order: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val merged =
+      if (s.catalog.tableExists(table))
+        graft.warehouse.Warehouse.upsert(s.table(table), batch, keyCols, order)
+      else
+        graft.warehouse.Warehouse.upsert(
+          batch.limit(0), batch, keyCols, order)
+    graft.warehouse.Warehouse.stage(merged.localCheckpoint(), table)
+  }
+
   // --- state-store sessionization -----------------------------------
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -42,4 +42,23 @@ class JsonlSourceSpec extends SparkTestBase {
     assert(bad.exists(_.contains("not json at all")))
     df.unpersist()
   }
+
+  test("sharded JSONL export: maxRecordsPerFile bounds shard size, content round-trips") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_shards").toFile
+    out.deleteOnExit()
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // the standard corpus-sharding knob: bounded shards regardless of
+    // partition count, so downstream loaders stream fixed-size files
+    docs.repartition(2)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 25)
+      .json(out.getPath)
+
+    val shards = out.listFiles().filter(_.getName.endsWith(".json"))
+    assert(shards.length >= 4, s"expected >=4 shards, got ${shards.length}")
+    val back = spark.read.schema("doc_id BIGINT, text STRING").json(out.getPath)
+    assert(back.count() === 100)
+    assert(back.agg(sum($"doc_id")).head.getLong(0) === 5050L)
+  }
 }
