@@ -35,7 +35,13 @@ object Bench {
     // the timed runs).
     Seq("s1_scan_project" -> sfDir, "n3_minhash_neardup" -> warmSf,
       "n13_simhash_neardup" -> warmSf, "n4_topk_cosine" -> warmSf,
-      "j4_semi_join" -> warmSf, "j5_anti_join" -> warmSf)
+      "j4_semi_join" -> warmSf, "j5_anti_join" -> warmSf,
+      // round-4 families — each pays one-time codegen/JIT on its shape:
+      // CC fixpoint loop, shingle-explode top-k, IVF argmin folds,
+      // broadcast collision lookup, tf-idf window
+      "n30_dedup_clusters" -> warmSf, "n33_ngram_topk" -> warmSf,
+      "n35_ann_ivf" -> warmSf, "n36_contamination" -> warmSf,
+      "n31_tfidf_topk" -> warmSf)
       .foreach { case (q, dir) =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, dir).write.format("noop").mode("overwrite").save()
