@@ -233,6 +233,35 @@ object NorthStar {
           t(s, d, "embeddings"), "vec_id", "embedding", "label", threshold = 0.4)
     },
 
+    // ----- n39: embedding near-dup clusters (operator composition) ------
+    // DedupClusters over the n6 pair source instead of the MinHash one —
+    // pair producer and cluster resolver compose freely, which is the
+    // point of keeping them separate operators. Representative = min
+    // vec_id per component, as in n30.
+    QuerySpec(
+      "n39_embed_clusters",
+      """WITH RECURSIVE dup AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+        |          UNION SELECT id_b, id_a FROM dup),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS component,
+        |  u = least(u, min(v)) AS keep
+        |FROM reach GROUP BY u""".stripMargin) { (s, d) =>
+      DedupClusters.keepOnePerCluster(
+        Similarity.blockedNearDupPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label",
+          threshold = 0.4),
+        "id_a", "id_b")
+    },
+
     // ----- n7: JSON props extraction (multimodal metadata column) -------
     QuerySpec(
       "n7_props_json",
