@@ -773,15 +773,22 @@ object NorthStar {
       (s, d) =>
         val docs = t(s, d, "documents")
         val total = docs.agg(count(lit(1)).as("graft__n"))
+        // per-doc token totals come from the array length AT SCAN TIME
+        // (Σ per-token counts ≡ array size — no window, no second
+        // aggregation); per-token df is ONE window over tf. The
+        // scan→explode→count subtree is computed exactly once and the
+        // plan is linear — a join formulation would recompute it per
+        // join input, a second window would shuffle tf twice.
         val tf = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-          .groupBy(col("doc_id"), col("token"))
+          .withColumn("graft__ws", TextOps.tokens(col("text")))
+          .select(col("doc_id"),
+            size(col("graft__ws")).cast("long").as("n_tokens"),
+            explode(col("graft__ws")).as("token"))
+          .groupBy(col("doc_id"), col("n_tokens"), col("token"))
           .agg(count(lit(1)).as("c"))
-        val nt = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
-        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         tf
-          .join(nt, "doc_id")
-          .join(dfreq, "token")
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("token"))))
           .crossJoin(broadcast(total))
           .select(col("doc_id"), col("token"),
             ((col("c") * col("graft__n")).cast("double") /
