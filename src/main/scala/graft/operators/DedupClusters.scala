@@ -66,17 +66,33 @@ object DedupClusters {
     // checkpoint dir or a staging table (cf. MinHashNearDup
     // stagedMaterializer); the content (label pairs) is tiny relative
     // to the corpus either way.
-    val sym = e
-      .union(e.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    //
+    // Superseded rounds are unpersisted EAGERLY (GraphX does the same):
+    // checkpoint blocks are only reclaimed by driver GC + ContextCleaner
+    // otherwise, so a long run would pin O(rounds × |V|) executor
+    // storage. A checkpointed round's blocks are its ONLY copy (the
+    // lineage is truncated), so only rounds no longer referenced may be
+    // released — never the current one or the returned result.
+    val sc = edges.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet -- before)
+    }
+    def release(ids: scala.collection.Set[Int]): Unit = ids.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
 
-    var labels = sym
-      .select(col("u").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    val (sym, symIds) = checkpointed(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+
+    var (labels, labelIds) = checkpointed(
+      sym
+        .select(col("u").as("id"))
+        .distinct()
+        .withColumn("comp", col("id")))
 
     var iter = 0
     var converged = false
@@ -93,7 +109,8 @@ object DedupClusters {
       // the OLD label rides along into the checkpoint, so the
       // convergence probe below is a scan of the just-materialized
       // blocks — no extra join/shuffle per round
-      val next = (if (iter == 0) stepped.withColumn("graft__jcomp", lit(null).cast("long"))
+      val (next, nextIds) = checkpointed(
+        (if (iter == 0) stepped.withColumn("graft__jcomp", lit(null).cast("long"))
         else {
           val jump = labels
             .select(col("id").as("graft__jid"), col("comp").as("graft__jcomp"))
@@ -105,17 +122,19 @@ object DedupClusters {
           least(
             col("comp"),
             coalesce(col("graft__nbr"), col("comp")),
-            coalesce(col("graft__jcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+            coalesce(col("graft__jcomp"), col("comp"))).as("comp")))
 
       val changed = next
         .filter(col("comp") =!= col("graft__old"))
         .limit(1)
         .count()
+      release(labelIds) // this round is materialized; the previous one is unreferenced
       labels = next.select(col("id"), col("comp"))
+      labelIds = nextIds
       converged = changed == 0L
       iter += 1
     }
+    release(symIds) // edges are not referenced by the checkpointed result
     labels
   }
 

@@ -20,19 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Per-row salt in [0, saltFactor). The row-content hash alone is NOT
-    * enough: the classic hot keys (null station id, a bot replaying one
+  /** Per-row salt in [0, saltFactor). A row-content hash is NOT enough:
+    * the classic hot keys (null station id, a bot replaying one
     * payload) produce fully IDENTICAL rows, which all hash to the same
-    * salt and still pile onto one task. Mixing in
-    * `monotonically_increasing_id()` — unique per row, partition-local,
-    * no coordination — spreads even duplicate rows across buckets. The
+    * salt and still pile onto one task. `monotonically_increasing_id()`
+    * — unique per row, partition-local, no coordination — already
+    * separates duplicate rows on its own, so it is the ONLY hash
+    * input: mixing the row columns in as well would re-hash the full
+    * width of a 100 TB fact row per row for zero extra spread. The
     * salt never reaches the output (dropped after the join), and the
     * join result is salt-value-independent, so the id's
     * layout-dependence is harmless.
     */
   def saltColumn(df: DataFrame, saltFactor: Int): Column =
-    pmod(hash(df.columns.map(col) :+ monotonically_increasing_id(): _*),
-      lit(saltFactor))
+    pmod(hash(monotonically_increasing_id()), lit(saltFactor))
 
   def saltedInnerJoin(
       big: DataFrame,

@@ -867,7 +867,8 @@ object NorthStar {
         |    (n_chars - CAST(s AS DOUBLE) / n) /
         |      sqrt(CAST(sq AS DOUBLE) / n -
         |           (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
-        |  FROM documents JOIN st USING (lang))
+        |  FROM documents JOIN st USING (lang)
+        |  WHERE n * sq > s * s)
         |WHERE abs(z) >= 2.0""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val st = docs
@@ -881,6 +882,12 @@ object NorthStar {
         sqrt(col("sq").cast("double") / col("n") - mean * mean)
       docs
         .join(broadcast(st), Seq("lang"))
+        // zero-variance guard as an EXACT integer predicate (n·Σx² >
+        // (Σx)² ⟺ var > 0): a constant-length group — e.g. a lang with
+        // one doc — would give z = 0/0 = NaN, and NaN compares greater
+        // than everything, so every such row would leak through the
+        // |z| cut on both engines.
+        .filter(col("n") * col("sq") > col("s") * col("s"))
         .withColumn("graft__z", z)
         .filter(abs(col("graft__z")) >= 2.0)
         .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -131,25 +131,34 @@ object EventStream {
     * double-appending. Use as
     * `stream.writeStream.foreachBatch(upsertBatch("t", keys, ord) _)`.
     *
-    * The merged frame is localCheckpoint'd before the overwrite: the
-    * new table contents derive from the old contents, and Spark
-    * (rightly) refuses to overwrite a table that is still being read —
-    * materializing first breaks the cycle. At warehouse scale the
-    * same pattern runs against a transactional table format instead of
-    * overwrite-by-staging; the merge semantics are identical.
+    * Crash safety via shadow-and-swap: the merged state is written to
+    * `<table>__shadow` FIRST (reading the target, writing elsewhere —
+    * no self-overwrite, no driver-side materialization, and the old
+    * state stays intact for the whole write), then the target is
+    * swapped to the shadow with two metadata ops. The only vulnerable
+    * window is between DROP and RENAME — metadata-only, and the shadow
+    * still holds the full state, so the next invocation detects the
+    * half-finished swap and completes the rename before merging. Data
+    * is never lost; a transactional table format (the warehouse-scale
+    * deployment) would make the swap itself atomic.
     */
   def upsertBatch(
       table: String,
       keyCols: Seq[String],
       order: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
+    val shadow = s"${table}__shadow"
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(shadow))
+      s.sql(s"ALTER TABLE $shadow RENAME TO $table") // finish interrupted swap
     val merged =
       if (s.catalog.tableExists(table))
         graft.warehouse.Warehouse.upsert(s.table(table), batch, keyCols, order)
       else
         graft.warehouse.Warehouse.upsert(
           batch.limit(0), batch, keyCols, order)
-    graft.warehouse.Warehouse.stage(merged.localCheckpoint(), table)
+    graft.warehouse.Warehouse.stage(merged, shadow)
+    graft.warehouse.Warehouse.dropTable(s, table)
+    s.sql(s"ALTER TABLE $shadow RENAME TO $table")
   }
 
   // --- state-store sessionization -----------------------------------

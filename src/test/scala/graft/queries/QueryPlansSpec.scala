@@ -17,9 +17,13 @@ class QueryPlansSpec extends SparkTestBase {
 
   /** Execute and return the FINAL adaptive plan string (AQE only
     * commits join strategies at runtime, so inspect after the action).
+    * The action must be collect(), NOT a write: DataFrameWriter wraps
+    * the logical plan in its OWN QueryExecution, so after a write
+    * `df.queryExecution` is still un-executed and its adaptive plan
+    * would be the static initial one.
     */
   private def finalPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val p = df.queryExecution.executedPlan
     val fin = p.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
     fin.getOrElse(p).toString
@@ -57,7 +61,7 @@ class QueryPlansSpec extends SparkTestBase {
 
   test("s1 scan: filter and projection reach the parquet reader") {
     val df = q("s1_scan_project")
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail("no FileSourceScanExec in plan"))

@@ -201,6 +201,17 @@ class EventStreamSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got === Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
 
+    // crash between DROP and RENAME leaves the state only in the
+    // shadow — the next invocation must complete the swap, then merge
+    spark.sql("ALTER TABLE graft_test.upsert_sink RENAME TO graft_test.upsert_sink__shadow")
+    val b2 = Seq((4L, ts("2024-01-01 10:07:00"), 40.0))
+      .toDF("event_id", "ts", "value")
+    sink(b2, 2L)
+    val got2 = spark.table("graft_test.upsert_sink")
+      .select("event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got2 === Set((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, 40.0)))
+
     // wired end-to-end: the same body runs under writeStream.foreachBatch
     graft.warehouse.Warehouse.dropTable(spark, "graft_test.upsert_sink")
     implicit val sqlCtx = spark.sqlContext
