@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, DedupClusters, MinHashNearDup, TextOps}
+
+/** The LLM-training-data pipeline as one composed program — the
+  * north-star counterpart to [[BikesharePipeline]]: every stage is an
+  * operator this library ships, chained the way a production corpus
+  * build chains them.
+  *
+  *   raw docs
+  *     → exact dedup           (hash-keyed, body never shuffles)
+  *     → near-dup dedup        (MinHash-LSH pairs → clusters → keep
+  *                              one representative per cluster)
+  *     → decontamination       (drop docs sharing an n-gram with the
+  *                              benchmark/eval set)
+  *     → quality gate          (token-count bounds)
+  *     → stratified sampling   (per-language md5-residue rates)
+  *     → sequence packing      (sharded running-offset 2048-token packs)
+  *
+  * Everything except the cluster fixpoint (inherently iterative, see
+  * DedupClusters) is one lazy plan; no stage materializes the corpus
+  * driver-side. Stage order matters and is the standard one: dedup
+  * before decontamination (fewer docs to shingle), quality before
+  * sampling (rates apply to the clean pool), packing last (pack ids
+  * depend on every upstream drop).
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      nearDupThreshold: Double = 0.8,
+      contaminationNgram: Int = 5,
+      minTokens: Long = 10L,
+      maxTokens: Long = 100000L,
+      sampleRatesPer10k: Map[String, Long] = Map.empty, // lang → keep threshold
+      defaultRatePer10k: Long = 10000L, // unlisted langs keep everything
+      packTokens: Long = 2048L,
+      shards: Int = 32)
+
+  /** docs(doc_id, text, lang, source, …) + benchmark(doc_id, text, …) →
+    * training set with (shard, pack) assignment. */
+  def trainingSet(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      config: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+
+    // 1. exact dedup: min doc_id survives per content hash; the
+    //    shuffle carries (hash, id), never the body
+    val byHash = Window.partitionBy(md5(col("text")))
+    val exactDeduped = docs
+      .withColumn("graft__keep_id", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("graft__keep_id"))
+      .drop("graft__keep_id")
+
+    // 2. near-dup: pairs from banded LSH, clusters from the pair
+    //    graph, keep the minimum-id representative of each cluster
+    val pairs = MinHashNearDup.nearDupPairs(
+      exactDeduped, "doc_id", "text", config.nearDupThreshold)
+    val dropIds = DedupClusters
+      .keepOnePerCluster(pairs, "id_a", "id_b")
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    val nearDeduped = exactDeduped
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+
+    // 3. decontamination: any shared n-gram with the benchmark drops
+    //    the doc (exact-collision policy; see Decontaminate)
+    val contaminated = Decontaminate
+      .collisionStats(nearDeduped, benchmark, "doc_id", "text",
+        config.contaminationNgram)
+      .select(col("doc_id"))
+    val clean = nearDeduped
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+
+    // 4. quality gate: token-count bounds, computed at scan time
+    val gated = clean
+      .withColumn("graft__n_tok", TextOps.nTokens(col("text")))
+      .filter(col("graft__n_tok").between(config.minTokens, config.maxTokens))
+
+    // 5. stratified sampling: per-lang keep thresholds over the same
+    //    coordination-free md5 residue as n24/n32
+    val keepExpr = config.sampleRatesPer10k
+      .foldLeft(lit(config.defaultRatePer10k)) { case (acc, (lang, rate)) =>
+        when(col("lang") === lang, lit(rate)).otherwise(acc)
+      }
+    val sampled = gated.filter(
+      TextOps.hexHash60(col("doc_id").cast("string")) % 10000 < keepExpr)
+
+    // 6. sequence packing: sharded running offsets (n38 shape) — each
+    //    shard packs independently, no global order
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("shard", col("doc_id") % config.shards)
+      .withColumn("graft__cum", sum(col("graft__n_tok")).over(w))
+      .withColumn("pack",
+        ((col("graft__cum") - col("graft__n_tok")) / config.packTokens)
+          .cast("long"))
+      .drop("graft__cum")
+      .withColumnRenamed("graft__n_tok", "n_tokens")
+  }
+}

@@ -982,6 +982,97 @@ object NorthStar {
               abs(col("graft__p90")) * 0.05).as("approx_ok"))
     },
 
+    // ----- n40: the whole corpus pipeline, end to end --------------------
+    // CorpusPipeline.trainingSet over the harness documents: exact
+    // dedup → near-dup cluster representatives → decontamination vs
+    // the src0 benchmark → token-count gate → (keep-all sampling) →
+    // sharded sequence packing. The oracle rebuilds every stage in SQL
+    // from the same proven pieces (md5-window dedup, exact-Jaccard
+    // recursive closure ≡ n30, 5-gram collision ≡ n36, running-offset
+    // packing ≡ n38) — one hash-compared query certifies the composed
+    // program, not just its parts.
+    QuerySpec(
+      "n40_corpus_pipeline",
+      s"""WITH RECURSIVE
+         |raw AS (SELECT doc_id, text, lang, source FROM documents
+         |        WHERE source <> 'src0'),
+         |bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |ex AS (SELECT doc_id, text, lang, source FROM (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM raw) WHERE doc_id = keep_id),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM ex),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    w || ' ' || lead(w, 1) OVER win3 || ' ' || lead(w, 2) OVER win3 AS shingle
+         |  FROM toks WINDOW win3 AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL),
+         |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT id_a, id_b FROM pair
+         |  JOIN shn ca ON ca.doc_id = id_a
+         |  JOIN shn cb ON cb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (
+         |  SELECT u FROM reach GROUP BY u HAVING u <> least(u, min(v)))),
+         |t5 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM nd),
+         |sh5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    w || ' ' || lead(w, 1) OVER win5 || ' ' || lead(w, 2) OVER win5
+         |      || ' ' || lead(w, 3) OVER win5 || ' ' || lead(w, 4) OVER win5 AS shingle
+         |  FROM t5 WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL),
+         |tb AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM bench),
+         |b5 AS (
+         |  SELECT DISTINCT
+         |    w || ' ' || lead(w, 1) OVER winb || ' ' || lead(w, 2) OVER winb
+         |      || ' ' || lead(w, 3) OVER winb || ' ' || lead(w, 4) OVER winb AS shingle
+         |  FROM tb WINDOW winb AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL),
+         |cl AS (SELECT * FROM nd WHERE doc_id NOT IN (
+         |  SELECT DISTINCT doc_id FROM sh5
+         |  WHERE shingle IN (SELECT shingle FROM b5))),
+         |g AS (SELECT doc_id, lang, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        doc_id % 32 AS shard
+         |      FROM cl
+         |      WHERE CAST(len(string_split(text, ' ')) AS BIGINT)
+         |        BETWEEN 40 AND 100000),
+         |c AS (SELECT doc_id, lang, source, n_tokens, shard,
+         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM g)
+         |SELECT doc_id, lang, source, n_tokens, shard,
+         |  (cum - n_tokens) // 2048 AS pack
+         |FROM c""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.pipeline.CorpusPipeline.trainingSet(
+        docs.filter(col("source") =!= "src0")
+          .select("doc_id", "text", "lang", "source"),
+        docs.filter(col("source") === "src0"),
+        graft.pipeline.CorpusPipeline.Config(minTokens = 40L))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("shard"), col("pack"))
+    },
+
     // ----- n36: benchmark decontamination (exact n-gram collision) ------
     // NOT near-dup dedup: eval-set hygiene. Docs from source 'src0'
     // stand in as the benchmark; any corpus doc sharing a word 5-gram
