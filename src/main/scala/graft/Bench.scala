@@ -70,9 +70,12 @@ object Bench {
       // heaviest shapes (near-dup family) additionally take 3-4
       // executions to finish JIT ramp even after the sf0.001 warmup,
       // so a query still >2s after two reps gets a third.
+      // third rep only in the 2-5s band: that's where JIT ramp still
+      // moves the number; past ~5s the spread is real work and a third
+      // execution only burns harness wall time
       val best = if (first > 1.0) {
         val two = math.min(first, once())
-        if (two > 2.0) math.min(two, once()) else two
+        if (two > 2.0 && two <= 5.0) math.min(two, once()) else two
       } else first
       name -> best
     }

@@ -60,12 +60,17 @@ object CorpusPipeline {
     //    graph, keep the minimum-id representative of each cluster
     val pairs = MinHashNearDup.nearDupPairs(
       exactDeduped, "doc_id", "text", config.nearDupThreshold)
+    // NOTE both drop lists join WITHOUT a broadcast hint: their size is
+    // data-dependent (a heavily-duplicated or heavily-contaminated
+    // corpus makes them corpus-scale), so forcing a broadcast is an
+    // OOM at exactly the corpora dedup matters most for. AQE broadcasts
+    // them anyway when they turn out small.
     val dropIds = DedupClusters
       .keepOnePerCluster(pairs, "id_a", "id_b")
       .filter(!col("keep"))
       .select(col("doc_id"))
     val nearDeduped = exactDeduped
-      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
 
     // 3. decontamination: any shared n-gram with the benchmark drops
     //    the doc (exact-collision policy; see Decontaminate)
@@ -74,7 +79,7 @@ object CorpusPipeline {
         config.contaminationNgram)
       .select(col("doc_id"))
     val clean = nearDeduped
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
 
     // 4. quality gate: token-count bounds, computed at scan time
     val gated = clean
