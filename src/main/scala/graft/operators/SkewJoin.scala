@@ -31,6 +31,10 @@ object SkewJoin {
     * salt never reaches the output (dropped after the join), and the
     * join result is salt-value-independent, so the id's
     * layout-dependence is harmless.
+    *
+    * @param df unused since the salt became row-content-independent;
+    *           kept so call sites and the operator's signature stay
+    *           stable if a content-mixing variant returns.
     */
   def saltColumn(df: DataFrame, saltFactor: Int): Column =
     pmod(hash(monotonically_increasing_id()), lit(saltFactor))
