@@ -60,6 +60,19 @@ class DedupClustersSpec extends SparkTestBase {
     assert(run(edges) === unionFind(edges))
   }
 
+  test("components releases superseded round checkpoints (no block pile-up)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    // 20-vertex chain → several rounds, each with its own checkpoint
+    val result = run((0L until 19L).map(i => i -> (i + 1)))
+    assert(result.size === 20)
+    val after = sc.getPersistentRDDs.size
+    // every superseded round and the edge list must be unpersisted;
+    // only the returned labels' own checkpoint may remain
+    assert(after - before <= 1,
+      s"checkpoint blocks piled up: $before -> $after persistent RDDs")
+  }
+
   test("keepOnePerCluster tags exactly the minimum id per component") {
     val pairs = edgesDf(Seq(10L -> 11L, 11L -> 12L, 20L -> 21L))
       .withColumnRenamed("a", "id_a").withColumnRenamed("b", "id_b")
