@@ -982,6 +982,59 @@ object NorthStar {
               abs(col("graft__p90")) * 0.05).as("approx_ok"))
     },
 
+    // ----- n41: winnowing fingerprints (window-min shingle selection) ---
+    // The MOSS algorithm (Schleimer et al., SIGMOD'03): positional
+    // shingle hashes → minimum per sliding window of w → distinct
+    // selected fingerprints. Guarantees every match of length ≥ w+n-1
+    // shares a fingerprint while storing ~2/(w+1) of the hashes — the
+    // storage-bounded alternative to full shingle sets for containment
+    // detection. Positional (NOT distinct) shingles feed the window;
+    // hashes are the portable md5-derived 60-bit ones. Per-doc window,
+    // per-doc shuffle only.
+    QuerySpec(
+      "n41_winnow_fingerprint",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, pos,
+         |    ${hex60("w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win")} AS h,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_tok
+         |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY pos <= n_tok - 2),
+         |wm AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM sh QUALIFY pos <= n_sh - 3)
+         |SELECT DISTINCT doc_id, fp FROM wm""".stripMargin) { (s, d) =>
+      val shingleAt = // positional 3-gram at index i (1-based window math)
+        TextOps.hexHash60(col("gram"))
+      t(s, d, "documents")
+        .withColumn("graft__ws", TextOps.tokens(col("text")))
+        .filter(size(col("graft__ws")) >= 3)
+        .select(col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(0), size(col("graft__ws")) - 3),
+              i => concat_ws(" ", slice(col("graft__ws"), i + lit(1), lit(3)))))
+            .as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), shingleAt.as("h"))
+        .withColumn("graft__nsh",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("fp",
+          min(col("h")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+              .rowsBetween(Window.currentRow, 3)))
+        // winnowing takes only FULL windows: the last w-1 positions'
+        // shorter windows would select trailing hashes twice
+        .filter(col("pos") <= col("graft__nsh") - 4)
+        .select(col("doc_id"), col("fp"))
+        .distinct()
+    },
+
     // ----- n40: the whole corpus pipeline, end to end --------------------
     // CorpusPipeline.trainingSet over the harness documents: exact
     // dedup → near-dup cluster representatives → decontamination vs
