@@ -104,6 +104,33 @@ object NorthStar {
        |shash AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sb)""".stripMargin
   }
 
+  /** Winnowed fingerprint frame (doc_id, fp) shared by n41/n42: MOSS
+    * window-min selection (w = 4) over positional 3-gram hashes. */
+  private def winnowFps(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .withColumn("graft__ws", TextOps.tokens(col("text")))
+      .filter(size(col("graft__ws")) >= 3)
+      .select(col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("graft__ws")) - 3),
+            i => concat_ws(" ", slice(col("graft__ws"), i + lit(1), lit(3)))))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.hexHash60(col("gram")).as("h"))
+      .withColumn("graft__nsh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("fp",
+        min(col("h")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.currentRow, 3)))
+      // winnowing takes only FULL windows: the last w-1 positions'
+      // shorter windows would select trailing hashes twice
+      .filter(col("pos") <= col("graft__nsh") - 4)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+
   val all: Seq[QuerySpec] = Seq(
 
     // ----- n1: exact dedup (hash-grouped, not full-row shuffle) ---------
@@ -1010,29 +1037,45 @@ object NorthStar {
          |    count(*) OVER (PARTITION BY doc_id) AS n_sh
          |  FROM sh QUALIFY pos <= n_sh - 3)
          |SELECT DISTINCT doc_id, fp FROM wm""".stripMargin) { (s, d) =>
-      val shingleAt = // positional 3-gram at index i (1-based window math)
-        TextOps.hexHash60(col("gram"))
-      t(s, d, "documents")
-        .withColumn("graft__ws", TextOps.tokens(col("text")))
-        .filter(size(col("graft__ws")) >= 3)
-        .select(col("doc_id"),
-          posexplode(
-            transform(
-              sequence(lit(0), size(col("graft__ws")) - 3),
-              i => concat_ws(" ", slice(col("graft__ws"), i + lit(1), lit(3)))))
-            .as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("pos"), shingleAt.as("h"))
-        .withColumn("graft__nsh",
-          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        .withColumn("fp",
-          min(col("h")).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-              .rowsBetween(Window.currentRow, 3)))
-        // winnowing takes only FULL windows: the last w-1 positions'
-        // shorter windows would select trailing hashes twice
-        .filter(col("pos") <= col("graft__nsh") - 4)
-        .select(col("doc_id"), col("fp"))
-        .distinct()
+      winnowFps(s, d)
+    },
+
+    // ----- n42: containment candidates from shared winnow fingerprints --
+    // The downstream use of n41: docs sharing ≥ 5 selected fingerprints
+    // are containment/overlap candidates. The self-join is on the
+    // FINGERPRINT (≈ 2/(w+1) of the shingles), not the full shingle
+    // set — winnowing's whole point is to make this join affordable at
+    // corpus scale while guaranteeing long matches still collide.
+    QuerySpec(
+      "n42_winnow_candidates",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, pos,
+         |    ${hex60("w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win")} AS h,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_tok
+         |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY pos <= n_tok - 2),
+         |wm AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |  FROM sh QUALIFY pos <= n_sh - 3),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin) { (s, d) =>
+      val fps = winnowFps(s, d)
+      val a = fps.select(col("doc_id").as("id_a"), col("fp"))
+      val b = fps.select(col("doc_id").as("id_b"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
     },
 
     // ----- n40: the whole corpus pipeline, end to end --------------------
