@@ -962,7 +962,8 @@ object NorthStar {
         |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |                         ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM t)
-        |SELECT doc_id, shard, n_tok, (cum - n_tok) // 2048 AS pack
+        |SELECT doc_id, shard, n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack
         |FROM c""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1157,7 +1158,7 @@ object NorthStar {
          |                            ROWS UNBOUNDED PRECEDING) AS cum
          |      FROM g)
          |SELECT doc_id, lang, source, n_tokens, shard,
-         |  (cum - n_tokens) // 2048 AS pack
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack
          |FROM c""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       graft.pipeline.CorpusPipeline.trainingSet(

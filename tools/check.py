@@ -9,29 +9,43 @@ Registers each testdata parquet as a DuckDB view by table name, executes
 every oracle_sql.json entry, and compares to the Spark-produced parquet:
 column names (sorted), row count, and exact value-hash over rows sorted
 by all columns.
+
+Both sides are fetched THROUGH PANDAS (.df()) to mirror the driver's
+comparator: DuckDB HUGEINT/DECIMAL results become float64 there, so an
+un-CAST oracle aggregate that disagrees with Spark's BIGINT fails here
+too (fetchall()'s Python ints used to hide exactly that — round 4's
+n38/n40).
 """
 import json
 import math
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(v):
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def table_canon(rows, cols):
+def table_canon(df, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = list(df.itertuples(index=False, name=None))
     out = [tuple(canon(r[i]) for i in order) for r in rows]
     out.sort()
     return out
@@ -49,10 +63,10 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [c.lower() for c in got_rel.columns]
-            got = table_canon(got_rel.fetchall(), got_cols)
+            got = table_canon(got_rel.df(), got_cols)
             exp_rel = con.sql(sql)
             exp_cols = [c.lower() for c in exp_rel.columns]
-            exp = table_canon(exp_rel.fetchall(), exp_cols)
+            exp = table_canon(exp_rel.df(), exp_cols)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
