@@ -41,7 +41,12 @@ object Bench {
       // broadcast collision lookup, tf-idf window
       "n30_dedup_clusters" -> warmSf, "n33_ngram_topk" -> warmSf,
       "n35_ann_ivf" -> warmSf, "n36_contamination" -> warmSf,
-      "n31_tfidf_topk" -> warmSf)
+      "n31_tfidf_topk" -> warmSf,
+      // n18's bigram 6×11-band geometry compiles DIFFERENT generated
+      // code than n3's trigram config — its first two executions ramp
+      // 9.4→5.5→3.5s (PROFILE_r05), which is exactly the r4 "7.2s
+      // regression": warmup landing inside the timed reps
+      "n18_ngram_jaccard" -> warmSf)
       .foreach { case (q, dir) =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -86,5 +91,15 @@ object Bench {
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json)
     spark.stop()
+    // Driver handoff hardening (BENCH_r01-r04 all recorded parsed:null):
+    // the JSON printed above can be followed by Spark teardown log lines
+    // when the consumer merges stderr into stdout, so a last-line parser
+    // misses it. Silence all logging post-stop and re-emit the JSON on
+    // BOTH streams as the process's final output.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    System.out.println(json)
+    System.err.println(json)
+    System.out.flush(); System.err.flush()
   }
 }

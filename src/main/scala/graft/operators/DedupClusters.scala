@@ -135,6 +135,17 @@ object DedupClusters {
       iter += 1
     }
     release(symIds) // edges are not referenced by the checkpointed result
+    // Fail loudly rather than return labels that may still be mid-merge:
+    // a silent partial result would under-merge clusters and a dedup
+    // pipeline would keep extra "representatives". With pointer jumping
+    // convergence is O(log diameter), so 25 rounds covers diameters up
+    // to ~2^25 — hitting the cap means something is pathologically wrong
+    // (or maxIter was lowered), not a big-but-healthy graph.
+    if (!converged) {
+      release(labelIds) // nothing references the partial labels
+      throw new IllegalStateException(
+        s"DedupClusters.components did not converge in $maxIter rounds")
+    }
     labels
   }
 

@@ -45,6 +45,20 @@ object NorthStar {
       s"(CASE WHEN list_dot_product($v, ${planeSql(p)}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB sorted (distance, index) struct list over the shared ±1 IVF
+    * centroids. For ±1 centroids argmin ‖v−c‖² ≡ argmax v·c (‖v‖² and
+    * ‖c‖² = dim are constant across centroids), so the oracle ranks by
+    * −dot — same robustness argument as n5's sign-of-dot bucketing:
+    * inter-centroid dot gaps are O(1), float noise is ~1e-14. Ties break
+    * to the lower index on both engines (struct compare is field-wise).
+    */
+  private def ivfRankSql(v: String): String = {
+    val items = annPlanes.zipWithIndex.map { case (c, i) =>
+      s"{'d': -list_dot_product($v, ${planeSql(c)}), 'i': $i}"
+    }.mkString(",")
+    s"list_sort([$items])"
+  }
+
   /** Word-n-shingle CTEs (`sh`, `shn`) shared by the Jaccard oracles. */
   private def shingleCteN(n: Int): String = {
     val leads = (1 until n)
@@ -945,6 +959,35 @@ object NorthStar {
         nprobe = 4, k = 15)
     },
 
+    // ----- n43: IVF ANN, partial probe (the speed path) -----------------
+    // n35 with nprobe < nlist: cell assignment now MATTERS (only the 2
+    // cells nearest the query are searched), so the oracle reproduces
+    // the whole index — per-vector argmin cell, query probe set, member
+    // filter — from the same shared centroid constants (see ivfRankSql
+    // for the argmin ≡ argmax-dot equivalence on ±1 centroids). This is
+    // the plan that scales: each query reads nprobe/nlist of the corpus.
+    QuerySpec(
+      "n43_ann_ivf_probe",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 2),
+         |p AS (SELECT list_transform(${ivfRankSql("qv")}, s -> s.i)[1:2] AS ps
+         |      FROM q),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings)
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+         |FROM c
+         |WHERE list_contains((SELECT ps FROM p), cell) AND vec_id <> 2
+         |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") =!= 2), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 2), "embedding",
+        centroids = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)),
+        nprobe = 2, k = 15)
+    },
+
     // ----- n38: sequence packing (docs → fixed-token-budget packs) ------
     // The batch-assembly step of a training pipeline: assign documents
     // to 2048-token packs by running offset. Packing is sequential by
@@ -1198,5 +1241,26 @@ object NorthStar {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 5)
+    },
+
+    // ----- n44: skew-proof distinct count (two-phase) -------------------
+    // count(DISTINCT x) per low-cardinality key is the canonical skew
+    // trap: a direct per-key distinct shuffles every row of a hot key to
+    // one reducer. The scale-safe form is two-phase — dedup on the
+    // COMPOSITE (key, x) first, which shuffles uniformly because x is
+    // high-cardinality, then a cheap grouped count whose input is one
+    // row per distinct pair. The map-side partial dedup of phase 1 also
+    // collapses repeats before anything ships. l_returnflag has 3 values
+    // at any scale, so at 100 TB the direct plan has 3 live reducers and
+    // this one has all of them.
+    QuerySpec(
+      "n44_skew_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_parts"))
     })
 }

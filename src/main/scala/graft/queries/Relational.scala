@@ -708,6 +708,38 @@ object Relational {
           Window.partitionBy(col("p_brand"))
             .orderBy(col("p_retailprice").desc, col("p_partkey")))
           .cast("long").as("rnk"))
+    },
+
+    // ----- W5: navigation/distribution window pack ----------------------
+    // The remaining window-function families in one partitioned pass:
+    // lag/lead (navigation), ntile (distribution bucketing — the
+    // length-balanced shard assignment shape), percent_rank/cume_dist
+    // (exact small-integer ratios, bit-identical doubles; rounded like
+    // the cosine queries for belt-and-braces), first_value. One window
+    // spec → one sort per partition, no per-function re-shuffle; the
+    // ORDER BY key is unique within each partition so every function is
+    // deterministic.
+    QuerySpec(
+      "w5_window_funcs",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER win AS prev_ok,
+        |  lead(o_orderkey) OVER win AS next_ok,
+        |  ntile(4) OVER win AS quartile,
+        |  round(percent_rank() OVER win, 6) AS pr,
+        |  round(cume_dist() OVER win, 6) AS cd,
+        |  first_value(o_orderkey) OVER win AS first_ok
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin) {
+      (s, d) =>
+        val win = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(win).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(win).as("next_ok"),
+          ntile(4).over(win).cast("long").as("quartile"),
+          round(percent_rank().over(win), 6).as("pr"),
+          round(cume_dist().over(win), 6).as("cd"),
+          first_value(col("o_orderkey")).over(win).as("first_ok"))
     })
 }
 

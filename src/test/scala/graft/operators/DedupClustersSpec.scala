@@ -73,6 +73,24 @@ class DedupClustersSpec extends SparkTestBase {
       s"checkpoint blocks piled up: $before -> $after persistent RDDs")
   }
 
+  test("components: adversarial 200-vertex chain converges under the cap") {
+    // worst case for label propagation — one path, diameter 199; pointer
+    // jumping must close it in O(log d) rounds, far below maxIter=25
+    val got = run((0L until 199L).map(i => i -> (i + 1)))
+    assert(got === (0L to 199L).map(_ -> 0L).toMap)
+  }
+
+  test("components: throws instead of returning unconverged labels") {
+    // a 20-vertex chain cannot converge in 1 round; silent partial
+    // labels would under-merge clusters downstream, so the cap throws
+    val ex = intercept[IllegalStateException] {
+      DedupClusters.components(
+        edgesDf((0L until 19L).map(i => i -> (i + 1))), "a", "b",
+        maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("keepOnePerCluster tags exactly the minimum id per component") {
     val pairs = edgesDf(Seq(10L -> 11L, 11L -> 12L, 20L -> 21L))
       .withColumnRenamed("a", "id_a").withColumnRenamed("b", "id_b")

@@ -42,6 +42,43 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(byDoc(6L) === (0L, 0L))
   }
 
+  test("trainingSet: corpus-scale near-dup drop list (AQE path, no forced broadcast)") {
+    import spark.implicits._
+    // 3/4 of the corpus is one near-dup cluster — the shape where a
+    // forced broadcast of the drop list would OOM at real scale and the
+    // pipeline deliberately leaves the join strategy to AQE
+    // (CorpusPipeline.scala drop-list NOTE). 30 variants of one base doc
+    // (base + one distinct trailing word each) collapse to rep doc 1;
+    // docs 31-40 are mutually unrelated and all survive.
+    val base = text("w", 60)
+    val docs = (
+      (1L to 30L).map(i => (i, s"$base z$i", "en", "web")) ++
+        (31L to 40L).map(i => (i, text(s"u${i}x", 40), "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq((999L, "unrelated benchmark words only here"))
+      .toDF("doc_id", "text")
+
+    val out = CorpusPipeline.trainingSet(
+      docs, benchmark, CorpusPipeline.Config(minTokens = 5L))
+
+    // the drop-list anti-joins themselves must not carry a broadcast
+    // hint — their strategy is AQE's runtime call (other stages DO hint
+    // deliberately: the benchmark shingle set, rate dims)
+    // (only the TOP of the drop-list subtree matters: stages deeper in
+    // the pipeline hint deliberately, e.g. the benchmark shingle set)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, ResolvedHint}
+    def topOp(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => topOp(pr.child)
+      case other => other
+    }
+    val hintedAnti = out.queryExecution.analyzed.collect {
+      case j: Join if j.joinType.sql == "LEFT ANTI" => topOp(j.right)
+    }.collect { case h: ResolvedHint => h }
+    assert(hintedAnti.isEmpty, "drop-list anti-join must be left to AQE")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === (1L +: (31L to 40L)).toArray)
+  }
+
   test("trainingSet: stratified rates downsample only the configured language") {
     import spark.implicits._
     val docs = (1L to 60L).map(i =>

@@ -176,6 +176,64 @@ class EventStreamSpec extends SparkTestBase {
     assert(shape(spark.table("ij_test")) === batch)
   }
 
+  test("file-backed e2e: JSONL streams → interval join → upsert sink ≡ batch") {
+    import spark.implicits._
+    // the full production wiring on the real file-source API (not
+    // MemoryStream): two JSONL feeds on disk, watermarked stream-stream
+    // interval join, foreachBatch exactly-once upsert — final table must
+    // equal the batch intervalJoin of the same data
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 11:00:00"), "c2"),
+      (2L, ts("2024-01-01 10:30:00"), "c3"))
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "b1"), // within 30m of c1
+      (1L, ts("2024-01-01 11:45:00"), "b2"), // outside 30m of c2
+      (2L, ts("2024-01-01 10:31:00"), "b3")) // within 30m of c3
+    val clicksDf = clicks.toDF("user_id", "click_ts", "click_id")
+    val buysDf = buys.toDF("user_id", "buy_ts", "buy_id")
+
+    val expected = EventStream.intervalJoin(
+      clicksDf, buysDf, "user_id", "click_ts", "buy_ts", "30 minutes")
+      .select("click_id", "buy_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected === Set(("c1", "b1"), ("c3", "b3")))
+
+    // two JSONL files per feed + maxFilesPerTrigger=1 → the join and
+    // the sink really see MULTIPLE micro-batches
+    val root = java.nio.file.Paths.get("target/stream_e2e")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    def feed(dir: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = root.resolve(dir).toString
+      df.limit(1).coalesce(1).write.mode("append").json(p)
+      df.except(df.limit(1)).coalesce(1).write.mode("append").json(p)
+      p
+    }
+    val clickDir = feed("clicks", clicksDf)
+    val buyDir = feed("buys", buysDf)
+    def readFeed(dir: String, schemaOf: org.apache.spark.sql.DataFrame) =
+      spark.readStream.schema(schemaOf.schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+
+    graft.warehouse.Warehouse.createDatabase(spark, "graft_test")
+    graft.warehouse.Warehouse.dropTable(spark, "graft_test.ij_sink")
+    graft.warehouse.Warehouse.dropTable(spark, "graft_test.ij_sink__shadow")
+    val q = EventStream.streamingIntervalJoin(
+      readFeed(clickDir, clicksDf), readFeed(buyDir, buysDf),
+      "user_id", "click_ts", "buy_ts", "30 minutes", "10 minutes")
+      .writeStream
+      .foreachBatch(EventStream.upsertBatch(
+        "graft_test.ij_sink", Seq("click_id", "buy_id"), Seq("click_ts")) _)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_test.ij_sink")
+      .select("click_id", "buy_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
   test("upsertBatch: replayed micro-batches merge idempotently (exactly-once sink)") {
     import spark.implicits._
     graft.warehouse.Warehouse.createDatabase(spark, "graft_test")
