@@ -33,6 +33,10 @@ object SurrogateKey {
     val numbered = ranged.withColumn(
       local,
       row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)))
+    // This unpartitioned window (Spark logs "No Partition Defined for
+    // Window operation" here) is deliberate and safe: it runs over the
+    // per-partition COUNTS — at most one row per shuffle partition,
+    // metadata-sized at any data scale — never over the data itself.
     val offsets = ranged
       .groupBy(col(pid))
       .agg(count(lit(1)).as("graft__n"))

@@ -90,4 +90,32 @@ class QueryPlansSpec extends SparkTestBase {
     assert(plan.contains("Window"), s"no window:\n$plan")
     assert(exchanges <= 2, s"packing should shuffle once (by shard):\n$plan")
   }
+
+  test("w5 window pack: all six functions share ONE Window node and one sort") {
+    val plan = finalPlan(q("w5_window_funcs"))
+    assert("Window ".r.findAllIn(plan).length == 1,
+      s"functions with one window spec must share one Window node:\n$plan")
+    assert("\\bSort\\b".r.findAllIn(plan).length <= 1,
+      s"one partitioned sort expected:\n$plan")
+  }
+
+  test("n43 partial-probe IVF: query side broadcast, TakeOrdered top-k") {
+    val plan = finalPlan(q("n43_ann_ivf_probe"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row query must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("n44 skew-proof distinct: two uniform shuffles, partials on both") {
+    val plan = finalPlan(q("n44_skew_distinct"))
+    // phase 1 shuffles on the COMPOSITE (flag, partkey) — uniform —
+    // phase 2 on the tiny deduped key; both are preceded by map-side
+    // partial HashAggregates that collapse hot keys before shipping
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"expected exactly the two agg shuffles:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag"),
+      s"final phase must shuffle on the deduped key only:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"both phases need partial+final aggregates:\n$plan")
+  }
 }
