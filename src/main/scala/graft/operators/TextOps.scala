@@ -63,4 +63,25 @@ object TextOps {
     * len(regexp_extract_all(x, pat))). */
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  // --- PII scrubbing ---------------------------------------------------
+  // Training corpora are redacted before anything ships: replace every
+  // match with a typed placeholder token (so downstream stats can still
+  // count redactions) rather than deleting, preserving token positions
+  // for chunking/packing done later. Patterns are deliberately RE2-safe
+  // (no backrefs/lookarounds) so the same regex runs in Spark (Java
+  // regex), DuckDB (RE2) and any downstream scrubber. Spark's
+  // regexp_replace is global by default; the DuckDB twin needs the 'g'
+  // flag.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{3,}\\b"
+
+  /** Redact emails then phone numbers with typed placeholders. Order
+    * matters and is fixed: email first, so a phone-looking local part
+    * inside an address is consumed by the email pass. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

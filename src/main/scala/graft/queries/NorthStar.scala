@@ -1262,5 +1262,80 @@ object NorthStar {
         .distinct()
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_parts"))
+    },
+
+    // ----- n45: context-window chunking (overlapping token windows) -----
+    // Long documents split into size-32 chunks on a stride of 24 (8
+    // tokens of overlap) — the context-window prep step between packing
+    // (n38, whole docs) and training. A pure per-row generator: the
+    // chunk explosion happens inside the scan's projection, no shuffle,
+    // parallelism and pushdown untouched — at 100 TB this is a map-only
+    // stage. Chunk starts are 0, 24, 48, … < n_tokens, so every token
+    // is covered and the last chunk may be short (never empty).
+    QuerySpec(
+      "n45_chunk_split",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, ws, n,
+        |        unnest(generate_series(0, (n-1)//24)) AS i
+        |      FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |  CAST(least(32, n - i*24) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .withColumn("graft__n", size(col("graft__ws")).cast("long"))
+        .select(
+          col("doc_id"), col("graft__ws"), col("graft__n"),
+          explode(sequence(lit(0L), expr("(graft__n - 1) div 24")))
+            .as("chunk_id"))
+        .select(
+          col("doc_id"), col("chunk_id"),
+          concat_ws(" ",
+            slice(col("graft__ws"), (col("chunk_id") * 24L + 1L).cast("int"),
+              lit(32))).as("chunk_text"),
+          least(lit(32L), col("graft__n") - col("chunk_id") * 24L)
+            .as("n_chunk_tokens"))
+    },
+
+    // ----- n46: PII scrubbing (regex redaction with typed tokens) -------
+    // The synthetic corpus carries no PII, so the query PLANTS a
+    // deterministic email+phone per row (derived from doc_id, appended
+    // past a clean 40-char prefix) and then scrubs — proving the
+    // redaction machinery end-to-end: both patterns hit, placeholders
+    // land, counts come from the pre-scrub text. Codegen'd regex over
+    // one string pass per pattern; map-only at any scale.
+    QuerySpec(
+      "n46_pii_scrub",
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' contact user' || doc_id ||
+         |      '@example.com or 555-' || (doc_id % 10000) || ' now' AS d
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(d,
+         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.PhonePattern}', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(d, '${TextOps.EmailPattern}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(d, '${TextOps.PhonePattern}')) AS BIGINT)
+         |    AS n_phones
+         |FROM dirty""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"), col("doc_id") % 10000,
+            lit(" now")).as("graft__d"))
+        .select(
+          col("doc_id"),
+          TextOps.scrubPii(col("graft__d")).as("clean_text"),
+          TextOps.matchCount(col("graft__d"), TextOps.EmailPattern)
+            .as("n_emails"),
+          TextOps.matchCount(col("graft__d"), TextOps.PhonePattern)
+            .as("n_phones"))
     })
 }

@@ -231,5 +231,27 @@ object Sinks {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("chars"),
           countDistinct(col("source")).as("n_sources"))
+    },
+
+    // ----- S15: ORC source round-trip -----------------------------------
+    // The other columnar format Spark ships natively (warehouse
+    // migrations routinely read legacy ORC). Same discipline as the
+    // parquet path: the post-roundtrip filter and projection reach the
+    // ORC reader (ORC carries min/max stripe stats like parquet row
+    // groups), proving the scan path — not just the codec — works.
+    QuerySpec(
+      "s15_orc_roundtrip",
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars > 100 GROUP BY source""".stripMargin) {
+      (s, d) =>
+        val path = s"$base/s15_orc"
+        t(s, d, "documents")
+          .select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .filter(col("n_chars") > 100)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     })
 }
