@@ -38,6 +38,39 @@ object EngineLawsProps extends Properties("EngineLaws") {
         p.flatten.forall(x => x == 1 || x == -1)
     }
 
+  property("scrubPii leaves no pattern match and is idempotent") = {
+    val word = Gen.oneOf("alpha", "beta", "kappa42", "x.y-z")
+    val piiGen = Gen.oneOf(
+      Gen.const("bob.smith+a@mail-host.example.org"),
+      Gen.const("555-12345"),
+      word)
+    forAll(Gen.listOf(piiGen)) { parts =>
+      val s = parts.mkString(" ")
+      // driver-side twin of the column expression — same Java regexes
+      def scrub(x: String) = x
+        .replaceAll(TextOps.EmailPattern, "<EMAIL>")
+        .replaceAll(TextOps.PhonePattern, "<PHONE>")
+      val once = scrub(s)
+      !TextOps.EmailPattern.r.findFirstIn(once).isDefined &&
+        !TextOps.PhonePattern.r.findFirstIn(once).isDefined &&
+        scrub(once) == once
+    }
+  }
+
+  property("chunk starts cover every token; overlap is size-stride") =
+    forAll(Gen.choose(1, 500)) { n =>
+      val (size, stride) = (32, 24)
+      val starts = 0 to ((n - 1) / stride) map (_ * stride)
+      val covered = starts.flatMap(s => s until math.min(s + size, n)).toSet
+      covered == (0 until n).toSet &&
+        starts.forall(_ < n) && // no empty chunk
+        // consecutive chunks overlap by size-stride except a short tail
+        starts.sliding(2).forall {
+          case Seq(a, b) => b - a == stride
+          case _ => true
+        }
+    }
+
   // --- Spark-backed laws (few, fast cases) ----------------------------
 
   private val sparkCases = 5
