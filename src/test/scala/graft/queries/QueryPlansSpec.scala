@@ -106,6 +106,12 @@ class QueryPlansSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("n45 chunking: a pure per-row generator — no exchange anywhere") {
+    val plan = finalPlan(q("n45_chunk_split"))
+    assert(plan.contains("Generate explode"), s"no generator:\n$plan")
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("n44 skew-proof distinct: two uniform shuffles, partials on both") {
     val plan = finalPlan(q("n44_skew_distinct"))
     // phase 1 shuffles on the COMPOSITE (flag, partkey) — uniform —
