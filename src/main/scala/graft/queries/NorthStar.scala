@@ -1337,5 +1337,49 @@ object NorthStar {
             .as("n_emails"),
           TextOps.matchCount(col("graft__d"), TextOps.PhonePattern)
             .as("n_phones"))
+    },
+
+    // ----- n47: one-pass column profiler --------------------------------
+    // Table profiling (row count, null count, min/max per column) as ONE
+    // aggregation over ONE scan — the naive per-column loop reads the
+    // table k times, which at 100 TB is k×the job. All stats land in a
+    // single partial-aggregable row; `stack` unpivots it to the long
+    // profile shape driver-free. min/max are order statistics (no
+    // arithmetic), so DOUBLE emission is exact cross-engine. The oracle
+    // may rescan per column — oracle cost is irrelevant, the SPARK plan
+    // is what is under test (one FileSourceScan; profiled via explain).
+    QuerySpec(
+      "n47_column_profile",
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), CAST(count(o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), CAST(count(o_totalprice) AS BIGINT),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |FROM orders""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .agg(
+          count(lit(1)).as("graft__n"),
+          count(col("o_orderkey")).as("graft__nn1"),
+          min(col("o_orderkey")).cast("double").as("graft__mn1"),
+          max(col("o_orderkey")).cast("double").as("graft__mx1"),
+          count(col("o_custkey")).as("graft__nn2"),
+          min(col("o_custkey")).cast("double").as("graft__mn2"),
+          max(col("o_custkey")).cast("double").as("graft__mx2"),
+          count(col("o_totalprice")).as("graft__nn3"),
+          min(col("o_totalprice")).as("graft__mn3"),
+          max(col("o_totalprice")).as("graft__mx3"))
+        .select(expr(
+          """stack(3,
+            |  'o_orderkey',   graft__n, graft__nn1, graft__mn1, graft__mx1,
+            |  'o_custkey',    graft__n, graft__nn2, graft__mn2, graft__mx2,
+            |  'o_totalprice', graft__n, graft__nn3, graft__mn3, graft__mx3)
+            |AS (column_name, n_rows, n_nonnull, min_val, max_val)""".stripMargin))
     })
 }

@@ -112,6 +112,13 @@ class QueryPlansSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("n47 column profiler: every column's stats from ONE scan") {
+    val plan = finalPlan(q("n47_column_profile"))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"profiler must read the table once, found $scans scans:\n$plan")
+  }
+
   test("n44 skew-proof distinct: two uniform shuffles, partials on both") {
     val plan = finalPlan(q("n44_skew_distinct"))
     // phase 1 shuffles on the COMPOSITE (flag, partkey) — uniform —
