@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * SQL surface:
   *   graft_minhash_bands(baseHash, numHashes, bands) → array<bigint>
   *   graft_simhash(wordHash)                          → bigint
+  *   graft_cms(hash31, depth, width)                  → array<bigint>
+  *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
   */
 object GraftFunctions {
 
@@ -33,5 +35,17 @@ object GraftFunctions {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
+      (args: Seq[Expression]) =>
+        CountMinSketchAgg(args(0),
+          intLit(args(1), "depth"), intLit(args(2), "width"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
+      (args: Seq[Expression]) =>
+        BloomFilterAgg(args(0),
+          intLit(args(1), "numBits"), intLit(args(2), "numHashes"))))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
+import graft.functions.SketchAggregates
 import graft.operators.{Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
 import graft.streaming.EventStream
 
@@ -1381,5 +1382,90 @@ object NorthStar {
             |  'o_custkey',    graft__n, graft__nn2, graft__mn2, graft__mx2,
             |  'o_totalprice', graft__n, graft__nn3, graft__mn3, graft__mx3)
             |AS (column_name, n_rows, n_nonnull, min_val, max_val)""".stripMargin))
+    },
+
+    // ----- n48: bigram collocation mining (PMI-style lift) --------------
+    // Corpus collocations ranked by lift = P(w1,w2) / (P(w1·)·P(·w2)),
+    // the association score behind phrase detection (word2vec-phrases,
+    // NLTK collocations). All margins come from the BIGRAM table itself:
+    // after one explode+groupBy, n_x / n_y are per-key window sums over
+    // the (much smaller) distinct-bigram relation and the global total
+    // is a broadcast 1-row aggregate — the raw token stream is read
+    // once and never re-shuffled. Lift is ONE double multiply/divide
+    // over exact integers (bit-identical cross-engine, header rules);
+    // the top-50 cut is totally ordered (lift, n_xy, w1, w2) so LIMIT
+    // selects the same set in both engines.
+    QuerySpec(
+      "n48_token_pmi",
+      """WITH t AS (SELECT string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |i AS (SELECT ws, unnest(generate_series(1, n - 1)) AS i FROM t),
+        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM i),
+        |bg AS (SELECT w1, w2, count(*) AS n_xy FROM p GROUP BY 1, 2),
+        |m AS (SELECT w1, w2, n_xy,
+        |        sum(n_xy) OVER (PARTITION BY w1) AS n_x,
+        |        sum(n_xy) OVER (PARTITION BY w2) AS n_y,
+        |        sum(n_xy) OVER () AS nb
+        |      FROM bg)
+        |SELECT w1, w2, n_xy,
+        |  CAST(n_xy AS DOUBLE) * nb / (n_x * n_y) AS lift
+        |FROM m WHERE n_xy >= 2
+        |ORDER BY lift DESC, n_xy DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      val ws = t(s, d, "documents")
+        .select(TextOps.tokens(col("text")).as("graft__ws"))
+      val bg = ws
+        .select(explode(zip_with(
+          slice(col("graft__ws"), lit(1), size(col("graft__ws")) - 1),
+          slice(col("graft__ws"), lit(2), size(col("graft__ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("graft__p"))
+        .select(col("graft__p.w1"), col("graft__p.w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_xy"))
+      val total = bg.agg(sum(col("n_xy")).as("graft__nb"))
+      bg
+        .withColumn("graft__nx",
+          sum(col("n_xy")).over(Window.partitionBy(col("w1"))))
+        .withColumn("graft__ny",
+          sum(col("n_xy")).over(Window.partitionBy(col("w2"))))
+        .join(broadcast(total))
+        .filter(col("n_xy") >= 2)
+        .select(col("w1"), col("w2"), col("n_xy"),
+          (col("n_xy").cast("double") * col("graft__nb") /
+            (col("graft__nx") * col("graft__ny"))).as("lift"))
+        .orderBy(col("lift").desc, col("n_xy").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
+    // ----- n50: incremental dedup (new batch vs existing corpus) --------
+    // The ingestion-time variant of n1: dedup a NEW batch of documents
+    // within itself (keep the lowest doc_id per normalized-content key),
+    // then drop everything whose content already exists in the corpus
+    // (src0 plays the corpus; every other source is the batch). Both
+    // sides reduce to md5 keys before any join — the anti join ships
+    // 32-byte hashes, never text, and at 100 TB the corpus side is a
+    // hash-only table that would live pre-bucketed in the warehouse
+    // (s10's layout) so incremental loads skip its shuffle entirely.
+    QuerySpec(
+      "n50_incremental_dedup",
+      """WITH k AS (SELECT doc_id, source,
+        |             md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |               AS content_key
+        |           FROM documents),
+        |b AS (SELECT content_key, min(doc_id) AS doc_id
+        |      FROM k WHERE source <> 'src0' GROUP BY 1)
+        |SELECT b.doc_id, b.content_key FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM k
+        |                  WHERE k.source = 'src0'
+        |                    AND k.content_key = b.content_key)""".stripMargin) { (s, d) =>
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(TextOps.normalized(col("text"))).as("content_key"))
+      keyed.filter(col("source") =!= "src0")
+        .groupBy(col("content_key"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(keyed.filter(col("source") === "src0").select(col("content_key")),
+          Seq("content_key"), "left_anti")
+        .select(col("doc_id"), col("content_key"))
     })
 }
