@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_simhash(wordHash)                          → bigint
   *   graft_cms(hash31, depth, width)                  → array<bigint>
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
+  *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
   */
 object GraftFunctions {
 
@@ -47,5 +48,11 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         BloomFilterAgg(args(0),
           intLit(args(1), "numBits"), intLit(args(2), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) =>
+        BloomMightContain(args(0), args(1),
+          intLit(args(2), "numBits"), intLit(args(3), "numHashes"))))
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{call_function, element_at, least, lit, shiftright}
+import org.apache.spark.sql.functions.{call_function, element_at, least, lit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -362,22 +362,14 @@ object SketchAggregates {
     if (probes.size == 1) probes.head else least(probes: _*)
   }
 
-  /** Bloom membership probe as a pure Column expression mirroring
-    * [[BloomFilterAgg]]'s double hashing bit for bit. `words` is the
-    * filter's packed long array; `hash31` as in [[cmsEstimate]]. False
-    * positives possible (callers re-verify with an exact join), false
-    * negatives impossible.
+  /** Bloom membership probe as a Column — delegates to the codegen'd
+    * [[BloomMightContain]] expression (one implementation, no drift).
+    * `key` is the raw long key; masking to 31 bits happens inside,
+    * matching the build side. False positives possible (callers
+    * re-verify with an exact join), false negatives impossible.
     */
   def bloomMightContain(
-      words: Column, hash31: Column, numBits: Int, numHashes: Int): Column = {
-    val h1 = (lit(BloomA1) * hash31 + lit(BloomB1)) % P
-    val h2 = (lit(BloomA2) * hash31 + lit(BloomB2)) % P
-    (0 until numHashes).map { i =>
-      val bitpos = (h1 + lit(i.toLong) * h2) % numBits
-      val word = element_at(words, (shiftright(bitpos, 6) + lit(1L)).cast("int"))
-      call_function("shiftright", word,
-        bitpos.bitwiseAND(lit(63L)).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
-  }
+      words: Column, key: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom_contains", words, key,
+      lit(numBits), lit(numHashes))
 }

@@ -1467,5 +1467,81 @@ object NorthStar {
         .join(keyed.filter(col("source") === "src0").select(col("content_key")),
           Seq("content_key"), "left_anti")
         .select(col("doc_id"), col("content_key"))
+    },
+
+    // ----- n49: count-min-sketch heavy hitters with exact gate ----------
+    // Token frequencies from a 4×8192 CMS (graft.functions.
+    // CountMinSketchAgg) probed for the exact top-10 tokens, n19-style:
+    // the oracle is the EXACT top-10 plus `true`, and the Spark side must
+    // prove its estimates land in the CMS band — est ≥ n always (the
+    // sketch only over-counts) and est ≤ n + 8·⌊N/width⌋ + 8 (8× the
+    // expected collision mass, min over 4 independent rows; fixed seeds
+    // make the check fully deterministic, green at sf0.001/0.01/0.1).
+    // One pass builds the sketch, one the exact counts; the 32 KB sketch
+    // broadcast-joins onto 10 rows and the probe is pure Column
+    // arithmetic inside codegen. At 100 TB the exact side is the thing
+    // you CAN'T afford per ad-hoc probe — the sketch is the artifact,
+    // the gate certifies it.
+    QuerySpec(
+      "n49_cms_topk",
+      """SELECT tok, n_tok, true AS cms_ok FROM (
+        |  SELECT tok, count(*) AS n_tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |ORDER BY n_tok DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
+      val width = 8192
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .select(xxhash64(col("tok")).bitwiseAND(lit(0x7fffffffL)).as("graft__h"))
+        .agg(expr(s"graft_cms(graft__h, 4, $width)").as("graft__cms"),
+          count(lit(1)).as("graft__n"))
+      val est = SketchAggregates.cmsEstimate(
+        col("graft__cms"),
+        xxhash64(col("tok")).bitwiseAND(lit(0x7fffffffL)), depth = 4, width = width)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+        .orderBy(col("n_tok").desc, col("tok"))
+        .limit(10)
+        .join(broadcast(sketch))
+        .select(col("tok"), col("n_tok"),
+          (est >= col("n_tok") &&
+            est <= col("n_tok") + lit(8L) * expr(s"graft__n div $width") + lit(8L))
+            .as("cms_ok"))
+    },
+
+    // ----- n51: bloom-prefiltered semi join -----------------------------
+    // Spark's runtime bloom join pruning (SPARK-32268), spelled out as
+    // an engine operator: build a Bloom filter over the SMALL side's
+    // keys (one 8 KB array, graft.functions.BloomFilterAgg) and drop
+    // non-matching fact rows at the scan — BEFORE the join and, at real
+    // scale, before its shuffle. The exact semi join that follows
+    // removes bloom false positives (~2e-4 at this geometry), so the
+    // result is oracle-exact; false negatives are impossible. The probe
+    // is the codegen'd BloomMightContain expression and the filter
+    // receives the array via a SCALAR SUBQUERY — the shape Spark's own
+    // InjectRuntimeFilter emits. The first cut cross-joined the array
+    // in, and PushDownLeftSemiAntiJoin reordered the exact join BELOW
+    // the probe, i.e. the prefilter filtered nothing (caught by the
+    // plan pin); the subquery form is immune. At 100 TB with a shuffle
+    // join this is the difference between shuffling the full fact table
+    // and shuffling the ~1/5 that can match.
+    QuerySpec(
+      "n51_bloom_semi_join",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin) { (s, d) =>
+      val bits = 65536
+      val hashes = 6
+      t(s, d, "customer").createOrReplaceTempView("graft_n51_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_n51_orders")
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM graft_n51_orders
+           |WHERE graft_bloom_contains(
+           |        (SELECT graft_bloom(c_custkey & 2147483647, $bits, $hashes)
+           |         FROM graft_n51_customer WHERE c_mktsegment = 'AUTOMOBILE'),
+           |        o_custkey, $bits, $hashes)
+           |  AND o_custkey IN (SELECT c_custkey FROM graft_n51_customer
+           |                    WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin)
     })
 }

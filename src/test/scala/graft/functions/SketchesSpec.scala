@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Behavioral laws of the frequency/membership sketches added for n49
+  * and n51 — checked against exact answers on data built to include
+  * repeats, merges across partitions, and definite non-members.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hashed(vals: Seq[Long]) =
+    vals.toDF("k").repartition(7) // force partial-buffer merges
+      .select(col("k"), col("k").bitwiseAND(lit(0x7fffffffL)).as("h"))
+
+  test("CMS estimate is never below the true count and stays in band") {
+    // zipfish multiset: value v appears 1000/v times
+    val data = (1L to 200L).flatMap(v => Seq.fill((1000 / v).toInt)(v))
+    val df = hashed(data)
+    val sketch = df.agg(expr("graft_cms(h, 4, 1024)").as("cms"),
+      count(lit(1)).as("n"))
+    val exact = df.groupBy("k").agg(count(lit(1)).as("n_true"))
+    val checked = exact.join(broadcast(sketch))
+      .select(col("k"), col("n_true"),
+        SketchAggregates.cmsEstimate(
+          col("cms"), col("k").bitwiseAND(lit(0x7fffffffL)), 4, 1024).as("est"),
+        col("n"))
+      .collect()
+    assert(checked.length == 200)
+    checked.foreach { r =>
+      val (nTrue, est, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= nTrue, s"CMS under-counted ${r.getLong(0)}: $est < $nTrue")
+      assert(est <= nTrue + 8 * (n / 1024) + 8,
+        s"CMS estimate out of band for ${r.getLong(0)}: $est vs $nTrue (n=$n)")
+    }
+  }
+
+  test("CMS counts every insertion exactly once across partition merges") {
+    // each depth row's counters must sum to the input cardinality —
+    // a double-merged or dropped partial buffer breaks this invariant
+    val df = hashed(1L to 5000L)
+    val row = df.agg(expr("graft_cms(h, 3, 64)").as("cms")).head()
+    val flat = row.getSeq[Long](0)
+    (0 until 3).foreach { j =>
+      assert(flat.slice(j * 64, (j + 1) * 64).sum == 5000L,
+        s"depth row $j does not sum to the input size")
+    }
+  }
+
+  test("bloom filter has no false negatives and few false positives") {
+    val members = (1L to 3000L).map(_ * 7)
+    val bloom = hashed(members)
+      .agg(expr("graft_bloom(h, 65536, 6)").as("bf"))
+    val probeAll = hashed(1L to 30000L)
+      .join(broadcast(bloom))
+      .select(col("k"),
+        SketchAggregates.bloomMightContain(col("bf"), col("k"), 65536, 6).as("hit"))
+      .collect()
+    val memberSet = members.toSet
+    val missed = probeAll.filter(r => memberSet(r.getLong(0)) && !r.getBoolean(1))
+    assert(missed.isEmpty, s"false negatives: ${missed.take(5).mkString(", ")}")
+    val fp = probeAll.count(r => !memberSet(r.getLong(0)) && r.getBoolean(1))
+    // 3000 keys in 65536 bits / 6 hashes → theoretical fp ≈ 2e-4; allow 10×
+    assert(fp <= (27000 * 0.002).toInt, s"false-positive rate too high: $fp/27000")
+  }
+}

@@ -131,4 +131,33 @@ class QueryPlansSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).length >= 4,
       s"both phases need partial+final aggregates:\n$plan")
   }
+
+  test("n48 collocations: margins from the bigram relation, total broadcast, top-50 as TakeOrdered") {
+    val plan = finalPlan(q("n48_token_pmi"))
+    // the raw token stream is aggregated once; the global bigram total
+    // joins back as a broadcast 1-row relation, never a shuffle join,
+    // and the top-50 cut must not global-sort
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"total must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
+    val plan = finalPlan(q("n51_bloom_semi_join"))
+    // the probe must be a plain Filter on the orders branch fed by a
+    // scalar subquery, with the exact semi join ABOVE it — the composed
+    // cross-join form regressed exactly here (PushDownLeftSemiAntiJoin
+    // hoisted the probe above the join, where it filters nothing)
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    val joinIdx = plan.indexOf("LeftSemi")
+    val probeIdx = plan.indexOf("graft_bloom_contains")
+    assert(probeIdx >= 0, s"bloom probe not in the plan:\n$plan")
+    assert(probeIdx > joinIdx,
+      s"bloom probe must sit below (after, in plan text) the semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom must arrive via scalar subquery, not a cross join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
 }
