@@ -253,5 +253,55 @@ object Sinks {
           .filter(col("n_chars") > 100)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    },
+
+    // ----- s16: Avro source/sink round-trip -----------------------------
+    // Same contract as s15 for the bundled row-major format (Spark 4
+    // ships sql/avro in-core, though this build's service registry omits
+    // the short name — the public connector class is addressed
+    // directly): write a projection to Avro, read it back, aggregate —
+    // proving schema round-trip. Avro is row-major, so unlike
+    // parquet/ORC the filter does not push to the reader; it stays a
+    // post-scan Filter, the honest shape for this format.
+    QuerySpec(
+      "s16_avro_roundtrip",
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars > 100 GROUP BY lang""".stripMargin) {
+      (s, d) =>
+        val path = s"$base/s16_avro"
+        val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+        t(s, d, "documents")
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").format(avro).save(path)
+        s.read.format(avro).load(path)
+          .filter(col("n_chars") > 100)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    },
+
+    // ----- s17: XML source/sink round-trip ------------------------------
+    // Spark 4's built-in XML connector (SPARK-44265): write one <doc>
+    // element per row under a <docs> root, read back with the same
+    // rowTag and an EXPLICIT schema (inference is a second full pass —
+    // wrong default at scale), aggregate. Proves the semi-structured
+    // ingest path end to end.
+    QuerySpec(
+      "s17_xml_roundtrip",
+      """SELECT source, count(*) AS n,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val path = s"$base/s17_xml"
+      t(s, d, "documents")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .format("xml").save(path)
+      s.read
+        .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+        .option("rowTag", "doc")
+        .format("xml").load(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
     })
 }

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming-shaped event transforms, written source-agnostic: the same
   * DataFrame→DataFrame function runs over a batch `events` table (the
@@ -218,5 +218,59 @@ object EventStream {
             out.reverseIterator
           }
       }
+  }
+
+  // --- transformWithState quota admission -----------------------------
+
+  final case class DocArrival(doc_id: Long, source: String)
+
+  /** Per-source admission counter for [[streamingQuotaAdmit]]: one
+    * ValueState[Long] per source, no TTL (a corpus quota is lifetime,
+    * not sliding). The input iterator is folded EAGERLY before the
+    * state update — handleInputRows' iterator is lazy, and deferring
+    * the fold past update() would admit a whole batch against the old
+    * count. */
+  private class QuotaProcessor(quota: Long)
+    extends StatefulProcessor[String, DocArrival, DocArrival] {
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long](
+        "admitted", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        source: String,
+        rows: Iterator[DocArrival],
+        timerValues: TimerValues): Iterator[DocArrival] = {
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.filter { _ =>
+        val ok = n < quota
+        if (ok) n += 1
+        ok
+      }.toList
+      admitted.update(n)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-source quota admission — the streaming twin of the
+    * n23 batch quota dedup, on Spark 4's transformWithState arbitrary-
+    * state API: admit documents from each source only until its corpus
+    * quota is filled, state = ONE long per source (O(sources), not
+    * O(docs) — the 100 TB-safe shape), carried across micro-batches and
+    * restarts by the state store (requires the RocksDB provider, which
+    * transformWithState mandates). Admission order inside a micro-batch
+    * follows arrival order per partition; cross-batch the counter is
+    * exact.
+    */
+  def streamingQuotaAdmit(
+      spark: SparkSession,
+      docs: Dataset[DocArrival],
+      perSourceQuota: Long): Dataset[DocArrival] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(
+        new QuotaProcessor(perSourceQuota), TimeMode.None(), OutputMode.Append())
   }
 }

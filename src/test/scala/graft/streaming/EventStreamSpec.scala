@@ -114,6 +114,49 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.map(_._1).sorted.toSeq === batchKeys)
   }
 
+  test("streamingQuotaAdmit enforces per-source quotas across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState mandates the RocksDB state store provider;
+    // scope it to this query and restore the session default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventStream.DocArrival]
+      val admitted = EventStream.streamingQuotaAdmit(spark, mem.toDS(), 4L)
+      val q = admitted.writeStream.format("memory")
+        .queryName("quota_test").outputMode("append").start()
+      // batch 1: 3 srcA + 2 srcB → all srcB admitted, 3 of srcA
+      mem.addData(
+        EventStream.DocArrival(1, "srcA"), EventStream.DocArrival(2, "srcA"),
+        EventStream.DocArrival(3, "srcA"), EventStream.DocArrival(4, "srcB"),
+        EventStream.DocArrival(5, "srcB"))
+      q.processAllAvailable()
+      // batch 2: 3 more srcA → only ONE admitted (3+1=4 fills the
+      // quota), proving the counter survived the micro-batch boundary
+      mem.addData(
+        EventStream.DocArrival(6, "srcA"), EventStream.DocArrival(7, "srcA"),
+        EventStream.DocArrival(8, "srcA"))
+      q.processAllAvailable()
+      q.stop()
+
+      val bySource = spark.table("quota_test").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      assert(bySource("srcB") === Set(4L, 5L))
+      assert(bySource("srcA").size === 4, s"quota breached: ${bySource("srcA")}")
+      assert(Set(1L, 2L, 3L).subsetOf(bySource("srcA")),
+        "batch-1 arrivals must be admitted before batch-2 overflow")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streamingSessions emits a session after the gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
