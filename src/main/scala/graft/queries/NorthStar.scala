@@ -1543,5 +1543,67 @@ object NorthStar {
            |        o_custkey, $bits, $hashes)
            |  AND o_custkey IN (SELECT c_custkey FROM graft_n51_customer
            |                    WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin)
+    },
+
+    // ----- n52: LM fluency score (perplexity-filter shape) --------------
+    // CCNet-style quality filtering scores every document under a
+    // language model trained on the corpus itself; the worst-scoring
+    // tail is dropped before training. Here the LM is the corpus bigram
+    // model and the score is the mean conditional probability
+    // avg(P(w_i | w_{i-1})) — the deterministic surrogate for
+    // perplexity: exp(-avg ln p) is monotone in the same per-doc
+    // ranking signal, but ln() is not bit-portable across engines
+    // (libm vs JVM), while n_xy/n_x divisions and a POSITION-ORDERED
+    // sequential fold are IEEE-exact (the n28 trick: sort_array +
+    // aggregate ≡ DuckDB list(ORDER BY)+list_reduce, term for term).
+    // Scale shape: counts aggregate once; the per-token probability
+    // lookup is an equi-join of the bigram stream against the count
+    // table on (w1,w2) — at 100 TB both sides hash-partition on the
+    // same key, and the count table is the one you'd bucket (s10) so
+    // scoring re-runs shuffle only the stream.
+    QuerySpec(
+      "n52_fluency_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |i AS (SELECT doc_id, ws, unnest(generate_series(1, n - 1)) AS i FROM t),
+        |p AS (SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2 FROM i),
+        |bg AS (SELECT w1, w2, count(*) AS n_xy FROM p GROUP BY 1, 2),
+        |m AS (SELECT w1, w2, n_xy,
+        |        sum(n_xy) OVER (PARTITION BY w1) AS n_x FROM bg),
+        |pr AS (SELECT doc_id, pos, CAST(n_xy AS DOUBLE) / n_x AS prob
+        |       FROM p JOIN m USING (w1, w2)),
+        |l AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        list(prob ORDER BY pos) AS ps
+        |      FROM pr GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  list_reduce(ps, (a, b) -> a + b) / n_bigrams AS fluency
+        |FROM l""".stripMargin) { (s, d) =>
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .select(col("doc_id"),
+          posexplode(zip_with(
+            slice(col("graft__ws"), lit(1), size(col("graft__ws")) - 1),
+            slice(col("graft__ws"), lit(2), size(col("graft__ws")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "graft__bg")))
+        .select(col("doc_id"), col("pos"),
+          col("graft__bg.w1"), col("graft__bg.w2"))
+      val counts = pairs
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("graft__nxy"))
+        .withColumn("graft__nx",
+          sum(col("graft__nxy")).over(Window.partitionBy(col("w1"))))
+      pairs
+        .join(counts, Seq("w1", "w2"))
+        .select(col("doc_id"), col("pos"),
+          (col("graft__nxy").cast("double") / col("graft__nx")).as("graft__p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          array_sort(collect_list(struct(col("pos"), col("graft__p"))))
+            .as("graft__ps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (aggregate(col("graft__ps"), lit(0.0),
+            (acc, x) => acc + x.getField("graft__p")) / col("n_bigrams"))
+            .as("fluency"))
     })
 }
