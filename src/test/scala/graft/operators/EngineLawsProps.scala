@@ -71,6 +71,47 @@ object EngineLawsProps extends Properties("EngineLaws") {
         }
     }
 
+  // --- sketch-buffer laws (pure JVM: update/merge/eval on raw buffers,
+  // no Spark jobs — these are the partial-aggregation contracts Spark
+  // relies on when it splits the input across tasks at any boundary) --
+
+  private def inputRow(h: Long) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h))
+  private val longRef = org.apache.spark.sql.catalyst.expressions
+    .BoundReference(0, org.apache.spark.sql.types.LongType, nullable = true)
+
+  property("CMS: split-update-merge == one-pass; every row sums to N") =
+    forAll(Gen.listOf(Gen.choose(0L, 1000L)), Gen.choose(0, 100)) { (xs, c) =>
+      val agg = graft.functions.CountMinSketchAgg(longRef, 3, 64)
+      val cut = if (xs.isEmpty) 0 else c % (xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      def build(vs: Seq[Long]) =
+        vs.foldLeft(agg.createAggregationBuffer())((buf, x) => agg.update(buf, inputRow(x)))
+      val merged = agg.merge(build(a), build(b))
+      val once = build(xs)
+      merged.sameElements(once) &&
+        (0 until 3).forall(j => merged.slice(j * 64, (j + 1) * 64).sum == xs.length)
+    }
+
+  property("bloom: split-update-merge == one-pass; members always probe true") =
+    forAll(Gen.listOf(Gen.choose(0L, 1L << 40)), Gen.choose(0, 100)) { (xs, c) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val agg = graft.functions.BloomFilterAgg(longRef, 512, 4)
+      val cut = if (xs.isEmpty) 0 else c % (xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      def build(vs: Seq[Long]) =
+        vs.foldLeft(agg.createAggregationBuffer())((buf, x) => agg.update(buf, inputRow(x)))
+      val merged = agg.merge(build(a), build(b))
+      val once = build(xs)
+      val words = Literal.create(once.toSeq, ArrayType(LongType, containsNull = false))
+      merged.sameElements(once) && xs.forall { x =>
+        graft.functions.BloomMightContain(words, Literal(x), 512, 4)
+          .eval(null) == true
+      }
+    }
+
   // --- Spark-backed laws (few, fast cases) ----------------------------
 
   private val sparkCases = 5
