@@ -303,5 +303,45 @@ object Sinks {
         .format("xml").load(path)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
+    },
+
+    // ----- s18: SCD type-2 merge (history-keeping dimension upsert) -----
+    // s11 is the type-1 merge (last write wins); warehouses also need
+    // the history-keeping form: an update CLOSES the key's current row
+    // (valid_to := effective ts) and becomes the new open row, so every
+    // balance is queryable as-of any date. Repriced keys end with TWO
+    // rows, untouched keys with one open row. The +500.00 delta is
+    // additive-exact (s11's determinism argument). Cost tracks the
+    // update batch, not accumulated history — see Warehouse.scd2Merge.
+    QuerySpec(
+      "s18_scd2_merge",
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal,
+        |    TIMESTAMP '2024-06-01 00:00:00' AS valid_from
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT b.c_custkey, b.c_acctbal, b.valid_from,
+        |  CASE WHEN u.c_custkey IS NOT NULL
+        |       THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+        |FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM upd""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+      val base = cust.select(
+        col("c_custkey"), col("c_acctbal"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val updates = cust
+        .filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + 500.0).as("c_acctbal"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("valid_from"))
+      Warehouse.scd2Merge(base, updates, Seq("c_custkey"))
     })
 }

@@ -107,6 +107,42 @@ object Warehouse {
       .drop("graft__prec", "graft__rn")
   }
 
+  /** SCD type-2 merge: history-keeping upsert for dimension tables
+    * (`upsert` above is type 1 — last write wins, history lost). `base`
+    * carries validity columns (`valid_from`, `valid_to` with NULL =
+    * current); `updates` carries the same business columns plus its own
+    * `valid_from` (the effective timestamp). Each update CLOSES the
+    * key's current row (valid_to := update's valid_from) and appends
+    * itself as the new open row; already-closed history passes through
+    * untouched, so the merge is repeatable batch over batch.
+    *
+    * Scale shape: one equi-join of the OPEN slice against the update
+    * keys plus a union — no window over key history, so cost tracks the
+    * update batch, not the accumulated history. Updates are assumed
+    * unique per key per batch (one effective version per batch —
+    * pre-dedup with `upsert` order semantics if a feed can carry
+    * several).
+    */
+  def scd2Merge(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val open = base.filter(col("valid_to").isNull)
+    val closedHistory = base.filter(col("valid_to").isNotNull)
+    val closers = updates
+      .select(keyCols.map(col) :+ col("valid_from").as("graft__close_ts"): _*)
+    val newlyClosed = open
+      .join(closers, keyCols, "left")
+      .withColumn("valid_to",
+        when(col("graft__close_ts").isNotNull, col("graft__close_ts")))
+      .drop("graft__close_ts")
+    closedHistory
+      .unionByName(newlyClosed)
+      .unionByName(
+        updates.withColumn("valid_to", lit(null).cast("timestamp")))
+  }
+
   /** S9: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

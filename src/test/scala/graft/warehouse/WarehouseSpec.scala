@@ -93,4 +93,36 @@ class WarehouseSpec extends SparkTestBase {
     assert(scan.metrics("numFiles").value < totalFiles,
       s"pruned scan read ${scan.metrics("numFiles").value} of $totalFiles files")
   }
+
+  test("scd2Merge keeps full history and is repeatable batch over batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = lit(s).cast("timestamp")
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .withColumn("valid_from", ts("2024-01-01 00:00:00"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val upd1 = Seq((1L, 11.0)).toDF("k", "v")
+      .withColumn("valid_from", ts("2024-02-01 00:00:00"))
+    val upd2 = Seq((1L, 12.0)).toDF("k", "v")
+      .withColumn("valid_from", ts("2024-03-01 00:00:00"))
+    val v2 = Warehouse.scd2Merge(
+      Warehouse.scd2Merge(base, upd1, Seq("k")), upd2, Seq("k"))
+    val rows = v2.orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getTimestamp(3)).map(_.toString).orNull))
+    // key 1: three versions, each closed by the next, last open;
+    // key 2: untouched single open row — history never rewritten
+    assert(rows.toSeq === Seq(
+      (1L, 10.0, "2024-02-01 00:00:00.0"),
+      (1L, 11.0, "2024-03-01 00:00:00.0"),
+      (1L, 12.0, null),
+      (2L, 20.0, null)))
+    // as-of query: exactly one valid version per key at any instant
+    val asOf = v2.filter(
+      col("valid_from") <= ts("2024-02-15 00:00:00") &&
+        (col("valid_to").isNull || col("valid_to") > ts("2024-02-15 00:00:00")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(asOf === Map(1L -> 11.0, 2L -> 20.0))
+  }
 }
