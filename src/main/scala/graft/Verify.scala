@@ -10,6 +10,17 @@ object Verify {
     // without re-running the whole registry.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // filtered runs write a filtered oracle_sql.json — over a REUSED
+    // outDir that would orphan every other query's parquet (check.py
+    // compares only what the json lists and would report a false
+    // all-green), so a filtered run demands a fresh/empty outDir
+    val existing = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
+    if (only.isDefined && existing.nonEmpty) {
+      System.err.println(
+        s"[verify] refusing filtered run into non-empty $outDir " +
+          "(stale outputs would be silently skipped by the compare)")
+      sys.exit(2)
+    }
     val spark = Sessions.local(appName = "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{call_function, element_at, least, lit}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -195,12 +195,15 @@ case class CountMinSketchAgg(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
   require(depth > 0 && width > 0, "depth and width must be positive")
 
   @transient private lazy val coefA = SketchAggregates.coefA(depth)
   @transient private lazy val coefB = SketchAggregates.coefB(depth)
 
+  // analysis-time type check: update() casts the input to Long, so a
+  // non-BIGINT column must fail resolution, not die mid-stage
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -267,10 +270,11 @@ case class BloomFilterAgg(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
   require(numBits % 64 == 0 && numBits > 0, "numBits must be a positive multiple of 64")
   require(numHashes > 0, "numHashes must be positive")
 
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

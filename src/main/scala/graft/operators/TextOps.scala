@@ -26,6 +26,19 @@ object TextOps {
   /** Token count as BIGINT (DuckDB len() is BIGINT). */
   def nTokens(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Adjacent-token bigrams from a token array, as an array of
+    * (w1, w2) structs in position order — shared by the collocation
+    * (n48) and fluency (n52) queries so the pairing logic cannot
+    * diverge between them. DuckDB twin: [[graft.queries.NorthStar]]'s
+    * shared bigram CTE (ws[i], ws[i+1] over generate_series(1, n-1)).
+    * Docs with <2 tokens yield an empty array (explode drops them,
+    * matching the empty generate_series). */
+  def bigrams(ws: Column): Column =
+    zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
   /** Word n-gram shingles (distinct, space-joined) from a pre-split
     * token array column. Callers MUST project the token array into a
     * named column first (`df.withColumn("ws", TextOps.tokens(...))`):

@@ -40,6 +40,17 @@ object NorthStar {
   private def planeSql(p: Seq[Int]): String =
     p.mkString("[", ",", "]::DOUBLE[]")
 
+  /** Shared DuckDB bigram-stream CTEs (`p`: doc_id, pos, w1, w2 — one
+    * row per adjacent token pair), the oracle twin of
+    * [[TextOps.bigrams]]; used by n48 and n52 so the pairing logic
+    * cannot diverge between them. */
+  private val bigramCteSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |        len(string_split(text, ' ')) AS n
+      |      FROM documents),
+      |i AS (SELECT doc_id, ws, unnest(generate_series(1, n - 1)) AS i FROM t),
+      |p AS (SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2 FROM i)""".stripMargin
+
   /** DuckDB bucket expression over a DOUBLE[] column `v`. */
   private def bucketSql(v: String): String =
     annPlanes.zipWithIndex.map { case (p, j) =>
@@ -1262,7 +1273,11 @@ object NorthStar {
         .select(col("l_returnflag"), col("l_partkey"))
         .distinct()
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_parts"))
+        // count(col), not count(*): SQL count(DISTINCT x) ignores NULL
+        // x, and the distinct-pairs phase keeps a (flag, NULL) row —
+        // counting the column keeps the phases semantically equal to
+        // COUNT(DISTINCT) on nullable keys (the group still appears)
+        .agg(count(col("l_partkey")).as("n_parts"))
     },
 
     // ----- n45: context-window chunking (overlapping token windows) -----
@@ -1305,15 +1320,17 @@ object NorthStar {
     // The synthetic corpus carries no PII, so the query PLANTS a
     // deterministic email+phone per row (derived from doc_id, appended
     // past a clean 40-char prefix) and then scrubs — proving the
-    // redaction machinery end-to-end: both patterns hit, placeholders
-    // land, counts come from the pre-scrub text. Codegen'd regex over
+    // redaction machinery end-to-end: both patterns hit on EVERY row
+    // (1000 + doc_id % 9000 keeps the phone 4-digit, satisfying
+    // PhonePattern's {3,}), placeholders land, counts come from the
+    // pre-scrub text. Codegen'd regex over
     // one string pass per pattern; map-only at any scale.
     QuerySpec(
       "n46_pii_scrub",
       s"""WITH dirty AS (
          |  SELECT doc_id,
          |    substr(text, 1, 40) || ' contact user' || doc_id ||
-         |      '@example.com or 555-' || (doc_id % 10000) || ' now' AS d
+         |      '@example.com or 555-' || (1000 + doc_id % 9000) || ' now' AS d
          |  FROM documents)
          |SELECT doc_id,
          |  regexp_replace(regexp_replace(d,
@@ -1329,7 +1346,7 @@ object NorthStar {
           concat(
             substring(col("text"), 1, 40),
             lit(" contact user"), col("doc_id"),
-            lit("@example.com or 555-"), col("doc_id") % 10000,
+            lit("@example.com or 555-"), lit(1000) + col("doc_id") % 9000,
             lit(" now")).as("graft__d"))
         .select(
           col("doc_id"),
@@ -1397,11 +1414,7 @@ object NorthStar {
     // selects the same set in both engines.
     QuerySpec(
       "n48_token_pmi",
-      """WITH t AS (SELECT string_split(text, ' ') AS ws,
-        |             len(string_split(text, ' ')) AS n
-        |           FROM documents),
-        |i AS (SELECT ws, unnest(generate_series(1, n - 1)) AS i FROM t),
-        |p AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM i),
+      s"""WITH $bigramCteSql,
         |bg AS (SELECT w1, w2, count(*) AS n_xy FROM p GROUP BY 1, 2),
         |m AS (SELECT w1, w2, n_xy,
         |        sum(n_xy) OVER (PARTITION BY w1) AS n_x,
@@ -1415,10 +1428,7 @@ object NorthStar {
       val ws = t(s, d, "documents")
         .select(TextOps.tokens(col("text")).as("graft__ws"))
       val bg = ws
-        .select(explode(zip_with(
-          slice(col("graft__ws"), lit(1), size(col("graft__ws")) - 1),
-          slice(col("graft__ws"), lit(2), size(col("graft__ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("graft__p"))
+        .select(explode(TextOps.bigrams(col("graft__ws"))).as("graft__p"))
         .select(col("graft__p.w1"), col("graft__p.w2"))
         .groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("n_xy"))
@@ -1538,7 +1548,7 @@ object NorthStar {
         s"""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM graft_n51_orders
            |WHERE graft_bloom_contains(
-           |        (SELECT graft_bloom(c_custkey & 2147483647, $bits, $hashes)
+           |        (SELECT graft_bloom(c_custkey, $bits, $hashes)
            |         FROM graft_n51_customer WHERE c_mktsegment = 'AUTOMOBILE'),
            |        o_custkey, $bits, $hashes)
            |  AND o_custkey IN (SELECT c_custkey FROM graft_n51_customer
@@ -1563,11 +1573,7 @@ object NorthStar {
     // scoring re-runs shuffle only the stream.
     QuerySpec(
       "n52_fluency_score",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
-        |             len(string_split(text, ' ')) AS n
-        |           FROM documents),
-        |i AS (SELECT doc_id, ws, unnest(generate_series(1, n - 1)) AS i FROM t),
-        |p AS (SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2 FROM i),
+      s"""WITH $bigramCteSql,
         |bg AS (SELECT w1, w2, count(*) AS n_xy FROM p GROUP BY 1, 2),
         |m AS (SELECT w1, w2, n_xy,
         |        sum(n_xy) OVER (PARTITION BY w1) AS n_x FROM bg),
@@ -1582,10 +1588,8 @@ object NorthStar {
       val pairs = t(s, d, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
         .select(col("doc_id"),
-          posexplode(zip_with(
-            slice(col("graft__ws"), lit(1), size(col("graft__ws")) - 1),
-            slice(col("graft__ws"), lit(2), size(col("graft__ws")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "graft__bg")))
+          posexplode(TextOps.bigrams(col("graft__ws")))
+            .as(Seq("pos", "graft__bg")))
         .select(col("doc_id"), col("pos"),
           col("graft__bg.w1"), col("graft__bg.w2"))
       val counts = pairs

@@ -15,6 +15,12 @@ comparator: DuckDB HUGEINT/DECIMAL results become float64 there, so an
 un-CAST oracle aggregate that disagrees with Spark's BIGINT fails here
 too (fetchall()'s Python ints used to hide exactly that — round 4's
 n38/n40).
+
+Known pandas collapses this mirror inherits (deliberately — matching
+the driver matters more than maximal strictness): NULL and NaN both
+canonicalize to 'NaN' in float columns, and nullable int columns
+compare as float64 (exact only below 2^53). Queries must therefore
+not rely on a NULL-vs-NaN distinction in numeric outputs; none do.
 """
 import json
 import math
