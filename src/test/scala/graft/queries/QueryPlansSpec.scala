@@ -144,6 +144,34 @@ class QueryPlansSpec extends SparkTestBase {
       s"top-50 must be TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("n50 incremental dedup: anti join ships md5 keys, never document text") {
+    val plan = finalPlan(q("n50_incremental_dedup"))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    // text must be consumed at the scan/project (md5) and never appear
+    // as a join-side attribute — the joins carry 32-byte keys only
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("text#"),
+      s"document text reached a join:\n$joinLines")
+  }
+
+  test("n52 fluency: per-token probability lookup is one equi-join, no global sort") {
+    val plan = finalPlan(q("n52_fluency_score"))
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("CartesianProduct"),
+      s"unexpected join shape:\n$plan")
+    // the final mean is a per-doc aggregate — nothing may globally sort
+    assert(!plan.matches("(?s).*Sort \\[doc_id.*global=true.*"),
+      s"unexpected global sort:\n$plan")
+  }
+
+  test("s18 scd2 merge: one join of the open slice plus a union, no window over history") {
+    val plan = finalPlan(q("s18_scd2_merge"))
+    assert(plan.contains("Union"), s"no union:\n$plan")
+    assert(!plan.contains("Window"),
+      s"scd2 must not window over key history (cost must track the batch):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"open-slice close join should broadcast at this scale:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
