@@ -113,6 +113,27 @@ object Similarity {
     * index is deterministic (e.g. per-label means or a fixed sample —
     * no RNG inside the operator).
     */
+  private def centroidLit(c: Seq[Double]): Column = array(c.map(lit): _*)
+
+  private def dist2(v: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Index of the nearest centroid (squared-L2 argmin) — the coarse
+    * quantizer shared by [[ivfTopK]] and [[semDedup]]. Argmin via one
+    * array + sort, NOT a when/otherwise reduce: the reduce duplicates
+    * both operand subtrees at every level, so with k centroids the
+    * expression tree holds O(2^k) copies of the 64-element distance
+    * fold — planning/codegen time explodes long before row count
+    * matters. The array form keeps exactly k folds. Ties break to the
+    * lower index (struct compare is field-wise). */
+  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(
+      array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(v, c).as("d"), lit(i).as("i"))
+      }: _*)), 1).getField("i")
+
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -122,21 +143,7 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       nprobe: Int,
       k: Int): DataFrame = {
-    def centroidLit(c: Seq[Double]): Column = array(c.map(lit): _*)
-    def dist2(v: Column, c: Seq[Double]): Column =
-      aggregate(
-        zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
-    // argmin via one array + sort, NOT a when/otherwise reduce: the
-    // reduce duplicates both operand subtrees at every level, so with
-    // k centroids the expression tree holds O(2^k) copies of the
-    // 64-element distance fold — planning/codegen time explodes long
-    // before row count matters. The array form keeps exactly k folds.
-    def nearest(v: Column): Column =
-      element_at(
-        array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(dist2(v, c).as("d"), lit(i).as("i"))
-        }: _*)), 1).getField("i")
+    def nearest(v: Column): Column = nearestCell(v, centroids)
     // probe set: the nprobe centroids nearest to the query vector
     val q = query.select(asDouble(col(queryVecCol)).as("graft__qv"))
       .withColumn("graft__probes",
@@ -188,5 +195,44 @@ object Similarity {
           dot(col("l.graft__v"), col("r.graft__v")) /
             (col("l.graft__norm") * col("r.graft__norm")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * coarse-quantizing every vector to its nearest centroid cell and
+    * dropping, WITHIN each cell, any vector that has a higher-similarity
+    * twin with a lower id (the deterministic stand-in for the paper's
+    * keep-one-per-near-dup-group rule). Returns every input id with its
+    * cell and a `keep` flag.
+    *
+    * Scale shape: the cell assignment is a map-only projection (the same
+    * coarse quantizer an IVF index materializes anyway), and the
+    * quadratic pair join is equi on the cell — bounded by the largest
+    * cell, never all-pairs, exactly like [[blockedNearDupPairs]] but
+    * with the blocking key LEARNED from the geometry instead of a given
+    * label. The drop set ships ids only, and the final tag is a
+    * broadcast-friendly left join on id. */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val celled = emb
+      .select(col(idCol), asDouble(col(vecCol)).as("graft__v"))
+      .withColumn("cell", nearestCell(col("graft__v"), centroids))
+    val dropped = celled.alias("a")
+      .join(
+        celled.alias("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))
+      .filter(
+        round(cosine(col("a.graft__v"), col("b.graft__v")), 6) >= threshold)
+      .select(col(s"a.$idCol"))
+      .distinct()
+      .withColumn("graft__dropped", lit(true))
+    celled
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(!col("graft__dropped"), lit(true)).as("keep"))
   }
 }

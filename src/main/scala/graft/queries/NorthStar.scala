@@ -1609,5 +1609,200 @@ object NorthStar {
           (aggregate(col("graft__ps"), lit(0.0),
             (acc, x) => acc + x.getField("graft__p")) / col("n_bigrams"))
             .as("fluency"))
+    },
+
+    // ----- n53: Gopher-style composite quality gate ---------------------
+    // Rule-based document filtering (Rae et al. 2021 "Scaling Language
+    // Models", table A1 shape): per-doc signals — token count band,
+    // mean word length band, minimum stopword evidence, max-token
+    // repetition cap — AND'd into one keep flag, with every signal
+    // emitted for auditability (a production gate logs WHY a doc
+    // dropped). Unlike n10 (a score/band projection) this is the
+    // drop-decision operator, and unlike n29 the repetition signal is
+    // the mode frequency, not the distinct ratio. Scale shape: the
+    // whole gate is MAP-ONLY — the per-doc mode count comes from a
+    // sort+run-length fold over the token array (no explode, no
+    // groupBy), so the plan has zero exchanges and the filter composes
+    // with any downstream shuffle for free (plan-pinned).
+    QuerySpec(
+      "n53_gopher_filter",
+      """WITH tf AS (SELECT doc_id, w, count(*) AS c FROM (
+        |       SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM documents) GROUP BY doc_id, w),
+        |mx AS (SELECT doc_id, max(c) AS top_cnt FROM tf GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |          CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |            / len(string_split(text, ' ')) AS mean_wlen,
+        |          CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT)
+        |            AS stop_hits
+        |        FROM documents)
+        |SELECT s.doc_id, s.n_tokens, s.mean_wlen, s.stop_hits,
+        |  CAST(mx.top_cnt AS DOUBLE) / s.n_tokens AS top_ratio,
+        |  (s.n_tokens BETWEEN 20 AND 500) AND (s.mean_wlen BETWEEN 3 AND 10)
+        |    AND s.stop_hits >= 2
+        |    AND CAST(mx.top_cnt AS DOUBLE) / s.n_tokens <= 0.125 AS keep
+        |FROM sig s JOIN mx USING (doc_id)""".stripMargin) { (s, d) =>
+      val nt = TextOps.nTokens(col("text"))
+      // mode count without a shuffle: sort the token array, fold a
+      // (prev, run, best) accumulator over it — the run-length max IS
+      // the mode frequency. Exact integer arithmetic throughout.
+      val topCnt = aggregate(
+        array_sort(TextOps.tokens(col("text"))),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, w) => {
+          val run2 = when(w === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(w.as("prev"), run2.as("run"),
+            greatest(acc.getField("best"), run2).as("best"))
+        },
+        acc => acc.getField("best"))
+      val meanWlen =
+        (length(col("text")).cast("long") - nt + 1).cast("double") /
+          nt.cast("double")
+      val stopHits = TextOps.matchCount(col("text"), "\\b(the|a)\\b")
+      val topRatio = topCnt.cast("double") / nt.cast("double")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nt.as("n_tokens"),
+        meanWlen.as("mean_wlen"),
+        stopHits.as("stop_hits"),
+        topRatio.as("top_ratio"),
+        (nt.between(20L, 500L) && meanWlen.between(3.0, 10.0) &&
+          stopHits >= 2L && topRatio <= 0.125).as("keep"))
+    },
+
+    // ----- n54: SemDeDup (centroid-cell semantic dedup) -----------------
+    // Semantic near-dup removal at embedding level (Abbas et al. 2023):
+    // coarse-quantize to the shared ±1 centroids (the n35/n43 IVF
+    // index), then inside each cell drop any vector with a ≥0.4-cosine
+    // twin of lower id. The oracle rebuilds the identical index from
+    // the same centroid constants (ivfRankSql — argmin-L2 ≡ argmax-dot
+    // on ±1 centroids). The pair join is quadratic ONLY within a cell —
+    // the centroid count is the knob that bounds cell size at 100 TB,
+    // and the assignment is the same map-only projection an IVF index
+    // pays anyway, so dedup and ANN share one quantization pass.
+    QuerySpec(
+      "n54_semdedup",
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings),
+         |dup AS (SELECT DISTINCT a.vec_id FROM c a
+         |        JOIN c b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+         |SELECT c.vec_id, c.cell,
+         |  c.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+         |FROM c""".stripMargin) { (s, d) =>
+      Similarity.semDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        centroids = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)),
+        threshold = 0.4)
+    },
+
+    // ----- n55: source-mixture sampling under a token budget ------------
+    // Data mixing, the step AFTER filtering/dedup: given per-source
+    // mixture weights and a corpus-wide token budget (half the corpus
+    // here), derive each source's keep threshold from the corpus's OWN
+    // aggregates — thresh_s = B·w_s·10000 ÷ Σ(w·T) in pure BIGINT
+    // arithmetic (bit-identical cross-engine, no float rates) — and
+    // admit docs by md5-residue (n24/n32's coordination-free sampler).
+    // Scale shape: pass 1 reads (source, text) and reduces to a 20-row
+    // rate table; pass 2 re-reads with the rate table BROADCAST — no
+    // shuffle of the corpus in either pass, and the residue filter
+    // composes into the scan.
+    QuerySpec(
+      "n55_mixture_sample",
+      s"""WITH dt AS (SELECT doc_id, source,
+         |       len(string_split(text, ' ')) AS n_tok,
+         |       CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 4
+         |            WHEN CAST(substr(source, 4) AS INT) < 13 THEN 2
+         |            ELSE 1 END AS w
+         |     FROM documents),
+         |s AS (SELECT source, CAST(any_value(w) AS BIGINT) AS weight,
+         |        sum(n_tok) AS t
+         |      FROM dt GROUP BY source),
+         |g AS (SELECT sum(t) AS tot, sum(weight * t) AS n FROM s),
+         |r AS (SELECT source, weight,
+         |        CAST(((tot // 2) * weight * 10000) // n AS BIGINT) AS thresh
+         |      FROM s, g)
+         |SELECT r.source, r.weight, r.thresh, count(*) AS n_kept,
+         |  CAST(sum(dt.n_tok) AS BIGINT) AS tokens_kept
+         |FROM dt JOIN r USING (source)
+         |WHERE ${hex60("CAST(dt.doc_id AS VARCHAR)")} % 10000 < r.thresh
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val srcNum = substring(col("source"), 4, 8).cast("int")
+      val weight = when(srcNum < 5, 4L).when(srcNum < 13, 2L).otherwise(1L)
+      val dt = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        TextOps.nTokens(col("text")).as("graft__ntok"),
+        weight.as("weight"))
+      val perSrc = dt.groupBy(col("source"))
+        .agg(first(col("weight")).as("weight"),
+          sum(col("graft__ntok")).as("graft__t"))
+      val totals = perSrc.agg(
+        sum(col("graft__t")).as("graft__tot"),
+        sum(col("weight") * col("graft__t")).as("graft__n"))
+      val rates = perSrc.join(broadcast(totals))
+        .select(col("source"), col("weight"),
+          expr("((graft__tot div 2) * weight * 10000) div graft__n")
+            .cast("long").as("thresh"))
+      dt.drop("weight")
+        .join(broadcast(rates), Seq("source"))
+        .filter(
+          TextOps.hexHash60(col("doc_id").cast("string")) % 10000 <
+            col("thresh"))
+        .groupBy(col("source"), col("weight"), col("thresh"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("graft__ntok")).as("tokens_kept"))
+    },
+
+    // ----- n56: cross-source shingle-overlap matrix ---------------------
+    // Corpus provenance diagnostics: pairwise 3-shingle Jaccard between
+    // sources — the aggregate view a dedup run consults to decide WHICH
+    // source pairs are worth a near-dup pass (crawl snapshots of the
+    // same site overlap heavily; unrelated sources don't). Shingles
+    // reduce to md5 fingerprints BEFORE the distinct/join, so the
+    // shuffle ships 32-char keys, never text; per-source set sizes ride
+    // along as window sums over the (source, fp) relation — no second
+    // aggregation of the corpus. Pair fan-out per fingerprint is
+    // bounded by the source count, not the corpus.
+    QuerySpec(
+      "n56_source_overlap",
+      """WITH sh AS (SELECT DISTINCT source, md5(shingle) AS fp FROM (
+        |       SELECT source,
+        |         w || ' ' || lead(w, 1) OVER win || ' ' ||
+        |           lead(w, 2) OVER win AS shingle
+        |       FROM (SELECT doc_id, source,
+        |               unnest(string_split(text, ' ')) AS w,
+        |               generate_subscripts(string_split(text, ' '), 1) AS pos
+        |             FROM documents)
+        |       WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |     WHERE shingle IS NOT NULL),
+        |n AS (SELECT source, count(*) AS nf FROM sh GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE)
+        |    / (any_value(na.nf) + any_value(nb.nf) - count(*)) AS jaccard
+        |FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+        |JOIN n na ON na.source = a.source
+        |JOIN n nb ON nb.source = b.source
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sh = t(s, d, "documents")
+        .select(col("source"),
+          explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3))
+            .as("graft__sh"))
+        .select(col("source"), md5(col("graft__sh")).as("graft__fp"))
+        .distinct()
+        .withColumn("graft__nf",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+      sh.alias("a")
+        .join(sh.alias("b"),
+          col("a.graft__fp") === col("b.graft__fp") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          (count(lit(1)).cast("double") /
+            (first(col("a.graft__nf")) + first(col("b.graft__nf")) -
+              count(lit(1)))).as("jaccard"))
     })
 }

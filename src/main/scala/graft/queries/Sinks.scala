@@ -343,5 +343,33 @@ object Sinks {
           (col("c_acctbal") + 500.0).as("c_acctbal"),
           lit("2024-06-01 00:00:00").cast("timestamp").as("valid_from"))
       Warehouse.scd2Merge(base, updates, Seq("c_custkey"))
+    },
+
+    // ----- s19: small-file compaction (warehouse maintenance) -----------
+    // The maintenance op every streaming/append warehouse needs: a
+    // table fragmented into many small files (here: a 64-way scatter,
+    // the worst case a micro-batch writer produces) is rewritten as a
+    // few LARGE files range-clustered on the scan key —
+    // repartitionByRange + sortWithinPartitions, so the output is
+    // globally range-ordered without any single-task funnel (each of
+    // the 4 writers sorts only its range; at 100 TB you'd size the
+    // range count to ~1 GB files). Content fidelity is the oracle
+    // (byte-identical rows); SinksSpec asserts the file count actually
+    // dropped and the per-file key ranges are disjoint — the properties
+    // compaction exists to deliver.
+    QuerySpec(
+      "s19_compact",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem") { (s, d) =>
+      val small = s"$base/s19_small"
+      val path = s"$base/s19_compacted"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(64)
+        .write.mode("overwrite").parquet(small)
+      s.read.parquet(small)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     })
 }

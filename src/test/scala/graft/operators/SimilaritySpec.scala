@@ -108,4 +108,28 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L))) // 1-3 identical but cross-block
   }
+
+  test("semDedup drops the higher-id twin within a cell, keeps cross-cell twins") {
+    val centroids = Seq(Seq.fill(8)(1.0), Seq.fill(8)(-1.0))
+    val plus = Seq.fill(8)(0.5f)
+    val plusTwin = plus.updated(0, 0.51f) // cos ≈ 0.9998 with plus
+    val minus = Seq.fill(8)(-0.5f)
+    // 4 is the same direction as 1/2 but lands in the same cell —
+    // orthogonal enough to survive the 0.9 threshold
+    val ortho = Seq.tabulate(8)(i => if (i < 4) 0.7f else 0.1f)
+    val df = embDf(Seq(
+      (1L, plus, 0), (2L, plusTwin, 0), (3L, minus, 0), (4L, ortho, 0)))
+    val out = Similarity
+      .semDedup(df, "vec_id", "embedding", centroids, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L)) // every id tagged
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === 0 && byId(2L)._2 === 0 && byId(4L)._2 === 0)
+    assert(byId(3L)._2 === 1) // negative direction → the other centroid
+    assert(byId(1L)._3, "lowest id of the twin pair must survive")
+    assert(!byId(2L)._3, "higher-id twin in the same cell must drop")
+    assert(byId(3L)._3, "sole member of its cell survives")
+    assert(byId(4L)._3, "below-threshold neighbor survives")
+  }
 }

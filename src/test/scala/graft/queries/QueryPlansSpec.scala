@@ -172,6 +172,36 @@ class QueryPlansSpec extends SparkTestBase {
       s"open-slice close join should broadcast at this scale:\n$plan")
   }
 
+  test("n53 gopher filter: the whole gate is map-only — zero exchanges") {
+    val plan = finalPlan(q("n53_gopher_filter"))
+    assert(!plan.contains("Exchange"),
+      s"the quality gate must not shuffle (mode count is a per-row fold):\n$plan")
+  }
+
+  test("n54 semdedup: pair join is equi on the cell, never a cartesian") {
+    val plan = finalPlan(q("n54_semdedup"))
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell join must be equi on cell, not all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("LeftOuter"),
+      s"only the drop-tag join may be non-equi:\n$plan")
+  }
+
+  test("n55 mixture sample: the 20-row rate table broadcasts onto the corpus") {
+    val plan = finalPlan(q("n55_mixture_sample"))
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle-join the rate dim:\n$plan")
+  }
+
+  test("n56 source overlap: joins carry md5 fingerprints, never text") {
+    val plan = finalPlan(q("n56_source_overlap"))
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("text#"),
+      s"document text reached a join:\n$joinLines")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a

@@ -125,4 +125,36 @@ class WarehouseSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(asOf === Map(1L -> 11.0, 2L -> 20.0))
   }
+
+  test("s19 compaction: few files, disjoint per-file key ranges, content intact (S19)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val small = "target/test-sinks/compact_small"
+    val out = "target/test-sinks/compact_out"
+    val df = (1L to 10000L).map(i => (i % 997, i)).toDF("k", "v")
+    df.repartition(64).write.mode("overwrite").parquet(small)
+    assert(Files.list(Paths.get(small)).iterator().asScala
+      .count(_.toString.endsWith(".parquet")) > 16, "fragmentation precondition")
+    spark.read.parquet(small)
+      .repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"), col("v"))
+      .write.mode("overwrite").parquet(out)
+    val files = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.length <= 4, s"compaction produced ${files.length} files")
+    // disjoint ranges: each file's [min(k), max(k)] must not overlap
+    // another's — the property that lets parquet min/max stats prune
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $ranges")
+      case _ => ()
+    }
+    // content survives byte-for-byte
+    assert(spark.read.parquet(out).except(df).isEmpty &&
+      df.except(spark.read.parquet(out)).isEmpty)
+  }
 }
