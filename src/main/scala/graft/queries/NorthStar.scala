@@ -1761,14 +1761,20 @@ object NorthStar {
     // sources — the aggregate view a dedup run consults to decide WHICH
     // source pairs are worth a near-dup pass (crawl snapshots of the
     // same site overlap heavily; unrelated sources don't). Shingles
-    // reduce to md5 fingerprints BEFORE the distinct/join, so the
-    // shuffle ships 32-char keys, never text; per-source set sizes ride
-    // along as window sums over the (source, fp) relation — no second
-    // aggregation of the corpus. Pair fan-out per fingerprint is
-    // bounded by the source count, not the corpus.
+    // reduce to 60-bit md5-derived fingerprints at the scan, so every
+    // shuffle ships 8-byte longs, never text (collision odds over ~2^60
+    // are negligible at any shingle count a source holds). No
+    // self-join: each fingerprint's SOURCE SET is one aggregation
+    // (collect_set dedups in the same pass), and the pair expansion is
+    // a map-side generator over that sorted set — bounded by the
+    // source count squared per fingerprint, with ONE shuffle of the
+    // corpus instead of the join's two. Per-source set sizes are a
+    // 20-row countDistinct dim that broadcast-joins onto the 190-row
+    // pair matrix. The DuckDB oracle keeps the equivalent (and
+    // SQL-natural) self-join spelling — same matrix either way.
     QuerySpec(
       "n56_source_overlap",
-      """WITH sh AS (SELECT DISTINCT source, md5(shingle) AS fp FROM (
+      s"""WITH sh AS (SELECT DISTINCT source, ${hex60("shingle")} AS fp FROM (
         |       SELECT source,
         |         w || ' ' || lead(w, 1) OVER win || ' ' ||
         |           lead(w, 2) OVER win AS shingle
@@ -1791,18 +1797,36 @@ object NorthStar {
         .select(col("source"),
           explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3))
             .as("graft__sh"))
-        .select(col("source"), md5(col("graft__sh")).as("graft__fp"))
-        .distinct()
-        .withColumn("graft__nf",
-          count(lit(1)).over(Window.partitionBy(col("source"))))
-      sh.alias("a")
-        .join(sh.alias("b"),
-          col("a.graft__fp") === col("b.graft__fp") &&
-            col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_shared"),
-          (count(lit(1)).cast("double") /
-            (first(col("a.graft__nf")) + first(col("b.graft__nf")) -
-              count(lit(1)))).as("jaccard"))
+        .select(col("source"),
+          TextOps.hexHash60(col("graft__sh")).as("graft__fp"))
+      // ONE corpus shuffle: the per-fingerprint source set. Both the
+      // pair matrix and the per-source set sizes (nf = how many sets
+      // contain the source) derive from it — the second consumer
+      // re-reads the same exchange (ReuseExchange), not the corpus.
+      val sets = sh
+        .groupBy(col("graft__fp"))
+        .agg(sort_array(collect_set(col("source"))).as("graft__ss"))
+      val nf = sets
+        .select(explode(col("graft__ss")).as("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("graft__nf"))
+      val pairs = sets
+        .filter(size(col("graft__ss")) >= 2)
+        .select(explode(flatten(transform(col("graft__ss"), (x, i) =>
+          transform(
+            slice(col("graft__ss"), i + lit(2), size(col("graft__ss"))),
+            y => struct(x.as("a"), y.as("b")))))).as("graft__pr"))
+        .groupBy(col("graft__pr.a").as("source_a"),
+          col("graft__pr.b").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(nf.select(col("source").as("source_a"),
+          col("graft__nf").as("graft__nfa"))), Seq("source_a"))
+        .join(broadcast(nf.select(col("source").as("source_b"),
+          col("graft__nf").as("graft__nfb"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("graft__nfa") + col("graft__nfb") - col("n_shared")))
+            .as("jaccard"))
     })
 }
