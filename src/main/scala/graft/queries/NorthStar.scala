@@ -1828,5 +1828,44 @@ object NorthStar {
           (col("n_shared").cast("double") /
             (col("graft__nfa") + col("graft__nfb") - col("n_shared")))
             .as("jaccard"))
+    },
+
+    // ----- n57: BPE merge candidates (tokenizer-training first step) ----
+    // The inner loop of BPE training (Sennrich et al. 2016): count
+    // adjacent symbol pairs over the corpus, highest count = next
+    // merge. Done the way a tokenizer trainer actually scales: the
+    // corpus reduces to the WEIGHTED VOCABULARY first (word → freq, a
+    // vocabulary-sized relation), and pairs expand from distinct words
+    // only, weighted by freq — the token stream shuffles once as bare
+    // words; the quadratic-ish pair expansion touches |vocab| rows,
+    // not |corpus|. Top-20 is totally ordered (n DESC, pair ASC) so
+    // LIMIT picks the same set in both engines; TakeOrdered, no global
+    // sort. 1-char words contribute no pairs (guarded — Spark's
+    // sequence(1, 0) would generate a DESCENDING range, not empty).
+    QuerySpec(
+      "n57_bpe_pairs",
+      """WITH wf AS (SELECT w, count(*) AS f FROM (
+        |       SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |     GROUP BY w),
+        |pr AS (SELECT unnest(list_transform(range(1, length(w)),
+        |                i -> substr(w, i, 2))) AS pair, f
+        |       FROM wf)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM pr GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      val wf = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("graft__f"))
+      wf
+        .select(
+          explode(when(length(col("w")) >= 2,
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .otherwise(array().cast("array<string>"))).as("pair"),
+          col("graft__f"))
+        .groupBy(col("pair"))
+        .agg(sum(col("graft__f")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     })
 }

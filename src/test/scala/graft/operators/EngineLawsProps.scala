@@ -140,6 +140,38 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("semDedup: every id tagged once; keep iff no lower-id cell twin") = {
+    val vecGen = Gen.listOfN(6, Gen.choose(-100, 100).map(_ / 100.0f))
+    forAll(
+      Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, vecGen)),
+      Gen.oneOf(0.3, 0.5, 0.7)) { (vs, tau) =>
+      val cents = Similarity.hyperplanes(2, 6).map(_.map(_.toDouble))
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v, 0) }.toDF("vec_id", "embedding", "label")
+      val out = Similarity.semDedup(df, "vec_id", "embedding", cents, tau)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      // driver twin of the cell assignment and the rounded cosine
+      def cell(v: Seq[Float]): Int =
+        cents.zipWithIndex.map { case (c, i) =>
+          (v.map(_.toDouble).zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+        }.min._2
+      def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+        val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+        val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+        val den = math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum)
+        if (den == 0.0) Double.NaN // zero vector: NaN ≥ τ is false on both sides
+        else BigDecimal(dot / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val ids = vs.indices.map(_.toLong)
+      def hasLowerTwin(i: Int): Boolean = ids.take(i).exists { j =>
+        cell(vs(j.toInt)) == cell(vs(i)) && cos6(vs(j.toInt), vs(i)) >= tau
+      }
+      out.keySet == ids.toSet &&
+        ids.forall(i => out(i)._1 == cell(vs(i.toInt))) &&
+        ids.forall(i => out(i)._2 == !hasLowerTwin(i.toInt))
+    }
+  }
+
   property("unpivot of a flag matrix preserves every set flag exactly once") = {
     val flagGen = Gen.listOfN(3, Gen.listOfN(3, Gen.oneOf("1", "", "0")))
     forAll(flagGen) { rows =>

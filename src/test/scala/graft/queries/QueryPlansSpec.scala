@@ -202,6 +202,16 @@ class QueryPlansSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
 
+  test("n57 bpe pairs: corpus shuffles once as words; top-20 is TakeOrdered") {
+    val plan = finalPlan(q("n57_bpe_pairs"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$plan")
+    // two agg shuffles: the corpus once (by word), then the
+    // vocabulary-sized pair relation — never the token stream twice
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"expected word + pair agg shuffles only:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
