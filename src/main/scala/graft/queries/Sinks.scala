@@ -371,5 +371,26 @@ object Sinks {
         .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
+    },
+
+    // ----- s20: z-order clustered layout (two-key scan pruning) ---------
+    // s12 sorts on ONE key — a filter on any other key reads every
+    // file. Z-order (operators/ZOrder) interleaves two keys' bits so
+    // every file gets a narrow min/max envelope on BOTH — the standard
+    // multi-dimensional layout (Delta/Iceberg OPTIMIZE ZORDER BY).
+    // The query filters on the SECOND key after the round-trip —
+    // content fidelity is the oracle; WarehouseSpec measures the
+    // envelope narrowing that makes the layout worth paying for.
+    QuerySpec(
+      "s20_zorder_scan",
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300""".stripMargin) { (s, d) =>
+      val path = s"$base/s20_zorder"
+      graft.operators.ZOrder.cluster(
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+        path, "l_orderkey", "l_partkey", nFiles = 8)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(100, 300))
+        .select("l_orderkey", "l_partkey", "l_quantity")
     })
 }

@@ -157,4 +157,40 @@ class WarehouseSpec extends SparkTestBase {
     assert(spark.read.parquet(out).except(df).isEmpty &&
       df.except(spark.read.parquet(out)).isEmpty)
   }
+
+  test("s20 z-order: every file's envelope narrows on BOTH keys; 1-key sort doesn't (S20)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.operators.ZOrder
+    // two independent uniform keys — the case single-key sort can't serve
+    val n = 20000L
+    val df = (0L until n)
+      .map(i => (i, java.lang.Long.reverse(i * 2654435761L) >>> 49))
+      .map { case (a, b) => (a % 1024, b % 1024) }.toDF("k1", "k2")
+    def spans(path: String): Seq[(Long, Long)] =
+      Files.list(Paths.get(path)).iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("k1")) - min(col("k1")), max(col("k2")) - min(col("k2"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val sorted = "target/test-sinks/zorder_1key"
+    val zed = "target/test-sinks/zorder_2key"
+    df.repartitionByRange(8, col("k1")).sortWithinPartitions(col("k1"))
+      .write.mode("overwrite").parquet(sorted)
+    ZOrder.cluster(df, zed, "k1", "k2", nFiles = 8, bits = 10)
+    val s1 = spans(sorted)
+    val sz = spans(zed)
+    // single-key layout: k2 is unclustered — every file spans ~the full
+    // 0..1023 range. Z-order: both keys' average spans shrink well
+    // below full (8 files ≈ 3 curve splits → ~1/2-1/4 per dim).
+    def avg(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    assert(avg(s1.map(_._2)) > 900, s"precondition: 1-key layout leaves k2 wide: $s1")
+    assert(avg(sz.map(_._1)) < 700, s"z-order must narrow k1 envelopes: $sz")
+    assert(avg(sz.map(_._2)) < 700, s"z-order must narrow k2 envelopes: $sz")
+    // and the layout is pure reorganization — content intact
+    assert(spark.read.parquet(zed).except(df).isEmpty &&
+      df.except(spark.read.parquet(zed)).isEmpty)
+  }
 }
