@@ -1867,5 +1867,48 @@ object NorthStar {
         .agg(sum(col("graft__f")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    // ----- n58: k-means Lloyd step (centroid refinement) ----------------
+    // The training step behind every centroid this engine consumes
+    // (n35/n43 IVF cells, n54 SemDeDup): assign each vector to its
+    // nearest centroid, recompute each cell's per-dimension mean
+    // (Lloyd 1982). Cross-engine exactness WITHOUT per-cell lists:
+    // values are quantized to a 1e-9 grid — floor(v·1e9) is IEEE-exact
+    // on both engines — and summed as BIGINTs, which are ASSOCIATIVE:
+    // partial aggregation is safe at any split, unlike float sums
+    // whose value depends on reduction order. That makes this the
+    // 100 TB-viable exact shape, not just an oracle trick: the
+    // 64-way posexplode feeds a map-side partial agg, so the shuffle
+    // carries ≤ cells×dims rows per task, never the corpus. The mean
+    // is ONE division of exact integers — bit-identical doubles.
+    QuerySpec(
+      "n58_kmeans_step",
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings),
+         |e AS (SELECT cell, v,
+         |        unnest(generate_series(1, len(v))) AS dim FROM c),
+         |q AS (SELECT cell, dim,
+         |        CAST(floor(v[dim] * 1000000000) AS BIGINT) AS qv FROM e)
+         |SELECT cell, dim, count(*) AS n,
+         |  CAST(sum(qv) AS BIGINT) AS qsum,
+         |  CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE)
+         |    / (1000000000.0 * count(*)) AS centroid
+         |FROM q GROUP BY cell, dim""".stripMargin) { (s, d) =>
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      t(s, d, "embeddings")
+        .select(Similarity.asDouble(col("embedding")).as("graft__v"))
+        .withColumn("cell",
+          Similarity.nearestCell(col("graft__v"), cents))
+        .select(col("cell"),
+          posexplode(col("graft__v")).as(Seq("graft__pos", "graft__x")))
+        .select(col("cell"), (col("graft__pos") + 1).cast("long").as("dim"),
+          floor(col("graft__x") * lit(1000000000.0)).as("graft__qv"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("graft__qv")).as("qsum"))
+        .select(col("cell"), col("dim"), col("n"), col("qsum"),
+          (col("qsum").cast("double") / (lit(1000000000.0) * col("n")))
+            .as("centroid"))
     })
 }

@@ -212,6 +212,14 @@ class QueryPlansSpec extends SparkTestBase {
       s"expected word + pair agg shuffles only:\n$plan")
   }
 
+  test("n58 kmeans step: one shuffle of partial sums, never the exploded corpus") {
+    val plan = finalPlan(q("n58_kmeans_step"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly the (cell, dim) agg shuffle:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"map-side partial aggregation must precede the shuffle:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
