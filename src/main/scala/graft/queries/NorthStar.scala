@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, TextOps}
+import graft.operators.{Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
 import graft.streaming.EventStream
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -1910,5 +1910,71 @@ object NorthStar {
         .select(col("cell"), col("dim"), col("n"), col("qsum"),
           (col("qsum").cast("double") / (lit(1000000000.0) * col("n")))
             .as("centroid"))
+    },
+
+    // ----- n59: corpus-wide line-level exact dedup ----------------------
+    // CCNet/Dolma's other dedup axis: document-level dedup (n1/n3)
+    // keeps boilerplate that repeats INSIDE distinct documents —
+    // headers, navigation, license blurbs — so production pipelines
+    // also dedup at line granularity, keeping each line's first
+    // corpus occurrence and reassembling the survivors (Wenzek et al.
+    // LREC 2020 §4.1). Lines are 8-token blocks (no newlines in the
+    // synthetic corpus). Scale design — first-occurrence as a
+    // map-side-combining aggregate (never a hot-key window), join-free
+    // reassembly — lives on operators/LineDedup; plan pinned in
+    // QueryPlansSpec.
+    QuerySpec(
+      "n59_line_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |l AS (SELECT doc_id, ws,
+        |        unnest(generate_series(0, (n-1)//8)) AS lid
+        |      FROM t),
+        |lx AS (SELECT doc_id, lid,
+        |         array_to_string(ws[lid*8+1 : lid*8+8], ' ') AS line
+        |       FROM l),
+        |k AS (SELECT doc_id, lid, line,
+        |        row_number() OVER (PARTITION BY line
+        |                           ORDER BY doc_id, lid) AS rn
+        |      FROM lx),
+        |tot AS (SELECT doc_id, (n-1)//8 + 1 AS n_lines FROM t),
+        |kept AS (SELECT doc_id,
+        |           string_agg(line, ' ' ORDER BY lid) AS clean_text,
+        |           count(*) AS n_kept
+        |         FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT kept.doc_id, clean_text, n_kept,
+        |  CAST(n_lines - n_kept AS BIGINT) AS n_dropped
+        |FROM kept JOIN tot USING (doc_id)""".stripMargin) { (s, d) =>
+      graft.operators.LineDedup
+        .dedup(t(s, d, "documents"), "doc_id", "text", lineTokens = 8)
+    },
+
+    // ----- n60: seeded deterministic corpus ordering --------------------
+    // The epoch-shuffle step of a training run: a REPRODUCIBLE global
+    // permutation of the corpus, parameterized by a seed — same seed →
+    // same order on any cluster size or partitioning, new seed → fresh
+    // permutation (change 's42:' and the whole order re-deals). Order
+    // key is the portable 60-bit md5 residue of seed:doc_id with
+    // doc_id as total-order tiebreak. The dense global position reuses
+    // SurrogateKey.denseRowNumber — range-repartition on the key, then
+    // per-partition numbering shifted by broadcast metadata-sized
+    // offsets — because the naive row_number() OVER (ORDER BY …) is a
+    // single-partition funnel, the canonical 100 TB scale-killer.
+    QuerySpec(
+      "n60_corpus_order",
+      s"""WITH h AS (SELECT doc_id,
+         |       ${hex60("'s42:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |     FROM documents)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS ord
+         |FROM h""".stripMargin) { (s, d) =>
+      val hashed = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.hexHash60(concat(lit("s42:"), col("doc_id").cast("string")))
+            .as("graft__hk"))
+      SurrogateKey
+        .denseRowNumber(hashed, "ord", col("graft__hk"), col("doc_id"))
+        .select(col("doc_id"), col("ord"))
     })
 }

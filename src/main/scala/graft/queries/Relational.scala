@@ -498,6 +498,47 @@ object Relational {
         .agg(count(lit(1)).as("n"), centsSum(col("l_quantity")).as("qty"))
     },
 
+    // ----- J8: full outer join (snapshot reconciliation) ----------------
+    // The reconciliation shape warehouse diffing needs and no other
+    // join covers: two snapshots of the same table (here: orders keys
+    // ≢0 mod 3 vs even keys, the overlap repriced +5) compared in ONE
+    // pass — rows only in A, only in B, or in both, classified with a
+    // null-probe CASE. Full outer cannot broadcast either side (both
+    // preserve unmatched rows), so the sort-merge on the key IS the
+    // right 100 TB plan; the interesting part is what it avoids: the
+    // naive A-anti-B ∪ B-anti-A ∪ A-semi-B spelling scans and
+    // shuffles each snapshot three times, this one once.
+    QuerySpec(
+      "j8_full_outer",
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_orderkey % 3 <> 0),
+        |b AS (SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice
+        |      FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'only_a'
+        |       WHEN a.o_orderkey IS NULL THEN 'only_b'
+        |       ELSE 'both' END AS presence,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(coalesce(b.o_totalprice, a.o_totalprice)
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val a = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("a_price"))
+      val b = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("b_key"),
+          (col("o_totalprice") + 5.0).as("b_price"))
+      a.join(b, col("a_key") === col("b_key"), "full_outer")
+        .select(
+          when(col("b_key").isNull, "only_a")
+            .when(col("a_key").isNull, "only_b")
+            .otherwise("both").as("presence"),
+          coalesce(col("b_price"), col("a_price")).as("graft__price"))
+        .groupBy(col("presence"))
+        .agg(count(lit(1)).as("n"), dsum(col("graft__price")).as("total"))
+    },
+
     // ----- J7: range join (value → tier band lookup) --------------------
     // Non-equi join against a tiny banded dimension: broadcast the
     // bands so the range probe is a broadcast nested-loop over 3 rows,

@@ -392,5 +392,46 @@ object Sinks {
       s.read.parquet(path)
         .filter(col("l_partkey").between(100, 300))
         .select("l_orderkey", "l_partkey", "l_quantity")
+    },
+
+    // ----- s21: dynamic partition overwrite (incremental reload) --------
+    // The incremental-load primitive s4's static overwrite can't
+    // express: a batch that recomputes SOME partitions replaces
+    // exactly the partitions it contains and leaves the rest
+    // untouched (Spark's partitionOverwriteMode=dynamic, set per-write
+    // so the session default stays static). Here the initial load
+    // lands all statuses; the reload batch carries only the 'F'
+    // partition (half its rows, repriced) — after the write, 'F' is
+    // the batch and 'O'/'P' are the original files, which is what the
+    // oracle reconstructs. At 100 TB this is the difference between
+    // rewriting one day's partition and rewriting the table; both
+    // writes are distributed and partition-pruned on read (s13).
+    QuerySpec(
+      "s21_dynamic_overwrite",
+      """WITH batch AS (
+        |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+        |         o_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderstatus <> 'F'
+        |  UNION ALL SELECT * FROM batch)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      val path = s"$base/s21_dynamic"
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     })
 }

@@ -83,6 +83,34 @@ class DedupOperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("n59 line dedup: survivors globally unique, cover every distinct input line") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("n59_line_dedup")(spark, sf).collect()
+    // re-split outputs into 8-token blocks — alignment survives because
+    // every kept block except a doc's final one is exactly 8 tokens
+    val outLines = out.flatMap { r =>
+      r.getAs[String]("clean_text").split(" ").grouped(8).map(_.mkString(" "))
+    }
+    assert(outLines.length === outLines.distinct.length)
+    val inDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).grouped(8).map(_.mkString(" ")).toSeq)
+    val inLines = inDocs.flatMap(_._2)
+    assert(outLines.sorted.toSeq === inLines.distinct.sorted.toSeq)
+    val kept = out.map(_.getAs[Long]("n_kept")).sum
+    val dropped = out.map(_.getAs[Long]("n_dropped")).sum
+    assert(kept === outLines.length.toLong)
+    // docs that lost EVERY line are absent from the output — their
+    // lines count toward the corpus total but not kept+dropped
+    val outDocs = out.map(_.getAs[Long]("doc_id")).toSet
+    val vanished = inDocs.filterNot(d => outDocs(d._1)).map(_._2.length.toLong).sum
+    assert(kept + dropped + vanished === inLines.length.toLong)
+    assert(vanished === 0L || inDocs.filterNot(d => outDocs(d._1))
+      .forall(_._2.forall(outLines.contains)),
+      "every vanished doc's lines must survive in some earlier doc")
+  }
+
   test("TextOps: portable hash & counts match reference values") {
     import spark.implicits._
     val r = Seq("the cat and the hat").toDF("text").select(

@@ -172,6 +172,34 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("line dedup: first-occurrence keep, ordered reassembly, exact bookkeeping") = {
+    // tiny vocabulary + 3-token lines → heavy collisions, incl. docs
+    // that lose every line (they must vanish from the output)
+    val word = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.choose(1, 18).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.choose(2, 6).flatMap(m => Gen.listOfN(m, docGen))) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = LineDedup.dedup(df, "doc_id", "text", lineTokens = 3)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dropped")))).toMap
+      // driver twin: scan docs in id order, keep each line's first
+      // occurrence, reassemble in place
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ls = t.split(" ").grouped(3).map(_.mkString(" ")).toVector
+        val kept = ls.filter(seen.add)
+        if (kept.isEmpty) None
+        else Some(i.toLong ->
+          ((kept.mkString(" "), kept.size.toLong, (ls.size - kept.size).toLong)))
+      }.toMap
+      out == expect
+    }
+  }
+
   property("unpivot of a flag matrix preserves every set flag exactly once") = {
     val flagGen = Gen.listOfN(3, Gen.listOfN(3, Gen.oneOf("1", "", "0")))
     forAll(flagGen) { rows =>

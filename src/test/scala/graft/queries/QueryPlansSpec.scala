@@ -220,6 +220,40 @@ class QueryPlansSpec extends SparkTestBase {
       s"map-side partial aggregation must precede the shuffle:\n$plan")
   }
 
+  test("j8 full outer: one sort-merge pass, not a triple-scan reconciliation") {
+    val plan = finalPlan(q("j8_full_outer"))
+    assert(plan.contains("FullOuter"), s"no full outer join:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).length == 1,
+      s"reconciliation must be ONE join pass:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 2,
+      s"each snapshot reads once:\n$plan")
+  }
+
+  test("n59 line dedup: first-occurrence via agg (map-side partials), never a window") {
+    val plan = finalPlan(q("n59_line_dedup"))
+    // a row_number window over PARTITION BY line ships every copy of a
+    // hot boilerplate line to one reducer; the agg form collapses them
+    // map-side — the whole reason n59 is written as groupBy().min()
+    assert(!plan.contains("Window"), s"line dedup must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4,
+      s"expected line-agg + doc-agg (+small doc-dim join) shuffles only:\n$plan")
+  }
+
+  test("n60 corpus order: range-partitioned numbering, no global-order funnel") {
+    val plan = finalPlan(q("n60_corpus_order"))
+    assert(plan.contains("rangepartitioning"),
+      s"ordering must range-shuffle on the seed hash:\n$plan")
+    // the data-path window must partition by graft__pid; only the
+    // metadata-sized per-partition-count window may be unpartitioned
+    val rowNumWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .mkString("\n")
+    assert(rowNumWindows.contains("graft__pid"),
+      s"row_number window must be partition-local:\n$rowNumWindows")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a

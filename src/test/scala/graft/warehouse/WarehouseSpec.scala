@@ -158,6 +158,33 @@ class WarehouseSpec extends SparkTestBase {
       df.except(spark.read.parquet(out)).isEmpty)
   }
 
+  test("s21 dynamic partition overwrite rewrites only the batch's partitions (S21)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = "target/test-sinks/dyn_overwrite"
+    val init = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0), (4L, "C", 4.0))
+      .toDF("id", "p", "v")
+    init.write.mode("overwrite").partitionBy("p").parquet(path)
+    def filesOf(part: String): Set[String] =
+      Files.list(Paths.get(s"$path/p=$part")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val aBefore = filesOf("A")
+    val batch = Seq((9L, "B", 30.0)).toDF("id", "p", "v")
+    batch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p").parquet(path)
+    // untouched partitions keep their exact files; B is replaced wholesale
+    assert(filesOf("A") === aBefore)
+    val rows = spark.read.parquet(path).select("id", "p", "v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(rows === Set(
+      (1L, "A", 1.0), (2L, "A", 2.0), (9L, "B", 30.0), (4L, "C", 4.0)))
+    // contrast: a STATIC overwrite of the same batch drops A and C
+    batch.write.mode("overwrite").partitionBy("p").parquet(path)
+    assert(spark.read.parquet(path).count() === 1L)
+  }
+
   test("s20 z-order: every file's envelope narrows on BOTH keys; 1-key sort doesn't (S20)") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
