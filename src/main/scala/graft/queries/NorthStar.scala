@@ -1976,5 +1976,77 @@ object NorthStar {
       SurrogateKey
         .denseRowNumber(hashed, "ord", col("graft__hk"), col("doc_id"))
         .select(col("doc_id"), col("ord"))
+    },
+
+    // ----- n61: duplicated-n-gram token coverage (Gopher repetition) ----
+    // The Gopher repetition family's n-gram axis (Rae et al. 2021,
+    // Table A1: dup_ngram_frac), complementing n29's top-token ratio:
+    // the fraction of a document's tokens covered by some 3-gram that
+    // occurs ≥2 times IN that document — the signal that catches
+    // looping/templated text whose repeating unit is a phrase, not a
+    // word. Coverage is a real interval union (occurrences overlap),
+    // computed as distinct covered positions. Scale shape: every
+    // shuffle key is a uniform composite — (doc, gram) for the
+    // occurrence counts (collect_list of positions is bounded by doc
+    // length), (doc, position) for the coverage distinct — then one
+    // doc-level count joins doc-level token totals; the corpus text
+    // itself never shuffles, only grams and positions. The fraction
+    // divides exact integers — bit-identical doubles cross-engine.
+    QuerySpec(
+      "n61_dup_ngram_frac",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |g AS (SELECT doc_id, ws, unnest(generate_series(1, n - 2)) AS p
+        |      FROM t WHERE n >= 3),
+        |gg AS (SELECT doc_id, p,
+        |         ${hex60("array_to_string(ws[p : p+2], ' ')")} AS fp
+        |       FROM g),
+        |c AS (SELECT doc_id, fp, count(*) AS c, list(p) AS ps
+        |      FROM gg GROUP BY doc_id, fp),
+        |oc AS (SELECT doc_id, unnest(ps) AS p FROM c WHERE c >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 2)) AS pos
+        |        FROM oc),
+        |nc AS (SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, n AS n_tokens,
+        |  CAST(coalesce(nc, 0) AS BIGINT) AS n_covered,
+        |  CAST(coalesce(nc, 0) AS DOUBLE) / n AS dup3_frac
+        |FROM t LEFT JOIN nc ON t.doc_id = nc.doc_id""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .withColumn("graft__n", size(col("graft__ws")).cast("long"))
+      val grams = toks
+        .filter(col("graft__n") >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1L, graft__n - 2),
+            |  i -> named_struct(
+            |    'p', i,
+            |    'g', array_join(slice(graft__ws, CAST(i AS INT), 3), ' ')))"""
+            .stripMargin)).as("graft__pg"))
+        // fingerprint at the scan-side projection: the (doc, gram)
+        // shuffle ships 8-byte longs, never gram text (n56 discipline);
+        // both engines hash identically, so results agree even in the
+        // ~2^-60 collision case
+        .select(col("doc_id"), col("graft__pg.p").as("graft__p"),
+          TextOps.hexHash60(col("graft__pg.g")).as("graft__fp"))
+      val covered = grams
+        .groupBy(col("doc_id"), col("graft__fp"))
+        .agg(count(lit(1)).as("graft__c"),
+          collect_list(col("graft__p")).as("graft__ps"))
+        .filter(col("graft__c") >= 2)
+        .select(col("doc_id"), explode(col("graft__ps")).as("graft__p"))
+        .select(col("doc_id"),
+          explode(sequence(col("graft__p"), col("graft__p") + 2L))
+            .as("graft__pos"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("graft__nc"))
+      toks
+        .select(col("doc_id"), col("graft__n"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("graft__n").as("n_tokens"),
+          coalesce(col("graft__nc"), lit(0L)).as("n_covered"),
+          (coalesce(col("graft__nc"), lit(0L)).cast("double") /
+            col("graft__n")).as("dup3_frac"))
     })
 }

@@ -751,6 +751,36 @@ object Relational {
           .cast("long").as("rnk"))
     },
 
+    // ----- W6: forward fill (gap-filled time series) --------------------
+    // The sensor/metrics gap-fill every time-series warehouse needs:
+    // carry each user's last known reading forward across gaps —
+    // last(value) IGNORE NULLS over an unbounded-preceding frame, the
+    // one window family (null-skipping navigation) w1-w5 don't touch.
+    // Gaps are planted deterministically (views report no value) so
+    // every partition exercises both fill and leading-null. Per-user
+    // partitioned window — no global sort; the ORDER BY key
+    // (ts, event_id) is total within a partition, so the fill is
+    // deterministic.
+    QuerySpec(
+      "w6_forward_fill",
+      """SELECT event_id, user_id, ts,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |      FROM events)""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "view", lit(null).cast("double"))
+            .otherwise(col("value")).as("graft__v"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          last(col("graft__v"), ignoreNulls = true).over(win).as("filled"))
+    },
+
     // ----- W5: navigation/distribution window pack ----------------------
     // The remaining window-function families in one partitioned pass:
     // lag/lead (navigation), ntile (distribution bucketing — the

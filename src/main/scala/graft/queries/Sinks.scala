@@ -394,6 +394,44 @@ object Sinks {
         .select("l_orderkey", "l_partkey", "l_quantity")
     },
 
+    // ----- s22: schema-evolution read (mergeSchema) ---------------------
+    // The warehouse reality dynamic overwrite (s21) doesn't cover: a
+    // long-lived table whose WRITER gained a column mid-life. Batch 1
+    // lands without n_chars, batch 2 with it; a mergeSchema read
+    // reconciles the union schema and old rows surface NULL — no
+    // rewrite of historical files (at 100 TB, rewriting history for a
+    // new column is the anti-pattern this exists to avoid). Filter
+    // pushdown still reaches both file generations. Spark leaves
+    // mergeSchema off by default because footer-merging every file
+    // costs a driver pass — turning it on per-read (not per-session)
+    // is the deliberate choice here.
+    QuerySpec(
+      "s22_schema_evolution",
+      """SELECT lang,
+        |  count(*) AS n,
+        |  CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (
+        |  SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |GROUP BY lang""".stripMargin) { (s, d) =>
+      val path = s"$base/s22_evolving"
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("chars"))
+    },
+
     // ----- s21: dynamic partition overwrite (incremental reload) --------
     // The incremental-load primitive s4's static overwrite can't
     // express: a batch that recomputes SOME partitions replaces

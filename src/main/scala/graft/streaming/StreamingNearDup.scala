@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+import graft.functions.SketchAggregates
+import graft.operators.TextOps
+
+/** Online MinHash-LSH near-duplicate detection — the streaming twin of
+  * [[graft.operators.MinHashNearDup]] for the ingest-time question a
+  * batch pass cannot answer: "is THIS arriving document a near-dup of
+  * anything already admitted?", decided per micro-batch instead of per
+  * corpus rebuild.
+  *
+  * Two pieces, split exactly where streaming constraints bite:
+  *
+  *  1. [[signatures]]/[[bandKeys]] — the banded-minhash sketch as a
+  *     PER-ROW expression (one `aggregate` HOF folding all k minima in
+  *     a single pass over the shingles, then band slices). The batch
+  *     operator computes the same sketch with a TypedImperativeAggregate
+  *     after an explode, which on a stream would be a stateful
+  *     aggregation (watermark-deferred emission); per-row there is no
+  *     aggregation at all, so the sketch stage stays stateless and
+  *     append-mode-safe. Coefficients are shared with the batch
+  *     aggregate ([[SketchAggregates.coefA]]/[[SketchAggregates.coefB]],
+  *     same `xxhash64 & 0x7fffffff` input hash, same Long.MaxValue
+  *     minima init), so per-row and batch signatures are bit-identical
+  *     (proven in StreamingNearDupSpec). Band keys carry the raw minima
+  *     run (joined as a string) rather than the batch side's FNV fold:
+  *     equality semantics are identical and SQL-side FNV would overflow
+  *     under ANSI mode, where the JVM aggregate wraps silently.
+  *
+  *  2. [[streamingCandidatePairs]] — bucket memory on Spark 4's
+  *     transformWithState (RocksDB state): one ListState[Long] of seen
+  *     doc ids per (band, bucket) key, capped at `maxPerBucket`. Each
+  *     arriving doc emits a candidate pair against every remembered
+  *     occupant of any shared bucket, across micro-batch boundaries.
+  *     State is O(buckets × cap) longs — the sketch bounds it
+  *     independently of text size, and the cap bounds it against
+  *     degenerate buckets (boilerplate floods); past the cap a new doc
+  *     still PROBES the bucket (pairs against the stored occupants) but
+  *     is not stored — the same bounded-bucket tradeoff batch LSH
+  *     implementations take, disclosed rather than unbounded. For a
+  *     dedup horizon (near-dup only vs the last N days), pass a
+  *     [[TTLConfig]] instead of NONE — nothing else changes.
+  *
+  * Output pairs repeat once per shared band (exactly like the batch
+  * candidate join before its `distinct()`); consumers dedupe with
+  * `dropDuplicates`/`dropDuplicatesWithinWatermark` on (id_a, id_b) or
+  * feed the exact-Jaccard verify, which is insensitive to repeats.
+  * Like the batch operator, candidates are a probabilistic superset
+  * cut: verification (exact Jaccard on the shingle sets, per pair)
+  * belongs downstream, e.g. in a foreachBatch join against the
+  * admitted-corpus store.
+  */
+object StreamingNearDup {
+
+  final case class DocText(doc_id: Long, text: String)
+  final case class BandKeyRow(bucket: String, doc_id: Long)
+  final case class CandidatePair(id_a: Long, id_b: Long)
+
+  /** Per-row minhash signatures: (doc_id, sig array[numHashes]).
+    * Documents with no shingles (shorter than the shingle width) are
+    * dropped, matching the batch operator's `size(sh) > 0` filter. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val ab = SketchAggregates.coefA(numHashes)
+      .zip(SketchAggregates.coefB(numHashes))
+      .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
+      .mkString("array(", ",", ")")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), shingleWidth)
+          .as("graft__sh"))
+      .filter(size(col("graft__sh")) > 0)
+      // 31-bit input hash, identical to MinHashBandSketch.update;
+      // a*h+b < 2^62 + 2^31 so the fold is ANSI-overflow-safe
+      .withColumn("graft__sig", expr(
+        s"""aggregate(
+           |  transform(graft__sh, s -> xxhash64(s) & 2147483647L),
+           |  array_repeat(${Long.MaxValue}L, $numHashes),
+           |  (acc, x) -> zip_with(acc, $ab,
+           |    (m, c) -> least(m, (c.a * x + c.b) % ${SketchAggregates.P}L)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("graft__sig"))
+  }
+
+  /** One (bucket, doc_id) row per band: bucket = "band:minima-run".
+    * Two documents share a bucket iff their band rows agree — the same
+    * collision predicate as the batch band join. */
+  def bandKeys(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    signatures(docs, idCol, textCol, shingleWidth, numHashes)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> concat(b, ':',
+           |    array_join(slice(graft__sig, b * $rows + 1, $rows), '-')))"""
+          .stripMargin)).as("bucket"))
+      .select(col("bucket"), col("doc_id"))
+  }
+
+  /** Bucket memory: remembers up to `maxPerBucket` doc ids per LSH
+    * bucket and pairs every arrival against them. No TTL — a corpus
+    * admission gate is lifetime; pass a TTL for a dedup horizon. */
+  private class BucketProcessor(maxPerBucket: Int)
+    extends StatefulProcessor[String, BandKeyRow, CandidatePair] {
+    @transient private var seen: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        bucket: String,
+        rows: Iterator[BandKeyRow],
+        timerValues: TimerValues): Iterator[CandidatePair] = {
+      val prior = seen.get().toVector
+      val priorSet = prior.toSet
+      val fresh = rows.map(_.doc_id).toVector.distinct
+        .filterNot(priorSet)
+      val out = Vector.newBuilder[CandidatePair]
+      fresh.zipWithIndex.foreach { case (n, i) =>
+        (prior.iterator ++ fresh.iterator.take(i)).foreach { p =>
+          out += CandidatePair(math.min(p, n), math.max(p, n))
+        }
+      }
+      val room = maxPerBucket - prior.size
+      if (room > 0 && fresh.nonEmpty)
+        seen.appendList(fresh.take(room).toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming candidate pairs over a document feed: stateless per-row
+    * sketch → band-key explode → stateful bucket memory. Requires the
+    * RocksDB state store provider (transformWithState mandates it). */
+  def streamingCandidatePairs(
+      docs: Dataset[DocText],
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandKeys(docs.toDF(), "doc_id", "text", shingleWidth, numHashes, bands)
+      .as[BandKeyRow]
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new BucketProcessor(maxPerBucket), TimeMode.None(), OutputMode.Append())
+  }
+}

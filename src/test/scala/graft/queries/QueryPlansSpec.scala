@@ -254,6 +254,15 @@ class QueryPlansSpec extends SparkTestBase {
       s"row_number window must be partition-local:\n$rowNumWindows")
   }
 
+  test("n61 dup-ngram coverage: shuffles carry fingerprints and positions, never gram text") {
+    val plan = finalPlan(q("n61_dup_ngram_frac"))
+    assert(!plan.contains("Window"), s"coverage must be agg-shaped:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("graft__g#") && !exchangeLines.contains("text#"),
+      s"gram/document text reached a shuffle:\n$exchangeLines")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a

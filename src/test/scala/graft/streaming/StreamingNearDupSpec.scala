@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.streaming.StreamingNearDup.DocText
+
+class StreamingNearDupSpec extends SparkTestBase {
+
+  private val base = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " w99"
+  private val unrelated = (100 to 160).map(i => s"v$i").mkString(" ")
+
+  test("per-row HOF signature is bit-identical to the batch aggregate sketch") {
+    import spark.implicits._
+    val docs = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)
+      .toDF("doc_id", "text")
+    val perRow = StreamingNearDup.signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = docs
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.shinglesFromTokens(
+          graft.operators.TextOps.tokens(col("text")), 3)).as("s"))
+      .withColumn("hb", xxhash64(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_minhash_bands(hb, 64, 16)").as("sk"))
+      .select(col("doc_id"), col("sk.sig").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRow.keySet === batch.keySet)
+    perRow.keys.foreach(k => assert(perRow(k) === batch(k), s"doc $k"))
+  }
+
+  test("band keys: near-dups share buckets, disjoint docs never do") {
+    import spark.implicits._
+    val docs = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)
+      .toDF("doc_id", "text")
+    val byBucket = StreamingNearDup.bandKeys(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBucket.values.exists(s => s == Set(1L, 2L)),
+      "planted near-dups must collide in some band")
+    assert(!byBucket.values.exists(s => s.contains(3L) && s.size > 1),
+      "the unrelated doc must never share a bucket")
+  }
+
+  test("streaming: candidate pair found across micro-batch boundary, state capped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[DocText]
+      val pairs = StreamingNearDup.streamingCandidatePairs(mem.toDS())
+      val q = pairs.writeStream.format("memory")
+        .queryName("neardup_test").outputMode("append").start()
+      // batch 1: the base doc and an unrelated doc — no pairs yet
+      mem.addData(DocText(1L, base), DocText(3L, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("neardup_test").count() === 0L)
+      // batch 2: the near-dup arrives LATER — the bucket memory must
+      // still pair it with doc 1 from batch 1
+      mem.addData(DocText(2L, nearDup))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)),
+        s"expected exactly the planted cross-batch pair, got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("streaming equals batch: same candidate set when everything is one batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Seq(
+        DocText(1L, base), DocText(2L, nearDup), DocText(3L, unrelated),
+        DocText(4L, base + " tail tail"), DocText(5L, (200 to 250).map(i => s"z$i").mkString(" ")))
+      // batch twin: self-join the band keys exactly like MinHashNearDup
+      val bk = StreamingNearDup.bandKeys(docs.toDF(), "doc_id", "text")
+      val expected = bk.alias("l")
+        .join(bk.alias("r"),
+          col("l.bucket") === col("r.bucket") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id"), col("r.doc_id"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mem = MemoryStream[DocText]
+      val q = StreamingNearDup.streamingCandidatePairs(mem.toDS())
+        .writeStream.format("memory")
+        .queryName("neardup_parity").outputMode("append").start()
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+}
