@@ -172,6 +172,32 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("streaming per-row minhash sketch == batch aggregate sketch") = {
+    // the StreamingNearDup append-safety argument rests on the per-row
+    // HOF fold producing the SAME signature as the batch
+    // TypedImperativeAggregate — pin it on random corpora, not just
+    // the fixture docs
+    val word = Gen.oneOf((1 to 12).map(i => s"t$i"))
+    val docGen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.choose(1, 4).flatMap(m => Gen.listOfN(m, docGen))) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val perRow = graft.streaming.StreamingNearDup
+        .signatures(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val batch = df
+        .select(col("doc_id"), explode(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)).as("s"))
+        .withColumn("hb", xxhash64(col("s")))
+        .groupBy(col("doc_id"))
+        .agg(expr("graft_minhash_bands(hb, 64, 16)").as("sk"))
+        .select(col("doc_id"), col("sk.sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      perRow == batch
+    }
+  }
+
   property("line dedup: first-occurrence keep, ordered reassembly, exact bookkeeping") = {
     // tiny vocabulary + 3-token lines → heavy collisions, incl. docs
     // that lose every line (they must vanish from the output)
