@@ -2048,5 +2048,49 @@ object NorthStar {
           coalesce(col("graft__nc"), lit(0L)).as("n_covered"),
           (coalesce(col("graft__nc"), lit(0L)).cast("double") /
             col("graft__n")).as("dup3_frac"))
+    },
+
+    // ----- n62: soft-dedup corpus weighting -----------------------------
+    // The alternative to DROPPING exact duplicates (n1): keep every
+    // copy but down-weight it by its duplication count — w = 1/c per
+    // doc — so repeated text contributes one document's worth of
+    // training mass however often it was crawled. The report is the
+    // per-source budget view a mixture planner (n55) consumes:
+    // effective token mass after weighting. Arithmetic is EXACT
+    // integer micro-tokens — floor(n_tok·1e6 / c) per doc, summed as
+    // BIGINT — because summing n_tok/c doubles across a corpus is
+    // reduction-order-dependent and would never hash-match. Scale
+    // shape: cluster sizes ride ONE corpus shuffle on the md5 content
+    // key (count window; the md5 is computed at the scan so the
+    // exchange ships 32-byte keys + two longs, never text), then the
+    // per-source rollup partial-aggregates map-side. A corpus with
+    // adversarial mega-clusters (billions of one value) would swap
+    // the window for the n44 two-phase agg+join form — same result,
+    // same single corpus shuffle, partials collapse the hot key.
+    QuerySpec(
+      "n62_soft_dedup_weights",
+      """WITH d AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok,
+        |             md5(text) AS k
+        |           FROM documents),
+        |w AS (SELECT source, n_tok, k,
+        |        count(*) OVER (PARTITION BY k) AS c
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_unique,
+        |  CAST(sum((n_tok * 1000000) // c) AS BIGINT) AS eff_tokens_micro
+        |FROM w GROUP BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(
+        col("source"),
+        TextOps.nTokens(col("text")).as("graft__ntok"),
+        md5(col("text")).as("graft__k"))
+      docs
+        .withColumn("graft__c",
+          count(lit(1)).over(Window.partitionBy(col("graft__k"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("graft__k")).as("n_unique"),
+          sum(expr("(graft__ntok * 1000000) div graft__c"))
+            .as("eff_tokens_micro"))
     })
 }

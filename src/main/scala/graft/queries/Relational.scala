@@ -718,16 +718,26 @@ object Relational {
     },
 
     // ----- W2: partitioned running aggregate ----------------------------
+    // The testdata's lineitem is NOT keyed by (l_orderkey,
+    // l_linenumber) — sf0.1 carries 118k duplicate pairs, and one
+    // collides on the full (suppkey, shipdate, orderkey, linenumber)
+    // prefix with DIFFERENT quantities, so that ordering alone is not
+    // total and the two engines may disagree on one prefix sum (found
+    // by the 10× sf0.1 sweep; sf0.01 has no colliding pair). Appending
+    // l_quantity as the last key restores determinism without needing
+    // a unique id: any rows still tied contribute EQUAL quantities, so
+    // every prefix sum is order-independent.
     QuerySpec(
       "w2_running_sum",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
         |    OVER (PARTITION BY l_suppkey
-        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // fixed-point long cents in the window frame (see Q.centsSum) —
       // same doubles as the decimal oracle, no per-row Decimal boxing
