@@ -580,6 +580,34 @@ object Relational {
           .agg(count(when(col("l_orderkey").isNull, 1)).as("n_null"))
     },
 
+    // ----- A10: observed in-flight quality metrics ----------------------
+    // The zero-extra-pass form of a1/a2: the SAME gate aggregates, but
+    // as Dataset.observe accumulators riding the action the pipeline
+    // already runs (here a noop sink standing in for the real write) —
+    // at 100 TB a separate metrics scan is a whole job, so telemetry
+    // must piggyback. The returned row is BUILT FROM the observed
+    // metrics, so the oracle hash-checks that the accumulator path
+    // yields exactly what a dedicated aggregation query would — the
+    // contract that makes observe trustworthy as a quality gate. The
+    // single local row is metadata, not data (no collect of rows).
+    QuerySpec(
+      "a10_observed_gate",
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(l_suppkey) AS BIGINT) AS n_nonnull_key,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS measure_sum
+        |FROM lineitem WHERE l_quantity > 10""".stripMargin) { (s, d) =>
+      val (df, obs) = graft.quality.QualityChecks.observed(
+        t(s, d, "lineitem").filter(col("l_quantity") > 10),
+        keyCol = "l_suppkey", measureCol = "l_quantity")
+      df.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_nonnull_key").asInstanceOf[Long],
+        m("measure_sum").asInstanceOf[Double]))
+        .toDF("n_rows", "n_nonnull_key", "measure_sum")
+    },
+
     // ----- A3: grouped counts (trips per month/year) --------------------
     // Reference: README.md:59 "total trips monthly and yearly".
     QuerySpec(

@@ -359,4 +359,32 @@ class EventStreamSpec extends SparkTestBase {
     q.stop()
     assert(shape(spark.table("enrich_test")) === expected)
   }
+
+  test("observe telemetry rides micro-batches: per-batch metrics sum to the batch gate") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val ms = graft.quality.QualityChecks.qualityMetrics("k", "v")
+    val q = mem.toDF().toDF("k", "v")
+      .observe("gate", ms.head, ms.tail: _*)
+      .writeStream.format("memory").queryName("observe_test")
+      .outputMode("append").start()
+    mem.addData((1L, 1.5), (2L, 2.5))
+    q.processAllAvailable()
+    mem.addData((3L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => p.observedMetrics.asScala.get("gate"))
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nonnull_key"),
+        r.getAs[Double]("measure_sum")))
+      .filter(_._1 > 0) // empty no-data batches report zero rows
+    assert(perBatch.length === 2, s"one metrics row per data batch: $perBatch")
+    assert(perBatch.map(_._1).sum === 3L)
+    assert(perBatch.map(_._2).sum === 3L)
+    assert(perBatch.map(_._3).sum === 8.0)
+    // first batch alone — telemetry is genuinely per micro-batch
+    assert(perBatch.head === ((2L, 2L, 4.0)))
+  }
 }
