@@ -2059,7 +2059,12 @@ object NorthStar {
     // effective token mass after weighting. Arithmetic is EXACT
     // integer micro-tokens — floor(n_tok·1e6 / c) per doc, summed as
     // BIGINT — because summing n_tok/c doubles across a corpus is
-    // reduction-order-dependent and would never hash-match. Scale
+    // reduction-order-dependent and would never hash-match. The 1e6
+    // multiplier spends ~20 bits of BIGINT headroom: exact up to
+    // ~9.2e12 effective tokens PER SOURCE (tens of TB of text); a
+    // corpus beyond that drops the multiplier a decade per 10× (1e3
+    // still gives milli-token granularity at 9.2e15) — precision for
+    // range, same plan. Scale
     // shape: cluster sizes ride ONE corpus shuffle on the md5 content
     // key (count window; the md5 is computed at the scan so the
     // exchange ships 32-byte keys + two longs, never text), then the

@@ -601,11 +601,19 @@ object Relational {
         keyCol = "l_suppkey", measureCol = "l_quantity")
       df.write.format("noop").mode("overwrite").save()
       val m = obs.get
-      import s.implicits._
-      Seq((m("n_rows").asInstanceOf[Long],
-        m("n_nonnull_key").asInstanceOf[Long],
-        m("measure_sum").asInstanceOf[Double]))
-        .toDF("n_rows", "n_nonnull_key", "measure_sum")
+      // build via explicit Row/schema, not a tuple: sum over zero rows
+      // observes NULL, and asInstanceOf[Double] would silently unbox
+      // that to 0.0 while the oracle emits NULL — the exact class of
+      // cross-engine drift this gate exists to catch
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      s.createDataFrame(
+        java.util.List.of(
+          Row(m("n_rows"), m("n_nonnull_key"), m("measure_sum"))),
+        StructType(Seq(
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_nonnull_key", LongType, nullable = false),
+          StructField("measure_sum", DoubleType, nullable = true))))
     },
 
     // ----- A3: grouped counts (trips per month/year) --------------------

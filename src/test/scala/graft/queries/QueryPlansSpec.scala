@@ -259,7 +259,9 @@ class QueryPlansSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"coverage must be agg-shaped:\n$plan")
     val exchangeLines = plan.linesIterator
       .filter(_.contains("Exchange")).mkString("\n")
-    assert(!exchangeLines.contains("graft__g#") && !exchangeLines.contains("text#"),
+    // graft__pg is the struct column that carries the gram TEXT; the
+    // shuffles must only ever see the fingerprint/position projection
+    assert(!exchangeLines.contains("graft__pg#") && !exchangeLines.contains("text#"),
       s"gram/document text reached a shuffle:\n$exchangeLines")
   }
 

@@ -12,6 +12,20 @@ class StreamingNearDupSpec extends SparkTestBase {
   private val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " w99"
   private val unrelated = (100 to 160).map(i => s"v$i").mkString(" ")
 
+  /** transformWithState mandates the RocksDB state store provider;
+    * scope it to one test body and restore the session default after. */
+  private def withRocksDBStateStore(body: => Unit): Unit = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("per-row HOF signature is bit-identical to the batch aggregate sketch") {
     import spark.implicits._
     val docs = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)
@@ -47,11 +61,7 @@ class StreamingNearDupSpec extends SparkTestBase {
   test("streaming: candidate pair found across micro-batch boundary, state capped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val mem = MemoryStream[DocText]
       val pairs = StreamingNearDup.streamingCandidatePairs(mem.toDS())
       val q = pairs.writeStream.format("memory")
@@ -69,22 +79,13 @@ class StreamingNearDupSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === Set((1L, 2L)),
         s"expected exactly the planted cross-batch pair, got $got")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
     }
   }
 
   test("streaming equals batch: same candidate set when everything is one batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val docs = Seq(
         DocText(1L, base), DocText(2L, nearDup), DocText(3L, unrelated),
         DocText(4L, base + " tail tail"), DocText(5L, (200 to 250).map(i => s"z$i").mkString(" ")))
@@ -107,11 +108,6 @@ class StreamingNearDupSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === expected)
       assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
     }
   }
 }
