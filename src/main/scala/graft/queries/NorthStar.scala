@@ -2097,5 +2097,38 @@ object NorthStar {
           countDistinct(col("graft__k")).as("n_unique"),
           sum(expr("(graft__ntok * 1000000) div graft__c"))
             .as("eff_tokens_micro"))
+    },
+
+    // ----- n63: two-level HLL rollup (store sketches, merge later) ------
+    // n19 estimates in one pass; THIS is the shape incremental
+    // warehouses actually run at 100 TB: materialize one HLL sketch
+    // per segment (here per event_type; in production per day/partition
+    // — a few KB each), then answer the global question by MERGING the
+    // stored sketches — no rescan of history when a new segment lands.
+    // Users overlap across segments, so the union must genuinely
+    // dedupe across sketches (summing per-segment estimates would
+    // overcount); Spark 4's DataSketches hll_sketch_agg/hll_union_agg
+    // are the codegen'd built-ins for exactly this. The estimate is
+    // engine-specific, so the oracle pins the exact distinct plus a
+    // 15% band assertion (n19's discipline) — deterministic for a
+    // fixed input + algorithm.
+    QuerySpec(
+      "n63_hll_rollup",
+      """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_segments,
+        |  count(DISTINCT user_id) AS exact_n, true AS approx_ok
+        |FROM events""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events")
+      val perSegment = events
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("graft__sk"))
+      val merged = perSegment.agg(
+        count(lit(1)).as("n_segments"),
+        hll_sketch_estimate(hll_union_agg(col("graft__sk")))
+          .as("graft__approx"))
+      val exact = events.agg(countDistinct(col("user_id")).as("exact_n"))
+      exact.join(broadcast(merged))
+        .select(col("n_segments"), col("exact_n"),
+          (abs(col("graft__approx") - col("exact_n")) <=
+            col("exact_n") * 0.15).as("approx_ok"))
     })
 }
