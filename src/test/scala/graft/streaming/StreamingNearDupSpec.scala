@@ -82,6 +82,35 @@ class StreamingNearDupSpec extends SparkTestBase {
     }
   }
 
+  test("file-backed e2e: JSONL doc feed → online near-dup, dup arrives batches later") {
+    import spark.implicits._
+    // the production wiring on the real file-source API: a JSONL
+    // landing dir consumed one file per trigger, so the near-dup and
+    // its original genuinely cross micro-batch (and file) boundaries
+    val root = java.nio.file.Paths.get("target/neardup_e2e")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    val dir = root.toString
+    Seq(DocText(1L, base), DocText(3L, unrelated)).toDF()
+      .coalesce(1).write.mode("append").json(dir)
+    Seq(DocText(2L, nearDup)).toDF()
+      .coalesce(1).write.mode("append").json(dir)
+    withRocksDBStateStore {
+      val feed = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).json(dir)
+        .as[DocText]
+      val q = StreamingNearDup.streamingCandidatePairs(feed)
+        .writeStream.format("memory")
+        .queryName("neardup_e2e").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_e2e").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)),
+        s"expected the cross-file planted pair, got $got")
+    }
+  }
+
   test("streaming equals batch: same candidate set when everything is one batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
