@@ -310,6 +310,39 @@ object Relational {
         regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("prio_num"))
     },
 
+    // ----- X15: map functions (dynamic-key model) -----------------------
+    // n7 parses props with a FIXED struct schema; MapType is the other
+    // JSON model — keys unknown at plan time (feature bags, A/B flags).
+    // from_json to map<string,long>, then the map-function family:
+    // lookup, cardinality, key enumeration, transform_values, probe of
+    // an absent key. All per-row and codegen'd — map-only at any scale.
+    // element_at on the present key is ANSI-safe; the absent-key probe
+    // goes through map_contains_key, not a throwing lookup.
+    QuerySpec(
+      "x15_map_funcs",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  array_to_string(json_keys(props), ',') AS key_list,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+        |  FALSE AS has_missing
+        |FROM events""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)).as("graft__m"))
+        .select(col("event_id"),
+          element_at(col("graft__m"), "k").as("k_val"),
+          size(col("graft__m")).cast("long").as("n_keys"),
+          array_join(map_keys(col("graft__m")), ",").as("key_list"),
+          element_at(
+            transform_values(col("graft__m"), (_, v) => v * 2L), "k")
+            .as("k_doubled"),
+          map_contains_key(col("graft__m"), "missing").as("has_missing"))
+    },
+
     // ----- A9: cube (all subtotal combinations) -------------------------
     QuerySpec(
       "a9_cube",
