@@ -2130,5 +2130,56 @@ object NorthStar {
         .select(col("n_segments"), col("exact_n"),
           (abs(col("graft__approx") - col("exact_n")) <=
             col("exact_n") * 0.15).as("approx_ok"))
+    },
+
+    // ----- n64: filter-funnel attrition report --------------------------
+    // The observability artifact every filtering pipeline publishes
+    // (CCNet/Gopher/Dolma papers all lead with one): how many docs —
+    // and how many tokens — each gate removed, with every document
+    // attributed to its FIRST failing rule so the stage counts sum to
+    // the corpus and the funnel reads top-to-bottom. One corpus pass
+    // for the signals (the repetition signal reuses n29's exact
+    // (doc, token) aggregation — uniform composite shuffle keys,
+    // partial-aggregated), then the CASE cascade and a 4-row rollup.
+    // Thresholds: <15 tokens, non-English, top-token ratio > 0.2.
+    QuerySpec(
+      "n64_filter_funnel",
+      """WITH t AS (SELECT doc_id, lang,
+        |             len(string_split(text, ' ')) AS n,
+        |             string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tc AS (SELECT doc_id, max(c) AS topc FROM (
+        |         SELECT doc_id, w, count(*) AS c FROM (
+        |           SELECT doc_id, unnest(ws) AS w FROM t) z
+        |         GROUP BY doc_id, w)
+        |       GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, n,
+        |        CASE WHEN n < 15 THEN '1_too_short'
+        |             WHEN lang <> 'en' THEN '2_non_english'
+        |             WHEN topc * 5 > n THEN '3_repetitive'
+        |             ELSE '4_pass' END AS stage
+        |      FROM t JOIN tc ON t.doc_id = tc.doc_id)
+        |SELECT stage, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY stage""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokens(col("text")).as("graft__ws"))
+        .withColumn("graft__n", size(col("graft__ws")).cast("long"))
+      val topc = toks
+        .select(col("doc_id"), explode(col("graft__ws")).as("graft__w"))
+        .groupBy(col("doc_id"), col("graft__w"))
+        .agg(count(lit(1)).as("graft__c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("graft__c")).as("graft__topc"))
+      toks
+        .join(topc, Seq("doc_id"))
+        .select(col("graft__n"),
+          when(col("graft__n") < 15, "1_too_short")
+            .when(col("lang") =!= "en", "2_non_english")
+            .when(col("graft__topc") * 5 > col("graft__n"), "3_repetitive")
+            .otherwise("4_pass").as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("graft__n")).as("n_tokens"))
     })
 }
