@@ -265,6 +265,32 @@ class QueryPlansSpec extends SparkTestBase {
       s"gram/document text reached a shuffle:\n$exchangeLines")
   }
 
+  test("n62 soft dedup: cluster sizes ride the md5 window, rollup joins nothing big") {
+    val plan = finalPlan(q("n62_soft_dedup_weights"))
+    assert(plan.contains("Window"), s"cluster sizes must be the count window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"no join belongs in this plan:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text reached a shuffle (hash at the scan instead):\n$exchangeLines")
+  }
+
+  test("n63 hll rollup: sketches merge via aggregation, exact side joins as broadcast") {
+    val plan = finalPlan(q("n63_hll_rollup"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row merged estimate must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("n64 filter funnel: one stage rollup, no window, no cartesian") {
+    val plan = finalPlan(q("n64_filter_funnel"))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"funnel must be agg-shaped:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"token counts and stage rollup must partial-aggregate:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
