@@ -2181,5 +2181,46 @@ object NorthStar {
             .otherwise("4_pass").as("stage"))
         .groupBy(col("stage"))
         .agg(count(lit(1)).as("n_docs"), sum(col("graft__n")).as("n_tokens"))
+    },
+
+    // ----- n65: sequential event funnel (ordered conversion) ------------
+    // The product-analytics pattern the window/session queries don't
+    // cover: step B counts only if it happens AFTER step A — first
+    // view, then first purchase at-or-after it, conversion within an
+    // hour. Order is enforced by value (purchase ts >= first view ts),
+    // not by row adjacency, so the whole funnel is two per-user aggs
+    // and user-level joins — uniform shuffle keys, map-side partials,
+    // no window over the event stream and nothing sequential in the
+    // PLAN even though the SEMANTICS are sequential. The gap test
+    // divides exact whole-second integers (both engines floor).
+    QuerySpec(
+      "n65_event_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS first_view
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        |      GROUP BY e.user_id)
+        |SELECT count(*) AS n_viewers,
+        |  CAST(count(first_purchase) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN date_diff('second', first_view, first_purchase)
+        |                     <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted_1h
+        |FROM v LEFT JOIN p USING (user_id)""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events")
+      val views = events.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("graft__fv"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(views, Seq("user_id"))
+        .filter(col("ts") >= col("graft__fv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("graft__fp"))
+      views
+        .join(purchases, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_viewers"),
+          count(col("graft__fp")).as("n_converted"),
+          sum(when(unix_timestamp(col("graft__fp")) -
+            unix_timestamp(col("graft__fv")) <= 3600L, 1L).otherwise(0L))
+            .as("n_converted_1h"))
     })
 }

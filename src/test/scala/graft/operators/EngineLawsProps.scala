@@ -226,6 +226,35 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("as-of join equals the naive per-row scan on random event sets") = {
+    // few keys + a narrow timestamp range force equal-ts collisions, so
+    // the inclusive bound AND the tie-break path both get exercised
+    val rowGen = for {
+      k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 15L)
+    } yield (k, t)
+    forAll(Gen.listOfN(12, rowGen), Gen.listOfN(12, rowGen)) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "lts")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k2", "rts", "rv")
+      val got = AsofJoin.asofBackward(
+        left, right.select(col("k2").as("k"), col("rts"), col("rv")),
+        key = "k", leftTs = "lts", rightTs = "rts",
+        rightValue = "rv", rightTieBreak = "rv", outCol = "m")
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.get(r.fieldIndex("m"))).map(_.asInstanceOf[Long])).toMap
+      // driver twin: latest right.ts <= left.ts in the key group;
+      // equal timestamps break to the largest tiebreak (= rv here)
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        i.toLong -> (if (cands.isEmpty) None
+        else Some(cands.maxBy { case ((_, rt), rv) => (rt, rv.toLong) }._2.toLong))
+      }.toMap
+      got == expect
+    }
+  }
+
   property("unpivot of a flag matrix preserves every set flag exactly once") = {
     val flagGen = Gen.listOfN(3, Gen.listOfN(3, Gen.oneOf("1", "", "0")))
     forAll(flagGen) { rows =>
