@@ -2222,5 +2222,41 @@ object NorthStar {
           sum(when(unix_timestamp(col("graft__fp")) -
             unix_timestamp(col("graft__fv")) <= 3600L, 1L).otherwise(0L))
             .as("n_converted_1h"))
+    },
+
+    // ----- n66: cohort retention matrix ---------------------------------
+    // The other classic warehouse analytics shape (n65 is the funnel):
+    // users bucketed by first-seen day, activity counted per
+    // (cohort, day-offset) cell — the retention curve per cohort.
+    // Anchor dates come from one per-user agg; the activity relation
+    // joins back user-co-partitioned, dedupes on the (user, offset)
+    // composite (a user active twice on day 3 counts once), and rolls
+    // up to the cells — every shuffle key uniform, every aggregate
+    // map-side partial. datediff on DATEs is calendar-exact on both
+    // engines (no timezone arithmetic; session TZ pinned UTC anyway).
+    QuerySpec(
+      "n66_cohort_retention",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |        date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        |      FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |  count(*) AS n_active
+        |FROM a WHERE day_offset <= 7
+        |GROUP BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("graft__day"))
+      val cohorts = events
+        .groupBy(col("user_id")).agg(min(col("graft__day")).as("cohort_day"))
+      events
+        .join(cohorts, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("graft__day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
     })
 }
