@@ -38,6 +38,11 @@ object Q {
   def centsDiscSum(price: Column, discount: Column): Column =
     sum(round(price * 100).cast("long") *
       (lit(100L) - round(discount * 100).cast("long"))) / 10000.0
+
+  /** DuckDB twin of [[graft.operators.TextOps.hexHash60]] — the
+    * portable 60-bit md5 hash (same spelling as NorthStar's hex60). */
+  def hex60Sql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::UBIGINT)::BIGINT"
 }
 
 /** The reference's relational operator surface (SURVEY.md §2) re-expressed
@@ -341,6 +346,35 @@ object Relational {
             transform_values(col("graft__m"), (_, v) => v * 2L), "k")
             .as("k_doubled"),
           map_contains_key(col("graft__m"), "missing").as("has_missing"))
+    },
+
+    // ----- X16: order-independent table checksum ------------------------
+    // The replication/reconciliation primitive: two copies of a table
+    // (different engines, different row order, different partitioning)
+    // agree iff their checksums agree — a commutative SUM of per-row
+    // md5 residues, so the result is independent of scan order and
+    // partition count by construction. Residues mod 1e9+7 keep the
+    // 600k-row sum far under BIGINT range (and the oracle CASTs its
+    // HUGEINT sum). The row serialization pins doubles as integer
+    // cents — cross-engine float-to-string formatting is exactly the
+    // kind of divergence a checksum must not inherit. Map-only except
+    // the final 1-row fold.
+    QuerySpec(
+      "x16_table_checksum",
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(${hex60Sql(
+               "CAST(l_orderkey AS VARCHAR) || '|' || " +
+               "CAST(l_linenumber AS VARCHAR) || '|' || " +
+               "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)")}
+         |    % 1000000007) AS BIGINT) AS checksum
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select(graft.operators.TextOps.hexHash60(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          round(col("l_quantity") * 100).cast("long").cast("string")))
+          .%(1000000007L).as("graft__h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("graft__h")).as("checksum"))
     },
 
     // ----- A9: cube (all subtotal combinations) -------------------------

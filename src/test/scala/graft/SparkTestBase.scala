@@ -18,4 +18,18 @@ abstract class SparkTestBase extends AnyFunSuite {
 
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
+
+  /** transformWithState mandates the RocksDB state store provider;
+    * scope it to one test body and restore the session default after. */
+  def withRocksDBStateStore(body: => Unit): Unit = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }

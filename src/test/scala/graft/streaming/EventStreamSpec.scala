@@ -117,13 +117,7 @@ class EventStreamSpec extends SparkTestBase {
   test("streamingQuotaAdmit enforces per-source quotas across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // transformWithState mandates the RocksDB state store provider;
-    // scope it to this query and restore the session default after
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val mem = MemoryStream[EventStream.DocArrival]
       val admitted = EventStream.streamingQuotaAdmit(spark, mem.toDS(), 4L)
       val q = admitted.writeStream.format("memory")
@@ -149,11 +143,6 @@ class EventStreamSpec extends SparkTestBase {
       assert(bySource("srcA").size === 4, s"quota breached: ${bySource("srcA")}")
       assert(Set(1L, 2L, 3L).subsetOf(bySource("srcA")),
         "batch-1 arrivals must be admitted before batch-2 overflow")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
     }
   }
 

@@ -12,20 +12,6 @@ class StreamingNearDupSpec extends SparkTestBase {
   private val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " w99"
   private val unrelated = (100 to 160).map(i => s"v$i").mkString(" ")
 
-  /** transformWithState mandates the RocksDB state store provider;
-    * scope it to one test body and restore the session default after. */
-  private def withRocksDBStateStore(body: => Unit): Unit = {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
-    }
-  }
-
   test("per-row HOF signature is bit-identical to the batch aggregate sketch") {
     import spark.implicits._
     val docs = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)
