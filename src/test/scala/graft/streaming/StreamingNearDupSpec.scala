@@ -97,6 +97,46 @@ class StreamingNearDupSpec extends SparkTestBase {
     }
   }
 
+  test("bucket memory survives a checkpointed query RESTART, not just a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stronger than the cross-batch test: the first query is STOPPED
+    // after committing its batch, and a second query resumes from the
+    // RocksDB checkpoint — the near-dup must still pair against a doc
+    // the previous incarnation admitted (executor-restart durability,
+    // the property an ingest gate actually needs)
+    val ckpt = "target/neardup_restart_ckpt"
+    val out = "target/neardup_restart_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    withRocksDBStateStore {
+      val mem = MemoryStream[DocText]
+      // the memory sink can't recover from a checkpoint; foreachBatch
+      // (the production sink shape here anyway) can
+      def start() = StreamingNearDup.streamingCandidatePairs(mem.toDS())
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingNearDup.CandidatePair],
+           _: Long) => batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      mem.addData(DocText(1L, base), DocText(3L, unrelated))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      mem.addData(DocText(2L, nearDup))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)),
+        s"restarted query must pair against pre-restart state, got $got")
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc must stay unpaired, got $got")
+    }
+  }
+
   test("streaming equals batch: same candidate set when everything is one batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
