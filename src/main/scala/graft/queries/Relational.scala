@@ -349,32 +349,40 @@ object Relational {
     },
 
     // ----- X16: order-independent table checksum ------------------------
-    // The replication/reconciliation primitive: two copies of a table
-    // (different engines, different row order, different partitioning)
-    // agree iff their checksums agree — a commutative SUM of per-row
-    // md5 residues, so the result is independent of scan order and
-    // partition count by construction. Residues mod 1e9+7 keep the
-    // 600k-row sum far under BIGINT range (and the oracle CASTs its
-    // HUGEINT sum). The row serialization pins doubles as integer
-    // cents — cross-engine float-to-string formatting is exactly the
-    // kind of divergence a checksum must not inherit. Map-only except
-    // the final 1-row fold.
+    // The replication/reconciliation primitive — see TableChecksum for
+    // the full contract. Two commutative folds of the per-row 60-bit md5
+    // residue: a two-level modular sum (bucketed, overflow-safe to
+    // ~7e13 rows vs the single-level form's 8.6e9) and a bit_xor (exact
+    // at any row count; even-multiplicity-blind, which the sum covers).
+    // Fields coalesce to '\N' before concatenation on BOTH engines —
+    // concat_ws skips NULLs while SQL '||' nulls the row out, so an
+    // un-sentineled checksum drifts on the first nullable column.
+    // Doubles pinned as integer cents — cross-engine float formatting
+    // is exactly the divergence a checksum must not inherit. Map-only,
+    // then an 8192-group fold, then a 1-row fold.
     QuerySpec(
       "x16_table_checksum",
-      s"""SELECT count(*) AS n_rows,
-         |  CAST(sum(${hex60Sql(
-               "CAST(l_orderkey AS VARCHAR) || '|' || " +
-               "CAST(l_linenumber AS VARCHAR) || '|' || " +
-               "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)")}
-         |    % 1000000007) AS BIGINT) AS checksum
-         |FROM lineitem""".stripMargin) { (s, d) =>
-      t(s, d, "lineitem")
-        .select(graft.operators.TextOps.hexHash60(concat_ws("|",
-          col("l_orderkey").cast("string"),
-          col("l_linenumber").cast("string"),
-          round(col("l_quantity") * 100).cast("long").cast("string")))
-          .%(1000000007L).as("graft__h"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("graft__h")).as("checksum"))
+      s"""WITH h AS (
+         |  SELECT ${hex60Sql(
+               "coalesce(CAST(l_orderkey AS VARCHAR), '\\N') || '|' || " +
+               "coalesce(CAST(l_linenumber AS VARCHAR), '\\N') || '|' || " +
+               "coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR), '\\N')")} AS h
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS bs,
+         |    bit_xor(h) AS bx
+         |  FROM h GROUP BY h % 8192)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(bs) % 1000000007 AS BIGINT) AS checksum_sum,
+         |  CAST(bit_xor(bx) AS BIGINT) AS checksum_xor
+         |FROM b""".stripMargin) { (s, d) =>
+      graft.operators.TableChecksum.checksum(
+        t(s, d, "lineitem"),
+        graft.operators.TableChecksum.serialized(Seq(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_quantity") * 100).cast("long"))))
     },
 
     // ----- A9: cube (all subtotal combinations) -------------------------
