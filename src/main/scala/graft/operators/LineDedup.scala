@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   *  - Per-document line totals come from the pre-explode token count
   *    (map-only) and join agg-output-sized relations, never the corpus.
   *
+  * Per-document bound: the slice start index is Int-typed, so a single
+  * document may hold at most Int.MaxValue tokens (~2 GiB of text — far
+  * past any sane document, but a 100 TB corpus will contain pathological
+  * rows). Rather than silently wrapping (or throwing only under ANSI),
+  * an oversized document raises a labeled error naming its doc_id.
+  *
   * Output: (doc_id, clean_text, n_kept, n_dropped).
   */
 object LineDedup {
@@ -49,12 +55,20 @@ object LineDedup {
     val lastLid: Column = expr(s"(graft__n - 1) div $k")
     val nLines = toks
       .select(col("doc_id"), (lastLid + 1L).as("graft__nlines"))
+    // slice start is Int-typed: fail loudly on a pathological document
+    // instead of wrapping (non-ANSI) or throwing an anonymous cast
+    // error (ANSI) — see the per-document bound in the scaladoc
+    val startLong = col("graft__lid") * k + 1L
+    val start = when(startLong > lit(Int.MaxValue.toLong),
+      raise_error(concat(
+        lit("LineDedup: doc_id "), col("doc_id").cast("string"),
+        lit(s" exceeds the per-document Int.MaxValue token bound"))))
+      .otherwise(startLong).cast("int")
     val lines = toks
       .select(col("doc_id"), col("graft__ws"),
         explode(sequence(lit(0L), lastLid)).as("graft__lid"))
       .select(col("doc_id"), col("graft__lid"),
-        concat_ws(" ", slice(col("graft__ws"),
-          (col("graft__lid") * k + 1L).cast("int"), lit(lineTokens)))
+        concat_ws(" ", slice(col("graft__ws"), start, lit(lineTokens)))
           .as("graft__line"))
     val keepers = lines
       .groupBy(col("graft__line"))

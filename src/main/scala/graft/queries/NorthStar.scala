@@ -2111,13 +2111,17 @@ object NorthStar {
     // are the codegen'd built-ins for exactly this. The estimate is
     // engine-specific, so the oracle pins the exact distinct plus a
     // 15% band assertion (n19's discipline) — deterministic for a
-    // fixed input + algorithm.
+    // fixed input + algorithm. NULL event_types are excluded on BOTH
+    // sides (Spark's groupBy would count a null segment that the
+    // oracle's count(DISTINCT) excludes — latent until the events
+    // table ever carries one), and exact_n scopes to the same rows so
+    // the sketch union and the exact count cover identical users.
     QuerySpec(
       "n63_hll_rollup",
       """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_segments,
         |  count(DISTINCT user_id) AS exact_n, true AS approx_ok
-        |FROM events""".stripMargin) { (s, d) =>
-      val events = t(s, d, "events")
+        |FROM events WHERE event_type IS NOT NULL""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events").filter(col("event_type").isNotNull)
       val perSegment = events
         .groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("graft__sk"))

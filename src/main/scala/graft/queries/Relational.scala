@@ -321,8 +321,11 @@ object Relational {
     // from_json to map<string,long>, then the map-function family:
     // lookup, cardinality, key enumeration, transform_values, probe of
     // an absent key. All per-row and codegen'd — map-only at any scale.
-    // element_at on the present key is ANSI-safe; the absent-key probe
-    // goes through map_contains_key, not a throwing lookup.
+    // Lookups go through try_element_at so an absent key (or a NULL map
+    // from malformed props) yields NULL under ANSI instead of throwing,
+    // and the absent-key probe is computed on BOTH sides (the oracle
+    // used to hardcode FALSE) with NULL maps pinned to false — the
+    // twins stay semantically parallel under any testdata change.
     QuerySpec(
       "x15_map_funcs",
       """SELECT event_id,
@@ -330,7 +333,8 @@ object Relational {
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
         |  array_to_string(json_keys(props), ',') AS key_list,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
-        |  FALSE AS has_missing
+        |  coalesce(json_extract(props, '$.missing') IS NOT NULL, FALSE)
+        |    AS has_missing
         |FROM events""".stripMargin) { (s, d) =>
       t(s, d, "events")
         .select(col("event_id"),
@@ -339,13 +343,14 @@ object Relational {
               org.apache.spark.sql.types.StringType,
               org.apache.spark.sql.types.LongType)).as("graft__m"))
         .select(col("event_id"),
-          element_at(col("graft__m"), "k").as("k_val"),
+          try_element_at(col("graft__m"), lit("k")).as("k_val"),
           size(col("graft__m")).cast("long").as("n_keys"),
           array_join(map_keys(col("graft__m")), ",").as("key_list"),
-          element_at(
-            transform_values(col("graft__m"), (_, v) => v * 2L), "k")
+          try_element_at(
+            transform_values(col("graft__m"), (_, v) => v * 2L), lit("k"))
             .as("k_doubled"),
-          map_contains_key(col("graft__m"), "missing").as("has_missing"))
+          coalesce(map_contains_key(col("graft__m"), "missing"), lit(false))
+            .as("has_missing"))
     },
 
     // ----- X16: order-independent table checksum ------------------------
