@@ -12,6 +12,13 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev-only knobs (the driver always runs arg-less): args(0) = comma
+    // query filter, args(1) = fixed rep count with per-rep times on
+    // stderr — the PROFILE_r* steady-state methodology in one command.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val fixedReps: Option[Int] =
+      if (args.length > 1) Some(args(1).toInt) else None
     val spark = Sessions.local(appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -61,7 +68,9 @@ object Bench {
     // of hitting the CacheManager (which would time a cache probe, not
     // the operator), and so operator-persisted intermediates (LSH
     // bands, shingle sets) don't tax later queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try run(name, fn) catch { case _: Throwable => () }
@@ -69,19 +78,27 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      val first = once()
-      // re-run only when a noise spike would be material — sub-second
-      // queries aren't worth doubling the harness wall time for. The
-      // heaviest shapes (near-dup family) additionally take 3-4
-      // executions to finish JIT ramp even after the sf0.001 warmup,
-      // so a query still >2s after two reps gets a third.
-      // third rep only in the 2-5s band: that's where JIT ramp still
-      // moves the number; past ~5s the spread is real work and a third
-      // execution only burns harness wall time
-      val best = if (first > 1.0) {
-        val two = math.min(first, once())
-        if (two > 2.0 && two <= 5.0) math.min(two, once()) else two
-      } else first
+      val best = fixedReps match {
+        case Some(n) =>
+          val times = (1 to n).map(_ => once())
+          System.err.println(
+            f"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(" ")}")
+          times.min
+        case None =>
+          val first = once()
+          // re-run only when a noise spike would be material — sub-second
+          // queries aren't worth doubling the harness wall time for. The
+          // heaviest shapes (near-dup family) additionally take 3-4
+          // executions to finish JIT ramp even after the sf0.001 warmup,
+          // so a query still >2s after two reps gets a third.
+          // third rep only in the 2-5s band: that's where JIT ramp still
+          // moves the number; past ~5s the spread is real work and a third
+          // execution only burns harness wall time
+          if (first > 1.0) {
+            val two = math.min(first, once())
+            if (two > 2.0 && two <= 5.0) math.min(two, once()) else two
+          } else first
+      }
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

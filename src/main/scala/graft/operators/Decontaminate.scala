@@ -31,20 +31,37 @@ object Decontaminate {
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
-    def shingles(df: DataFrame) = df
-      .withColumn("graft__ws", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("doc_id"),
-        explode(TextOps.shinglesFromTokens(col("graft__ws"), n)).as("shingle"))
+      n: Int): DataFrame =
+    collisionStatsFromTokens(
+      corpus
+        .withColumn("graft__ws", TextOps.tokens(col(textCol)))
+        .select(col(idCol).as("doc_id"), col("graft__ws").as("ws")),
+      benchmark, idCol, textCol, n)
 
-    val benchShingles = shingles(benchmark)
-      .select("shingle").distinct()
+  /** Same contract with the CORPUS side pre-tokenized as (doc_id, ws) —
+    * the pipeline entry point (one corpus tokenization shared across
+    * stages; see CorpusPipeline). The benchmark side stays textual: an
+    * eval suite is thousands of rows, its tokenization is free.
+    */
+  def collisionStatsFromTokens(
+      corpusToks: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .withColumn("graft__ws", TextOps.tokens(col(textCol)))
+      .select(
+        explode(TextOps.shinglesFromTokens(col("graft__ws"), n)).as("shingle"))
+      .distinct()
       .withColumn("graft__hit", lit(1))
 
     // ONE corpus pass: the broadcast left-lookup tags hits in place, so
     // totals and hit counts come out of the same partition-local
     // aggregation — no second scan, no extra shuffle.
-    shingles(corpus)
+    corpusToks
+      .select(col("doc_id"),
+        explode(TextOps.shinglesFromTokens(col("ws"), n)).as("shingle"))
       .join(broadcast(benchShingles), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(

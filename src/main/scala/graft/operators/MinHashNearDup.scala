@@ -68,6 +68,23 @@ object MinHashNearDup {
       shingleWidth: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
+      materialize: Materializer = cacheMaterializer): DataFrame =
+    nearDupPairsFromTokens(
+      Partitioning.spread(docs)
+        .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws")),
+      threshold, shingleWidth, numHashes, bands, materialize)
+
+  /** Same contract over a pre-tokenized (doc_id, ws) relation — the
+    * pipeline entry point: CorpusPipeline tokenizes the corpus ONCE and
+    * feeds the same materialized relation here, to decontamination and
+    * to the token gate, instead of each stage re-scanning and
+    * re-splitting the text. */
+  def nearDupPairsFromTokens(
+      toks: DataFrame,
+      threshold: Double,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
       materialize: Materializer = cacheMaterializer): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
 
@@ -78,8 +95,7 @@ object MinHashNearDup {
     // cache spills rather than OOMs, and a 100 TB deployment passes
     // `stagedMaterializer` to swap it for a staging table.
     val shingled = materialize(
-      Partitioning.spread(docs)
-        .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
+      toks
         .select(col("doc_id"),
           TextOps.shinglesFromTokens(col("ws"), shingleWidth).as("sh"))
         .filter(size(col("sh")) > 0),

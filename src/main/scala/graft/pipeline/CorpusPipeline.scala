@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, DedupClusters, MinHashNearDup, TextOps}
+import graft.operators.{Decontaminate, DedupClusters, MinHashNearDup, Partitioning, TextOps}
 
 /** The LLM-training-data pipeline as one composed program — the
   * north-star counterpart to [[BikesharePipeline]]: every stage is an
@@ -27,6 +27,15 @@ import graft.operators.{Decontaminate, DedupClusters, MinHashNearDup, TextOps}
   * before decontamination (fewer docs to shingle), quality before
   * sampling (rates apply to the clean pool), packing last (pack ids
   * depend on every upstream drop).
+  *
+  * Scan discipline: the corpus is scanned and tokenized ONCE, into a
+  * materialized (per Config.materialize) relation that every stage
+  * reads — the content hash, both shingle widths (near-dup 3-grams,
+  * decontamination 5-grams), the token gate and the packing offsets
+  * all derive from the same cached tokens. Without this each stage
+  * re-reads the source and re-splits every document: at 100 TB that is
+  * three extra corpus scans, and even at bench scale it dominated the
+  * pipeline's steady state.
   */
 object CorpusPipeline {
 
@@ -38,7 +47,10 @@ object CorpusPipeline {
       sampleRatesPer10k: Map[String, Long] = Map.empty, // lang → keep threshold
       defaultRatePer10k: Long = 10000L, // unlisted langs keep everything
       packTokens: Long = 2048L,
-      shards: Int = 32)
+      shards: Int = 32,
+      // executor cache by default; a 100 TB run passes
+      // MinHashNearDup.stagedMaterializer to stage through the warehouse
+      materialize: MinHashNearDup.Materializer = MinHashNearDup.cacheMaterializer)
 
   /** docs(doc_id, text, lang, source, …) + benchmark(doc_id, text, …) →
     * training set with (shard, pack) assignment. */
@@ -48,18 +60,28 @@ object CorpusPipeline {
       config: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
 
+    // 0. the ONE corpus scan: tokens, token count and content hash
+    //    materialize together; every stage below reads this relation
+    val tokenized = config.materialize(
+      Partitioning.spread(docs)
+        .withColumn("graft__ws", TextOps.tokens(col("text")))
+        .withColumn("graft__n_tok", size(col("graft__ws")).cast("long"))
+        .withColumn("graft__md5", md5(col("text"))),
+      "tokenized")
+
     // 1. exact dedup: min doc_id survives per content hash; the
     //    shuffle carries (hash, id), never the body
-    val byHash = Window.partitionBy(md5(col("text")))
-    val exactDeduped = docs
+    val byHash = Window.partitionBy(col("graft__md5"))
+    val exactDeduped = tokenized
       .withColumn("graft__keep_id", min(col("doc_id")).over(byHash))
       .filter(col("doc_id") === col("graft__keep_id"))
       .drop("graft__keep_id")
 
     // 2. near-dup: pairs from banded LSH, clusters from the pair
     //    graph, keep the minimum-id representative of each cluster
-    val pairs = MinHashNearDup.nearDupPairs(
-      exactDeduped, "doc_id", "text", config.nearDupThreshold)
+    val pairs = MinHashNearDup.nearDupPairsFromTokens(
+      exactDeduped.select(col("doc_id"), col("graft__ws").as("ws")),
+      config.nearDupThreshold, materialize = config.materialize)
     // NOTE both drop lists join WITHOUT a broadcast hint: their size is
     // data-dependent (a heavily-duplicated or heavily-contaminated
     // corpus makes them corpus-scale), so forcing a broadcast is an
@@ -73,17 +95,19 @@ object CorpusPipeline {
       .join(dropIds, Seq("doc_id"), "left_anti")
 
     // 3. decontamination: any shared n-gram with the benchmark drops
-    //    the doc (exact-collision policy; see Decontaminate)
+    //    the doc (exact-collision policy; see Decontaminate) — corpus
+    //    side reads the shared tokens, only the tiny benchmark splits
     val contaminated = Decontaminate
-      .collisionStats(nearDeduped, benchmark, "doc_id", "text",
-        config.contaminationNgram)
+      .collisionStatsFromTokens(
+        nearDeduped.select(col("doc_id"), col("graft__ws").as("ws")),
+        benchmark, "doc_id", "text", config.contaminationNgram)
       .select(col("doc_id"))
     val clean = nearDeduped
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 4. quality gate: token-count bounds, computed at scan time
+    // 4. quality gate: token-count bounds, already on the tokenized
+    //    relation — no recompute
     val gated = clean
-      .withColumn("graft__n_tok", TextOps.nTokens(col("text")))
       .filter(col("graft__n_tok").between(config.minTokens, config.maxTokens))
 
     // 5. stratified sampling: per-lang keep thresholds over the same
@@ -105,7 +129,7 @@ object CorpusPipeline {
       .withColumn("pack",
         ((col("graft__cum") - col("graft__n_tok")) / config.packTokens)
           .cast("long"))
-      .drop("graft__cum")
+      .drop("graft__cum", "graft__ws", "graft__md5")
       .withColumnRenamed("graft__n_tok", "n_tokens")
   }
 }
