@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016): k rounds of [count adjacent symbol pairs → merge the most
+  * frequent pair everywhere], starting from characters. n57 mines ONE
+  * round of candidates; this is the actual training loop that produces
+  * an ordered merge table.
+  *
+  * Scale design (the standard trainer shape):
+  *  - the corpus collapses to the WEIGHTED VOCABULARY once (word → freq,
+  *    one corpus shuffle); every round after that touches |vocab| rows,
+  *    never the corpus;
+  *  - per round: pair counts partial-aggregate map-side, the argmax is
+  *    a TakeOrdered(1) — no global sort — and the merge application is
+  *    a map-only higher-order fold over each word's symbol array;
+  *  - the chosen pair reaches the merge lambda via a broadcast 1-row
+  *    crossJoin, never a driver-side string: the loop is control-flow
+  *    only, no data-path collect;
+  *  - per-round localCheckpoint with eager release of superseded rounds
+  *    (the DedupClusters/n58 iterative discipline) — without truncation
+  *    the plan doubles per round. k is FIXED (a tokenizer budget), not
+  *    convergence-driven, so there is no cap to fail loudly at; the
+  *    deterministic tie-break (count DESC, then pair lexicographic)
+  *    makes the whole merge table reproducible run-to-run.
+  *
+  * Greedy-leftmost semantics: a merged occurrence consumes its symbols,
+  * so overlapping matches resolve left-to-right ("aaa" under merge
+  * (a,a) → [aa, a]). The fold implements this exactly: merging with the
+  * accumulator's LAST element reproduces leftmost-first, because a
+  * consumed position's symbol is replaced by the (longer) merged symbol
+  * and can no longer match as the pair's left side.
+  *
+  * Output: (merge_rank, sym_a, sym_b, n) — one row per round, rank
+  * 1-based in training order, n the pair's weighted count at merge time.
+  * n is non-increasing in rank (new pairs created by a merge are bounded
+  * by the merged pair's own count — the EngineLawsProps monotonicity
+  * law).
+  */
+object BpeTrainer {
+
+  /** The merge-application fold: references `a`/`b` (the round's chosen
+    * pair) as COLUMNS bound by the broadcast crossJoin. */
+  private val mergeFold =
+    """aggregate(
+      |  syms,
+      |  cast(array() as array<string>),
+      |  (acc, x) -> CASE
+      |    WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b
+      |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+      |    ELSE concat(acc, array(x)) END)""".stripMargin
+
+  /** Train `k` merges over the whitespace-token vocabulary of
+    * `docs(textCol)`. */
+  def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sc = docs.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet -- before)
+    }
+    def release(ids: scala.collection.Set[Int]): Unit = ids.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+
+    // corpus → weighted vocab → initial character symbols (guarded:
+    // Spark's sequence(1, 0) descends rather than returning empty)
+    var (syms, symsIds) = checkpointed(
+      docs
+        .select(explode(TextOps.tokens(col(textCol))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("f"))
+        .select(col("w"), col("f"),
+          expr("""CASE WHEN length(w) >= 1
+                 |THEN transform(sequence(1, length(w)), i -> substring(w, i, 1))
+                 |ELSE cast(array() as array<string>) END""".stripMargin)
+            .as("syms")))
+
+    val rounds = (1 to k).map { r =>
+      val pairCounts = syms
+        .select(col("f"), explode(TextOps.bigrams(col("syms"))).as("p"))
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
+        .agg(sum(col("f")).as("n"))
+      // the round's decision: 1 row, materialized once (it steers the
+      // merge below AND is this round's output row)
+      val (top, topIds) = checkpointed(
+        pairCounts.orderBy(col("n").desc, col("a"), col("b")).limit(1))
+      val (next, nextIds) = checkpointed(
+        syms
+          .crossJoin(broadcast(top.select(col("a"), col("b"))))
+          .select(col("w"), col("f"), expr(mergeFold).as("syms")))
+      release(symsIds)
+      syms = next
+      symsIds = nextIds
+      // topIds stay persisted: the returned merge table references them
+      val _ = topIds
+      top.select(lit(r.toLong).as("merge_rank"),
+        col("a").as("sym_a"), col("b").as("sym_b"), col("n"))
+    }
+    val out = rounds.reduce(_ union _)
+    release(symsIds) // the final symbol table is not part of the output
+    out
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
+import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
 import graft.streaming.EventStream
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -156,6 +156,59 @@ object NorthStar {
       .filter(col("pos") <= col("graft__nsh") - 4)
       .select(col("doc_id"), col("fp"))
       .distinct()
+
+  /** DuckDB twin of [[BpeTrainer.train]]: k unrolled rounds over a
+    * positional symbol table. The merge application mirrors the Spark
+    * fold's greedy-leftmost semantics positionally — matches are
+    * islanded (consecutive matches only occur when the pair is (a,a))
+    * and taken at even offsets from the island start, which is exactly
+    * what consuming left-to-right does. */
+  private def bpeTrainSql(k: Int): String = {
+    val init =
+      """WITH wf AS (SELECT w, count(*) AS f FROM (
+        |       SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |     GROUP BY w),
+        |s1 AS (SELECT w, f, pos, substr(w, pos, 1) AS sym FROM (
+        |       SELECT w, f, unnest(generate_series(1, length(w))) AS pos
+        |       FROM wf))""".stripMargin
+    def round(r: Int, last: Boolean): String = {
+      val pick =
+        s"""pc$r AS (SELECT x.sym AS pa, y.sym AS pb, CAST(sum(x.f) AS BIGINT) AS n
+           |  FROM s$r x JOIN s$r y ON x.w = y.w AND y.pos = x.pos + 1
+           |  GROUP BY 1, 2),
+           |o$r AS (SELECT pa, pb, n FROM pc$r ORDER BY n DESC, pa, pb LIMIT 1)""".stripMargin
+      if (last) pick
+      else pick + "," +
+        s"""
+           |m$r AS (SELECT s.w, s.f, s.pos, s.sym,
+           |    CASE WHEN s.sym = o.pa
+           |         AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = o.pb
+           |    THEN 1 ELSE 0 END AS ms
+           |  FROM s$r s CROSS JOIN o$r o),
+           |i$r AS (SELECT *, CASE WHEN ms = 1
+           |      THEN pos - row_number() OVER (PARTITION BY w, ms ORDER BY pos) END AS isl
+           |  FROM m$r),
+           |g$r AS (SELECT *, CASE WHEN ms = 1
+           |      AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0
+           |      THEN 1 ELSE 0 END AS tk
+           |  FROM i$r),
+           |x$r AS (SELECT w, f, pos,
+           |    CASE WHEN tk = 1
+           |         THEN sym || lead(sym) OVER (PARTITION BY w ORDER BY pos)
+           |         ELSE sym END AS sym,
+           |    coalesce(lag(tk) OVER (PARTITION BY w ORDER BY pos), 0) AS consumed
+           |  FROM g$r),
+           |s${r + 1} AS (SELECT w, f,
+           |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+           |  FROM x$r WHERE consumed = 0)""".stripMargin
+    }
+    val rounds = (1 to k).map(r => round(r, r == k)).mkString(",\n")
+    val out = (1 to k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
+        s"pa AS sym_a, pb AS sym_b, n FROM o$r")
+      .mkString("\nUNION ALL ")
+    s"$init,\n$rounds\n$out"
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -2262,5 +2315,22 @@ object NorthStar {
         .distinct()
         .groupBy(col("cohort_day"), col("day_offset"))
         .agg(count(lit(1)).as("n_active"))
+    },
+
+    // ----- n67: BPE tokenizer training loop ------------------------------
+    // The full k-round fixed point (Sennrich et al. 2016) that n57's
+    // single candidate-mining round belongs to: count pairs → merge the
+    // argmax everywhere → recount, 5 rounds, emitting the ordered merge
+    // table. Corpus reduces to the weighted vocabulary once; every
+    // round is vocab-sized with a TakeOrdered(1) argmax bound into the
+    // merge lambda via a broadcast 1-row crossJoin (no data-path
+    // collect), localCheckpoint + eager release per round (the n30/n58
+    // iterative discipline). The oracle unrolls the same 5 rounds over
+    // a positional symbol table — both sides are deterministic via the
+    // (n DESC, pair ASC) tie-break. See operators/BpeTrainer.
+    QuerySpec(
+      "n67_bpe_train",
+      bpeTrainSql(5)) { (s, d) =>
+      BpeTrainer.train(t(s, d, "documents"), "text", 5)
     })
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class BpeTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side reference BPE: same greedy-leftmost fold, same
+    * (count DESC, pair ASC) tie-break. */
+  private def refTrain(words: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] =
+      words.groupBy(identity).map { case (w, ws) =>
+        w.split("").toSeq -> ws.size.toLong
+      }
+    (1 to k).map { r =>
+      val counts = vocab.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      vocab = vocab.map { case (syms, f) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (a + b)
+          else acc :+ x
+        } -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap // merged forms may collide
+      (r.toLong, a, b, n)
+    }
+  }
+
+  private def train(words: Seq[String], k: Int) =
+    BpeTrainer.train(words.map(w => Tuple1(w)).toDF("text"), "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+      .sortBy(_._1)
+
+  test("matches the reference trainer on a hand-checkable corpus") {
+    // 'lo' appears in low/lower/lowest (5+4+3=12 times via word freqs)
+    val words = Seq.fill(5)("low") ++ Seq.fill(4)("lower") ++
+      Seq.fill(3)("lowest") ++ Seq.fill(2)("newer") ++ Seq.fill(6)("wider")
+    val got = train(words, 5)
+    assert(got === refTrain(words, 5))
+    // first merge is (e,r): newer+wider+lower = 2+6+4 = 12, ties with
+    // (l,o)/(o,w) at 12 but 'er' wins the lexicographic tie-break
+    assert(got.head === ((1L, "e", "r", 12L)))
+  }
+
+  test("greedy-leftmost overlap: runs of a repeated symbol merge pairwise") {
+    // 'aaaa' under merge (a,a) must become [aa][aa], not three overlaps
+    val words = Seq.fill(3)("aaaa") ++ Seq.fill(1)("aab")
+    val got = train(words, 2)
+    assert(got === refTrain(words, 2))
+    // round 1: (a,a) appears 3*3 + 1 = 10 times
+    assert(got.head === ((1L, "a", "a", 10L)))
+    // round 2 on ['aa','aa'] x3 + ['aa','b']: pair (aa,aa)=3, (aa,b)=1
+    assert(got(1) === ((2L, "aa", "aa", 3L)))
+  }
+
+  test("deterministic across runs and frequency-monotone on mixed corpora") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val words = Seq.fill(300)(
+      (0 to rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    val g1 = train(words, 6)
+    val g2 = train(words, 6)
+    assert(g1 === g2)
+    assert(g1 === refTrain(words, 6))
+    // merge counts never increase with rank: a merge's new pairs are
+    // bounded by its own occurrence count
+    val ns = g1.map(_._4)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("releases every per-round checkpoint except the merge-table rows") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = BpeTrainer.train(
+      Seq.fill(50)("abcabc").map(Tuple1(_)).toDF("text"), "text", 4)
+    out.collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // k 1-row argmax checkpoints remain referenced by the result; the
+    // vocab-sized symbol tables must all be gone
+    assert(leaked.size <= 4)
+  }
+}
