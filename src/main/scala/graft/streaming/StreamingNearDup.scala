@@ -31,7 +31,7 @@ import graft.operators.TextOps
   *     equality semantics are identical and SQL-side FNV would overflow
   *     under ANSI mode, where the JVM aggregate wraps silently.
   *
-  *  2. [[streamingCandidatePairs]] — bucket memory on Spark 4's
+  *  2. [[streamingCandidateEvents]] — bucket memory on Spark 4's
   *     transformWithState (RocksDB state): one ListState[Long] of seen
   *     doc ids per (band, bucket) key, capped at `maxPerBucket`. Each
   *     arriving doc emits a candidate pair against every remembered
@@ -40,10 +40,23 @@ import graft.operators.TextOps
   *     independently of text size, and the cap bounds it against
   *     degenerate buckets (boilerplate floods); past the cap a new doc
   *     still PROBES the bucket (pairs against the stored occupants) but
-  *     is not stored — the same bounded-bucket tradeoff batch LSH
-  *     implementations take, disclosed rather than unbounded. For a
-  *     dedup horizon (near-dup only vs the last N days), pass a
-  *     [[TTLConfig]] instead of NONE — nothing else changes.
+  *     is not stored. That recall loss is OBSERVABLE, not silent: a
+  *     `saturated` event is emitted per unstored (doc, bucket), so
+  *     operators can size `maxPerBucket` from real traffic instead of
+  *     discovering missed pairs downstream.
+  *
+  * Retention: with `ttl = None` the bucket memory is lifetime — the
+  * corpus-admission-gate semantic, where state grows with the count of
+  * DISTINCT buckets forever. For an unbounded feed pass a TTL: entries
+  * expire `ttl` after the batch that stored them (RocksDB TTL state,
+  * enforced on read and compacted in the background), so state size
+  * plateaus at O(buckets-touched-per-horizon × cap) and a document
+  * only matches near-dups admitted within the horizon. The trade is
+  * explicit: TTL bounds state; anything older than the horizon is
+  * forgotten and WILL be re-admitted — pick the horizon from the dedup
+  * contract (e.g. "no near-dup within 30 days"), not from memory
+  * pressure alone (that's what `maxPerBucket` is for). Expiry also
+  * re-opens saturated buckets: the cap check counts live entries only.
   *
   * Output pairs repeat once per shared band (exactly like the batch
   * candidate join before its `distinct()`); consumers dedupe with
@@ -59,6 +72,13 @@ object StreamingNearDup {
   final case class DocText(doc_id: Long, text: String)
   final case class BandKeyRow(bucket: String, doc_id: Long)
   final case class CandidatePair(id_a: Long, id_b: Long)
+
+  /** The full event stream: `kind = "pair"` is a candidate (id_a < id_b,
+    * `bucket` = the colliding LSH bucket); `kind = "saturated"` reports
+    * a doc (`id_a`) that PROBED but could not be STORED in a full
+    * `bucket` (`id_b` = the cap at the time) — aggregate these per
+    * bucket/time to size `maxPerBucket` from observed traffic. */
+  final case class BucketEvent(kind: String, id_a: Long, id_b: Long, bucket: String)
 
   /** Per-row minhash signatures: (doc_id, sig array[numHashes]).
     * Documents with no shingles (shorter than the shingle width) are
@@ -111,53 +131,82 @@ object StreamingNearDup {
       .select(col("bucket"), col("doc_id"))
   }
 
-  /** Bucket memory: remembers up to `maxPerBucket` doc ids per LSH
-    * bucket and pairs every arrival against them. No TTL — a corpus
-    * admission gate is lifetime; pass a TTL for a dedup horizon. */
-  private class BucketProcessor(maxPerBucket: Int)
-    extends StatefulProcessor[String, BandKeyRow, CandidatePair] {
+  /** Bucket memory: remembers up to `maxPerBucket` LIVE doc ids per LSH
+    * bucket and pairs every arrival against them; emits `saturated`
+    * events for arrivals a full bucket could not store. With a TTL,
+    * `seen.get()` returns only unexpired entries, so eviction is
+    * transparent here — expired occupants stop matching AND stop
+    * counting against the cap. */
+  private class BucketProcessor(maxPerBucket: Int, ttl: TTLConfig)
+    extends StatefulProcessor[String, BandKeyRow, BucketEvent] {
     @transient private var seen: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getListState[Long](
-        "seen", Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttl)
 
     override def handleInputRows(
         bucket: String,
         rows: Iterator[BandKeyRow],
-        timerValues: TimerValues): Iterator[CandidatePair] = {
+        timerValues: TimerValues): Iterator[BucketEvent] = {
       val prior = seen.get().toVector
       val priorSet = prior.toSet
       val fresh = rows.map(_.doc_id).toVector.distinct
         .filterNot(priorSet)
-      val out = Vector.newBuilder[CandidatePair]
+      val out = Vector.newBuilder[BucketEvent]
       fresh.zipWithIndex.foreach { case (n, i) =>
         (prior.iterator ++ fresh.iterator.take(i)).foreach { p =>
-          out += CandidatePair(math.min(p, n), math.max(p, n))
+          out += BucketEvent("pair", math.min(p, n), math.max(p, n), bucket)
         }
       }
       val room = maxPerBucket - prior.size
       if (room > 0 && fresh.nonEmpty)
         seen.appendList(fresh.take(room).toArray)
+      fresh.drop(math.max(room, 0)).foreach { n =>
+        out += BucketEvent("saturated", n, maxPerBucket.toLong, bucket)
+      }
       out.result().iterator
     }
   }
 
-  /** Streaming candidate pairs over a document feed: stateless per-row
-    * sketch → band-key explode → stateful bucket memory. Requires the
-    * RocksDB state store provider (transformWithState mandates it). */
+  /** The full event stream (pairs + saturation signals) over a document
+    * feed: stateless per-row sketch → band-key explode → stateful bucket
+    * memory. Requires the RocksDB state store provider
+    * (transformWithState mandates it). `ttl` bounds the memory to a
+    * dedup horizon (processing-time based); None = lifetime. */
+  def streamingCandidateEvents(
+      docs: Dataset[DocText],
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxPerBucket: Int = 64,
+      ttl: Option[java.time.Duration] = None): Dataset[BucketEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val processor = new BucketProcessor(
+      maxPerBucket, ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    bandKeys(docs.toDF(), "doc_id", "text", shingleWidth, numHashes, bands)
+      .as[BandKeyRow]
+      .groupByKey(_.bucket)
+      .transformWithState(
+        processor,
+        // TTL state requires a clock; otherwise stay time-mode-free
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Candidate pairs only — the original surface, now a filter over
+    * [[streamingCandidateEvents]]. */
   def streamingCandidatePairs(
       docs: Dataset[DocText],
       shingleWidth: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+      maxPerBucket: Int = 64,
+      ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bandKeys(docs.toDF(), "doc_id", "text", shingleWidth, numHashes, bands)
-      .as[BandKeyRow]
-      .groupByKey(_.bucket)
-      .transformWithState(
-        new BucketProcessor(maxPerBucket), TimeMode.None(), OutputMode.Append())
+    streamingCandidateEvents(docs, shingleWidth, numHashes, bands, maxPerBucket, ttl)
+      .filter(_.kind == "pair")
+      .map(e => CandidatePair(e.id_a, e.id_b))
   }
 }

@@ -137,6 +137,100 @@ class StreamingNearDupSpec extends SparkTestBase {
     }
   }
 
+  test("saturation is observable: a full bucket still probes but reports the unstored doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBStateStore {
+      val mem = MemoryStream[DocText]
+      val events = StreamingNearDup.streamingCandidateEvents(mem.toDS(), maxPerBucket = 1)
+      val q = events.writeStream.format("memory")
+        .queryName("neardup_sat").outputMode("append").start()
+      mem.addData(DocText(1L, base))
+      q.processAllAvailable()
+      // identical text → same bucket in every band; cap 1 means doc 2
+      // probes (pairs with 1) but cannot be stored anywhere
+      mem.addData(DocText(2L, base))
+      q.processAllAvailable()
+      // doc 3 must STILL pair against the stored doc 1 — saturation
+      // loses doc 2's membership, not the bucket's function
+      mem.addData(DocText(3L, base))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_sat")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val pairs = got.filter(_._1 == "pair").map(e => (e._2, e._3)).toSet
+      assert(pairs === Set((1L, 2L), (1L, 3L)),
+        s"stored doc 1 pairs with both later arrivals, got $pairs")
+      val sat = got.filter(_._1 == "saturated")
+      // 16 bands × one full bucket each, for doc 2 and doc 3
+      assert(sat.count(_._2 == 2L) === 16 && sat.count(_._2 == 3L) === 16,
+        s"each unstored (doc, bucket) must be reported, got ${sat.toSeq}")
+      assert(sat.forall(_._3 == 1L), "id_b carries the cap for sizing")
+    }
+  }
+
+  test("TTL horizon: expired occupants stop matching and stop counting against the cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ProcessingTime time mode makes shouldRunAnotherBatch always true,
+    // so neither processAllAvailable nor AvailableNow ever quiesces —
+    // batch completion is observed through SENTINEL PAIRS instead: each
+    // wave ships two copies of the same text, whose mutual pair row
+    // appearing in the sink proves the wave was processed.
+    def pollUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(200)
+      }
+    }
+    withRocksDBStateStore {
+      val mem = MemoryStream[DocText]
+      // 2s TTL: wide enough that wave 3 lands inside wave 2's horizon
+      // despite trigger/poll latency, short enough to age wave 1 out
+      // with a 5s sleep
+      val q = StreamingNearDup.streamingCandidateEvents(
+        mem.toDS(), maxPerBucket = 1,
+        ttl = Some(java.time.Duration.ofMillis(2000)))
+        .writeStream.format("memory")
+        .queryName("neardup_ttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+      try {
+        def events() = spark.table("neardup_ttl")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        def pairs() = events().filter(_._1 == "pair").map(e => (e._2, e._3)).toSet
+
+        // wave 1: docs 1+6 (same text) — (1,6) in the sink = wave done
+        mem.addData(DocText(1L, base), DocText(6L, base))
+        pollUntil("wave 1 sentinel")(pairs().contains((1L, 6L)))
+        Thread.sleep(5000) // age wave 1 past the 2s horizon
+
+        // wave 2: docs 2+5 (same text, near-dup of wave 1's)
+        mem.addData(DocText(2L, nearDup), DocText(5L, nearDup))
+        pollUntil("wave 2 sentinel")(pairs().contains((2L, 5L)))
+        val cross12 = pairs().filter(p =>
+          Set(1L, 6L).contains(p._1) && Set(2L, 5L).contains(p._2))
+        assert(cross12.isEmpty,
+          s"wave 1 is past the horizon and must not pair, got $cross12")
+        // expired entries must not hold the cap: with cap 1 and wave 1
+        // expired, exactly ONE of {2,5} is stored, not zero
+        val sat2 = events().filter(e =>
+          e._1 == "saturated" && Set(2L, 5L).contains(e._2)).map(_._2).toSet
+        assert(sat2.size === 1,
+          s"one of wave 2 stored, one saturated; saturated ids: $sat2")
+
+        // wave 3 (inside the horizon): doc 4 must pair with the stored
+        // wave-2 doc — the memory still works within the TTL window
+        mem.addData(DocText(4L, nearDup))
+        pollUntil("wave 3 pairs with stored wave-2 doc")(
+          pairs().exists(p => p == ((2L, 4L)) || p == ((4L, 5L))))
+        assert(!pairs().exists(p => Set(1L, 6L).contains(p._1) && p._2 == 4L),
+          s"expired wave 1 must not pair with wave 3, got ${pairs()}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming equals batch: same candidate set when everything is one batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
