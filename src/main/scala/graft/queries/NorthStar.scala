@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.functions.SketchAggregates
 import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
   * brief): dedup (exact, key-scoped, MinHash-LSH, SimHash,
@@ -2332,5 +2332,49 @@ object NorthStar {
       "n67_bpe_train",
       bpeTrainSql(5)) { (s, d) =>
       BpeTrainer.train(t(s, d, "documents"), "text", 5)
+    },
+
+    // ----- n68: online near-dup, batch parity ---------------------------
+    // The STREAMING component's candidate semantics certified through
+    // the batch gate: StreamingNearDup.bandKeys is the same per-row HOF
+    // sketch the stream evaluates (bit-identical to the batch aggregate
+    // — StreamingNearDupSpec), and the bucket self-join enumerates
+    // exactly the pairs the stream's bucket memory would emit across
+    // micro-batches (parity proven in the same spec). Candidates are a
+    // probabilistic superset cut, so the reported set goes through the
+    // exact-Jaccard verify (n3 discipline) and the oracle is the exact
+    // answer. Both multiply-consumed relations persist (Verify/Bench
+    // clear the cache between queries).
+    QuerySpec(
+      "n68_online_neardup",
+      s"""WITH $shingleCte,
+         |${jaccardPairsSql(0.8)}""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val bk = StreamingNearDup.bandKeys(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = bk.alias("l")
+        .join(bk.alias("r"),
+          col("l.bucket") === col("r.bucket") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .distinct()
+      val shingled = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .select(col("doc_id"),
+          TextOps.shinglesFromTokens(col("graft__ws"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      candidates
+        .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("graft__i",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", col("graft__i").cast("double") /
+          (size(col("sh_a")).cast("long") +
+            size(col("sh_b")).cast("long") - col("graft__i")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     })
 }
