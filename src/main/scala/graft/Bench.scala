@@ -107,6 +107,10 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json)
+    // second file-based handoff shot for the driver (BENCH_r01-r05 all
+    // recorded parsed:null from sbt stdout scraping): a sidecar named
+    // for the stream it mirrors
+    Files.writeString(Paths.get("BENCH.json.stdout"), json)
     spark.stop()
     // Driver handoff hardening (BENCH_r01-r04 all recorded parsed:null):
     // the JSON printed above can be followed by Spark teardown log lines

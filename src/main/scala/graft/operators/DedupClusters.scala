@@ -52,7 +52,8 @@ object DedupClusters {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
     val e = edges.select(
       col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
@@ -62,10 +63,9 @@ object DedupClusters {
     // exponentially — the classic Spark iterative-algorithm trap
     // (GraphX/GraphFrames checkpoint for the same reason). After the
     // checkpoint every round plans against a fresh leaf relation. A
-    // fault-tolerant deployment would swap this for a reliable
-    // checkpoint dir or a staging table (cf. MinHashNearDup
-    // stagedMaterializer); the content (label pairs) is tiny relative
-    // to the corpus either way.
+    // fault-tolerant deployment passes `reliableCheckpointDir` (tested
+    // code path, see DedupClustersSpec); the content (label pairs) is
+    // tiny relative to the corpus either way.
     //
     // Superseded rounds are unpersisted EAGERLY (GraphX does the same):
     // checkpoint blocks are only reclaimed by driver GC + ContextCleaner
@@ -73,12 +73,23 @@ object DedupClusters {
     // storage. A checkpointed round's blocks are its ONLY copy (the
     // lineage is truncated), so only rounds no longer referenced may be
     // released — never the current one or the returned result.
+    //
+    // `reliableCheckpointDir` swaps localCheckpoint for a RELIABLE
+    // checkpoint (files under the given dir, typically HDFS/object
+    // storage): rounds survive executor loss, the documented 100 TB
+    // deployment mode. Reliable rounds hold no executor storage, so
+    // release is a no-op there; the files are caller-managed (delete
+    // the dir after consuming the result) — Spark only reclaims them
+    // on context shutdown with the cleaner enabled.
     val sc = edges.sparkSession.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet -- before)
-    }
+    reliableCheckpointDir.foreach(sc.setCheckpointDir)
+    def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) =
+      if (reliableCheckpointDir.isDefined) (df.checkpoint(), Set.empty)
+      else {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        (out, sc.getPersistentRDDs.keySet -- before)
+      }
     def release(ids: scala.collection.Set[Int]): Unit = ids.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
     }

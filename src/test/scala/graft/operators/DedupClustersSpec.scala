@@ -91,6 +91,21 @@ class DedupClustersSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("reliable-checkpoint mode: same components, rounds written to the dir") {
+    val dir = "target/dedup_reliable_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val edges = (0L until 19L).map(i => i -> (i + 1)) ++
+      Seq(30L -> 31L, 31L -> 32L)
+    val got = DedupClusters.components(
+      edgesDf(edges), "a", "b", reliableCheckpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unionFind(edges))
+    // the 100 TB mode actually wrote its rounds to the reliable dir
+    val files = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), null, true)
+    assert(!files.isEmpty, "reliable checkpoint dir must contain round files")
+  }
+
   test("keepOnePerCluster tags exactly the minimum id per component") {
     val pairs = edgesDf(Seq(10L -> 11L, 11L -> 12L, 20L -> 21L))
       .withColumnRenamed("a", "id_a").withColumnRenamed("b", "id_b")

@@ -220,4 +220,49 @@ class WarehouseSpec extends SparkTestBase {
     assert(spark.read.parquet(zed).except(df).isEmpty &&
       df.except(spark.read.parquet(zed)).isEmpty)
   }
+
+  test("s20 z-order: pruning survives SKEWED key distributions") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.operators.ZOrder
+    // power-law keys: cubing a uniform [0,1) concentrates half the rows
+    // in the bottom ~1/8 of the key space on BOTH dims — the hot-head /
+    // long-tail shape real ids and timestamps have. repartitionByRange
+    // samples the z-values, so files stay row-balanced: the hot region
+    // gets fine z-slices (tiny envelopes), the sparse tail wide ones.
+    val n = 20000L
+    def u(i: Long, salt: Long): Double =
+      ((java.lang.Long.reverse(i * 2654435761L + salt) >>> 14).toDouble
+        / (1L << 50).toDouble)
+    val df = (0L until n)
+      .map(i => (
+        (1024 * math.pow(u(i, 1L), 3)).toLong,
+        (1024 * math.pow(u(i, 2L), 3)).toLong))
+      .toDF("k1", "k2")
+    val zed = "target/test-sinks/zorder_skew"
+    // 16 files: 4 curve splits — z-order needs enough slices that the
+    // hot region separates from the tail (8 left a full-range slice)
+    ZOrder.cluster(df, zed, "k1", "k2", nFiles = 16, bits = 10)
+    // row-weighted spans: what a scan actually prunes — most ROWS must
+    // sit in narrow-envelope files even though tail files stay wide
+    val perFile = Files.list(Paths.get(zed)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(count(lit(1)),
+            max(col("k1")) - min(col("k1")),
+            max(col("k2")) - min(col("k2"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    assert(perFile.size > 1)
+    def weighted(span: ((Long, Long, Long)) => Long) =
+      perFile.map(t => t._1.toDouble * span(t)).sum / n
+    assert(weighted(_._2) < 400,
+      s"row-weighted k1 envelope must stay narrow under skew: $perFile")
+    assert(weighted(_._3) < 400,
+      s"row-weighted k2 envelope must stay narrow under skew: $perFile")
+    // content intact (layout-only operator, skew or not)
+    assert(spark.read.parquet(zed).except(df).isEmpty &&
+      df.except(spark.read.parquet(zed)).isEmpty)
+  }
 }
