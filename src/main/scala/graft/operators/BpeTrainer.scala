@@ -42,6 +42,11 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** `merges`: (merge_rank, sym_a, sym_b, n), one row per round.
+    * `vocab`: (w, f, syms) — the weighted vocabulary with every merge
+    * applied, i.e. the trained tokenizer's encoding of each word. */
+  final case class TrainResult(merges: DataFrame, vocab: DataFrame)
+
   /** The merge-application fold: references `a`/`b` (the round's chosen
     * pair) as COLUMNS bound by the broadcast crossJoin. */
   private val mergeFold =
@@ -53,9 +58,30 @@ object BpeTrainer {
       |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
       |    ELSE concat(acc, array(x)) END)""".stripMargin
 
+  private def release(
+      sc: org.apache.spark.SparkContext,
+      ids: scala.collection.Set[Int]): Unit = ids.foreach { id =>
+    sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+  }
+
   /** Train `k` merges over the whitespace-token vocabulary of
-    * `docs(textCol)`. */
+    * `docs(textCol)`; the encoded vocabulary is released. */
   def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val (result, vocabIds) = trainImpl(docs, textCol, k)
+    // the final symbol table is not part of the merges output
+    release(docs.sparkSession.sparkContext, vocabIds)
+    result.merges
+  }
+
+  /** Train AND keep the encoded vocabulary (checkpointed — the caller
+    * owns its lifetime; Verify/Bench clear the cache between queries). */
+  def trainVocab(docs: DataFrame, textCol: String, k: Int): TrainResult =
+    trainImpl(docs, textCol, k)._1
+
+  private def trainImpl(
+      docs: DataFrame,
+      textCol: String,
+      k: Int): (TrainResult, scala.collection.Set[Int]) = {
     require(k > 0, "k must be positive")
     val sc = docs.sparkSession.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
@@ -63,21 +89,19 @@ object BpeTrainer {
       val out = df.localCheckpoint()
       (out, sc.getPersistentRDDs.keySet -- before)
     }
-    def release(ids: scala.collection.Set[Int]): Unit = ids.foreach { id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
-    }
 
-    // corpus → weighted vocab → initial character symbols (guarded:
-    // Spark's sequence(1, 0) descends rather than returning empty)
+    // corpus → weighted vocab → initial character symbols. Empty words
+    // (consecutive separators) are excluded: they carry no symbols, so
+    // they can neither merge nor count — and the SQL twin's positional
+    // table drops them implicitly, so excluding keeps parity exact.
     var (syms, symsIds) = checkpointed(
       docs
         .select(explode(TextOps.tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) >= 1)
         .groupBy(col("w"))
         .agg(count(lit(1)).as("f"))
         .select(col("w"), col("f"),
-          expr("""CASE WHEN length(w) >= 1
-                 |THEN transform(sequence(1, length(w)), i -> substring(w, i, 1))
-                 |ELSE cast(array() as array<string>) END""".stripMargin)
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
             .as("syms")))
 
     val rounds = (1 to k).map { r =>
@@ -93,7 +117,7 @@ object BpeTrainer {
         syms
           .crossJoin(broadcast(top.select(col("a"), col("b"))))
           .select(col("w"), col("f"), expr(mergeFold).as("syms")))
-      release(symsIds)
+      release(sc, symsIds)
       syms = next
       symsIds = nextIds
       // topIds stay persisted: the returned merge table references them
@@ -101,8 +125,6 @@ object BpeTrainer {
       top.select(lit(r.toLong).as("merge_rank"),
         col("a").as("sym_a"), col("b").as("sym_b"), col("n"))
     }
-    val out = rounds.reduce(_ union _)
-    release(symsIds) // the final symbol table is not part of the output
-    out
+    (TrainResult(rounds.reduce(_ union _), syms), symsIds)
   }
 }

@@ -157,57 +157,75 @@ object NorthStar {
       .select(col("doc_id"), col("fp"))
       .distinct()
 
-  /** DuckDB twin of [[BpeTrainer.train]]: k unrolled rounds over a
-    * positional symbol table. The merge application mirrors the Spark
-    * fold's greedy-leftmost semantics positionally — matches are
-    * islanded (consecutive matches only occur when the pair is (a,a))
-    * and taken at even offsets from the island start, which is exactly
-    * what consuming left-to-right does. */
+  /** DuckDB twin of [[BpeTrainer]]: k unrolled rounds over a positional
+    * symbol table. The merge application mirrors the Spark fold's
+    * greedy-leftmost semantics positionally — matches are islanded
+    * (consecutive matches only occur when the pair is (a,a)) and taken
+    * at even offsets from the island start, which is exactly what
+    * consuming left-to-right does. */
+  private val bpeInitSql =
+    """WITH wf AS (SELECT w, count(*) AS f FROM (
+      |       SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |     WHERE length(w) >= 1 GROUP BY w),
+      |s1 AS (SELECT w, f, pos, substr(w, pos, 1) AS sym FROM (
+      |       SELECT w, f, unnest(generate_series(1, length(w))) AS pos
+      |       FROM wf))""".stripMargin
+
+  private def bpeRoundSql(r: Int, applyMerge: Boolean): String = {
+    val pick =
+      s"""pc$r AS (SELECT x.sym AS pa, y.sym AS pb, CAST(sum(x.f) AS BIGINT) AS n
+         |  FROM s$r x JOIN s$r y ON x.w = y.w AND y.pos = x.pos + 1
+         |  GROUP BY 1, 2),
+         |o$r AS (SELECT pa, pb, n FROM pc$r ORDER BY n DESC, pa, pb LIMIT 1)""".stripMargin
+    if (!applyMerge) pick
+    else pick + "," +
+      s"""
+         |m$r AS (SELECT s.w, s.f, s.pos, s.sym,
+         |    CASE WHEN s.sym = o.pa
+         |         AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = o.pb
+         |    THEN 1 ELSE 0 END AS ms
+         |  FROM s$r s CROSS JOIN o$r o),
+         |i$r AS (SELECT *, CASE WHEN ms = 1
+         |      THEN pos - row_number() OVER (PARTITION BY w, ms ORDER BY pos) END AS isl
+         |  FROM m$r),
+         |g$r AS (SELECT *, CASE WHEN ms = 1
+         |      AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0
+         |      THEN 1 ELSE 0 END AS tk
+         |  FROM i$r),
+         |x$r AS (SELECT w, f, pos,
+         |    CASE WHEN tk = 1
+         |         THEN sym || lead(sym) OVER (PARTITION BY w ORDER BY pos)
+         |         ELSE sym END AS sym,
+         |    coalesce(lag(tk) OVER (PARTITION BY w ORDER BY pos), 0) AS consumed
+         |  FROM g$r),
+         |s${r + 1} AS (SELECT w, f,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+         |  FROM x$r WHERE consumed = 0)""".stripMargin
+  }
+
+  /** The trained merge table (n67). */
   private def bpeTrainSql(k: Int): String = {
-    val init =
-      """WITH wf AS (SELECT w, count(*) AS f FROM (
-        |       SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |     GROUP BY w),
-        |s1 AS (SELECT w, f, pos, substr(w, pos, 1) AS sym FROM (
-        |       SELECT w, f, unnest(generate_series(1, length(w))) AS pos
-        |       FROM wf))""".stripMargin
-    def round(r: Int, last: Boolean): String = {
-      val pick =
-        s"""pc$r AS (SELECT x.sym AS pa, y.sym AS pb, CAST(sum(x.f) AS BIGINT) AS n
-           |  FROM s$r x JOIN s$r y ON x.w = y.w AND y.pos = x.pos + 1
-           |  GROUP BY 1, 2),
-           |o$r AS (SELECT pa, pb, n FROM pc$r ORDER BY n DESC, pa, pb LIMIT 1)""".stripMargin
-      if (last) pick
-      else pick + "," +
-        s"""
-           |m$r AS (SELECT s.w, s.f, s.pos, s.sym,
-           |    CASE WHEN s.sym = o.pa
-           |         AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = o.pb
-           |    THEN 1 ELSE 0 END AS ms
-           |  FROM s$r s CROSS JOIN o$r o),
-           |i$r AS (SELECT *, CASE WHEN ms = 1
-           |      THEN pos - row_number() OVER (PARTITION BY w, ms ORDER BY pos) END AS isl
-           |  FROM m$r),
-           |g$r AS (SELECT *, CASE WHEN ms = 1
-           |      AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0
-           |      THEN 1 ELSE 0 END AS tk
-           |  FROM i$r),
-           |x$r AS (SELECT w, f, pos,
-           |    CASE WHEN tk = 1
-           |         THEN sym || lead(sym) OVER (PARTITION BY w ORDER BY pos)
-           |         ELSE sym END AS sym,
-           |    coalesce(lag(tk) OVER (PARTITION BY w ORDER BY pos), 0) AS consumed
-           |  FROM g$r),
-           |s${r + 1} AS (SELECT w, f,
-           |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
-           |  FROM x$r WHERE consumed = 0)""".stripMargin
-    }
-    val rounds = (1 to k).map(r => round(r, r == k)).mkString(",\n")
+    val rounds = (1 to k).map(r => bpeRoundSql(r, applyMerge = r < k))
+      .mkString(",\n")
     val out = (1 to k)
       .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, " +
         s"pa AS sym_a, pb AS sym_b, n FROM o$r")
       .mkString("\nUNION ALL ")
-    s"$init,\n$rounds\n$out"
+    s"$bpeInitSql,\n$rounds\n$out"
+  }
+
+  /** The corpus encoded with all k merges applied, rolled up to
+    * compression stats (n69). */
+  private def bpeEncodeSql(k: Int): String = {
+    val rounds = (1 to k).map(r => bpeRoundSql(r, applyMerge = true))
+      .mkString(",\n")
+    s"""$bpeInitSql,
+       |$rounds,
+       |agg AS (SELECT w, f, count(*) AS nsym FROM s${k + 1} GROUP BY w, f)
+       |SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f * length(w)) AS BIGINT) AS symbols_before,
+       |  CAST(sum(f * nsym) AS BIGINT) AS symbols_after
+       |FROM agg""".stripMargin
   }
 
   val all: Seq[QuerySpec] = Seq(
@@ -2332,6 +2350,26 @@ object NorthStar {
       "n67_bpe_train",
       bpeTrainSql(5)) { (s, d) =>
       BpeTrainer.train(t(s, d, "documents"), "text", 5)
+    },
+
+    // ----- n69: BPE corpus encoding (compression stats) -----------------
+    // The other half of tokenizer training: APPLY the trained merge
+    // table to the corpus and measure what it bought — weighted symbol
+    // counts before (characters) and after (merged subwords). Encoding
+    // is the same map-only greedy fold the trainer iterates, run over
+    // the weighted vocabulary, so the corpus is never re-scanned; the
+    // oracle replays all 5 unrolled rounds and aggregates the final
+    // positional table. Certifies merge APPLICATION end-to-end, where
+    // n67 certifies merge SELECTION.
+    QuerySpec(
+      "n69_bpe_compression",
+      bpeEncodeSql(5)) { (s, d) =>
+      BpeTrainer.trainVocab(t(s, d, "documents"), "text", 5)
+        .vocab
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("f") * length(col("w")).cast("long")).as("symbols_before"),
+          sum(col("f") * size(col("syms")).cast("long")).as("symbols_after"))
     },
 
     // ----- n68: online near-dup, batch parity ---------------------------

@@ -6,13 +6,16 @@ class BpeTrainerSpec extends SparkTestBase {
   import spark.implicits._
 
   /** Driver-side reference BPE: same greedy-leftmost fold, same
-    * (count DESC, pair ASC) tie-break. */
-  private def refTrain(words: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    * (count DESC, pair ASC) tie-break. Returns the merge table and the
+    * fully-encoded vocabulary. */
+  private def refTrainVocab(
+      words: Seq[String],
+      k: Int): (Seq[(Long, String, String, Long)], Map[Seq[String], Long]) = {
     var vocab: Map[Seq[String], Long] =
       words.groupBy(identity).map { case (w, ws) =>
         w.split("").toSeq -> ws.size.toLong
       }
-    (1 to k).map { r =>
+    val merges = (1 to k).map { r =>
       val counts = vocab.toSeq.flatMap { case (syms, f) =>
         syms.zip(syms.tail).map(p => p -> f)
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
@@ -26,7 +29,11 @@ class BpeTrainerSpec extends SparkTestBase {
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap // merged forms may collide
       (r.toLong, a, b, n)
     }
+    (merges, vocab)
   }
+
+  private def refTrain(words: Seq[String], k: Int): Seq[(Long, String, String, Long)] =
+    refTrainVocab(words, k)._1
 
   private def train(words: Seq[String], k: Int) =
     BpeTrainer.train(words.map(w => Tuple1(w)).toDF("text"), "text", k)
@@ -70,6 +77,25 @@ class BpeTrainerSpec extends SparkTestBase {
     // bounded by its own occurrence count
     val ns = g1.map(_._4)
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("trainVocab: encoded vocabulary matches the reference encoder") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(200)(
+      (0 to rnd.nextInt(5)).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    val got = BpeTrainer.trainVocab(
+      words.map(Tuple1(_)).toDF("text"), "text", 4)
+    val gotVocab = got.vocab.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getSeq[String](2).toVector))
+    val (_, refVocab) = refTrainVocab(words, 4)
+    // symbols concatenate back to the word, and each word's encoding
+    // equals the reference encoder's
+    gotVocab.foreach { case (w, f, syms) =>
+      assert(syms.mkString === w, s"symbols must reassemble '$w'")
+      assert(refVocab.getOrElse(syms, -1L) === f,
+        s"encoding of '$w' ($syms) must appear in the reference vocab with freq $f")
+    }
+    assert(gotVocab.length === refVocab.size)
   }
 
   test("releases every per-round checkpoint except the merge-table rows") {
