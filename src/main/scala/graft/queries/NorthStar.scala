@@ -2372,6 +2372,54 @@ object NorthStar {
           sum(col("f") * size(col("syms")).cast("long")).as("symbols_after"))
     },
 
+    // ----- n70: leakage-safe train/val/test split ------------------------
+    // The split hygiene step every eval pipeline needs and naive
+    // per-doc hashing gets wrong: a near-duplicate of a training doc in
+    // the eval split leaks the answer. Split by the md5 residue of the
+    // near-dup CLUSTER representative (n30's components), so every
+    // cluster member lands in the same split by construction; singleton
+    // docs hash their own id. Coordination-free at 100 TB: the decision
+    // is one map-side hash after the proven pair→cluster machinery, and
+    // the cluster relation (pairs only — tiny vs the corpus) left-joins
+    // the corpus on doc_id. 80/10/10 by residue bands. The oracle
+    // replays the recursive closure and the same residue rule.
+    QuerySpec(
+      "n70_leakage_safe_split",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS rep
+         |         FROM reach GROUP BY u),
+         |assign AS (
+         |  SELECT d.doc_id,
+         |    ${hex60("'split:' || CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)")}
+         |      % 100 AS r
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN r < 80 THEN 'train'
+         |       WHEN r < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM assign""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val comps = DedupClusters.components(
+        MinHashNearDup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("graft__rep"))
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("graft__r",
+          TextOps.hexHash60(concat(lit("split:"),
+            coalesce(col("graft__rep"), col("doc_id")).cast("string"))) % 100)
+        .select(col("doc_id"),
+          when(col("graft__r") < 80, "train")
+            .when(col("graft__r") < 90, "val")
+            .otherwise("test").as("split"))
+    },
+
     // ----- n68: online near-dup, batch parity ---------------------------
     // The STREAMING component's candidate semantics certified through
     // the batch gate: StreamingNearDup.bandKeys is the same per-row HOF
@@ -2388,7 +2436,18 @@ object NorthStar {
       s"""WITH $shingleCte,
          |${jaccardPairsSql(0.8)}""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val bk = StreamingNearDup.bandKeys(docs, "doc_id", "text")
+      // ONE shingle pass feeds both the stream's sketch expression and
+      // the exact verify (the per-row fold is the cost of this query —
+      // it is the point of it — but shingling twice wasn't)
+      val shingled = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .select(col("doc_id"),
+          TextOps.shinglesFromTokens(col("graft__ws"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bk = StreamingNearDup.bandKeysFromSignatures(
+        StreamingNearDup.signaturesFromShingles(
+          shingled.select(col("doc_id"), col("sh").as("graft__sh"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = bk.alias("l")
         .join(bk.alias("r"),
@@ -2396,12 +2455,6 @@ object NorthStar {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
         .distinct()
-      val shingled = docs
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
-        .select(col("doc_id"),
-          TextOps.shinglesFromTokens(col("graft__ws"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       candidates
         .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
           Seq("id_a"))

@@ -88,15 +88,24 @@ object StreamingNearDup {
       idCol: String,
       textCol: String,
       shingleWidth: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    signaturesFromShingles(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), shingleWidth)
+          .as("graft__sh")),
+      numHashes)
+
+  /** Signatures over a pre-shingled (doc_id, graft__sh) relation — lets
+    * a batch caller (n68) share one materialized shingle pass between
+    * the sketch and the exact verify. */
+  def signaturesFromShingles(
+      shingled: DataFrame,
       numHashes: Int = 64): DataFrame = {
     val ab = SketchAggregates.coefA(numHashes)
       .zip(SketchAggregates.coefB(numHashes))
       .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
       .mkString("array(", ",", ")")
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), shingleWidth)
-          .as("graft__sh"))
+    shingled
       .filter(size(col("graft__sh")) > 0)
       // 31-bit input hash, identical to MinHashBandSketch.update;
       // a*h+b < 2^62 + 2^31 so the fold is ANSI-overflow-safe
@@ -119,10 +128,19 @@ object StreamingNearDup {
       textCol: String,
       shingleWidth: Int = 3,
       numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    bandKeysFromSignatures(
+      signatures(docs, idCol, textCol, shingleWidth, numHashes),
+      numHashes, bands)
+
+  /** The band-key explode over a (doc_id, graft__sig) relation. */
+  def bandKeysFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    signatures(docs, idCol, textCol, shingleWidth, numHashes)
+    sigs
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
            |  b -> concat(b, ':',

@@ -19,6 +19,27 @@ class SparkEntrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("n70 split leaks no near-dup pair across splits (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    try {
+      val split = SparkEntry.queries("n70_leakage_safe_split")(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every doc assigned, to a sane distribution
+      assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+      assert(split.values.count(_ == "train") > split.size / 2)
+      // THE property: both ends of every near-dup pair share a split
+      val pairs = SparkEntry.queries("n3_minhash_neardup")(spark, d)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "fixture must contain near-dups to make the test real")
+      pairs.foreach { case (a, b) =>
+        assert(split(a) === split(b),
+          s"near-dup pair ($a,$b) split across ${split(a)}/${split(b)} — leakage")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("every query at least plans against sf0.001 (no analysis errors)") {
     try SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").queryExecution.analyzed
