@@ -291,6 +291,41 @@ class QueryPlansSpec extends SparkTestBase {
       s"token counts and stage rollup must partial-aggregate:\n$plan")
   }
 
+  test("x16 checksum: map-only scan into the two-level fold, one bucket shuffle") {
+    val plan = finalPlan(q("x16_table_checksum"))
+    // level 1 buckets by h % 8192 (ONE hashpartitioning exchange of
+    // ≤8192 groups), level 2 is the single-partition fold; both levels
+    // partial-aggregate map-side — the whole point of the redesign
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly the bucket shuffle:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"both fold levels need partial+final aggregates:\n$plan")
+    assert(!plan.contains("Join"), s"checksum must not join:\n$plan")
+  }
+
+  test("n68 online parity: one cached shingle pass; joins never carry text") {
+    val plan = finalPlan(q("n68_online_neardup"))
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"band keys and shingles must come from the shared caches:\n$plan")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("text#"),
+      s"document text reached a join:\n$joinLines")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
+
+  test("n70 leakage-safe split: cluster reps join on ids, split decision is map-side") {
+    val plan = finalPlan(q("n70_leakage_safe_split"))
+    assert(plan.contains("LeftOuter"),
+      s"corpus must LEFT join the (tiny) cluster relation:\n$plan")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("text#"),
+      s"document text reached a join:\n$joinLines")
+    // after the join, the assignment is hash+CASE — nothing may sort or
+    // shuffle the assigned corpus again
+    assert(!plan.matches("(?s).*Sort .*global=true.*"),
+      s"unexpected global sort:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
