@@ -106,11 +106,15 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    Files.writeString(Paths.get("BENCH.json"), json)
-    // second file-based handoff shot for the driver (BENCH_r01-r05 all
-    // recorded parsed:null from sbt stdout scraping): a sidecar named
-    // for the stream it mirrors
-    Files.writeString(Paths.get("BENCH.json.stdout"), json)
+    // dev-filtered/rep runs must never masquerade as the driver
+    // artifact — only the arg-less contract run writes the files
+    if (only.isEmpty && fixedReps.isEmpty) {
+      Files.writeString(Paths.get("BENCH.json"), json)
+      // second file-based handoff shot for the driver (BENCH_r01-r05
+      // all recorded parsed:null from sbt stdout scraping): a sidecar
+      // named for the stream it mirrors
+      Files.writeString(Paths.get("BENCH.json.stdout"), json)
+    }
     spark.stop()
     // Driver handoff hardening (BENCH_r01-r04 all recorded parsed:null):
     // the JSON printed above can be followed by Spark teardown log lines
