@@ -1071,6 +1071,58 @@ object NorthStar {
         nprobe = 2, k = 15)
     },
 
+    // ----- s23: IVF index as WAREHOUSE LAYOUT (partition-pruned probe) --
+    // n35/n43 compute the cell assignment per query; at 100 TB an IVF
+    // index IS a table layout — vectors written partitioned by their
+    // coarse-quantizer cell, so a probe reads nprobe/nlist of the data
+    // via CATALOG partition pruning (the s13 mechanism), touching no
+    // other file. Same cells, same ranking, same answer as n43 — what
+    // changes is WHERE the pruning happens: at the scan, before any
+    // row is read. The probe set is computed driver-side from the
+    // query point: the query vector is the ANN API's INPUT (a serving
+    // path receives it as a literal), and the probe-cell argmin is
+    // pure arithmetic on 16 centroid constants — not a data-path
+    // collect. Plan-pinned: PartitionFilters carries the probe set.
+    QuerySpec(
+      "s23_ivf_layout",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 2),
+         |p AS (SELECT list_transform(${ivfRankSql("qv")}, s -> s.i)[1:2] AS ps
+         |      FROM q),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings)
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+         |FROM c
+         |WHERE list_contains((SELECT ps FROM p), cell) AND vec_id <> 2
+         |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s23_ivf"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings")
+      emb
+        .select(col("vec_id"), col("embedding"),
+          Similarity.nearestCell(Similarity.asDouble(col("embedding")), cents)
+            .as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val qv = emb.filter(col("vec_id") === 2)
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+      // same argmin, same tie-break (lower index), same left-to-right
+      // double fold as Similarity.nearestCell — bit-identical cells
+      val probes = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.sorted.take(2).map(_._2)
+      s.read.parquet(path)
+        .filter(col("cell").isin(probes: _*))
+        .filter(col("vec_id") =!= 2)
+        .select(col("vec_id"),
+          round(Similarity.cosine(
+            Similarity.asDouble(col("embedding")),
+            array(qv.map(lit): _*)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(15)
+    },
+
     // ----- n38: sequence packing (docs → fixed-token-budget packs) ------
     // The batch-assembly step of a training pipeline: assign documents
     // to 2048-token packs by running offset. Packing is sequential by

@@ -326,6 +326,22 @@ class QueryPlansSpec extends SparkTestBase {
       s"unexpected global sort:\n$plan")
   }
 
+  test("s23 IVF layout: the probe prunes partitions at the catalog, top-k is TakeOrdered") {
+    val df = q("s23_ivf_layout")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the probe-side scan must carry the cell IN (...) partition filter
+    // and actually select only the probed partitions (2 of ≤16 cells)
+    val probed = scans.find(_.metadata("PartitionFilters").contains("cell"))
+      .getOrElse(fail(s"no partition-filtered scan:\n${scans.map(_.metadata)}"))
+    assert(probed.selectedPartitions.partitionCount <= 2,
+      s"probe must read only nprobe partitions, read ${probed.selectedPartitions.partitionCount}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
