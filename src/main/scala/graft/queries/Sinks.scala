@@ -471,5 +471,46 @@ object Sinks {
       s.read.parquet(path)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ----- s24: incremental aggregate maintenance (MV delta refresh) ----
+    // The most common warehouse maintenance job there is: a summary
+    // table refreshed by MERGING a new batch's partial aggregates,
+    // never rescanning history. COUNT and SUM are self-mergeable when
+    // the summary stores them as partials (sum of sums, sum of
+    // counts) — the same associativity Spark's own partial aggregation
+    // relies on, lifted to the storage layer. Here the pre-1996
+    // history is summarized and WRITTEN, then the 1996+ delta's
+    // partials union-merge with the STORED summary: the refresh reads
+    // the summary file (groups, not rows) plus only the delta rows
+    // (date filter pushed to the orders scan — plan-pinned), and the
+    // oracle proves merged == full recompute. Money is exact integer
+    // cents (partials must be associative — double sums are not).
+    QuerySpec(
+      "s24_incremental_agg",
+      """SELECT o_orderstatus,
+        |  CAST(year(o_orderdate) AS BIGINT) AS year,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val path = s"$base/s24_summary"
+      val cutoff = "1996-01-01"
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderstatus"),
+          year(col("o_orderdate")).cast("long").as("year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      val orders = t(s, d, "orders")
+        .select("o_orderstatus", "o_orderdate", "o_totalprice")
+      // the stored summary: history already aggregated away
+      partials(orders.filter(col("o_orderdate") < lit(cutoff)))
+        .write.mode("overwrite").parquet(path)
+      // the refresh: stored groups + delta partials, one merge agg
+      s.read.parquet(path)
+        .unionByName(partials(orders.filter(col("o_orderdate") >= lit(cutoff))))
+        .groupBy(col("o_orderstatus"), col("year"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total_cents")).as("total_cents"))
     })
 }

@@ -342,6 +342,29 @@ class QueryPlansSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("s24 incremental agg: refresh reads summary groups + date-pruned delta only") {
+    val df = q("s24_incremental_agg")
+    df.collect()
+    // scans hide below AQE query-stage leaves — recurse through them
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    // exactly two relations feed the refresh: the stored summary and
+    // the delta slice of orders — and the delta's date cutoff must
+    // reach the orders scan, or "incremental" silently rescans history
+    assert(scans.length == 2, s"expected summary + delta scans, got ${scans.length}")
+    val delta = scans.find(_.metadata("Location").contains("orders"))
+      .getOrElse(fail("no orders-side scan"))
+    assert(delta.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+      s"delta date filter not pushed: ${delta.metadata("PushedFilters")}")
+  }
+
   test("n51 bloom semi join: the bloom probe filters the fact side BELOW the join") {
     val plan = finalPlan(q("n51_bloom_semi_join"))
     // the probe must be a plain Filter on the orders branch fed by a
