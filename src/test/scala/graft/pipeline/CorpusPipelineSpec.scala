@@ -42,6 +42,31 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(byDoc(6L) === (0L, 0L))
   }
 
+  test("trainingSet: staged materializer (the 100 TB swap) matches the cached default") {
+    import spark.implicits._
+    val base = text("w", 60)
+    val docs = Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "web"),
+      (3L, text("w", 59) + " zz", "en", "web"),
+      (6L, text("u", 40), "de", "web"),
+      (7L, text("v", 40), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq((100L, "prefix eval leak alpha beta gamma suffix"))
+      .toDF("doc_id", "text")
+    def run(m: graft.operators.MinHashNearDup.Materializer) =
+      CorpusPipeline.trainingSet(docs, benchmark,
+        CorpusPipeline.Config(minTokens = 5L, packTokens = 50L, shards = 2,
+          materialize = m))
+        .select("doc_id", "shard", "pack", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val cached = run(graft.operators.MinHashNearDup.cacheMaterializer)
+    val staged = run(graft.operators.MinHashNearDup.stagedMaterializer("cps_"))
+    assert(staged === cached)
+    assert(staged.map(_._1) === Seq(1L, 6L, 7L))
+  }
+
   test("trainingSet: corpus-scale near-dup drop list (AQE path, no forced broadcast)") {
     import spark.implicits._
     // 3/4 of the corpus is one near-dup cluster — the shape where a
