@@ -33,7 +33,8 @@ object ScaleDrill {
     val scaledDir = "target/scale10x"
     val copies = 10
     val queries = Seq("n3_minhash_neardup", "n30_dedup_clusters",
-      "n40_corpus_pipeline", "n56_source_overlap")
+      "n40_corpus_pipeline", "n56_source_overlap",
+      "n68_online_neardup", "n70_leakage_safe_split")
 
     val spark = Sessions.local(appName = "graft-scale-drill")
     spark.sparkContext.setLogLevel("WARN")
