@@ -61,13 +61,20 @@ object Bench {
         }
       }
     spark.catalog.clearCache()
-    // Best-of-two per query: the box is shared, and scheduler/GC noise
-    // lands multi-second spikes on random queries; the min of two full
-    // executions reports steady-state engine cost. The cache is cleared
-    // after EVERY execution — both so the second run recomputes instead
-    // of hitting the CacheManager (which would time a cache probe, not
-    // the operator), and so operator-persisted intermediates (LSH
-    // bands, shingle sets) don't tax later queries.
+    // Median-of-three per query: the box is shared, and scheduler/GC
+    // noise lands multi-second spikes on random queries; with three full
+    // executions one spike can never reach the reported number (r06's
+    // official run carried a single 8.6s rep of a 0.7s query). The cache
+    // AND leftover RDD persists are cleared after EVERY execution — so
+    // later reps recompute instead of hitting the CacheManager (which
+    // would time a cache probe, not the operator), and so
+    // operator-persisted intermediates (LSH bands, checkpointed merge
+    // tables) don't tax later queries.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -75,7 +82,7 @@ object Bench {
         val t0 = System.nanoTime()
         try run(name, fn) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        sweep()
         dt
       }
       val best = fixedReps match {
@@ -85,19 +92,8 @@ object Bench {
             f"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(" ")}")
           times.min
         case None =>
-          val first = once()
-          // re-run only when a noise spike would be material — sub-second
-          // queries aren't worth doubling the harness wall time for. The
-          // heaviest shapes (near-dup family) additionally take 3-4
-          // executions to finish JIT ramp even after the sf0.001 warmup,
-          // so a query still >2s after two reps gets a third.
-          // third rep only in the 2-5s band: that's where JIT ramp still
-          // moves the number; past ~5s the spread is real work and a third
-          // execution only burns harness wall time
-          if (first > 1.0) {
-            val two = math.min(first, once())
-            if (two > 2.0 && two <= 5.0) math.min(two, once()) else two
-          } else first
+          val times = Seq(once(), once(), once()).sorted
+          times(1)
       }
       name -> best
     }

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   *    convergence-driven, so there is no cap to fail loudly at; the
   *    deterministic tie-break (count DESC, then pair lexicographic)
   *    makes the whole merge table reproducible run-to-run.
+  *  - k is an UPPER BOUND: if the vocabulary exhausts mergeable pairs
+  *    before round k (every word reduced to a single symbol), the loop
+  *    stops early and returns the merges trained so far plus the intact
+  *    vocabulary — the empty argmax must never reach the crossJoin,
+  *    where it would silently wipe the symbol table.
+  *  - checkpoint hygiene: the k per-round 1-row argmax checkpoints are
+  *    copied into ONE final merge-table checkpoint and released, so an
+  *    invocation retains at most two tiny persisted RDDs (merges +
+  *    vocab); [[TrainResult.release]] frees both when the caller is
+  *    done (Bench/Verify additionally sweep leftover RDD persists
+  *    between queries).
   *
   * Greedy-leftmost semantics: a merged occurrence consumes its symbols,
   * so overlapping matches resolve left-to-right ("aaa" under merge
@@ -42,10 +53,19 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
-  /** `merges`: (merge_rank, sym_a, sym_b, n), one row per round.
+  /** `merges`: (merge_rank, sym_a, sym_b, n), one row per round
+    * actually trained (≤ k when pairs exhaust early).
     * `vocab`: (w, f, syms) — the weighted vocabulary with every merge
-    * applied, i.e. the trained tokenizer's encoding of each word. */
-  final case class TrainResult(merges: DataFrame, vocab: DataFrame)
+    * applied, i.e. the trained tokenizer's encoding of each word.
+    * Both are localCheckpoint'd; `release()` frees their persisted
+    * blocks once the caller has consumed them. */
+  final case class TrainResult(
+      merges: DataFrame,
+      vocab: DataFrame,
+      private val retained: scala.collection.Set[Int]) {
+    def release(): Unit =
+      BpeTrainer.release(merges.sparkSession.sparkContext, retained)
+  }
 
   /** The merge-application fold: references `a`/`b` (the round's chosen
     * pair) as COLUMNS bound by the broadcast crossJoin. */
@@ -64,8 +84,10 @@ object BpeTrainer {
     sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
   }
 
-  /** Train `k` merges over the whitespace-token vocabulary of
-    * `docs(textCol)`; the encoded vocabulary is released. */
+  /** Train up to `k` merges over the whitespace-token vocabulary of
+    * `docs(textCol)`; the encoded vocabulary is released. The merge
+    * table keeps one tiny (≤ k rows) checkpoint alive until the
+    * harness's between-query RDD sweep. */
   def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val (result, vocabIds) = trainImpl(docs, textCol, k)
     // the final symbol table is not part of the merges output
@@ -74,7 +96,8 @@ object BpeTrainer {
   }
 
   /** Train AND keep the encoded vocabulary (checkpointed — the caller
-    * owns its lifetime; Verify/Bench clear the cache between queries). */
+    * owns its lifetime via [[TrainResult.release]]; Verify/Bench sweep
+    * leftover persists between queries). */
   def trainVocab(docs: DataFrame, textCol: String, k: Int): TrainResult =
     trainImpl(docs, textCol, k)._1
 
@@ -83,7 +106,8 @@ object BpeTrainer {
       textCol: String,
       k: Int): (TrainResult, scala.collection.Set[Int]) = {
     require(k > 0, "k must be positive")
-    val sc = docs.sparkSession.sparkContext
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
@@ -104,7 +128,11 @@ object BpeTrainer {
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
             .as("syms")))
 
-    val rounds = (1 to k).map { r =>
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val roundIds = scala.collection.mutable.Set.empty[Int]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val pairCounts = syms
         .select(col("f"), explode(TextOps.bigrams(col("syms"))).as("p"))
         .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
@@ -113,18 +141,39 @@ object BpeTrainer {
       // merge below AND is this round's output row)
       val (top, topIds) = checkpointed(
         pairCounts.orderBy(col("n").desc, col("a"), col("b")).limit(1))
-      val (next, nextIds) = checkpointed(
-        syms
-          .crossJoin(broadcast(top.select(col("a"), col("b"))))
-          .select(col("w"), col("f"), expr(mergeFold).as("syms")))
-      release(sc, symsIds)
-      syms = next
-      symsIds = nextIds
-      // topIds stay persisted: the returned merge table references them
-      val _ = topIds
-      top.select(lit(r.toLong).as("merge_rank"),
-        col("a").as("sym_a"), col("b").as("sym_b"), col("n"))
+      if (top.isEmpty) {
+        // pairs exhausted before the budget: every word is a single
+        // symbol. Stop with the merges trained so far — feeding the
+        // empty argmax to the crossJoin would wipe the symbol table.
+        release(sc, topIds)
+        exhausted = true
+      } else {
+        roundIds ++= topIds
+        val (next, nextIds) = checkpointed(
+          syms
+            .crossJoin(broadcast(top.select(col("a"), col("b"))))
+            .select(col("w"), col("f"), expr(mergeFold).as("syms")))
+        release(sc, symsIds)
+        syms = next
+        symsIds = nextIds
+        rounds += top.select(lit(r.toLong).as("merge_rank"),
+          col("a").as("sym_a"), col("b").as("sym_b"), col("n"))
+        r += 1
+      }
     }
-    (TrainResult(rounds.reduce(_ union _), syms), symsIds)
+    // copy the ≤ k one-row argmax frames into ONE merge-table
+    // checkpoint, then release them — repeated invocations must not
+    // accumulate per-round persisted blocks
+    val mergesRaw =
+      if (rounds.isEmpty)
+        spark.range(0).select(
+          col("id").as("merge_rank"),
+          lit(null).cast("string").as("sym_a"),
+          lit(null).cast("string").as("sym_b"),
+          lit(null).cast("long").as("n"))
+      else rounds.reduce(_ union _)
+    val (merges, mergesIds) = checkpointed(mergesRaw)
+    release(sc, roundIds)
+    (TrainResult(merges, syms, mergesIds ++ symsIds), symsIds)
   }
 }

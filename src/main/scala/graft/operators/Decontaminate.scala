@@ -36,7 +36,7 @@ object Decontaminate {
       corpus
         .withColumn("graft__ws", TextOps.tokens(col(textCol)))
         .select(col(idCol).as("doc_id"), col("graft__ws").as("ws")),
-      benchmark, idCol, textCol, n)
+      benchmark, textCol, n)
 
   /** Same contract with the CORPUS side pre-tokenized as (doc_id, ws) —
     * the pipeline entry point (one corpus tokenization shared across
@@ -46,7 +46,6 @@ object Decontaminate {
   def collisionStatsFromTokens(
       corpusToks: DataFrame,
       benchmark: DataFrame,
-      idCol: String,
       textCol: String,
       n: Int): DataFrame = {
     val benchShingles = benchmark

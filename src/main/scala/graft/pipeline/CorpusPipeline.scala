@@ -100,7 +100,7 @@ object CorpusPipeline {
     val contaminated = Decontaminate
       .collisionStatsFromTokens(
         nearDeduped.select(col("doc_id"), col("graft__ws").as("ws")),
-        benchmark, "doc_id", "text", config.contaminationNgram)
+        benchmark, "text", config.contaminationNgram)
       .select(col("doc_id"))
     val clean = nearDeduped
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -98,15 +98,55 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(gotVocab.length === refVocab.size)
   }
 
-  test("releases every per-round checkpoint except the merge-table rows") {
+  test("retains only the single merge-table checkpoint after training") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = BpeTrainer.train(
       Seq.fill(50)("abcabc").map(Tuple1(_)).toDF("text"), "text", 4)
     out.collect()
     val leaked = sc.getPersistentRDDs.keySet -- before
-    // k 1-row argmax checkpoints remain referenced by the result; the
-    // vocab-sized symbol tables must all be gone
-    assert(leaked.size <= 4)
+    // the per-round argmax checkpoints are copied into one final
+    // merge-table checkpoint and released; the vocab-sized symbol
+    // tables must all be gone too
+    assert(leaked.size <= 1)
+  }
+
+  test("release() frees every checkpoint trainVocab retained") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val got = BpeTrainer.trainVocab(
+      Seq.fill(30)("abab").map(Tuple1(_)).toDF("text"), "text", 3)
+    got.merges.collect()
+    got.vocab.collect()
+    got.release()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("stops early when pairs exhaust before the budget") {
+    // single-character words have no adjacent pairs after round 0:
+    // 'ab' merges once, then every word is one symbol — k=5 must yield
+    // exactly 1 merge and an intact (not wiped) vocabulary
+    val got = BpeTrainer.trainVocab(
+      (Seq.fill(4)("ab") ++ Seq.fill(2)("a")).map(Tuple1(_)).toDF("text"),
+      "text", 5)
+    val merges = got.merges.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq((1L, "a", "b", 4L)))
+    val vocab = got.vocab.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getSeq[String](2).toVector))
+      .sortBy(_._1)
+    assert(vocab.toSeq === Seq(
+      ("a", 2L, Vector("a")), ("ab", 4L, Vector("ab"))))
+    got.release()
+  }
+
+  test("a corpus with no mergeable pairs at all yields an empty merge table") {
+    val got = BpeTrainer.trainVocab(
+      Seq("a", "b", "c").map(Tuple1(_)).toDF("text"), "text", 3)
+    assert(got.merges.count() === 0)
+    assert(got.merges.columns.toSeq ===
+      Seq("merge_rank", "sym_a", "sym_b", "n"))
+    assert(got.vocab.count() === 3) // intact, not wiped
+    got.release()
   }
 }

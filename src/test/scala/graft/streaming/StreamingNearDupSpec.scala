@@ -186,12 +186,16 @@ class StreamingNearDupSpec extends SparkTestBase {
     }
     withRocksDBStateStore {
       val mem = MemoryStream[DocText]
-      // 2s TTL: wide enough that wave 3 lands inside wave 2's horizon
-      // despite trigger/poll latency, short enough to age wave 1 out
-      // with a 5s sleep
+      // 10s TTL: the wave-2 → wave-3 gap (poll latency + 200ms trigger
+      // + batch run, all inflatable by CI load) must stay INSIDE the
+      // horizon, so the horizon is generous; wave-1 age-out doesn't
+      // sleep a fixed guess but is keyed off the sentinel-observation
+      // time (state write happens before its sentinel reaches the
+      // sink, so sentinel-time + TTL + margin guarantees expiry)
+      val ttlMs = 10000L
       val q = StreamingNearDup.streamingCandidateEvents(
         mem.toDS(), maxPerBucket = 1,
-        ttl = Some(java.time.Duration.ofMillis(2000)))
+        ttl = Some(java.time.Duration.ofMillis(ttlMs)))
         .writeStream.format("memory")
         .queryName("neardup_ttl")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
@@ -204,7 +208,10 @@ class StreamingNearDupSpec extends SparkTestBase {
         // wave 1: docs 1+6 (same text) — (1,6) in the sink = wave done
         mem.addData(DocText(1L, base), DocText(6L, base))
         pollUntil("wave 1 sentinel")(pairs().contains((1L, 6L)))
-        Thread.sleep(5000) // age wave 1 past the 2s horizon
+        // age wave 1 out: its state rows were written BEFORE the
+        // sentinel pair surfaced, so sentinel-time + TTL + 1s margin
+        // guarantees they read as expired from here on
+        Thread.sleep(ttlMs + 1000L)
 
         // wave 2: docs 2+5 (same text, near-dup of wave 1's)
         mem.addData(DocText(2L, nearDup), DocText(5L, nearDup))
