@@ -108,11 +108,10 @@ object BpeTrainer {
     require(k > 0, "k must be positive")
     val spark = docs.sparkSession
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet -- before)
-    }
+    // stats-resetting checkpoint — the inherited sizeInBytes would
+    // otherwise compound across rounds (see IterationCheckpoint)
+    def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) =
+      IterationCheckpoint.local(df)
 
     // corpus → weighted vocab → initial character symbols. Empty words
     // (consecutive separators) are excluded: they carry no symbols, so

@@ -10,31 +10,50 @@ import org.apache.spark.sql.functions._
   * (load_fact.py DELETE-then-INSERT); pair-to-cluster resolution is the
   * north-star extension that makes near-dup output actionable.
   *
-  * Algorithm: iterative min-label propagation with pointer-jumping.
-  * Each round every vertex takes the minimum label over itself, its
-  * neighbors, and its current label's label (path compression) —
-  * neighbor-min alone converges in O(diameter) rounds, the jump step
-  * compresses chains so convergence is O(log diameter), the behavior of
-  * the published large-star/small-star MapReduce formulation (Kiveris
-  * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  * Algorithm: iterative min-label propagation with pointer-jumping over
+  * an ACTIVE-SET (frontier). Each round, only the labels that changed
+  * last round propagate: neighbors of frontier vertices take the min of
+  * the offered labels, and vertices whose label POINTS INTO the frontier
+  * take the frontier's new label (path compression). Neighbor-min alone
+  * converges in O(diameter) rounds; the jump step compresses chains so
+  * convergence is O(log diameter) — the behavior of the published
+  * large-star/small-star MapReduce formulation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14), whose
+  * active-set refinement this implements.
+  *
+  * Frontier correctness: whenever a vertex's label decreases it enters
+  * the frontier and is re-offered to ALL its neighbors and pointers next
+  * round, so by induction every edge (u,v) has evaluated
+  * least(comp(u), comp(v)) at v's post-change round; labels are
+  * monotone non-increasing, so an empty frontier certifies the global
+  * fixpoint (per-component constant = the component min).
   *
   * Scale design:
   *  - the edge list is symmetrized once, deduplicated, and
   *    materialized — every round re-joins against the SAME edges, so
   *    an expensive upstream pair producer (the whole MinHash pipeline)
   *    runs exactly once;
-  *  - per-round shuffle carries (long, long) label pairs keyed by
-  *    vertex id — uniform, high-cardinality keys, no driver-side state;
+  *  - round 1 touches every vertex (all labels just initialized); from
+  *    round 2 on the edge join probes ONLY frontier labels — and the
+  *    frontier shrinks geometrically, so it is broadcast once its
+  *    materialized count fits (`broadcastFrontierRows`), making late
+  *    rounds shuffle-free scans of the edge list. Without the active
+  *    set, every round re-shuffled edges against ALL |V| labels (the
+  *    r06 scale drill's 12.7× datapoint at 10× rows);
+  *  - the full label table is still merged once per round, but that is
+  *    one hash join of (long, long) rows against the tiny frontier —
+  *    uniform keys, no driver-side state;
   *  - duplicate clusters in a real corpus are small (a handful of
   *    mirrors of one document), so diameters are tiny and the loop
   *    exits after 2-3 rounds; the iteration cap is a runaway guard for
   *    adversarial chain graphs, not the expected path;
-  *  - the per-round convergence probe is a count over the CHANGED rows
-  *    only. An iterative fixpoint cannot be expressed as one static
-  *    Catalyst plan (no recursion in Spark SQL), so driver-side loop
-  *    control is inherent here — unlike a scalar total that belongs in
-  *    the plan (see n26), each action decides whether another round is
-  *    needed at all. This is how GraphX/GraphFrames CC works too.
+  *  - the per-round convergence probe is a count of the just-
+  *    materialized frontier blocks. An iterative fixpoint cannot be
+  *    expressed as one static Catalyst plan (no recursion in Spark
+  *    SQL), so driver-side loop control is inherent here — unlike a
+  *    scalar total that belongs in the plan (see n26), each action
+  *    decides whether another round is needed at all. This is how
+  *    GraphX/GraphFrames CC works too.
   */
 object DedupClusters {
 
@@ -53,7 +72,8 @@ object DedupClusters {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25,
-      reliableCheckpointDir: Option[String] = None): DataFrame = {
+      reliableCheckpointDir: Option[String] = None,
+      broadcastFrontierRows: Long = 4000000L): DataFrame = {
     val e = edges.select(
       col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
@@ -83,16 +103,14 @@ object DedupClusters {
     // on context shutdown with the cleaner enabled.
     val sc = edges.sparkSession.sparkContext
     reliableCheckpointDir.foreach(sc.setCheckpointDir)
+    // IterationCheckpoint also RESETS the leaf's plan statistics — the
+    // inherited sizeInBytes otherwise compounds multiplicatively across
+    // rounds (see its scaladoc; this loop is the canonical victim)
     def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) =
-      if (reliableCheckpointDir.isDefined) (df.checkpoint(), Set.empty)
-      else {
-        val before = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint()
-        (out, sc.getPersistentRDDs.keySet -- before)
-      }
-    def release(ids: scala.collection.Set[Int]): Unit = ids.foreach { id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
-    }
+      if (reliableCheckpointDir.isDefined) IterationCheckpoint.reliable(df)
+      else IterationCheckpoint.local(df)
+    def release(ids: scala.collection.Set[Int]): Unit =
+      IterationCheckpoint.release(sc, ids)
 
     val (sym, symIds) = checkpointed(
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -105,46 +123,76 @@ object DedupClusters {
         .distinct()
         .withColumn("comp", col("id")))
 
+    // round 1's frontier is every vertex (all labels just initialized);
+    // it shares labels' checkpoint, so its release set starts empty
+    var frontier = labels
+    var frontierIds: scala.collection.Set[Int] = Set.empty
+    var frontierRows = -1L // unknown (labels-sized) — never broadcast
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among neighbors
+      // the frontier is the only label source a round needs: a label
+      // that did not change last round was already offered to every
+      // neighbor and pointer the round after it last changed
+      val f0 = frontier.select(
+        col("id").as("graft__fid"), col("comp").as("graft__fcomp"))
+      val f =
+        if (frontierRows >= 0 && frontierRows <= broadcastFrontierRows)
+          broadcast(f0)
+        else f0
+      // min label offered by changed neighbors
       val nbrMin = sym
-        .join(labels, sym("v") === labels("id"))
+        .join(f, sym("v") === col("graft__fid"))
         .groupBy(sym("u").as("id"))
-        .agg(min(col("comp")).as("graft__nbr"))
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left")
-      // label of my label (pointer jump) — a no-op in round 1, where
+        .agg(min(col("graft__fcomp")).as("graft__prop"))
+      // pointer jump: vertices whose LABEL is a changed vertex adopt
+      // its new label (path compression) — a no-op in round 1, where
       // every label is still its own id, so the join is skipped there
-      // the OLD label rides along into the checkpoint, so the
-      // convergence probe below is a scan of the just-materialized
-      // blocks — no extra join/shuffle per round
-      val (next, nextIds) = checkpointed(
-        (if (iter == 0) stepped.withColumn("graft__jcomp", lit(null).cast("long"))
-        else {
-          val jump = labels
-            .select(col("id").as("graft__jid"), col("comp").as("graft__jcomp"))
-          stepped.join(jump, stepped("comp") === col("graft__jid"), "left")
-        })
-        .select(
-          col("id"),
-          col("comp").as("graft__old"),
-          least(
-            col("comp"),
-            coalesce(col("graft__nbr"), col("comp")),
-            coalesce(col("graft__jcomp"), col("comp"))).as("comp")))
-
-      val changed = next
-        .filter(col("comp") =!= col("graft__old"))
-        .limit(1)
-        .count()
-      release(labelIds) // this round is materialized; the previous one is unreferenced
-      labels = next.select(col("id"), col("comp"))
-      labelIds = nextIds
-      converged = changed == 0L
+      val offers =
+        if (iter == 0) nbrMin
+        else nbrMin.union(
+          labels
+            .join(f, labels("comp") === col("graft__fid"))
+            .select(labels("id"), col("graft__fcomp").as("graft__prop")))
+      val best = offers
+        .groupBy(col("id"))
+        .agg(min(col("graft__prop")).as("graft__prop"))
+      // strict improvements only — the new frontier
+      val (newFrontier, newFrontierIds) = checkpointed(
+        labels
+          .join(best, Seq("id"))
+          .filter(col("graft__prop") < col("comp"))
+          .select(col("id"), col("graft__prop").as("comp")))
+      frontierRows = newFrontier.count() // scan of just-materialized blocks
+      converged = frontierRows == 0L
+      if (converged) {
+        release(newFrontierIds) // empty — labels are final as-is
+      } else {
+        // merge the changed labels back into the full table: one hash
+        // join against the (usually tiny, broadcastable) frontier
+        val nf =
+          if (frontierRows <= broadcastFrontierRows)
+            broadcast(newFrontier.select(
+              col("id").as("graft__nid"), col("comp").as("graft__ncomp")))
+          else newFrontier.select(
+            col("id").as("graft__nid"), col("comp").as("graft__ncomp"))
+        val (next, nextIds) = checkpointed(
+          labels
+            .join(nf, labels("id") === col("graft__nid"), "left")
+            .select(
+              labels("id"),
+              coalesce(col("graft__ncomp"), labels("comp")).as("comp")))
+        release(labelIds) // this round is materialized; previous unreferenced
+        release(frontierIds)
+        labels = next
+        labelIds = nextIds
+        frontier = newFrontier
+        frontierIds = newFrontierIds
+      }
       iter += 1
     }
+    release(frontierIds)
     release(symIds) // edges are not referenced by the checkpointed result
     // Fail loudly rather than return labels that may still be mid-merge:
     // a silent partial result would under-merge clusters and a dedup

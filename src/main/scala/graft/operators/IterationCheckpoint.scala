@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/** Checkpointing for ITERATIVE driver-controlled loops (connected
+  * components, BPE training): truncate the lineage AND reset the plan
+  * statistics.
+  *
+  * `Dataset.localCheckpoint` truncates the lineage but (since Spark 3.4,
+  * SPARK-39748) the resulting leaf INHERITS the origin plan's
+  * statistics. In a loop that joins each round's checkpoint back against
+  * the previous one, `sizeInBytes` is a PRODUCT of the children's sizes
+  * (SizeInBytesOnlyStatsPlanVisitor.visitJoin), so the inherited BigInt
+  * compounds multiplicatively: its bit-length grows ~3-4× per round, and
+  * by round ~8 the optimizer spends minutes multiplying megabit-sized
+  * BigIntegers (measured: 60k bits after 8 rounds of a 3-leaf join loop,
+  * with Toom-Cook multiplication dominating the driver). Rebuilding the
+  * frame from the checkpointed rows gives the leaf fresh default
+  * statistics, keeping every round's stats computation O(plan size).
+  * Joins that must broadcast a small checkpointed side pass an explicit
+  * `broadcast()` hint (stats no longer advertise smallness); AQE still
+  * right-sizes everything else from runtime shuffle statistics.
+  */
+private[graft] object IterationCheckpoint {
+
+  /** Eager localCheckpoint + stats reset. Returns the rebuilt frame and
+    * the ids of the persisted RDD blocks backing it (release them via
+    * [[release]] once the round is superseded — checkpoint blocks are
+    * otherwise only reclaimed by driver GC + ContextCleaner). */
+  def local(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint()
+    val ids = sc.getPersistentRDDs.keySet -- before
+    (df.sparkSession.createDataFrame(ck.rdd, ck.schema), ids)
+  }
+
+  /** Reliable-checkpoint variant (files under the session checkpoint
+    * dir; rounds survive executor loss). No executor storage is held, so
+    * the returned release set is empty. */
+  def reliable(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
+    val ck = df.checkpoint()
+    (df.sparkSession.createDataFrame(ck.rdd, ck.schema), Set.empty)
+  }
+
+  def release(sc: SparkContext, ids: scala.collection.Set[Int]): Unit =
+    ids.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+}
