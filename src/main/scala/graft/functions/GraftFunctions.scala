@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * SparkSessionExtensions injection point (wired in graft.Sessions).
   * SQL surface:
   *   graft_minhash_bands(baseHash, numHashes, bands) → array<bigint>
+  *   graft_minhash_sig(shingles, numHashes)           → array<bigint>
   *   graft_simhash(wordHash)                          → bigint
   *   graft_cms(hash31, depth, width)                  → array<bigint>
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
@@ -32,6 +33,11 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHashAgg(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intLit(args(1), "numHashes"))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

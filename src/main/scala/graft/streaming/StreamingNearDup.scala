@@ -16,14 +16,17 @@ import graft.operators.TextOps
   * Two pieces, split exactly where streaming constraints bite:
   *
   *  1. [[signatures]]/[[bandKeys]] — the banded-minhash sketch as a
-  *     PER-ROW expression (one `aggregate` HOF folding all k minima in
-  *     a single pass over the shingles, then band slices). The batch
-  *     operator computes the same sketch with a TypedImperativeAggregate
-  *     after an explode, which on a stream would be a stateful
-  *     aggregation (watermark-deferred emission); per-row there is no
-  *     aggregation at all, so the sketch stage stays stateless and
-  *     append-mode-safe. Coefficients are shared with the batch
-  *     aggregate ([[SketchAggregates.coefA]]/[[SketchAggregates.coefB]],
+  *     PER-ROW expression: the codegen'd
+  *     [[graft.functions.MinHashSignature]] (one fused loop hashing
+  *     each shingle once and updating all k minima in place — no
+  *     per-shingle allocation, whole-stage codegen), then band slices.
+  *     The batch operator computes the same sketch with a
+  *     TypedImperativeAggregate after an explode, which on a stream
+  *     would be a stateful aggregation (watermark-deferred emission);
+  *     per-row there is no aggregation at all, so the sketch stage
+  *     stays stateless and append-mode-safe. Coefficients are shared
+  *     with the batch aggregate
+  *     ([[SketchAggregates.coefA]]/[[SketchAggregates.coefB]],
   *     same `xxhash64 & 0x7fffffff` input hash, same Long.MaxValue
   *     minima init), so per-row and batch signatures are bit-identical
   *     (proven in StreamingNearDupSpec). Band keys carry the raw minima
@@ -100,24 +103,15 @@ object StreamingNearDup {
     * the sketch and the exact verify. */
   def signaturesFromShingles(
       shingled: DataFrame,
-      numHashes: Int = 64): DataFrame = {
-    val ab = SketchAggregates.coefA(numHashes)
-      .zip(SketchAggregates.coefB(numHashes))
-      .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
-      .mkString("array(", ",", ")")
+      numHashes: Int = 64): DataFrame =
     shingled
       .filter(size(col("graft__sh")) > 0)
-      // 31-bit input hash, identical to MinHashBandSketch.update;
-      // a*h+b < 2^62 + 2^31 so the fold is ANSI-overflow-safe
-      .withColumn("graft__sig", expr(
-        s"""aggregate(
-           |  transform(graft__sh, s -> xxhash64(s) & 2147483647L),
-           |  array_repeat(${Long.MaxValue}L, $numHashes),
-           |  (acc, x) -> zip_with(acc, $ab,
-           |    (m, c) -> least(m, (c.a * x + c.b) % ${SketchAggregates.P}L)))"""
-          .stripMargin))
+      // codegen'd fused fold (31-bit input hash identical to
+      // MinHashBandSketch.update; see MinHashSignature for the
+      // bit-parity contract with the former HOF spelling)
+      .withColumn("graft__sig",
+        call_function("graft_minhash_sig", col("graft__sh"), lit(numHashes)))
       .select(col("doc_id"), col("graft__sig"))
-  }
 
   /** One (bucket, doc_id) row per band: bucket = "band:minima-run".
     * Two documents share a bucket iff their band rows agree — the same

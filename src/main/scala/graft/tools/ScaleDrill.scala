@@ -26,6 +26,16 @@ import graft.sources.Tables
   * operator scaling. (Exact-dup load at scale is exercised separately:
   * n40's first stage dedups md5 groups, and the drill corpus still
   * funnels 10× rows through it.)
+  *
+  * The ANN/layout family (n5 LSH, n43 IVF probe, n54 SemDeDup, s23 IVF
+  * layout) drills against a 10× `embeddings` table: 10 copies per
+  * vector, copy 0 verbatim, copies 1..9 deterministically perturbed
+  * per-component so copies spread across IVF cells instead of piling
+  * into exact-duplicate stacks. After timing s23 at 10×, the drill
+  * re-asserts the plan property the layout exists for: the probe scan's
+  * PartitionFilters still carries the probe set and reads ≤ nprobe of
+  * the 16 cell partitions — catalog pruning must survive scale, not
+  * just the sf0.001 plan pin.
   */
 object ScaleDrill {
   def main(args: Array[String]): Unit = {
@@ -34,7 +44,9 @@ object ScaleDrill {
     val copies = 10
     val queries = Seq("n3_minhash_neardup", "n30_dedup_clusters",
       "n40_corpus_pipeline", "n56_source_overlap",
-      "n68_online_neardup", "n70_leakage_safe_split")
+      "n68_online_neardup", "n70_leakage_safe_split",
+      "n5_ann_lsh_topk", "n43_ann_ivf_probe", "n54_semdedup",
+      "s23_ivf_layout")
 
     val spark = Sessions.local(appName = "graft-scale-drill")
     spark.sparkContext.setLogLevel("WARN")
@@ -52,12 +64,28 @@ object ScaleDrill {
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
 
+    Tables(spark, sfDir, "embeddings")
+      .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .select(
+        (col("vec_id") * copies + col("graft__copy")).as("vec_id"),
+        when(col("graft__copy") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(embedding, (x, j) ->
+              |  CAST(x + 0.03d * (((graft__copy * 7 + j) % 5) - 2)
+              |       AS FLOAT))""".stripMargin))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // iterative operators persist checkpoint blocks clearCache ignores
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       dt
     }
 
@@ -71,6 +99,23 @@ object ScaleDrill {
     }
     val (tb, ts) = (rows.map(_._2).sum, rows.map(_._3).sum)
     println(f"[scale] TOTAL sf0.1 $tb%.2fs  10x $ts%.2fs  ratio ${ts / tb}%.2fx")
+
+    // s23 at 10×: catalog pruning must hold on the scaled layout — the
+    // probe scan carries the cell filter and reads ≤ 2 of the 16 cells
+    val s23 = SparkEntry.queries("s23_ivf_layout")(spark, scaledDir)
+    s23.collect()
+    val scans = s23.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val probed = scans.find(_.metadata("PartitionFilters").contains("cell"))
+      .getOrElse(throw new IllegalStateException(
+        s"10x s23: no partition-filtered scan: ${scans.map(_.metadata)}"))
+    val nParts = probed.selectedPartitions.partitionCount
+    require(nParts <= 2,
+      s"10x s23: probe read $nParts partitions, expected <= nprobe=2")
+    println(s"[scale] s23@10x partition pruning holds: " +
+      s"$nParts partitions read, PartitionFilters=" +
+      probed.metadata("PartitionFilters"))
     spark.stop()
   }
 }

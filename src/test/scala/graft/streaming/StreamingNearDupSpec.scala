@@ -12,7 +12,26 @@ class StreamingNearDupSpec extends SparkTestBase {
   private val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " w99"
   private val unrelated = (100 to 160).map(i => s"v$i").mkString(" ")
 
-  test("per-row HOF signature is bit-identical to the batch aggregate sketch") {
+  test("graft_minhash_sig generates compilable codegen (no interpreter fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = spark.range(1, 3)
+        .selectExpr("array(concat('a', id), 'b') AS sh")
+        .selectExpr("graft_minhash_sig(sh, 8) AS sig")
+        .collect().map(_.getSeq[Long](0))
+      assert(got.forall(_.length === 8))
+      assert(got(0) !== got(1), "different shingle sets, different minima")
+      // empty array → untouched Long.MaxValue minima (callers filter
+      // empty shingle sets; the expression itself must stay total)
+      val empty = spark
+        .sql("SELECT graft_minhash_sig(cast(array() as array<string>), 4) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(empty === Seq.fill(4)(Long.MaxValue))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("per-row codegen'd signature is bit-identical to the batch aggregate sketch") {
     import spark.implicits._
     val docs = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)
       .toDF("doc_id", "text")
