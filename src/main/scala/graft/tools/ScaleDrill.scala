@@ -34,12 +34,29 @@ import graft.sources.Tables
   * into exact-duplicate stacks. After timing s23 at 10×, the drill
   * re-asserts the plan property the layout exists for: the probe scan's
   * PartitionFilters still carries the probe set and reads ≤ nprobe of
-  * the 16 cell partitions — catalog pruning must survive scale, not
+  * the cell partitions — catalog pruning must survive scale, not
   * just the sf0.001 plan pin.
+  *
+  * IVF sizing at scale: the registry queries fix nlist (4 cells) so the
+  * DuckDB oracle can replay the centroid constants, but a deployed IVF
+  * sizes nlist WITH the corpus — SemDeDup targets constant per-cell
+  *
+  * occupancy (nlist ∝ N: within-cell pair work stays linear in N), ANN
+  * probes target constant probed-row count (nlist ∝ √N is the standard
+  * FAISS guidance). Holding nlist at 4 while rows grow 10× measures the
+  * quadratic within-cell blowup of a misconfigured index, not the
+  * operator — so the drill reports BOTH arms for n54/n43: the fixed
+  * registry config and the correctly-sized index.
+  *
+  * Dev runs: args(0) = base sf dir (default sf0.1), args(1) = comma
+  * filter over the drill queries (the special nlist arms run only when
+  * their query passes the filter).
   */
 object ScaleDrill {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val scaledDir = "target/scale10x"
     val copies = 10
     val queries = Seq("n3_minhash_neardup", "n30_dedup_clusters",
@@ -47,6 +64,7 @@ object ScaleDrill {
       "n68_online_neardup", "n70_leakage_safe_split",
       "n5_ann_lsh_topk", "n43_ann_ivf_probe", "n54_semdedup",
       "s23_ivf_layout")
+      .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
     spark.sparkContext.setLogLevel("WARN")
