@@ -5,18 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, plus a decode/feature-extract
-  * stage whose Spark-side shape (schema, batching, partitioning) is
-  * real while the codec itself is STUBBED — this container has no
-  * image/audio libraries, so `decodeStub` below is a deterministic
-  * fake standing in for a JNI/FFI decoder. Everything around it
-  * (binary columns, fixed-stride frame sampling, per-partition batch
-  * processing, explicit output schema) is the production plumbing.
+  * stage. The image path is REAL: [[ImageCodec]] parses binary PPM
+  * (P6) and 24-bit uncompressed BMP payloads in pure JVM code — header
+  * parse, dimension extraction, pixel decode, box-filter downsample —
+  * so `resize` and `extractFeatures` do actual pixel work on decodable
+  * payloads. Payloads in formats this container has no codec for
+  * (JPEG/PNG/audio) fall back to a deterministic byte-level transform,
+  * clearly marked below — a production deployment swaps that fallback
+  * for a JNI/FFI codec with the same signature.
   *
   * Scale notes: payload bytes never leave the executor (no collect);
   * metadata extraction is codegen'd expressions over the binary column;
-  * the decode stage is mapPartitions so a real decoder would amortize
-  * model/codec init once per partition (the Scala analogue of a Pandas
-  * UDF over mapInPandas batches).
+  * the decode stage is mapPartitions so decoder/model init amortizes
+  * once per partition (the Scala analogue of a Pandas UDF over
+  * mapInPandas batches).
   */
 object Multimodal {
 
@@ -55,12 +57,14 @@ object Multimodal {
       s"transform(sequence(0, ${nFrames - 1}), " +
         s"i -> md5(substring($payloadCol, i * $frameBytes + 1, $frameBytes)))"))
 
-  /** Feature-extraction stage with a STUBBED decoder.
-    *
-    * Real deployment: replace `decodeStub` with the codec/model call;
-    * the mapPartitions boundary, row schema, and per-partition batching
-    * are unchanged. The stub derives `dim` deterministic floats from the
-    * payload bytes so tests exercise the full plumbing end-to-end.
+  /** Feature-extraction stage. Decodable images (PPM/BMP via
+    * [[ImageCodec]]) yield REAL pixel-derived features: a normalized
+    * `dim`-bin luminance histogram — deterministic, pixel-exact, and
+    * useful as a cheap perceptual signature. Non-image payloads fall
+    * back to a deterministic byte-hash embedding (the stand-in for a
+    * model forward pass on formats without an in-container codec).
+    * The mapPartitions boundary, row schema, and per-partition
+    * batching are the production shape either way.
     */
   def extractFeatures(df: DataFrame, payloadCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
@@ -70,36 +74,75 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would happen here (decoder handle, model)
-        it.map { case (id, bytes) => (id, decodeStub(bytes, dim)) }
+        it.map { case (id, bytes) =>
+          val feats = ImageCodec.decode(bytes) match {
+            case Some(img) => luminanceHistogram(img, dim)
+            case None      => hashFeatures(bytes, dim)
+          }
+          (id, feats)
+        }
       }
       .toDF("doc_id", "features")
     out.withColumn("features", col("features").cast("array<float>"))
   }
 
-  /** Resize stage with a STUBBED transform: binary in, binary out,
-    * executed per-partition like [[extractFeatures]]. The stub
-    * stride-samples every `factor`-th byte — a real image resize
-    * (libvips/PIL equivalent) plugs in with the same signature and the
-    * Spark-side shape (schema, partition batching) is unchanged. */
+  /** Resize stage: binary in, binary out, executed per-partition like
+    * [[extractFeatures]]. Decodable images (PPM/BMP) get a REAL
+    * box-filter downsample by `factor` and are re-encoded as binary
+    * PPM (lossless raster container; see [[ImageCodec.encodePpm]]).
+    * Payloads that are not decodable images fall back to byte
+    * stride-sampling — a disclosed stand-in for codecs this container
+    * lacks; a JPEG/video decoder plugs into the same match arm. */
   def resize(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col(payloadCol).as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, resizeStub(bytes, factor)) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        val resized = ImageCodec.decode(bytes) match {
+          case Some(img) => ImageCodec.encodePpm(ImageCodec.downsample(img, factor))
+          case None      => strideSample(bytes, factor)
+        }
+        (id, resized)
+      })
       .toDF("doc_id", "resized")
   }
 
-  private[operators] def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+  /** Fallback for non-image payloads: keep every `factor`-th byte.
+    * Deterministic and size-reducing, so the pipeline stays total over
+    * mixed-media corpora; real codecs replace this per-format. */
+  private[operators] def strideSample(bytes: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((bytes.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
     out
   }
 
-  /** STUB decoder — deterministic bytes→features fake. A real decoder
-    * (libjpeg/ffmpeg/model forward pass) plugs in with this signature. */
-  private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Real pixel features: `dim`-bin histogram of Rec.601 luma
+    * (0.299 R + 0.587 G + 0.114 B, integer arithmetic), normalized to
+    * sum 1 — a compact, deterministic perceptual signature. */
+  private[operators] def luminanceHistogram(
+      img: ImageCodec.RawImage, dim: Int): Array[Float] = {
+    val counts = new Array[Int](dim)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val o = i * 3
+      val luma = (299 * (img.pixels(o) & 0xff) +
+        587 * (img.pixels(o + 1) & 0xff) +
+        114 * (img.pixels(o + 2) & 0xff)) / 1000 // 0..255
+      counts(math.min(luma * dim / 256, dim - 1)) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = counts(j).toFloat / n; j += 1 }
+    out
+  }
+
+  /** Fallback embedding for payloads without an in-container decoder:
+    * deterministic bytes→floats (splitmix-style), payload-dependent. */
+  private[operators] def hashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var acc = 1125899906842597L
     var i = 0

@@ -22,12 +22,22 @@ object EngineLawsProps extends Properties("EngineLaws") {
 
   // --- pure laws ------------------------------------------------------
 
-  property("decodeStub is deterministic and dim-exact") =
+  property("hashFeatures fallback is deterministic and dim-exact") =
     forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte)), Gen.choose(1, 32)) {
       (bytes, dim) =>
-        val a = Multimodal.decodeStub(bytes.toArray, dim)
-        val b = Multimodal.decodeStub(bytes.toArray, dim)
+        val a = Multimodal.hashFeatures(bytes.toArray, dim)
+        val b = Multimodal.hashFeatures(bytes.toArray, dim)
         a.toSeq == b.toSeq && a.length == dim
+    }
+
+  property("image decode->downsample->encode round-trips dims for any factor") =
+    forAll(Gen.choose(1, 10), Gen.choose(1, 10), Gen.choose(1, 4)) { (w, h, f) =>
+      val px = Array.tabulate(w * h * 3)(i => (i * 37 % 256).toByte)
+      val img = ImageCodec.RawImage(w, h, px)
+      val out = ImageCodec.decode(ImageCodec.encodePpm(ImageCodec.downsample(img, f))).get
+      val viaBmp = ImageCodec.decode(ImageCodec.encodeBmp24(img)).get
+      out.width == (w + f - 1) / f && out.height == (h + f - 1) / f &&
+        viaBmp.pixels.toSeq == px.toSeq
     }
 
   property("hyperplanes are ±1, deterministic, shape-exact") =

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -30,17 +32,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getAs[String]("frame1_md5") === "d41d8cd98f00b204e9800998ecf8427e")
   }
 
-  test("resize: stubbed stride-sample keeps binary schema and shrinks payloads") {
+  test("resize decodes a real BMP, box-downsamples pixels, re-encodes as PPM") {
+    import spark.implicits._
+    val bmp = Files.readAllBytes(Paths.get(fixture("gradient.bmp")))
+    val ppm = Files.readAllBytes(Paths.get(fixture("gradient.ppm")))
+    val df = Seq((1L, bmp), (2L, ppm)).toDF("doc_id", "payload")
+    val out = Multimodal.resize(df, "payload", factor = 2)
+    assert(out.schema("resized").dataType.simpleString === "binary")
+    val byId = out.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    // both formats decode to the same 8x6 gradient -> same 4x3 output
+    for (id <- Seq(1L, 2L)) {
+      val img = ImageCodec.decode(byId(id)).get // output container is PPM
+      assert(img.width === 4 && img.height === 3)
+      // fixture pixel (x,y) = (30x, 40y, 10(x+y)); 2x2 box means:
+      for (oy <- 0 until 3; ox <- 0 until 4)
+        assert(img.rgb(ox, oy) === (60 * ox + 15, 80 * oy + 20, 20 * ox + 20 * oy + 10),
+          s"doc $id at ($ox,$oy)")
+    }
+  }
+
+  test("resize falls back to stride-sampling for non-image payloads") {
     import spark.implicits._
     val df = Seq((1L, (0 until 100).map(_.toByte).toArray)).toDF("doc_id", "payload")
     val out = Multimodal.resize(df, "payload", factor = 4)
-    assert(out.schema("resized").dataType.simpleString === "binary")
     val r = out.head.getAs[Array[Byte]]("resized")
     assert(r.length === 25)
     assert(r.toSeq === (0 until 100 by 4).map(_.toByte))
   }
 
-  test("extractFeatures: stubbed decode keeps schema, dim and determinism") {
+  test("extractFeatures yields a real luminance histogram for decodable images") {
+    import spark.implicits._
+    val ppm = Files.readAllBytes(Paths.get(fixture("gradient.ppm")))
+    val df = Seq((1L, ppm)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 8)
+    assert(feats.schema("features").dataType.simpleString === "array<float>")
+    val got = feats.head.getSeq[Float](1)
+    // independent expectation from the gradient closed form
+    val counts = new Array[Int](8)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val luma = (299 * (30 * x) + 587 * (40 * y) + 114 * (10 * (x + y))) / 1000
+      counts(math.min(luma * 8 / 256, 7)) += 1
+    }
+    val expected = counts.map(_.toFloat / 48).toSeq
+    assert(got === expected)
+    assert(math.abs(got.sum - 1.0f) < 1e-5)
+  }
+
+  test("extractFeatures: hash fallback keeps schema, dim and determinism") {
     import spark.implicits._
     val df = Seq(
       (1L, "first payload".getBytes("UTF-8")),
