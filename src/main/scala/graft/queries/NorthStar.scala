@@ -2519,5 +2519,57 @@ object NorthStar {
             size(col("sh_b")).cast("long") - col("graft__i")))
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
+
+    // ----- n71: streaming sessionization, batch parity ------------------
+    // The STREAMING session operator's emission semantics certified
+    // through the batch gate (the n68 discipline): sessionsBatch runs
+    // the SAME foldSessionTimes the stream's state handler runs —
+    // epoch-ms gap arithmetic included — with the tail session flushed,
+    // which is exactly the set streamingSessions emits once the
+    // watermark passes every event (its event-time timeout).
+    // EventStreamSpec proves stream ≡ batch on the same feed; the
+    // oracle is the gap-and-island spelling in DuckDB, in epoch ms so
+    // sub-second gaps hit the same 30-minute boundary the stream's
+    // millisecond state sees.
+    QuerySpec(
+      "n71_stream_sessions_parity",
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+        |g AS (SELECT user_id, tms,
+        |  CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+        |        OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 1800000
+        |  THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, tms,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(tms) AS session_start_ms, max(tms) AS session_end_ms,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"))
+        .as[EventStream.SessionEvent]
+      EventStream.sessionsBatch(s, ev, gapMinutes = 30)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          unix_millis(col("session_end")).as("session_end_ms"),
+          col("n_events"))
+    },
+
+    // ----- n72: streaming quota admission, batch parity -----------------
+    // transformWithState per-source admission certified through the
+    // batch gate: with arrival order = doc_id order (how the spec feeds
+    // the stream), the running-counter cut equals the per-source
+    // row_number cut. EventStreamSpec proves stream ≡ batch on the same
+    // feed.
+    QuerySpec(
+      "n72_stream_quota_parity",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin) { (s, d) =>
+      EventStream.quotaAdmitBatch(
+        t(s, d, "documents").select(col("doc_id"), col("source")), 10L)
     })
 }

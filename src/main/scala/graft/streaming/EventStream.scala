@@ -169,6 +169,37 @@ object EventStream {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
 
+  /** THE session fold — the single definition of the gap rule, shared
+    * verbatim by the streaming operator (per micro-batch, threading the
+    * open session through the state store) and the batch twin
+    * [[sessionsBatch]] that the driver's DuckDB gate certifies
+    * (`n71_stream_sessions_parity`). Times are epoch MILLIS (the
+    * stream's state granularity — `Timestamp.getTime`); `prior` is the
+    * open session carried in from the previous micro-batch (None in
+    * batch). Returns closed sessions in chronological order plus the
+    * still-open tail session. */
+  private[graft] def foldSessionTimes(
+      times: Seq[Long], gapMs: Long, prior: Option[SessionState])
+    : (List[SessionState], Option[SessionState]) = {
+    var out = List.empty[SessionState]
+    var cur = prior
+    times.foreach { t =>
+      cur match {
+        case Some(s) if t - s.last <= gapMs =>
+          cur = Some(s.copy(last = t, n = s.n + 1))
+        case Some(s) =>
+          out ::= s
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (out.reverse, cur)
+  }
+
+  private def toSessionOut(user: Long, s: SessionState): SessionOut =
+    SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+
   /** Custom-state sessionization with flatMapGroupsWithState: one state
     * entry per user (start/last/count). A session closes either
     * in-batch (a later event arrives past the gap) or when the EVENT-
@@ -192,31 +223,46 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            Iterator(toSessionOut(user, s))
           } else {
             val times = batch.map(_.ts.getTime).toSeq.sorted
-            var out = List.empty[SessionOut]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) =>
-                  out ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
+            val (closed, open) = foldSessionTimes(times, gapMs, state.getOption)
+            open.foreach { s =>
               state.update(s)
               // must be strictly past the current watermark or Spark
               // rejects the timestamp; the +1 covers late sessions
               state.setTimeoutTimestamp(
                 math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
-            out.reverseIterator
+            closed.iterator.map(toSessionOut(user, _))
           }
+      }
+  }
+
+  /** Batch twin of [[streamingSessions]] — runs the SAME
+    * [[foldSessionTimes]] over each user's complete history (prior =
+    * None) and flushes the tail session, which is exactly what the
+    * stream emits once the watermark passes every event (the event-time
+    * timeout). This is the spelling the driver's DuckDB gate checks;
+    * EventStreamSpec closes the loop with a stream ≡ batch parity law.
+    *
+    * Scale shape: one hash shuffle on user_id; per-user event history
+    * must fit an executor's working set — true for real users at any
+    * corpus size (same envelope as the window-function spelling in
+    * [[graft.operators.Sessionize]], which sorts the identical
+    * per-user runs). */
+  def sessionsBatch(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (user, it) =>
+        val times = it.map(_.ts.getTime).toSeq.sorted
+        val (closed, open) = foldSessionTimes(times, gapMs, None)
+        (closed ++ open.toList).iterator.map(toSessionOut(user, _))
       }
   }
 
@@ -273,4 +319,20 @@ object EventStream {
       .transformWithState(
         new QuotaProcessor(perSourceQuota), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Batch twin of [[streamingQuotaAdmit]] for the driver's DuckDB gate
+    * (`n72_stream_quota_parity`): when arrival order is doc_id order
+    * (how EventStreamSpec feeds the stream), "admit until the source's
+    * counter reaches the quota" is exactly "the quota lowest doc_ids
+    * per source" — a per-source row_number cut, the same shuffle-once
+    * windowed shape as the n23 quota dedup. EventStreamSpec closes the
+    * loop with a stream ≡ batch parity law over the same arrival
+    * order. */
+  def quotaAdmitBatch(docs: DataFrame, perSourceQuota: Long): DataFrame =
+    docs
+      .withColumn("graft__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("graft__rn") <= perSourceQuota)
+      .select(col("doc_id"), col("source"))
 }

@@ -376,4 +376,82 @@ class EventStreamSpec extends SparkTestBase {
     // first batch alone — telemetry is genuinely per micro-batch
     assert(perBatch.head === ((2L, 2L, 4.0)))
   }
+
+  test("streamingSessions ≡ sessionsBatch once the watermark passes every event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // multi-user, multi-session corpus with a session SPLIT ACROSS the
+    // micro-batch boundary (u2's 11:00/11:20 run) so the state carry is
+    // exercised, not just the in-batch fold
+    val batch1 = Seq(
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:00:00")),
+      EventStream.SessionEvent(1L, ts("2024-01-01 10:10:00")),
+      EventStream.SessionEvent(2L, ts("2024-01-01 10:05:00")),
+      EventStream.SessionEvent(3L, ts("2024-01-01 09:00:00")),
+      EventStream.SessionEvent(2L, ts("2024-01-01 11:00:00")))
+    val batch2 = Seq(
+      EventStream.SessionEvent(2L, ts("2024-01-01 11:20:00")),
+      EventStream.SessionEvent(1L, ts("2024-01-01 12:00:00")),
+      EventStream.SessionEvent(1L, ts("2024-01-01 12:05:00")))
+    val real = batch1 ++ batch2
+
+    val mem = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.streamingSessions(spark, mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    // two sentinel batches for user 999: the first advances the
+    // watermark past every real tail session's end+gap, the second
+    // triggers the batch in which those event-time timeouts fire
+    mem.addData(EventStream.SessionEvent(999L, ts("2024-01-01 18:00:00")))
+    q.processAllAvailable()
+    mem.addData(EventStream.SessionEvent(999L, ts("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    val streamed = shape(spark.table("sess_parity")
+      .filter(col("user_id") =!= 999L).collect())
+    val batch = shape(
+      EventStream.sessionsBatch(spark, real.toDS(), gapMinutes = 30)
+        .toDF().collect())
+    assert(streamed === batch)
+    assert(batch.size === 5, s"expected 5 sessions, got $batch") // 2+2+1
+  }
+
+  test("streamingQuotaAdmit ≡ quotaAdmitBatch under doc_id arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc_id-ordered arrivals, quota boundary crossing the micro-batch
+    // boundary for srcA (3 then 3 more against quota 4)
+    val batch1 = (1L to 3L).map(EventStream.DocArrival(_, "srcA")) ++
+      (4L to 5L).map(EventStream.DocArrival(_, "srcB"))
+    val batch2 = (6L to 8L).map(EventStream.DocArrival(_, "srcA")) ++
+      (9L to 14L).map(EventStream.DocArrival(_, "srcB"))
+    withRocksDBStateStore {
+      val mem = MemoryStream[EventStream.DocArrival]
+      val q = EventStream.streamingQuotaAdmit(spark, mem.toDS(), 4L)
+        .writeStream.format("memory").queryName("quota_parity")
+        .outputMode("append").start()
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    val streamed = spark.table("quota_parity").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = EventStream.quotaAdmitBatch(
+      (batch1 ++ batch2).toDF("doc_id", "source"), 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    // srcA admits 1,2,3 then 6 (4th); srcB admits 4,5 then 9,10
+    assert(batch === Set(1L, 2L, 3L, 6L).map((_, "srcA")) ++
+      Set(4L, 5L, 9L, 10L).map((_, "srcB")))
+  }
 }
