@@ -85,14 +85,23 @@ object BpeTrainer {
   }
 
   /** Train up to `k` merges over the whitespace-token vocabulary of
-    * `docs(textCol)`; the encoded vocabulary is released. The merge
-    * table keeps one tiny (≤ k rows) checkpoint alive until the
-    * harness's between-query RDD sweep. */
+    * `docs(textCol)`; the encoded vocabulary is released. The returned
+    * merges frame is a LOCAL relation: the merge table is ≤ k rows by
+    * construction (one per trained round — a driver-sized model
+    * artifact, like a centroid set, not corpus data), so it is pinned
+    * to the driver and EVERY checkpoint block is released before
+    * returning. Library callers can hold the result indefinitely with
+    * no executor storage leaked; callers who also need the encoded
+    * vocabulary (corpus-sized — stays distributed) use [[trainVocab]]
+    * and own its lifetime via [[TrainResult.release]]. */
   def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
     val (result, vocabIds) = trainImpl(docs, textCol, k)
-    // the final symbol table is not part of the merges output
-    release(docs.sparkSession.sparkContext, vocabIds)
-    result.merges
+    val rows = java.util.Arrays.asList(result.merges.collect(): _*)
+    val schema = result.merges.schema
+    release(spark.sparkContext, vocabIds)
+    result.release()
+    spark.createDataFrame(rows, schema)
   }
 
   /** Train AND keep the encoded vocabulary (checkpointed — the caller

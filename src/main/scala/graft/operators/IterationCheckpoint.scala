@@ -18,11 +18,24 @@ import org.apache.spark.sql.DataFrame
   * with Toom-Cook multiplication dominating the driver). Rebuilding the
   * frame from the checkpointed rows gives the leaf fresh default
   * statistics, keeping every round's stats computation O(plan size).
-  * Joins that must broadcast a small checkpointed side pass an explicit
-  * `broadcast()` hint (stats no longer advertise smallness); AQE still
-  * right-sizes everything else from runtime shuffle statistics.
+  * The rebuild keeps the rows INTERNAL (UnsafeRow → fresh LogicalRDD
+  * via [[org.apache.spark.sql.GraftSqlInternals]]): the public
+  * `createDataFrame(ck.rdd, schema)` spelling would deserialize and
+  * re-encode every row of the label/vocab table on each downstream
+  * scan, every iteration. Joins that must broadcast a small
+  * checkpointed side pass an explicit `broadcast()` hint (stats no
+  * longer advertise smallness); AQE still right-sizes everything else
+  * from runtime shuffle statistics.
   */
 private[graft] object IterationCheckpoint {
+
+  /** Fresh-leaf rebuild of a checkpointed frame: same internal rows,
+    * default statistics. */
+  private def resetStats(ck: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlInternals.internalCreateDataFrame(
+      ck.sparkSession,
+      org.apache.spark.sql.GraftSqlInternals.internalRdd(ck),
+      ck.schema)
 
   /** Eager localCheckpoint + stats reset. Returns the rebuilt frame and
     * the ids of the persisted RDD blocks backing it (release them via
@@ -33,7 +46,7 @@ private[graft] object IterationCheckpoint {
     val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
     val ids = sc.getPersistentRDDs.keySet -- before
-    (df.sparkSession.createDataFrame(ck.rdd, ck.schema), ids)
+    (resetStats(ck), ids)
   }
 
   /** Reliable-checkpoint variant (files under the session checkpoint
@@ -41,7 +54,7 @@ private[graft] object IterationCheckpoint {
     * the returned release set is empty. */
   def reliable(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
     val ck = df.checkpoint()
-    (df.sparkSession.createDataFrame(ck.rdd, ck.schema), Set.empty)
+    (resetStats(ck), Set.empty)
   }
 
   def release(sc: SparkContext, ids: scala.collection.Set[Int]): Unit =

@@ -40,17 +40,18 @@ import graft.sources.Tables
   * IVF sizing at scale: the registry queries fix nlist (4 cells) so the
   * DuckDB oracle can replay the centroid constants, but a deployed IVF
   * sizes nlist WITH the corpus — SemDeDup targets constant per-cell
-  *
   * occupancy (nlist ∝ N: within-cell pair work stays linear in N), ANN
   * probes target constant probed-row count (nlist ∝ √N is the standard
   * FAISS guidance). Holding nlist at 4 while rows grow 10× measures the
   * quadratic within-cell blowup of a misconfigured index, not the
-  * operator — so the drill reports BOTH arms for n54/n43: the fixed
-  * registry config and the correctly-sized index.
+  * operator — so the drill reports BOTH arms for n54/n43 at 10×: the
+  * fixed registry config (in the main table) and the correctly-sized
+  * index (nlist 40 for SemDeDup, nlist 13 / nprobe 6 for the probe),
+  * timed with the same warmup discipline.
   *
   * Dev runs: args(0) = base sf dir (default sf0.1), args(1) = comma
-  * filter over the drill queries (the special nlist arms run only when
-  * their query passes the filter).
+  * filter over the drill queries (the sized-nlist arms and the s23
+  * pruning assertion run only when their query passes the filter).
   */
 object ScaleDrill {
   def main(args: Array[String]): Unit = {
@@ -118,22 +119,57 @@ object ScaleDrill {
     val (tb, ts) = (rows.map(_._2).sum, rows.map(_._3).sum)
     println(f"[scale] TOTAL sf0.1 $tb%.2fs  10x $ts%.2fs  ratio ${ts / tb}%.2fx")
 
-    // s23 at 10×: catalog pruning must hold on the scaled layout — the
-    // probe scan carries the cell filter and reads ≤ 2 of the 16 cells
-    val s23 = SparkEntry.queries("s23_ivf_layout")(spark, scaledDir)
-    s23.collect()
-    val scans = s23.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    // correctly-sized IVF arms at 10× (see sizing note in the scaladoc):
+    // same warmup discipline, timed against the scaled corpus only —
+    // the comparison partner is the fixed-nlist 10× time in the table
+    def timeSized(label: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        build.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      once(); once() // warmup
+      println(f"[scale] $label%-22s 10x ${once()}%6.2fs (sized nlist)")
     }
-    val probed = scans.find(_.metadata("PartitionFilters").contains("cell"))
-      .getOrElse(throw new IllegalStateException(
-        s"10x s23: no partition-filtered scan: ${scans.map(_.metadata)}"))
-    val nParts = probed.selectedPartitions.partitionCount
-    require(nParts <= 2,
-      s"10x s23: probe read $nParts partitions, expected <= nprobe=2")
-    println(s"[scale] s23@10x partition pruning holds: " +
-      s"$nParts partitions read, PartitionFilters=" +
-      probed.metadata("PartitionFilters"))
+    import graft.operators.Similarity
+    if (queries.contains("n43_ann_ivf_probe"))
+      timeSized("n43_sized_ivf") {
+        val emb = Tables(spark, scaledDir, "embeddings")
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") =!= 2), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 2), "embedding",
+          centroids = Similarity.hyperplanes(13, 64).map(_.map(_.toDouble)),
+          nprobe = 6, k = 15)
+      }
+    if (queries.contains("n54_semdedup"))
+      timeSized("n54_sized_ivf") {
+        Similarity.semDedup(
+          Tables(spark, scaledDir, "embeddings"), "vec_id", "embedding",
+          centroids = Similarity.hyperplanes(40, 64).map(_.map(_.toDouble)),
+          threshold = 0.4)
+      }
+
+    // s23 at 10×: catalog pruning must hold on the scaled layout — the
+    // probe scan carries the cell filter and reads ≤ 2 of the 16 cells.
+    // (Gated on the filter: re-building the layout at 10× is not free.)
+    if (queries.contains("s23_ivf_layout")) {
+      val s23 = SparkEntry.queries("s23_ivf_layout")(spark, scaledDir)
+      s23.collect()
+      val scans = s23.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val probed = scans.find(_.metadata("PartitionFilters").contains("cell"))
+        .getOrElse(throw new IllegalStateException(
+          s"10x s23: no partition-filtered scan: ${scans.map(_.metadata)}"))
+      val nParts = probed.selectedPartitions.partitionCount
+      require(nParts <= 2,
+        s"10x s23: probe read $nParts partitions, expected <= nprobe=2")
+      println(s"[scale] s23@10x partition pruning holds: " +
+        s"$nParts partitions read, PartitionFilters=" +
+        probed.metadata("PartitionFilters"))
+    }
     spark.stop()
   }
 }
