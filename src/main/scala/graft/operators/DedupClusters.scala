@@ -63,6 +63,10 @@ object DedupClusters {
     *               rows are fine — the input is symmetrized+deduped)
     * @param srcCol long-compatible vertex column
     * @param dstCol long-compatible vertex column
+    * @param roundHook telemetry callback `(round, frontierRows,
+    *               roundSeconds)` fired once per completed round — the
+    *               scale drills use it to report frontier decay; the
+    *               default is a no-op and costs nothing
     * @return (id, component): one row per vertex that appears in any
     *         edge; `component` is the minimum vertex id reachable from
     *         `id` (a canonical, deterministic cluster representative).
@@ -73,7 +77,8 @@ object DedupClusters {
       dstCol: String,
       maxIter: Int = 25,
       reliableCheckpointDir: Option[String] = None,
-      broadcastFrontierRows: Long = 4000000L): DataFrame = {
+      broadcastFrontierRows: Long = 4000000L,
+      roundHook: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val e = edges.select(
       col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
@@ -132,6 +137,7 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // the frontier is the only label source a round needs: a label
       // that did not change last round was already offered to every
       // neighbor and pointer the round after it last changed
@@ -159,13 +165,50 @@ object DedupClusters {
         .groupBy(col("id"))
         .agg(min(col("graft__prop")).as("graft__prop"))
       // strict improvements only — the new frontier
-      val (newFrontier, newFrontierIds) = checkpointed(
+      var (newFrontier, newFrontierIds) = checkpointed(
         labels
           .join(best, Seq("id"))
           .filter(col("graft__prop") < col("comp"))
           .select(col("id"), col("graft__prop").as("comp")))
       frontierRows = newFrontier.count() // scan of just-materialized blocks
       converged = frontierRows == 0L
+      // --- within-round pointer-doubling compression ------------------
+      // Squaring the changed-label relation against itself until
+      // fixpoint: if this round computed a→b and b→c, emit a→c, then
+      // a→(c's same-round target), doubling the compressed depth each
+      // pass. Every pass is a FRONTIER-sized join (broadcast once
+      // small), while an extra outer round costs a full edge-list
+      // join — so collapsing same-round chains here trades the
+      // expensive rounds for cheap ones. On an adversarial 100k-vertex
+      // chain this resolves the whole component in round 1 (17
+      // frontier joins) instead of 18 edge-join rounds; on real dup
+      // clusters (tiny diameters, no same-round chains) the single
+      // fixpoint-detect pass is the only cost. Correctness: compose of
+      // reachable-minimum labels is a reachable minimum, values stay
+      // monotone, and membership (the changed-vertex set) is untouched,
+      // so the frontier invariant argued above is preserved verbatim.
+      if (!converged && frontierRows > 1) {
+        var moved = 1L
+        var inner = 0
+        while (moved > 0 && inner < 20) {
+          val t = newFrontier.select(
+            col("id").as("graft__tid"), col("comp").as("graft__tcomp"))
+          val tB =
+            if (frontierRows <= broadcastFrontierRows) broadcast(t) else t
+          val (ck, ckIds) = checkpointed(
+            newFrontier.join(tB, newFrontier("comp") === col("graft__tid"), "left")
+              .select(newFrontier("id"),
+                coalesce(col("graft__tcomp"), newFrontier("comp")).as("comp"),
+                // matches are strict improvements: a frontier row's comp
+                // is < its id, so tcomp < tid = our comp by construction
+                col("graft__tcomp").isNotNull.as("graft__hop")))
+          moved = ck.filter(col("graft__hop")).count()
+          release(newFrontierIds)
+          newFrontier = ck.select(col("id"), col("comp"))
+          newFrontierIds = ckIds
+          inner += 1
+        }
+      }
       if (converged) {
         release(newFrontierIds) // empty — labels are final as-is
       } else {
@@ -191,6 +234,7 @@ object DedupClusters {
         frontierIds = newFrontierIds
       }
       iter += 1
+      roundHook(iter, frontierRows, (System.nanoTime() - roundT0) / 1e9)
     }
     release(frontierIds)
     release(symIds) // edges are not referenced by the checkpointed result

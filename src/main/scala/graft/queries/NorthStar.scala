@@ -2571,5 +2571,34 @@ object NorthStar {
         |  FROM documents) WHERE rn <= 10""".stripMargin) { (s, d) =>
       EventStream.quotaAdmitBatch(
         t(s, d, "documents").select(col("doc_id"), col("source")), 10L)
+    },
+
+    // ----- n73: stream-stream interval join, batch parity ---------------
+    // The SAME intervalJoin function wires the streaming path
+    // (streamingIntervalJoin only adds watermarks — EventStreamSpec
+    // proves batch ≡ stream), so gating the batch call certifies the
+    // shared join semantics: purchases within 30 minutes AFTER a view,
+    // per user. Equi-join on user_id with the time bound as a
+    // post-join predicate — the scalable spelling (keyed shuffle, no
+    // range-join blowup); timestamps compare at full micro precision
+    // on both engines, no rounding needed.
+    QuerySpec(
+      "n73_stream_interval_parity",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events")
+      EventStream.intervalJoin(
+        events.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id")),
+        events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id")),
+        "user_id", "view_ts", "purchase_ts", "30 minutes")
+        .select(col("view_id"), col("purchase_id"))
     })
 }
