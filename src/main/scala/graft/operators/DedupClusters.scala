@@ -78,6 +78,7 @@ object DedupClusters {
       maxIter: Int = 25,
       reliableCheckpointDir: Option[String] = None,
       broadcastFrontierRows: Long = 4000000L,
+      pointerDoubling: Boolean = true,
       roundHook: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val e = edges.select(
       col(srcCol).cast("long").as("u"),
@@ -176,38 +177,58 @@ object DedupClusters {
       // Squaring the changed-label relation against itself until
       // fixpoint: if this round computed a→b and b→c, emit a→c, then
       // a→(c's same-round target), doubling the compressed depth each
-      // pass. Every pass is a FRONTIER-sized join (broadcast once
-      // small), while an extra outer round costs a full edge-list
-      // join — so collapsing same-round chains here trades the
-      // expensive rounds for cheap ones. On an adversarial 100k-vertex
-      // chain this resolves the whole component in round 1 (17
-      // frontier joins) instead of 18 edge-join rounds; on real dup
-      // clusters (tiny diameters, no same-round chains) the single
-      // fixpoint-detect pass is the only cost. Correctness: compose of
-      // reachable-minimum labels is a reachable minimum, values stay
-      // monotone, and membership (the changed-vertex set) is untouched,
-      // so the frontier invariant argued above is preserved verbatim.
-      if (!converged && frontierRows > 1) {
-        var moved = 1L
+      // pass. Correctness: compose of reachable-minimum labels is a
+      // reachable minimum, values stay monotone, and membership (the
+      // changed-vertex set) is untouched, so the frontier invariant
+      // argued above is preserved verbatim. Without this step the
+      // cross-round jump alone is NOT O(log diameter): the 10⁷-edge
+      // FrontierDrill's ring+chain family blows the 30-round cap with
+      // ~13k frontier left, while doubling closes the whole graph in 2
+      // rounds (SCALE_r08.md has the A/B).
+      //
+      // Scale gates (both matter at 100 TB):
+      //  - runs only once the frontier is BROADCASTABLE. Round 1's
+      //    frontier is |V|-sized, and doubling there means |V|-sized
+      //    shuffle joins per pass (measured 402 s of a 459 s drill run
+      //    at 10⁷ edges); the outer edge-join rounds shrink the
+      //    frontier geometrically anyway, so waiting one or two rounds
+      //    makes every pass a broadcast build instead;
+      //  - passes probe only the ACTIVE set. The target ids (this
+      //    round's changed vertices) are static across passes, so a row
+      //    that fails to hop probes the same id with the same comp
+      //    forever — it is SETTLED after its first miss; only rows that
+      //    hopped can hop again. Per-pass work therefore tracks the
+      //    surviving chain depth (geometric decay), not the frontier,
+      //    and each pass checkpoints only the active slice.
+      if (pointerDoubling && !converged &&
+          frontierRows > 1 && frontierRows <= broadcastFrontierRows) {
+        var settled: List[DataFrame] = Nil
+        var roundCkIds = newFrontierIds // all checkpoints backing this round
+        var active = newFrontier
+        var activeRows = frontierRows
         var inner = 0
-        while (moved > 0 && inner < 20) {
-          val t = newFrontier.select(
+        while (activeRows > 0 && inner < 20) {
+          // targets = the full frontier's CURRENT values (settled rows'
+          // values are final, active rows' are this pass's) — using a
+          // stale target table would compose one original hop per pass
+          // (linear), not double the compressed depth
+          val t = (settled :+ active).reduce(_ union _).select(
             col("id").as("graft__tid"), col("comp").as("graft__tcomp"))
-          val tB =
-            if (frontierRows <= broadcastFrontierRows) broadcast(t) else t
           val (ck, ckIds) = checkpointed(
-            newFrontier.join(tB, newFrontier("comp") === col("graft__tid"), "left")
-              .select(newFrontier("id"),
-                coalesce(col("graft__tcomp"), newFrontier("comp")).as("comp"),
+            active.join(broadcast(t), active("comp") === col("graft__tid"), "left")
+              .select(active("id"),
+                coalesce(col("graft__tcomp"), active("comp")).as("comp"),
                 // matches are strict improvements: a frontier row's comp
                 // is < its id, so tcomp < tid = our comp by construction
                 col("graft__tcomp").isNotNull.as("graft__hop")))
-          moved = ck.filter(col("graft__hop")).count()
-          release(newFrontierIds)
-          newFrontier = ck.select(col("id"), col("comp"))
-          newFrontierIds = ckIds
+          roundCkIds = roundCkIds ++ ckIds
+          settled = ck.filter(!col("graft__hop")).select(col("id"), col("comp")) :: settled
+          active = ck.filter(col("graft__hop")).select(col("id"), col("comp"))
+          activeRows = active.count() // scan of just-materialized blocks
           inner += 1
         }
+        newFrontier = (settled :+ active).reduce(_ union _)
+        newFrontierIds = roundCkIds
       }
       if (converged) {
         release(newFrontierIds) // empty — labels are final as-is

@@ -40,11 +40,13 @@ import graft.operators.DedupClusters
 object FrontierDrill {
   def main(args: Array[String]): Unit = {
     // dev knobs: args(0) = comma family filter (small,med,ring,chain),
-    // args(1) = integer downscale divisor for fast experiments
+    // args(1) = integer downscale divisor for fast experiments,
+    // args(2) = "nodouble" to A/B the within-round pointer-doubling
     val fams: Set[String] =
       if (args.nonEmpty) args(0).split(",").toSet
       else Set("small", "med", "ring", "chain")
     val div = if (args.length > 1) args(1).toLong else 1L
+    val doubling = !(args.length > 2 && args(2) == "nodouble")
 
     val spark = Sessions.local(appName = "graft-frontier-drill")
     spark.sparkContext.setLogLevel("WARN")
@@ -56,15 +58,20 @@ object FrontierDrill {
 
     val medBase = 10000000L
     val nStars = 20000L / div
+    // NOTE: `/` on Spark integer columns is TRUE division (double) —
+    // cluster indices must use integral `div`, or the generated ids are
+    // fractional doubles that silently truncate into a scrambled graph
+    // (the round-8 drill originally did exactly that and "found" a CC
+    // bug that was really a generator bug)
     val med = spark.range(0L, nStars * 99).toDF("k")
       .select(
-        (lit(medBase) + (col("k") / 99) * 100).as("u"),
-        (lit(medBase) + (col("k") / 99) * 100 + (col("k") % 99) + 1).as("v"))
+        (lit(medBase) + expr("k div 99") * 100).as("u"),
+        (lit(medBase) + expr("k div 99") * 100 + (col("k") % 99) + 1).as("v"))
 
     val largeBase = 20000000L
     val ringSize = 100000L / div
     val ringIdx = spark.range(0L, 10L * ringSize).toDF("k")
-      .withColumn("c", col("k") / ringSize)
+      .withColumn("c", expr(s"k div $ringSize"))
       .withColumn("p", col("k") % ringSize)
     val ring = ringIdx.select(
       (lit(largeBase) + col("k")).as("u"),
@@ -88,7 +95,7 @@ object FrontierDrill {
 
     val t0 = System.nanoTime()
     val labels = DedupClusters.components(
-      edges, "u", "v", maxIter = 30,
+      edges, "u", "v", maxIter = 30, pointerDoubling = doubling,
       roundHook = (r, f, s) =>
         println(f"[frontier] round $r%2d  frontier $f%,12d  $s%7.2fs"))
     val nComp = labels.agg(countDistinct(col("comp"))).head.getLong(0)
