@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_minhash_bands(baseHash, numHashes, bands) → array<bigint>
   *   graft_minhash_sig(shingles, numHashes)           → array<bigint>
   *   graft_simhash(wordHash)                          → bigint
+  *   graft_cosine(vecA, vecB)                         → double
+  *   graft_dot(vecA, vecB)                            → double
   *   graft_cms(hash31, depth, width)                  → array<bigint>
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
   *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
@@ -42,6 +44,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),

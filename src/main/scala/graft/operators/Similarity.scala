@@ -176,8 +176,9 @@ object Similarity {
       vecCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    // fused codegen'd loop; bit-identical to the HOF zip_with/aggregate
+    // fold (same left-to-right accumulation), no per-pair array alloc
+    def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
     val side = Partitioning.spread(emb)
       .select(col(blockCol).as("graft__blk"), col(idCol),
         asDouble(col(vecCol)).as("graft__v"))
@@ -216,17 +217,46 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Seq[Seq[Double]],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      saltBuckets: Int = 16): DataFrame = {
+    // Per-row work hoisted out of the pair join: the cell (coarse
+    // quantization) AND the vector norm. sqrt(dot(v,v)) here is the
+    // same left-to-right fold CosineSimilarity runs per pair, so
+    // dot/(norm_a*norm_b) below is bit-identical to graft_cosine —
+    // two of cosine's three folds amortized to O(rows).
+    val dot = call_function("graft_dot", _: Column, _: Column)
     val celled = emb
       .select(col(idCol), asDouble(col(vecCol)).as("graft__v"))
       .withColumn("cell", nearestCell(col("graft__v"), centroids))
-    val dropped = celled.alias("a")
+      .withColumn("graft__norm",
+        sqrt(dot(col("graft__v"), col("graft__v"))))
+    // The centroid count bounds cell size — but it is also the join's
+    // key cardinality, and a well-sized coarse quantizer has FEWER
+    // cells than the cluster has cores (n54: 16). An equi-join on the
+    // bare cell would put each cell's whole quadratic workload on one
+    // task. Salting restores parallelism without changing the pair
+    // set: each row gets a deterministic salt, the left side is
+    // replicated once per salt value, and the join key is
+    // (cell, right-side salt) — every (a,b) pair still meets exactly
+    // once (at a's replica tagged with b's salt), but the work now
+    // spreads over cells × saltBuckets tasks. Replication cost is
+    // saltBuckets × the row side — linear — against the quadratic
+    // pair work it parallelizes.
+    val salted = celled.withColumn(
+      "graft__salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+    val aSide = salted
+      .withColumn("graft__bsalt",
+        explode(array((0 until saltBuckets).map(lit): _*)))
+    val dropped = aSide.alias("a")
       .join(
-        celled.alias("b"),
+        salted.alias("b"),
         col("a.cell") === col("b.cell") &&
+          col("a.graft__bsalt") === col("b.graft__salt") &&
           col(s"b.$idCol") < col(s"a.$idCol"))
       .filter(
-        round(cosine(col("a.graft__v"), col("b.graft__v")), 6) >= threshold)
+        round(
+          dot(col("a.graft__v"), col("b.graft__v")) /
+            (col("a.graft__norm") * col("b.graft__norm")), 6) >= threshold)
       .select(col(s"a.$idCol"))
       .distinct()
       .withColumn("graft__dropped", lit(true))

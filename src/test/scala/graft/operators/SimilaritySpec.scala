@@ -132,4 +132,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(byId(3L)._3, "sole member of its cell survives")
     assert(byId(4L)._3, "below-threshold neighbor survives")
   }
+
+  test("graft_dot generates compilable codegen (no interpreter fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = spark.range(1, 4)
+        .selectExpr("cast(array(id * 2.0, 3.0) as array<double>) AS v")
+        .selectExpr("graft_dot(v, cast(array(1.0, 2.0) as array<double>)) AS d")
+        .collect().map(_.getDouble(0))
+      assert(got.toSeq === Seq(8.0, 10.0, 12.0)) // 2i + 6
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("semDedup: salting is plan-only — same keep set at any bucket count") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat), 0)
+    }
+    val centroids = Seq(Seq.fill(8)(1.0), Seq.fill(8)(-1.0))
+    def run(s: Int) = Similarity
+      .semDedup(embDf(rows), "vec_id", "embedding", centroids,
+        threshold = 0.6, saltBuckets = s)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(run(1) === run(16), "pair set must not depend on salt buckets")
+  }
 }
