@@ -218,7 +218,17 @@ object Similarity {
       vecCol: String,
       centroids: Seq[Seq[Double]],
       threshold: Double,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 0): DataFrame = {
+    // 0 = auto: enough salts that cells × salts ≈ 2× the cluster's
+    // parallelism (replication is pure overhead beyond that — a 16-way
+    // salt on a 4-core dev box makes the join 16× heavier for zero
+    // extra concurrency), capped so the linear replication cost stays
+    // far below the quadratic work it spreads
+    val s =
+      if (saltBuckets > 0) saltBuckets
+      else math.max(1, math.min(64,
+        (2 * emb.sparkSession.sparkContext.defaultParallelism +
+          centroids.size - 1) / centroids.size))
     // Per-row work hoisted out of the pair join: the cell (coarse
     // quantization) AND the vector norm. sqrt(dot(v,v)) here is the
     // same left-to-right fold CosineSimilarity runs per pair, so
@@ -243,10 +253,22 @@ object Similarity {
     // saltBuckets × the row side — linear — against the quadratic
     // pair work it parallelizes.
     val salted = celled.withColumn(
-      "graft__salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+      "graft__salt", pmod(hash(col(idCol)), lit(s)))
+    // Pin the replicated side's partitioning to the join key with an
+    // EXPLICIT partition count. Two silent parallelism collapses
+    // otherwise: a broadcast-hash plan probes in the a-side's incoming
+    // partitioning (a handful of scan splits), and under a shuffle
+    // plan AQE coalesces by BYTES (~64 MB advisory), which under-sizes
+    // a join whose work is quadratic in rows per partition, not linear
+    // in bytes. A fixed count is exempt from AQE coalescing and the
+    // sort-merge/shuffled-hash path reuses it as its own exchange.
+    val spark = emb.sparkSession
+    val parts = math.max(s * centroids.size,
+      2 * spark.sparkContext.defaultParallelism)
     val aSide = salted
       .withColumn("graft__bsalt",
-        explode(array((0 until saltBuckets).map(lit): _*)))
+        explode(array((0 until s).map(lit): _*)))
+      .repartition(parts, col("cell"), col("graft__bsalt"))
     val dropped = aSide.alias("a")
       .join(
         salted.alias("b"),

@@ -80,6 +80,21 @@ class DedupClustersSpec extends SparkTestBase {
     assert(got === (0L to 199L).map(_ -> 0L).toMap)
   }
 
+  test("components: 1k ring with chords (cyclic, multi-round) resolves to one component") {
+    // cycles are the shape the chain test can't cover: pointer chains
+    // formed during a round can point "backwards" around the ring, and
+    // the within-round doubling must still terminate (labels strictly
+    // decrease, so the pointer graph stays acyclic even when the edge
+    // graph is not). Chords replicate the FrontierDrill ring family.
+    val n = 1000L
+    val ring = (0L until n).map(i => i -> ((i + 1) % n))
+    val chords = (0L until n).map(i => i -> ((i * 2654435761L) % n))
+    val edges = (ring ++ chords).filter { case (a, b) => a != b }
+    val got = run(edges)
+    assert(got.size === n)
+    assert(got.values.toSet === Set(0L), "every vertex must reach label 0")
+  }
+
   test("components: throws instead of returning unconverged labels") {
     // a 20-vertex chain cannot converge in 1 round; silent partial
     // labels would under-merge clusters downstream, so the cap throws
