@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_simhash(wordHash)                          → bigint
   *   graft_cosine(vecA, vecB)                         → double
   *   graft_dot(vecA, vecB)                            → double
+  *   graft_nearest_cell(vec, centroidMatrix)          → int
   *   graft_cms(hash31, depth, width)                  → array<bigint>
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
   *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
@@ -48,6 +49,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (args: Seq[Expression]) => NearestCell(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),

@@ -121,14 +121,23 @@ object Similarity {
       lit(0.0), (acc, d) => acc + d)
 
   /** Index of the nearest centroid (squared-L2 argmin) — the coarse
-    * quantizer shared by [[ivfTopK]] and [[semDedup]]. Argmin via one
-    * array + sort, NOT a when/otherwise reduce: the reduce duplicates
-    * both operand subtrees at every level, so with k centroids the
-    * expression tree holds O(2^k) copies of the 64-element distance
-    * fold — planning/codegen time explodes long before row count
-    * matters. The array form keeps exactly k folds. Ties break to the
-    * lower index (struct compare is field-wise). */
+    * quantizer shared by [[ivfTopK]] and [[semDedup]]. A fused codegen'd
+    * expression (graft.functions.NearestCell): one k×d loop over an
+    * embedded double[][], no per-centroid intermediate arrays, constant
+    * plan size in k — at a correctly-sized nlist (k ∝ N / target cell
+    * size) the assignment is the dominant map-side cost of an IVF
+    * build, and the HOF spelling paid an array allocation per centroid
+    * per row. Ties break to the lower index (strict-< argmin), the same
+    * order the HOF twin's struct sort yields; cells are bit-identical
+    * (law-tested against [[nearestCellHof]]). */
   def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    call_function("graft_nearest_cell", v,
+      array(centroids.map(c => array(c.map(lit): _*)): _*))
+
+  /** The higher-order-function spelling of [[nearestCell]] — kept as
+    * the law-test twin (SimilaritySpec pins bit-identical cells) and as
+    * the reference for the arithmetic the fused expression must match. */
+  private[graft] def nearestCellHof(v: Column, centroids: Seq[Seq[Double]]): Column =
     element_at(
       array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
         struct(dist2(v, c).as("d"), lit(i).as("i"))

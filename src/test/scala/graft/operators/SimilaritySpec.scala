@@ -145,6 +145,33 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("graft_nearest_cell: bit-identical cells to the HOF argmin, codegen compiles") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val rnd = new scala.util.Random(23)
+      val rows = (0L until 200L).map { i =>
+        (i, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat), 0)
+      }
+      // includes an exact-tie shape: centroid 0 and 2 are identical, so
+      // every row tie-breaks — the fused argmin must keep the LOWER index
+      val cents = Seq(
+        Seq.fill(16)(0.25), Seq.fill(16)(-0.5), Seq.fill(16)(0.25),
+        (0 until 16).map(d => if (d % 2 == 0) 1.0 else -1.0))
+      val df = embDf(rows).select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val got = df.select(col("vec_id"),
+        Similarity.nearestCell(col("v"), cents).as("fused"),
+        Similarity.nearestCellHof(col("v"), cents).as("hof"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(got.nonEmpty)
+      got.foreach { case (id, fused, hof) =>
+        assert(fused === hof, s"cell mismatch for vec $id")
+      }
+      assert(got.forall(_._2 != 2), "ties must break to the lower index")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("semDedup: salting is plan-only — same keep set at any bucket count") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 40L).map { i =>
