@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
   *   real cluster would size to 2-3× total cores or rely on AQE
   *   coalescing, which is on by default in Spark 4).
   * - session TZ pinned UTC so timestamp↔epoch casts match DuckDB.
-  * - parquet timestamps read as TimestampType (not NTZ) and
-  *   TIMESTAMP(NANOS) columns surfaced as long (events.ts — truncated to
-  *   micros in Tables).
+  * - parquet timestamps read as TimestampType (not NTZ); TIMESTAMP(NANOS)
+  *   columns surface as long for compatibility with the nanos vintage of
+  *   events.ts (Tables truncates to micros when it sees the long form —
+  *   a no-op config for micros-vintage data).
   */
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -21,13 +21,16 @@ object Tables {
     // NTZ; TIMESTAMP(NANOS) surfaced as long) is set once at session
     // construction in graft.Sessions — no conf mutation in the data path.
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-      // read natively; the session reads nanos as long and we truncate
-      // to micros here (integer `div` — a double division would lose
-      // precision above 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP)
-      // truncates identically.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark 4 refuses to read natively — the session reads nanos as
+      // long and we truncate to micros; integer `div`, a double division
+      // would lose precision above 2^53 ns) and plain TIMESTAMP(MICROS)
+      // (read natively). Branch on the read type so both vintages work;
+      // DuckDB's CAST(ts AS TIMESTAMP) truncates nanos identically.
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

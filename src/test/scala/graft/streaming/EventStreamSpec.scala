@@ -67,10 +67,14 @@ class EventStreamSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val rawStream = spark.readStream
+      .schema(batchSchema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else rawStream
     val q = EventStream.tumblingAgg(raw, "ts", "1 hour")
       .writeStream.format("memory").queryName("file_stream_test")
       .outputMode("complete").start()
