@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * SQL surface:
   *   graft_minhash_bands(baseHash, numHashes, bands) → array<bigint>
   *   graft_minhash_sig(shingles, numHashes)           → array<bigint>
+  *   graft_minhash_band_mix(sig, bands)               → array<bigint>
   *   graft_simhash(wordHash)                          → bigint
   *   graft_cosine(vecA, vecB)                         → double
   *   graft_dot(vecA, vecB)                            → double
@@ -41,6 +42,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSignature(args(0), intLit(args(1), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_band_mix"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_band_mix"),
+      (args: Seq[Expression]) =>
+        MinHashBands(args(0), intLit(args(1), "bands"))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

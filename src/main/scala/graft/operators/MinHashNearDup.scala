@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * Jaccard before it is reported.
   *
   * Scale design (the whole point of the banding):
-  *  - signatures: one explode + one hash-partitioned groupBy(doc) —
-  *    shuffle volume is k longs per doc, independent of text size;
+  *  - signatures: a map-only fused fold over each doc's shingle array
+  *    (codegen'd MinHashSignature + MinHashBands) — no explode, no
+  *    per-doc aggregation shuffle; the first exchange in the operator
+  *    is the banded bucket join itself;
   *  - candidates: self-join on (band, bandValue) — cost is quadratic
   *    only within a bucket, and bucket sizes concentrate sharply for
   *    non-duplicate docs (expected pair count ≈ duplicates + noise);
@@ -101,26 +103,25 @@ object MinHashNearDup {
         .filter(size(col("sh")) > 0),
       "shingled")
 
-    // One string hash per shingle, then the banded-minhash sketch
-    // aggregate (graft.functions.MinHashBandSketch): k universal-hash
-    // minima + band mixing in one TypedImperativeAggregate with a
-    // primitive-array buffer — replaces k generated min() columns
-    // (whose fixed codegen cost dominated the query) and still
-    // partial-aggregates map-side, so the shuffle carries `bands`
-    // longs per doc.
-    val exploded = shingled
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("hb", xxhash64(col("s")))
-
+    // Sketches are MAP-ONLY: the fused codegen'd per-row fold
+    // (graft.functions.MinHashSignature — hash each shingle once,
+    // update all k minima in place) plus the native FNV band mix
+    // (graft.functions.MinHashBands). Bit-identical to the former
+    // explode → graft_minhash_bands aggregation (EngineLawsProps
+    // parity law) but with no shingle explode and NO SHUFFLE — at
+    // corpus scale the per-doc aggregation exchange (one row per
+    // shingle into a hash partitioning) was the stage's entire
+    // data movement.
+    //
     // Materialized: the signature table feeds the bucket self-join (both
     // sides) AND the estimate prefilter; without it each branch would
     // recompute the whole scan→shingle→hash→sketch chain.
     // numHashes+bands longs per doc — tiny.
     val sketches = materialize(
-      exploded
-        .groupBy(col("doc_id"))
-        .agg(expr(s"graft_minhash_bands(hb, $numHashes, $bands)").as("sk"))
-        .select(col("doc_id"), col("sk.sig").as("sig"), col("sk.bands").as("bh")),
+      shingled
+        .select(col("doc_id"),
+          expr(s"graft_minhash_sig(sh, $numHashes)").as("sig"))
+        .withColumn("bh", expr(s"graft_minhash_band_mix(sig, $bands)")),
       "sketches")
 
     val banded = sketches

@@ -202,9 +202,21 @@ object EngineLawsProps extends Properties("EngineLaws") {
         .withColumn("hb", xxhash64(col("s")))
         .groupBy(col("doc_id"))
         .agg(expr("graft_minhash_bands(hb, 64, 16)").as("sk"))
-        .select(col("doc_id"), col("sk.sig"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      perRow == batch
+        .select(col("doc_id"), col("sk.sig"), col("sk.bands"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+      // map-only twin of the aggregate: fused per-row sig + native FNV
+      // band mix — the pair MinHashNearDup now ships as its sketch stage
+      val mapOnly = df
+        .select(col("doc_id"),
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          expr("graft_minhash_sig(sh, 64)").as("sig"))
+        .withColumn("bh", expr("graft_minhash_band_mix(sig, 16)"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+      perRow == batch.view.mapValues(_._1).toMap && mapOnly == batch
     }
   }
 

@@ -31,6 +31,24 @@ class StreamingNearDupSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("graft_minhash_band_mix generates compilable codegen (no interpreter fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = spark.range(1, 3)
+        .selectExpr("array(concat('a', id), 'b') AS sh")
+        .selectExpr("graft_minhash_band_mix(graft_minhash_sig(sh, 8), 4) AS bh")
+        .collect().map(_.getSeq[Long](0))
+      assert(got.forall(_.length === 4))
+      assert(got(0) !== got(1), "different signatures, different band hashes")
+      // non-divisible band count must fail loudly, not mis-slice
+      val err = intercept[Exception] {
+        spark.sql("SELECT graft_minhash_band_mix(array(1L, 2L, 3L), 2)").collect()
+      }
+      assert(err.getMessage.contains("divide"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("per-row codegen'd signature is bit-identical to the batch aggregate sketch") {
     import spark.implicits._
     val docs = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated)
