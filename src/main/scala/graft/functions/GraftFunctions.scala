@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_minhash_sig(shingles, numHashes)           → array<bigint>
   *   graft_minhash_band_mix(sig, bands)               → array<bigint>
   *   graft_simhash(wordHash)                          → bigint
+  *   graft_simhash_of(words)                          → bigint
   *   graft_cosine(vecA, vecB)                         → double
   *   graft_dot(vecA, vecB)                            → double
   *   graft_nearest_cell(vec, centroidMatrix)          → int
@@ -37,6 +38,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHashAgg(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_of"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash_of"),
+      (args: Seq[Expression]) => SimHashSignature(args(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),

@@ -29,17 +29,19 @@ object SimHash {
 
   /** (id, simhash) with simhash in [0, 2^32).
     *
-    * Bit votes + final hash are one TypedImperativeAggregate
-    * (graft.functions.SimHashAgg) over the portable md5-derived word
-    * hash — identical values to the 32-sum expression form (the DuckDB
-    * oracle mirrors the votes), at a fraction of its codegen cost. */
+    * MAP-ONLY: one fused per-row loop (graft.functions.SimHashSignature
+    * — per-row word dedup, portable md5-derived 60-bit word hash, 32
+    * bit votes) replaces the explode → (doc, word) distinct → per-doc
+    * vote aggregation, which shuffled one row per word occurrence
+    * twice before any pairing work. Values are bit-identical (votes
+    * commute; parity law in EngineLawsProps), so the DuckDB oracle's
+    * mirrored votes still agree. The empty-token filter reproduces
+    * explode's drop of empty/null token arrays. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Partitioning.spread(docs)
-      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
-      .distinct()
-      .withColumn("v", TextOps.hexHash60(col("w")))
-      .groupBy(col("doc_id"))
-      .agg(expr("graft_simhash(v)").as("simhash"))
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("graft__ws"))
+      .filter(size(col("graft__ws")) > 0)
+      .select(col("doc_id"), expr("graft_simhash_of(graft__ws)").as("simhash"))
 
   /** Pairs within `maxHamming` (≤ 3 for exhaustive recall with 4 bands). */
   def nearDupPairs(

@@ -83,6 +83,25 @@ class DedupOperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("graft_simhash_of generates compilable codegen (no interpreter fallback)") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = spark.range(1, 3)
+        .selectExpr("array(concat('w', id), 'x', 'x', cast(null as string)) AS ws")
+        .selectExpr("graft_simhash_of(ws) AS h")
+        .collect().map(_.getLong(0))
+      assert(got(0) !== got(1), "different word sets, different simhashes")
+      assert(got.forall(h => h >= 0L && h < (1L << 32)))
+      // all-null / empty word arrays: zero votes → simhash 0 (callers
+      // filter empty token arrays; the expression must stay total)
+      val zero = spark
+        .sql("SELECT graft_simhash_of(cast(array() as array<string>)) AS h")
+        .collect()(0).getLong(0)
+      assert(zero === 0L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("n59 line dedup: survivors globally unique, cover every distinct input line") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("n59_line_dedup")(spark, sf).collect()

@@ -220,6 +220,32 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("per-row simhash == explode+distinct+vote aggregate simhash") = {
+    // duplicated words inside a doc exercise the per-row dedup (the
+    // aggregate spelling distincts (doc, word) globally); tiny shared
+    // vocabulary makes cross-doc word reuse common
+    val word = Gen.oneOf((1 to 8).map(i => s"s$i"))
+    val docGen = Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.choose(1, 5).flatMap(m => Gen.listOfN(m, docGen))) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val perRow = df
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .selectExpr("doc_id", "graft_simhash_of(ws) AS h")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agg = df
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+        .withColumn("v", TextOps.hexHash60(col("w")))
+        .groupBy(col("doc_id"))
+        .agg(expr("graft_simhash(v)").as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      perRow == agg
+    }
+  }
+
   property("line dedup: first-occurrence keep, ordered reassembly, exact bookkeeping") = {
     // tiny vocabulary + 3-token lines → heavy collisions, incl. docs
     // that lose every line (they must vanish from the output)
