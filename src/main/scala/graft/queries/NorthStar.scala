@@ -131,31 +131,34 @@ object NorthStar {
   }
 
   /** Winnowed fingerprint frame (doc_id, fp) shared by n41/n42: MOSS
-    * window-min selection (w = 4) over positional 3-gram hashes. */
+    * window-min selection (w = 4) over positional 3-gram hashes.
+    *
+    * MAP-ONLY: winnowing is a per-document computation, so the whole
+    * selection — positional grams, portable hash, full-window minima,
+    * per-doc distinct — runs as array expressions on each row; the
+    * former spelling exploded one row per gram position and shuffled
+    * the corpus into two per-doc windows plus a distinct. Full windows
+    * need ≥ 4 gram positions (≥ 6 tokens); shorter docs selected no
+    * fingerprint under the window spelling either (`pos ≤ n_sh − 4`
+    * emptied them), so the filter is behavior-preserving. Per-doc
+    * distinct ≡ global (doc_id, fp) distinct because doc_id is unique. */
   private def winnowFps(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     t(s, d, "documents")
       .withColumn("graft__ws", TextOps.tokens(col("text")))
-      .filter(size(col("graft__ws")) >= 3)
+      .filter(size(col("graft__ws")) >= 6)
       .select(col("doc_id"),
-        posexplode(
+        transform(
+          sequence(lit(0), size(col("graft__ws")) - 3),
+          i => TextOps.hexHash60(
+            concat_ws(" ", slice(col("graft__ws"), i + lit(1), lit(3)))))
+          .as("graft__hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
           transform(
-            sequence(lit(0), size(col("graft__ws")) - 3),
-            i => concat_ws(" ", slice(col("graft__ws"), i + lit(1), lit(3)))))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        TextOps.hexHash60(col("gram")).as("h"))
-      .withColumn("graft__nsh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("fp",
-        min(col("h")).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-            .rowsBetween(Window.currentRow, 3)))
-      // winnowing takes only FULL windows: the last w-1 positions'
-      // shorter windows would select trailing hashes twice
-      .filter(col("pos") <= col("graft__nsh") - 4)
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+            sequence(lit(0), size(col("graft__hs")) - 4),
+            i => array_min(slice(col("graft__hs"), i + lit(1), lit(4))))))
+          .as("fp"))
 
   /** DuckDB twin of [[BpeTrainer]]: k unrolled rounds over a positional
     * symbol table. The merge application mirrors the Spark fold's

@@ -178,6 +178,23 @@ class QueryPlansSpec extends SparkTestBase {
       s"the quality gate must not shuffle (mode count is a per-row fold):\n$plan")
   }
 
+  test("n41 winnowing: fingerprint selection is map-only — zero exchanges") {
+    val plan = finalPlan(q("n41_winnow_fingerprint"))
+    assert(!plan.contains("Exchange"),
+      s"winnowing is per-document; selection must not shuffle:\n$plan")
+  }
+
+  test("n13 simhash sketch: per-row fold, not the vote aggregation") {
+    // the sketch stage is a per-row fused fold; the pair-dedup distinct
+    // may aggregate, but the vote aggregate (and its explode+distinct
+    // feeding shuffles) must not reappear
+    val plan = finalPlan(q("n13_simhash_neardup"))
+    assert(plan.contains("graft_simhash_of"),
+      s"sketches must ride the fused per-row expression:\n$plan")
+    assert(!plan.contains("graft_simhash("),
+      s"per-row simhash must not re-introduce the vote aggregation:\n$plan")
+  }
+
   test("n54 semdedup: pair join is equi on the cell, never a cartesian") {
     val plan = finalPlan(q("n54_semdedup"))
     assert(!plan.contains("CartesianProduct"),
