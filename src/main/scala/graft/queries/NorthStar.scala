@@ -1250,7 +1250,12 @@ object NorthStar {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin) { (s, d) =>
+      // persisted: both sides of the self-join read it — with the
+      // map-only winnowFps there is no upstream exchange for
+      // ReuseExchange to share, so an unpersisted frame would run the
+      // whole hash/window-min chain twice
       val fps = winnowFps(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = fps.select(col("doc_id").as("id_a"), col("fp"))
       val b = fps.select(col("doc_id").as("id_b"), col("fp"))
       a.join(b, Seq("fp"))
@@ -2138,42 +2143,52 @@ object NorthStar {
         |  CAST(coalesce(nc, 0) AS BIGINT) AS n_covered,
         |  CAST(coalesce(nc, 0) AS DOUBLE) / n AS dup3_frac
         |FROM t LEFT JOIN nc ON t.doc_id = nc.doc_id""".stripMargin) { (s, d) =>
-      val toks = t(s, d, "documents")
+      // MAP-ONLY: coverage is a within-document computation, so the
+      // whole chain — positional 3-gram hashes, which-values-repeat,
+      // interval-union coverage — runs as array expressions per row.
+      // The former spelling shuffled (doc, gram) counts, (doc, pos)
+      // distincts and a doc rollup, then joined them back; at corpus
+      // scale that moved every gram of every document three times for
+      // a number derivable from the row alone. Per-doc cost is
+      // O(g log g) for the sort + O(g·|repeated|) for the membership
+      // probe — bounded by document length, not corpus size.
+      //
+      // `sequence` guards: Spark's sequence(a, b) runs DESCENDING when
+      // b < a, so every range is wrapped in a when() for short docs.
+      t(s, d, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
         .withColumn("graft__n", size(col("graft__ws")).cast("long"))
-      val grams = toks
-        .filter(col("graft__n") >= 3)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1L, graft__n - 2),
-            |  i -> named_struct(
-            |    'p', i,
-            |    'g', array_join(slice(graft__ws, CAST(i AS INT), 3), ' ')))"""
-            .stripMargin)).as("graft__pg"))
-        // fingerprint at the scan-side projection: the (doc, gram)
-        // shuffle ships 8-byte longs, never gram text (n56 discipline);
-        // both engines hash identically, so results agree even in the
-        // ~2^-60 collision case
-        .select(col("doc_id"), col("graft__pg.p").as("graft__p"),
-          TextOps.hexHash60(col("graft__pg.g")).as("graft__fp"))
-      val covered = grams
-        .groupBy(col("doc_id"), col("graft__fp"))
-        .agg(count(lit(1)).as("graft__c"),
-          collect_list(col("graft__p")).as("graft__ps"))
-        .filter(col("graft__c") >= 2)
-        .select(col("doc_id"), explode(col("graft__ps")).as("graft__p"))
-        .select(col("doc_id"),
-          explode(sequence(col("graft__p"), col("graft__p") + 2L))
-            .as("graft__pos"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("graft__nc"))
-      toks
-        .select(col("doc_id"), col("graft__n"))
-        .join(covered, Seq("doc_id"), "left")
+        .withColumn("graft__fps", expr(
+          """CASE WHEN graft__n >= 3 THEN
+            |  transform(sequence(1L, graft__n - 2),
+            |    i -> CAST(conv(substring(
+            |           md5(array_join(slice(graft__ws, CAST(i AS INT), 3), ' ')),
+            |           1, 15), 16, 10) AS BIGINT))
+            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+        .withColumn("graft__sorted", expr("array_sort(graft__fps)"))
+        .withColumn("graft__dups", expr(
+          // values appearing ≥2 times: keep sorted values equal to
+          // their left neighbor, distinct (sort hoisted to its own
+          // column — inside the lambda it would re-sort per element)
+          """CASE WHEN size(graft__sorted) >= 2 THEN
+            |  array_distinct(filter(
+            |    transform(sequence(2, size(graft__sorted)),
+            |      j -> CASE WHEN element_at(graft__sorted, j)
+            |                     = element_at(graft__sorted, j - 1)
+            |                THEN element_at(graft__sorted, j) END),
+            |    x -> x IS NOT NULL))
+            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+        .withColumn("graft__nc", expr(
+          // union of [p, p+2] over positions whose gram repeats
+          """CASE WHEN size(graft__dups) > 0 THEN
+            |  CAST(size(array_distinct(flatten(transform(
+            |    filter(sequence(1L, CAST(size(graft__fps) AS BIGINT)),
+            |      p -> array_contains(graft__dups, element_at(graft__fps, CAST(p AS INT)))),
+            |    p -> sequence(p, p + 2L))))) AS BIGINT)
+            |ELSE 0L END""".stripMargin))
         .select(col("doc_id"), col("graft__n").as("n_tokens"),
-          coalesce(col("graft__nc"), lit(0L)).as("n_covered"),
-          (coalesce(col("graft__nc"), lit(0L)).cast("double") /
-            col("graft__n")).as("dup3_frac"))
+          col("graft__nc").as("n_covered"),
+          (col("graft__nc").cast("double") / col("graft__n")).as("dup3_frac"))
     },
 
     // ----- n62: soft-dedup corpus weighting -----------------------------
