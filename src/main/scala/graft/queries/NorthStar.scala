@@ -144,7 +144,7 @@ object NorthStar {
     * distinct ≡ global (doc_id, fp) distinct because doc_id is unique. */
   private def winnowFps(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    t(s, d, "documents")
+    graft.operators.Partitioning.spread(t(s, d, "documents"))
       .withColumn("graft__ws", TextOps.tokens(col("text")))
       .filter(size(col("graft__ws")) >= 6)
       .select(col("doc_id"),
@@ -2155,7 +2155,7 @@ object NorthStar {
       //
       // `sequence` guards: Spark's sequence(a, b) runs DESCENDING when
       // b < a, so every range is wrapped in a when() for short docs.
-      t(s, d, "documents")
+      graft.operators.Partitioning.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
         .withColumn("graft__n", size(col("graft__ws")).cast("long"))
         .withColumn("graft__fps", expr(

@@ -60,8 +60,9 @@ object ScaleDrill {
       if (args.length > 1) Some(args(1).split(",").toSet) else None
     val scaledDir = "target/scale10x"
     val copies = 10
-    val queries = Seq("n3_minhash_neardup", "n30_dedup_clusters",
-      "n40_corpus_pipeline", "n56_source_overlap",
+    val queries = Seq("n3_minhash_neardup", "n13_simhash_neardup",
+      "n30_dedup_clusters", "n40_corpus_pipeline", "n41_winnow_fingerprint",
+      "n42_winnow_candidates", "n56_source_overlap", "n61_dup_ngram_frac",
       "n68_online_neardup", "n70_leakage_safe_split",
       "n5_ann_lsh_topk", "n43_ann_ivf_probe", "n54_semdedup",
       "s23_ivf_layout")

@@ -178,10 +178,15 @@ class QueryPlansSpec extends SparkTestBase {
       s"the quality gate must not shuffle (mode count is a per-row fold):\n$plan")
   }
 
-  test("n41 winnowing: fingerprint selection is map-only — zero exchanges") {
+  test("n41 winnowing: fingerprint selection is map-only — no keyed shuffle") {
+    // the only admissible exchange is Partitioning.spread's round-robin
+    // (a small-input parallelism aid, a no-op on a real multi-split
+    // scan); winnowing itself must never shuffle on a key
     val plan = finalPlan(q("n41_winnow_fingerprint"))
-    assert(!plan.contains("Exchange"),
-      s"winnowing is per-document; selection must not shuffle:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"winnowing is per-document; selection must not key-shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"),
+      s"selection must stay per-row expressions:\n$plan")
   }
 
   test("n13 simhash sketch: per-row fold, not the vote aggregation") {
