@@ -69,13 +69,21 @@ object CorpusPipeline {
         .withColumn("graft__md5", md5(col("text"))),
       "tokenized")
 
-    // 1. exact dedup: min doc_id survives per content hash; the
-    //    shuffle carries (hash, id), never the body
+    // 1. exact dedup: min doc_id survives per content hash. The window
+    //    runs over a (hash, id) PROJECTION of the tokenized relation —
+    //    windowing the full frame would shuffle every body and token
+    //    array by md5 — and the non-survivors come back as an anti-join
+    //    drop list (16-byte rows; AQE broadcasts it when the dup
+    //    fraction is small, the common corpus case), so the corpus body
+    //    never enters the dedup exchange at all.
     val byHash = Window.partitionBy(col("graft__md5"))
-    val exactDeduped = tokenized
+    val dupDrops = tokenized
+      .select(col("graft__md5"), col("doc_id"))
       .withColumn("graft__keep_id", min(col("doc_id")).over(byHash))
-      .filter(col("doc_id") === col("graft__keep_id"))
-      .drop("graft__keep_id")
+      .filter(col("doc_id") =!= col("graft__keep_id"))
+      .select(col("doc_id"))
+    val exactDeduped = tokenized
+      .join(dupDrops, Seq("doc_id"), "left_anti")
 
     // 2. near-dup: pairs from banded LSH, clusters from the pair
     //    graph, keep the minimum-id representative of each cluster
