@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native per-row 32-bit SimHash: array<string> words → simhash long.
+/** Native per-row 60-bit SimHash: array<string> words → simhash long.
   *
   * Bit-identical to the explode → distinct → hexHash60 → graft_simhash
   * aggregation pipeline (votes are commutative, so per-row distinct +
@@ -51,7 +51,7 @@ case class SimHashSignature(child: Expression)
 }
 
 object SimHashSignature {
-  private val bits = 32
+  private val bits = 60  // = graft.operators.SimHash.bits (full hash60 width)
 
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")

@@ -112,8 +112,8 @@ case class MinHashBandSketch(
   override def prettyName: String = "graft_minhash_bands"
 }
 
-/** 32-bit SimHash: input is a 60-bit md5-derived word hash (portable —
-  * the DuckDB oracle mirrors the exact bit votes); buffer holds 32 vote
+/** 60-bit SimHash: input is a 60-bit md5-derived word hash (portable —
+  * the DuckDB oracle mirrors the exact bit votes); buffer holds 60 vote
   * counters; eval emits the simhash long (bit i set iff votes(i) > 0).
   */
 case class SimHashAgg(
@@ -122,7 +122,7 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] {
 
-  private val bits = 32
+  private val bits = 60
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -3,16 +3,16 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** 32-bit SimHash near-duplicate detection over word sets.
+/** 60-bit SimHash near-duplicate detection over word sets.
   *
-  * Per document: every distinct word votes ±1 on each of 32 bit
+  * Per document: every distinct word votes ±1 on each of 60 bit
   * positions (sign of the bit in the word's 60-bit md5-derived hash);
   * the simhash sets bit i iff the vote sum is positive. Similar word
   * sets differ in few votes, so near-duplicates land within a small
   * Hamming distance.
   *
-  * Pair generation is exact, not probabilistic: the 32 bits are split
-  * into 4 bands of 8; two hashes within Hamming distance 3 must agree
+  * Pair generation is exact, not probabilistic: the 60 bits are split
+  * into 4 bands of 15; two hashes within Hamming distance 3 must agree
   * on at least one whole band (pigeonhole), so the band-bucket self-join
   * has zero false negatives for maxHamming ≤ 3 and the final
   * bit_count(xor) filter removes false positives. Same scale shape as
@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
   * bit-for-bit (NorthStar n13 builds the mirror SQL programmatically).
   */
 object SimHash {
-  val bits = 32
+  // 60 bits = full width of the portable md5-prefix word hash. The
+  // earlier 32-bit/8-bit-band variant saturated its 4x256-bucket band
+  // space once the corpus passed ~100k docs (the 100x drill measured
+  // the band join going quadratic, 112x wall at 100x rows); 15-bit
+  // bands keep expected bucket occupancy ~n/131k, and hamming<=3 over
+  // a wider fingerprint is the standard Manku-et-al operating point.
+  val bits = 60
   val bandCount = 4
   private val bandBits = bits / bandCount
 
-  /** (id, simhash) with simhash in [0, 2^32).
+  /** (id, simhash) with simhash in [0, 2^60).
     *
     * MAP-ONLY: one fused per-row loop (graft.functions.SimHashSignature
-    * — per-row word dedup, portable md5-derived 60-bit word hash, 32
+    * — per-row word dedup, portable md5-derived 60-bit word hash, 60
     * bit votes) replaces the explode → (doc, word) distinct → per-doc
     * vote aggregation, which shuffled one row per word occurrence
     * twice before any pairing work. Values are bit-identical (votes

@@ -113,8 +113,9 @@ object NorthStar {
   private def hex60(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::UBIGINT)::BIGINT"
 
-  /** SimHash-32 oracle CTEs (`sv`, `sb`, `shash`) ending in
-    * shash(doc_id, simhash) — mirrors SimHash.simhash bit-for-bit. */
+  /** SimHash oracle CTEs (`sv`, `sb`, `shash`) ending in
+    * shash(doc_id, simhash) — mirrors SimHash.simhash bit-for-bit
+    * (programmatic over SimHash.bits, currently 60). */
   private val simhashCte: String = {
     val votes = (0 until SimHash.bits)
       .map(i => s"sum(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")

@@ -58,8 +58,13 @@ object ScaleDrill {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
-    val scaledDir = "target/scale10x"
-    val copies = 10
+    // args(2): copy factor (default 10) — 100 turns the drill into a
+    // two-decade check for the cheap map-only arms (copy tags go in
+    // the same token positions, so near-dup structure is preserved at
+    // any factor; mind the quadratic families' wall time before
+    // pointing 100× at them)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val scaledDir = s"target/scale${copies}x"
     val queries = Seq("n3_minhash_neardup", "n13_simhash_neardup",
       "n30_dedup_clusters", "n40_corpus_pipeline", "n41_winnow_fingerprint",
       "n42_winnow_candidates", "n56_source_overlap", "n61_dup_ngram_frac",
@@ -114,11 +119,11 @@ object ScaleDrill {
     val rows = queries.map { q =>
       val base = time(q, sfDir)
       val scaled = time(q, scaledDir)
-      println(f"[scale] $q%-22s sf0.1 $base%6.2fs  10x $scaled%6.2fs  ratio ${scaled / base}%5.2fx")
+      println(f"[scale] $q%-22s sf0.1 $base%6.2fs  ${copies}x $scaled%6.2fs  ratio ${scaled / base}%5.2fx")
       (q, base, scaled)
     }
     val (tb, ts) = (rows.map(_._2).sum, rows.map(_._3).sum)
-    println(f"[scale] TOTAL sf0.1 $tb%.2fs  10x $ts%.2fs  ratio ${ts / tb}%.2fx")
+    println(f"[scale] TOTAL sf0.1 $tb%.2fs  ${copies}x $ts%.2fs  ratio ${ts / tb}%.2fx")
 
     // correctly-sized IVF arms at 10× (see sizing note in the scaladoc):
     // same warmup discipline, timed against the scaled corpus only —
@@ -132,7 +137,7 @@ object ScaleDrill {
         dt
       }
       once(); once() // warmup
-      println(f"[scale] $label%-22s 10x ${once()}%6.2fs (sized nlist)")
+      println(f"[scale] $label%-22s ${copies}x ${once()}%6.2fs (sized nlist)")
     }
     import graft.operators.Similarity
     if (queries.contains("n43_ann_ivf_probe"))

@@ -92,7 +92,7 @@ class DedupOperatorsSpec extends SparkTestBase {
         .selectExpr("graft_simhash_of(ws) AS h")
         .collect().map(_.getLong(0))
       assert(got(0) !== got(1), "different word sets, different simhashes")
-      assert(got.forall(h => h >= 0L && h < (1L << 32)))
+      assert(got.forall(h => h >= 0L && h < (1L << 60)))
       // all-null / empty word arrays: zero votes → simhash 0 (callers
       // filter empty token arrays; the expression must stay total)
       val zero = spark
