@@ -114,9 +114,16 @@ object ScaleDrill {
       dt
     }
 
+    // args(3) = "sizedonly": skip the fixed-config main table and run
+    // only the sized-IVF arms — at 100× the fixed 4-cell SemDeDup is
+    // quadratic BY CONFIG (that misconfiguration is the point of the
+    // sized arm) and would run for hours measuring nothing new
+    val sizedOnly = args.length > 3 && args(3) == "sizedonly"
+
     // warmup (codegen/JIT) so neither arm is charged first-run ramp
-    queries.foreach { q => time(q, sfDir); time(q, sfDir) }
-    val rows = queries.map { q =>
+    val tableQueries = if (sizedOnly) Seq.empty else queries
+    tableQueries.foreach { q => time(q, sfDir); time(q, sfDir) }
+    val rows = tableQueries.map { q =>
       val base = time(q, sfDir)
       val scaled = time(q, scaledDir)
       println(f"[scale] $q%-22s sf0.1 $base%6.2fs  ${copies}x $scaled%6.2fs  ratio ${scaled / base}%5.2fx")
@@ -140,20 +147,24 @@ object ScaleDrill {
       println(f"[scale] $label%-22s ${copies}x ${once()}%6.2fs (sized nlist)")
     }
     import graft.operators.Similarity
+    // sized with the corpus (scaladoc): probe nlist ∝ √N (13 at 10×),
+    // SemDeDup nlist ∝ N for constant per-cell occupancy (40 at 10×)
+    val probeNlist = math.max(4, math.round(13 * math.sqrt(copies / 10.0)).toInt)
+    val semNlist = math.max(4, 4 * copies)
     if (queries.contains("n43_ann_ivf_probe"))
-      timeSized("n43_sized_ivf") {
+      timeSized(s"n43_sized_ivf($probeNlist)") {
         val emb = Tables(spark, scaledDir, "embeddings")
         Similarity.ivfTopK(
           emb.filter(col("vec_id") =!= 2), "vec_id", "embedding",
           emb.filter(col("vec_id") === 2), "embedding",
-          centroids = Similarity.hyperplanes(13, 64).map(_.map(_.toDouble)),
+          centroids = Similarity.hyperplanes(probeNlist, 64).map(_.map(_.toDouble)),
           nprobe = 6, k = 15)
       }
     if (queries.contains("n54_semdedup"))
-      timeSized("n54_sized_ivf") {
+      timeSized(s"n54_sized_ivf($semNlist)") {
         Similarity.semDedup(
           Tables(spark, scaledDir, "embeddings"), "vec_id", "embedding",
-          centroids = Similarity.hyperplanes(40, 64).map(_.map(_.toDouble)),
+          centroids = Similarity.hyperplanes(semNlist, 64).map(_.map(_.toDouble)),
           threshold = 0.4)
       }
 
