@@ -31,6 +31,18 @@ object Tables {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else {
+      // Same vintage defense for the date-typed columns: the generator
+      // has already changed one temporal type between rounds (ts above),
+      // and every consumer treats o_orderdate/l_shipdate as TIMESTAMP.
+      // A DATE vintage would silently shift epoch arithmetic; normalize
+      // at the read (no-op on the current TIMESTAMP(MICROS) data).
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema.fields.foldLeft(raw) { (df, f) =>
+        if (f.dataType == org.apache.spark.sql.types.DateType)
+          df.withColumn(f.name, col(f.name).cast("timestamp"))
+        else df
+      }
+    }
   }
 }
