@@ -115,6 +115,17 @@ object DedupClusters {
     def checkpointed(df: DataFrame): (DataFrame, scala.collection.Set[Int]) =
       if (reliableCheckpointDir.isDefined) IterationCheckpoint.reliable(df)
       else IterationCheckpoint.local(df)
+    // counted variant for the per-round frontier: in local mode the
+    // count rides the SAME job that materializes the checkpoint
+    // (IterationCheckpoint.localCounted), saving one full pass over the
+    // frontier table every round; reliable mode keeps the two-step
+    // spelling (the reliable write manages its own materialization)
+    def checkpointedCounted(
+        df: DataFrame): (DataFrame, scala.collection.Set[Int], Long) =
+      if (reliableCheckpointDir.isDefined) {
+        val (ck, ids) = IterationCheckpoint.reliable(df)
+        (ck, ids, ck.count())
+      } else IterationCheckpoint.localCounted(df)
     def release(ids: scala.collection.Set[Int]): Unit =
       IterationCheckpoint.release(sc, ids)
 
@@ -165,13 +176,14 @@ object DedupClusters {
       val best = offers
         .groupBy(col("id"))
         .agg(min(col("graft__prop")).as("graft__prop"))
-      // strict improvements only — the new frontier
-      var (newFrontier, newFrontierIds) = checkpointed(
+      // strict improvements only — the new frontier (count rides the
+      // checkpoint's materialization job, see checkpointedCounted)
+      var (newFrontier, newFrontierIds, nfRows) = checkpointedCounted(
         labels
           .join(best, Seq("id"))
           .filter(col("graft__prop") < col("comp"))
           .select(col("id"), col("graft__prop").as("comp")))
-      frontierRows = newFrontier.count() // scan of just-materialized blocks
+      frontierRows = nfRows
       converged = frontierRows == 0L
       // --- within-round pointer-doubling compression ------------------
       // Squaring the changed-label relation against itself until

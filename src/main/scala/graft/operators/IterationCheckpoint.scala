@@ -49,6 +49,27 @@ private[graft] object IterationCheckpoint {
     (resetStats(ck), ids)
   }
 
+  /** Like [[local]], but also returns the row count, measured by the
+    * SAME job that materializes the checkpoint (`RDD.count` on the
+    * marked-for-checkpoint RDD both materializes the blocks and counts
+    * them). The iterative loops all need the round's cardinality for
+    * their convergence/broadcast decisions; the two-job spelling
+    * (eager checkpoint, then count) pays one extra full pass over the
+    * round's table every iteration. Rows are copied before persisting —
+    * `toRdd` reuses mutable UnsafeRows, the same discipline
+    * `Dataset.localCheckpoint` applies internally. */
+  def localCounted(df: DataFrame): (DataFrame, scala.collection.Set[Int], Long) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val rdd = org.apache.spark.sql.GraftSqlInternals.internalRdd(df)
+      .map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val ids = sc.getPersistentRDDs.keySet -- before
+    (org.apache.spark.sql.GraftSqlInternals.internalCreateDataFrame(
+      df.sparkSession, rdd, df.schema), ids, n)
+  }
+
   /** Reliable-checkpoint variant (files under the session checkpoint
     * dir; rounds survive executor loss). No executor storage is held, so
     * the returned release set is empty. */
