@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_minhash_band_mix(sig, bands)               → array<bigint>
   *   graft_simhash(wordHash)                          → bigint
   *   graft_simhash_of(words)                          → bigint
+  *   graft_hash60(str)                                → bigint
   *   graft_cosine(vecA, vecB)                         → double
   *   graft_dot(vecA, vecB)                            → double
   *   graft_nearest_cell(vec, centroidMatrix)          → int
@@ -42,6 +43,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash_of"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash_of"),
       (args: Seq[Expression]) => SimHashSignature(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (args: Seq[Expression]) => Hash60(args(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),

@@ -62,9 +62,12 @@ object TextOps {
   /** 60-bit positive hash from the md5 hex prefix — engine-portable
     * (DuckDB: ('0x' || substr(md5(x),1,15))::UBIGINT::BIGINT). 15 hex
     * digits keep the value under 2^60, clear of BIGINT sign issues.
+    * Rides the native [[graft.functions.Hash60]] expression: same
+    * value, no hex-string round-trip (law-tested against the
+    * conv/substring/md5 SQL spelling).
     */
   def hexHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("graft_hash60", c)
 
   /** Whitespace-collapsed lowercase normalization (fingerprint input).
     * DuckDB twin needs the 'g' flag: regexp_replace(lower(x),'\\s+',' ','g').

@@ -220,6 +220,29 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("native graft_hash60 == conv(substring(md5)) SQL spelling") = {
+    // the portable 60-bit hash backs shingle fingerprints, sampling
+    // residues and the simhash word votes — the native expression must
+    // be bit-identical to the SQL spelling the DuckDB oracles mirror;
+    // mix ascii, unicode and empty strings
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(24)),
+      Gen.const(""),
+      Gen.const("héllo wörld ✓"),
+      Gen.listOfN(6, Gen.choose('a', 'z')).map(_.mkString),
+      Gen.const("a b c d e"))
+    forAll(Gen.listOfN(8, strGen)) { xs =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "s")
+      val got = df.selectExpr("i", "graft_hash60(s) AS h")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = df
+        .select(col("i"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      got == want
+    }
+  }
+
   property("per-row simhash == explode+distinct+vote aggregate simhash") = {
     // duplicated words inside a doc exercise the per-row dedup (the
     // aggregate spelling distincts (doc, word) globally); tiny shared
