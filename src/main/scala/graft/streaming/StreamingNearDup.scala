@@ -29,10 +29,10 @@ import graft.operators.TextOps
   *     ([[SketchAggregates.coefA]]/[[SketchAggregates.coefB]],
   *     same `xxhash64 & 0x7fffffff` input hash, same Long.MaxValue
   *     minima init), so per-row and batch signatures are bit-identical
-  *     (proven in StreamingNearDupSpec). Band keys carry the raw minima
-  *     run (joined as a string) rather than the batch side's FNV fold:
-  *     equality semantics are identical and SQL-side FNV would overflow
-  *     under ANSI mode, where the JVM aggregate wraps silently.
+  *     (proven in StreamingNearDupSpec). Band keys carry the same
+  *     native FNV band mix as the batch bucket join
+  *     ([[graft.functions.MinHashBands]]) — see
+  *     [[bandKeysFromSignatures]] for the key-size rationale.
   *
   *  2. [[streamingCandidateEvents]] — bucket memory on Spark 4's
   *     transformWithState (RocksDB state): one ListState[Long] of seen
@@ -127,20 +127,30 @@ object StreamingNearDup {
       signatures(docs, idCol, textCol, shingleWidth, numHashes),
       numHashes, bands)
 
-  /** The band-key explode over a (doc_id, graft__sig) relation. */
+  /** The band-key explode over a (doc_id, graft__sig) relation.
+    *
+    * Bucket = `band:fnv64(minima-run)` via the native
+    * [[graft.functions.MinHashBands]] mix — the same band values the
+    * batch bucket join keys on. The earlier spelling carried the raw
+    * minima run as an up-to-~80-char string (four 19-digit longs)
+    * because a SQL-side FNV would overflow under ANSI; the native
+    * expression removed that constraint, shrinking every shuffle key
+    * and RocksDB state key ~4×. Equality weakens from exact-run to
+    * FNV-collision (~2⁻⁶⁴ per bucket pair): a collision only ADDS a
+    * candidate, and candidates are a probabilistic superset cut
+    * already — the downstream exact-Jaccard verify is unchanged. */
   def bandKeysFromSignatures(
       sigs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     sigs
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  b -> concat(b, ':',
-           |    array_join(slice(graft__sig, b * $rows + 1, $rows), '-')))"""
-          .stripMargin)).as("bucket"))
-      .select(col("bucket"), col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_minhash_band_mix(graft__sig, $bands)"))
+          .as(Seq("graft__band", "graft__bv")))
+      .select(
+        concat(col("graft__band"), lit(":"), col("graft__bv")).as("bucket"),
+        col("doc_id"))
   }
 
   /** Bucket memory: remembers up to `maxPerBucket` LIVE doc ids per LSH
