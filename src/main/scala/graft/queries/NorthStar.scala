@@ -1831,6 +1831,43 @@ object NorthStar {
         threshold = 0.4)
     },
 
+    // ----- n71: semantic decontamination against a benchmark set --------
+    // The embedding-space counterpart of n36's n-gram decontamination:
+    // drop training items whose embedding is too close to ANY benchmark
+    // item (paraphrased eval leakage that shares no exact n-gram). The
+    // first 25 vectors stand in for the benchmark set. Scale shape: the
+    // benchmark side is small BY DEFINITION, so it broadcasts and the
+    // corpus is scanned ONCE map-side — per row a fused k×cos loop
+    // (graft_cosine) against the broadcast vectors, then a per-id
+    // partial max; the corpus never shuffles (only (id, max) partials
+    // do) and there is no corpus×corpus product anywhere. round(_, 6)
+    // on both engines before max (rounding is monotone, so it commutes
+    // with max) per the cross-engine cosine discipline.
+    QuerySpec(
+      "n71_semantic_decontam",
+      """WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+        |           FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 25),
+        |m AS (SELECT c.vec_id,
+        |        max(round(list_cosine_similarity(c.v, b.bv), 6)) AS max_sim
+        |      FROM c CROSS JOIN b GROUP BY c.vec_id)
+        |SELECT vec_id, max_sim, max_sim < 0.35 AS keep FROM m""".stripMargin) {
+      (s, d) =>
+        val emb = t(s, d, "embeddings")
+        val bench = emb.filter(col("vec_id") < 25)
+          .select(col("embedding").cast("array<double>").as("graft__bv"))
+        emb.filter(col("vec_id") >= 25)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("graft__v"))
+          .join(broadcast(bench))
+          .groupBy(col("vec_id"))
+          .agg(max(round(
+            expr("graft_cosine(graft__v, graft__bv)"), 6)).as("max_sim"))
+          .select(col("vec_id"), col("max_sim"),
+            (col("max_sim") < 0.35).as("keep"))
+    },
+
     // ----- n55: source-mixture sampling under a token budget ------------
     // Data mixing, the step AFTER filtering/dedup: given per-source
     // mixture weights and a corpus-wide token budget (half the corpus

@@ -7,7 +7,7 @@ class SparkEntrySpec extends SparkTestBase {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
-    assert(names.size >= 140) // registry-loss guard (round 8 shipped 140)
+    assert(names.size >= 141) // registry-loss guard (round 8 shipped 141)
   }
 
   test("oracle keys are a subset of query keys") {

@@ -200,6 +200,17 @@ class QueryPlansSpec extends SparkTestBase {
       s"per-row simhash must not re-introduce the vote aggregation:\n$plan")
   }
 
+  test("n71 semantic decontam: benchmark broadcast, corpus never shuffles") {
+    val plan = finalPlan(q("n71_semantic_decontam"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus x benchmark must not be a shuffled cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle into a join:\n$plan")
+  }
+
   test("n54 semdedup: pair join is equi on the cell, never a cartesian") {
     val plan = finalPlan(q("n54_semdedup"))
     assert(!plan.contains("CartesianProduct"),
