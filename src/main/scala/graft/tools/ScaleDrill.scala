@@ -70,7 +70,7 @@ object ScaleDrill {
       "n42_winnow_candidates", "n56_source_overlap", "n61_dup_ngram_frac",
       "n68_online_neardup", "n70_leakage_safe_split",
       "n5_ann_lsh_topk", "n43_ann_ivf_probe", "n54_semdedup",
-      "s23_ivf_layout")
+      "n71_semantic_decontam", "s23_ivf_layout")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
