@@ -85,22 +85,37 @@ object Bench {
         sweep()
         dt
       }
-      val best = fixedReps match {
+      val times = fixedReps match {
         case Some(n) =>
-          val times = (1 to n).map(_ => once())
+          val ts = (1 to n).map(_ => once())
           System.err.println(
-            f"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(" ")}")
-          times.min
-        case None =>
-          val times = Seq(once(), once(), once()).sorted
-          times(1)
+            f"[bench] $name reps: ${ts.map(t => f"$t%.2f").mkString(" ")}")
+          ts
+        case None => Seq(once(), once(), once())
       }
-      name -> best
+      // reported number: min for dev rep runs (the PROFILE_r* steady-state
+      // method), median-of-three for the contract run (one spike can
+      // never reach the reported number)
+      val best =
+        if (fixedReps.isDefined) times.min else times.sorted.apply(times.size / 2)
+      (name, best, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(t: Double): String = f"$t%.4f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Load-robustness fields (r08 adjudication: a loaded driver window
+    // produced a 159s artifact vs a 74s steady state, distinguishable
+    // only by re-running). "reps" carries every per-query rep time and
+    // "floor" the sum of per-query minima, so a loaded window is
+    // detectable from the artifact alone: healthy runs show value ≈
+    // floor with tight rep spreads; a loaded run shows value >> floor
+    // and multi-second spreads on queries whose floor is sub-second.
+    val floor = results.map(_._3.min).sum
+    val reps = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor":${fmt(floor)},"reps":$reps}"""
     println(json)
     // dev-filtered/rep runs must never masquerade as the driver
     // artifact — only the arg-less contract run writes the files

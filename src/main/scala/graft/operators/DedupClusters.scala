@@ -79,6 +79,7 @@ object DedupClusters {
       reliableCheckpointDir: Option[String] = None,
       broadcastFrontierRows: Long = 4000000L,
       pointerDoubling: Boolean = true,
+      smallGraphEdgeRows: Long = 4000000L,
       roundHook: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val e = edges.select(
       col(srcCol).cast("long").as("u"),
@@ -129,10 +130,46 @@ object DedupClusters {
     def release(ids: scala.collection.Set[Int]): Unit =
       IterationCheckpoint.release(sc, ids)
 
-    val (sym, symIds) = checkpointed(
-      e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct())
+    // ---- small-graph fast path -------------------------------------
+    // When the materialized edge list is broadcast-sized anyway
+    // (<= smallGraphEdgeRows, same order as the frontier-broadcast
+    // threshold), the iterative machinery is all fixed cost: ~3 rounds
+    // x (edge join + label merge + checkpoint + count) of multi-job
+    // overhead to resolve a graph that fits in one task. Run exact
+    // union-find in a single mapPartitions task instead — one job, one
+    // checkpoint, same answer (equivalence property-tested in
+    // DedupClustersSpec). The gate bounds the fast path's actual work
+    // (it iterates raw edge rows), so an over-threshold graph can only
+    // ever fall through to the scale path; the 10^7-edge FrontierDrill
+    // stays on the iterative rounds. The upstream pair producer still
+    // runs exactly once — the counted checkpoint below is the single
+    // materialization, and the count rides its job. Disabled when a
+    // reliable checkpoint dir is given (the 100 TB deployment mode
+    // keeps the uniform round structure) or smallGraphEdgeRows < 0
+    // (how the spec pins the iterative path).
+    val (sym, symIds) =
+      if (reliableCheckpointDir.isEmpty && smallGraphEdgeRows >= 0L) {
+        val (ec, ecIds, ecRows) = checkpointedCounted(
+          e.filter(col("u") =!= col("v")))
+        if (ecRows <= smallGraphEdgeRows) {
+          val t0 = System.nanoTime()
+          val (res, _) = checkpointed(smallGraphComponents(ec))
+          release(ecIds)
+          roundHook(1, 0L, (System.nanoTime() - t0) / 1e9)
+          return res
+        }
+        // over threshold: symmetrize from the checkpointed blocks (a
+        // cheap in-memory scan — the expensive upstream producer was
+        // already paid for by the counted materialization above)
+        val s = checkpointed(
+          ec.union(ec.select(col("v").as("u"), col("u").as("v")))
+            .distinct())
+        release(ecIds)
+        s
+      } else checkpointed(
+        e.union(e.select(col("v").as("u"), col("u").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
 
     var (labels, labelIds) = checkpointed(
       sym
@@ -223,7 +260,12 @@ object DedupClusters {
           // targets = the full frontier's CURRENT values (settled rows'
           // values are final, active rows' are this pass's) — using a
           // stale target table would compose one original hop per pass
-          // (linear), not double the compressed depth
+          // (linear), not double the compressed depth. The rebuilt
+          // union has at most `inner`+1 leaves (one settled slice per
+          // completed pass, capped at 20 by the loop bound), each a
+          // checkpointed scan, and the whole thing is broadcast-sized
+          // by the outer gate — so the per-pass plan stays O(passes),
+          // not O(2^depth), even on a 2^20-diameter chain
           val t = (settled :+ active).reduce(_ union _).select(
             col("id").as("graft__tid"), col("comp").as("graft__tcomp"))
           val (ck, ckIds) = checkpointed(
@@ -283,6 +325,58 @@ object DedupClusters {
         s"DedupClusters.components did not converge in $maxIter rounds")
     }
     labels
+  }
+
+  /** Exact union-find over a broadcast-sized edge list in ONE task —
+    * the small-graph fast path of [[components]]. All-primitive
+    * (sorted vertex array + dense int parent array, path compression,
+    * union-by-min), so the per-edge cost is two binary searches; the
+    * caller's row gate bounds the coalesced task at ~64 MB of edge
+    * longs. Attaching the larger root under the smaller (vertices
+    * sorted ascending → smaller index = smaller id) makes every root
+    * the component MINIMUM, matching the iterative path's contract
+    * exactly. Runs on an executor, not the driver — the edge list
+    * never collects. */
+  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+    val session = edges.sparkSession
+    import session.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val ub = new scala.collection.mutable.ArrayBuilder.ofLong
+        val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (u, v) => ub += u; vb += v }
+        val us = ub.result(); val vs = vb.result()
+        // sorted distinct vertex table, all primitive (no boxing)
+        val all = new Array[Long](us.length * 2)
+        System.arraycopy(us, 0, all, 0, us.length)
+        System.arraycopy(vs, 0, all, us.length, vs.length)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val verts = java.util.Arrays.copyOf(all, n)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        i = 0
+        while (i < us.length) {
+          val a = find(java.util.Arrays.binarySearch(verts, us(i)))
+          val b = find(java.util.Arrays.binarySearch(verts, vs(i)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+          i += 1
+        }
+        Iterator.range(0, n).map(j => (verts(j), verts(find(j))))
+      }
+      .toDF("id", "comp")
   }
 
   /** Cluster near-dup pairs and tag each member: `component` is the

@@ -11,8 +11,17 @@ class DedupClustersSpec extends SparkTestBase {
     rows.toDF("a", "b")
   }
 
+  /** Default path — these graphs are all under the small-graph gate, so
+    * this exercises the single-task union-find fast path. */
   private def run(rows: Seq[(Long, Long)]): Map[Long, Long] =
     DedupClusters.components(edgesDf(rows), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Iterative path pinned (`smallGraphEdgeRows = -1`) — the frontier
+    * rounds + pointer doubling the 10^7-edge FrontierDrill runs. */
+  private def runIter(rows: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupClusters.components(edgesDf(rows), "a", "b",
+      smallGraphEdgeRows = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Driver-side union-find ground truth. */
@@ -49,7 +58,7 @@ class DedupClustersSpec extends SparkTestBase {
 
   test("components: long chain needs multiple propagation rounds") {
     // a path 0-1-2-...-19: diameter 19 exercises pointer jumping
-    val got = run((0L until 19L).map(i => i -> (i + 1)))
+    val got = runIter((0L until 19L).map(i => i -> (i + 1)))
     assert(got === (0L to 19L).map(_ -> 0L).toMap)
   }
 
@@ -60,11 +69,25 @@ class DedupClustersSpec extends SparkTestBase {
     assert(run(edges) === unionFind(edges))
   }
 
+  test("components: fast path and iterative path agree on randomized graphs") {
+    // the small-graph union-find and the frontier rounds must be
+    // indistinguishable to a caller — same vertices, same minima
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val fast = run(edges)
+      assert(fast === runIter(edges), s"paths disagree at seed $seed")
+      assert(fast === unionFind(edges), s"ground truth mismatch at seed $seed")
+    }
+  }
+
   test("components releases superseded round checkpoints (no block pile-up)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
     // 20-vertex chain → several rounds, each with its own checkpoint
-    val result = run((0L until 19L).map(i => i -> (i + 1)))
+    val result = runIter((0L until 19L).map(i => i -> (i + 1)))
     assert(result.size === 20)
     val after = sc.getPersistentRDDs.size
     // every superseded round and the edge list must be unpersisted;
@@ -73,14 +96,26 @@ class DedupClustersSpec extends SparkTestBase {
       s"checkpoint blocks piled up: $before -> $after persistent RDDs")
   }
 
+  test("fast path releases the edge checkpoint (no block pile-up)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val result = run((0L until 19L).map(i => i -> (i + 1)))
+    assert(result.size === 20)
+    val after = sc.getPersistentRDDs.size
+    // the counted edge checkpoint must be released; only the returned
+    // labels' own checkpoint may remain
+    assert(after - before <= 1,
+      s"checkpoint blocks piled up: $before -> $after persistent RDDs")
+  }
+
   test("components: adversarial 200-vertex chain converges under the cap") {
     // worst case for label propagation — one path, diameter 199; pointer
     // jumping must close it in O(log d) rounds, far below maxIter=25
-    val got = run((0L until 199L).map(i => i -> (i + 1)))
+    val got = runIter((0L until 199L).map(i => i -> (i + 1)))
     assert(got === (0L to 199L).map(_ -> 0L).toMap)
   }
 
-  test("components: 1k ring with chords (cyclic, multi-round) resolves to one component") {
+  test("components: 1k ring with chords (iterative) resolves to one component") {
     // cycles are the shape the chain test can't cover: pointer chains
     // formed during a round can point "backwards" around the ring, and
     // the within-round doubling must still terminate (labels strictly
@@ -90,7 +125,7 @@ class DedupClustersSpec extends SparkTestBase {
     val ring = (0L until n).map(i => i -> ((i + 1) % n))
     val chords = (0L until n).map(i => i -> ((i * 2654435761L) % n))
     val edges = (ring ++ chords).filter { case (a, b) => a != b }
-    val got = run(edges)
+    val got = runIter(edges)
     assert(got.size === n)
     assert(got.values.toSet === Set(0L), "every vertex must reach label 0")
   }
@@ -101,7 +136,7 @@ class DedupClustersSpec extends SparkTestBase {
     val ex = intercept[IllegalStateException] {
       DedupClusters.components(
         edgesDf((0L until 19L).map(i => i -> (i + 1))), "a", "b",
-        maxIter = 1)
+        maxIter = 1, smallGraphEdgeRows = -1L)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
