@@ -2656,5 +2656,58 @@ object NorthStar {
             col("event_id").as("purchase_id")),
         "user_id", "view_ts", "purchase_ts", "30 minutes")
         .select(col("view_id"), col("purchase_id"))
+    },
+
+    // ----- n74: streaming TTL horizon, batch parity ---------------------
+    // The LAST ungated streaming behavior (VERDICT r08 §missing #1):
+    // StreamingNearDup's TTL bounds bucket memory to a dedup horizon —
+    // an arriving doc only pairs against occupants admitted within
+    // `ttl` of it; older entries have expired and never match. Batch
+    // spelling (the n68/n72 discipline, arrival order = doc_id order
+    // as the spec feeds the stream): the SAME band keys n68 derives,
+    // with the horizon as a predicate ON the bucket join — exactly the
+    // liveness check the stream's TTL state store applies on read —
+    // then the exact-Jaccard verify. Candidates are a superset cut, so
+    // the oracle is the exact dup set restricted to the horizon; the
+    // stream's cap/saturation path is out of frame here (maxPerBucket
+    // effectively unbounded), spec-covered in StreamingNearDupSpec.
+    QuerySpec(
+      "n74_stream_ttl_parity",
+      s"""WITH $shingleCte,
+         |${jaccardPairsCte(0.8)}
+         |SELECT id_a, id_b, jaccard FROM dup
+         |WHERE id_b - id_a <= 100""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val shingled = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .select(col("doc_id"),
+          TextOps.shinglesFromTokens(col("graft__ws"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bk = StreamingNearDup.bandKeysFromSignatures(
+        StreamingNearDup.signaturesFromShingles(
+          shingled.select(col("doc_id"), col("sh").as("graft__sh"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = bk.alias("l")
+        .join(bk.alias("r"),
+          col("l.bucket") === col("r.bucket") &&
+            col("l.doc_id") < col("r.doc_id") &&
+            // the TTL horizon: the older side must still be live when
+            // the newer side arrives (100 arrival units)
+            col("r.doc_id") - col("l.doc_id") <= 100)
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .distinct()
+      candidates
+        .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("graft__i",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", col("graft__i").cast("double") /
+          (size(col("sh_a")).cast("long") +
+            size(col("sh_b")).cast("long") - col("graft__i")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     })
 }
