@@ -38,7 +38,13 @@ case class MinHashBands(child: Expression, bands: Int)
       var acc = 0xcbf29ce484222325L // FNV offset basis
       var r = 0
       while (r < rows) {
-        acc = (acc ^ sig.getLong(b * rows + r)) * 0x100000001b3L
+        val idx = b * rows + r
+        // graft_minhash_sig never emits null slots, but direct SQL use
+        // of graft_minhash_band_mix can feed one — getLong on a null
+        // slot would silently read 0 and hash a wrong band
+        if (sig.isNullAt(idx)) throw new IllegalArgumentException(
+          s"graft_minhash_band_mix: null signature element at $idx")
+        acc = (acc ^ sig.getLong(idx)) * 0x100000001b3L
         r += 1
       }
       out(b) = acc
@@ -66,6 +72,11 @@ case class MinHashBands(child: Expression, bands: Int)
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $acc = 0xcbf29ce484222325L;
          |  for (int $r = 0; $r < $rows; $r++) {
+         |    if ($sig.isNullAt($b * $rows + $r)) {
+         |      throw new IllegalArgumentException(
+         |        "graft_minhash_band_mix: null signature element at "
+         |          + ($b * $rows + $r));
+         |    }
          |    $acc = ($acc ^ $sig.getLong($b * $rows + $r)) * 0x100000001b3L;
          |  }
          |  $out[$b] = $acc;

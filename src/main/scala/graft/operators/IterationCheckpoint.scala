@@ -40,13 +40,15 @@ private[graft] object IterationCheckpoint {
   /** Eager localCheckpoint + stats reset. Returns the rebuilt frame and
     * the ids of the persisted RDD blocks backing it (release them via
     * [[release]] once the round is superseded — checkpoint blocks are
-    * otherwise only reclaimed by driver GC + ContextCleaner). */
+    * otherwise only reclaimed by driver GC + ContextCleaner).
+    *
+    * Delegates to [[localCounted]] (the count IS the materializing
+    * action either way) so the copy/checkpoint/rebuild discipline
+    * lives in exactly one place — two inline spellings drifted apart
+    * is how a storage-level or stats tweak lands on one path only. */
   def local(df: DataFrame): (DataFrame, scala.collection.Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val ck = df.localCheckpoint()
-    val ids = sc.getPersistentRDDs.keySet -- before
-    (resetStats(ck), ids)
+    val (ck, ids, _) = localCounted(df)
+    (ck, ids)
   }
 
   /** Like [[local]], but also returns the row count, measured by the

@@ -46,9 +46,9 @@ object MinHashNearDup {
     * the relation to read downstream. */
   type Materializer = (DataFrame, String) => DataFrame
 
-  /** Default: executor cache, spilling to disk rather than OOMing. */
-  val cacheMaterializer: Materializer =
-    (df, _) => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Default: executor cache, spilling to disk rather than OOMing
+    * (release contract in [[Materialize]]). */
+  val cacheMaterializer: Materializer = (df, _) => Materialize.shared(df)
 
   /** 100 TB variant: write the intermediate through a staging table and
     * read it back — unlike a cache this survives executor loss, frees
@@ -87,7 +87,27 @@ object MinHashNearDup {
       shingleWidth: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      materialize: Materializer = cacheMaterializer): DataFrame = {
+      materialize: Materializer = cacheMaterializer): DataFrame =
+    stages(toks, threshold, shingleWidth, numHashes, bands, materialize)
+      .verified
+
+  /** The operator's three stage relations, for drills/diagnostics that
+    * decompose wall time into workload growth (candidate/verified pair
+    * counts) vs machinery cost: `candidates` is the post-bucket-join
+    * distinct pair set, `plausible` the sketch-prefilter survivors,
+    * `verified` the exact-Jaccard output (what [[nearDupPairsFromTokens]]
+    * returns). Counting a stage re-executes the plan up to it — drill
+    * cost, not production cost. */
+  private[graft] final case class Stages(
+      candidates: DataFrame, plausible: DataFrame, verified: DataFrame)
+
+  private[graft] def stages(
+      toks: DataFrame,
+      threshold: Double,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      materialize: Materializer = cacheMaterializer): Stages = {
     require(numHashes % bands == 0, "bands must divide numHashes")
 
     // Materialized: referenced by the signature path AND both sides of
@@ -159,7 +179,7 @@ object MinHashNearDup {
     val setsA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val setsB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
 
-    plausible
+    val verified = plausible
       .join(setsA, "id_a")
       .join(setsB, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -168,5 +188,7 @@ object MinHashNearDup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    Stages(candidates, plausible, verified)
   }
 }

@@ -58,9 +58,9 @@ object SimHash {
     require(maxHamming < bandCount,
       s"pigeonhole recall needs maxHamming < $bandCount bands")
     // Persisted: the band self-join references it on both sides; one
-    // long per doc, so the cache is metadata-sized.
-    val sh = simhash(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // long per doc, so the cache is metadata-sized. Released by the
+    // runner sweep (Materialize scaladoc — the shared release contract).
+    val sh = Materialize.shared(simhash(docs, idCol, textCol))
 
     val banded = sh.select(
       col("doc_id") +: col("simhash") +:

@@ -1256,7 +1256,7 @@ object NorthStar {
       // ReuseExchange to share, so an unpersisted frame would run the
       // whole hash/window-min chain twice
       val fps = winnowFps(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.Materialize.shared)
       val a = fps.select(col("doc_id").as("id_a"), col("fp"))
       val b = fps.select(col("doc_id").as("id_b"), col("fp"))
       a.join(b, Seq("fp"))
@@ -2552,11 +2552,11 @@ object NorthStar {
         .select(col("doc_id"),
           TextOps.shinglesFromTokens(col("graft__ws"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.Materialize.shared)
       val bk = StreamingNearDup.bandKeysFromSignatures(
         StreamingNearDup.signaturesFromShingles(
           shingled.select(col("doc_id"), col("sh").as("graft__sh"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.Materialize.shared)
       val candidates = bk.alias("l")
         .join(bk.alias("r"),
           col("l.bucket") === col("r.bucket") &&
@@ -2683,11 +2683,11 @@ object NorthStar {
         .select(col("doc_id"),
           TextOps.shinglesFromTokens(col("graft__ws"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.Materialize.shared)
       val bk = StreamingNearDup.bandKeysFromSignatures(
         StreamingNearDup.signaturesFromShingles(
           shingled.select(col("doc_id"), col("sh").as("graft__sh"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.operators.Materialize.shared)
       val candidates = bk.alias("l")
         .join(bk.alias("r"),
           col("l.bucket") === col("r.bucket") &&

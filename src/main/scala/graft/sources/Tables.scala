@@ -29,7 +29,25 @@ object Tables {
       // DuckDB's CAST(ts AS TIMESTAMP) truncates nanos identically.
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // Sanity-gated: a long ts is ASSUMED to be nanoseconds, but a
+        // future vintage shipping epoch-MICROS as plain BIGINT would be
+        // silently corrupted 1000x by the truncation. Corrupted values
+        // land ~year 1970 (micros read as nanos) or year ~52000 (millis
+        // read as nanos), so requiring the truncated timestamp to fall
+        // in 1990-2100 turns that silent corruption into a loud per-row
+        // failure naming the suspect vintage. One long comparison per
+        // row, inside codegen — free at scan scale.
+        raw.withColumn("ts", expr(
+          """timestamp_micros(
+            |  CASE WHEN ts IS NULL THEN NULL
+            |       WHEN ts div 1000 BETWEEN 631152000000000 AND 4102444800000000
+            |         THEN ts div 1000
+            |       ELSE raise_error(concat(
+            |         'events.ts long-vintage sanity check: ', CAST(ts AS STRING),
+            |         ' does not land in 1990-2100 when read as nanoseconds; ',
+            |         'a plain epoch-micros/millis BIGINT vintage would be ',
+            |         'silently corrupted - inspect the parquet logical type'))
+            |  END)""".stripMargin))
       else raw
     } else {
       // Same vintage defense for the date-typed columns: the generator

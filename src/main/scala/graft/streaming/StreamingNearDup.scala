@@ -138,7 +138,15 @@ object StreamingNearDup {
     * and RocksDB state key ~4×. Equality weakens from exact-run to
     * FNV-collision (~2⁻⁶⁴ per bucket pair): a collision only ADDS a
     * candidate, and candidates are a probabilistic superset cut
-    * already — the downstream exact-Jaccard verify is unchanged. */
+    * already — the downstream exact-Jaccard verify is unchanged.
+    *
+    * STATE-FORMAT BREAK (v1 → v2): this change renamed every bucket —
+    * `band:minima-run` keys became `band:fnv64` — so a streaming query
+    * resumed from a pre-change RocksDB checkpoint will never match its
+    * old bucket entries (near-dup detection across the upgrade boundary
+    * silently lost, old state lingering unreclaimed until TTL). When
+    * upgrading a RUNNING stream past this boundary, start from a fresh
+    * checkpoint dir and replay the dedup horizon; do not resume. */
   def bandKeysFromSignatures(
       sigs: DataFrame,
       numHashes: Int = 64,

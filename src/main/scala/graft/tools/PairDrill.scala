@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, SparkEntry}
+import graft.operators.{MinHashNearDup, Partitioning, TextOps}
+import graft.sources.Tables
+import graft.streaming.StreamingNearDup
+
+/** Pair-growth decomposition drill (dev tool; run:
+  * `sbt "runMain graft.tools.PairDrill"`).
+  *
+  * The 100× ScaleDrill arms for the near-dup family report super-linear
+  * wall ratios (r08: n3 57×, n68 73×, n56 ~70× at 100× rows). The claim
+  * to verify is that the super-linear term is WORKLOAD growth — the
+  * salted copy corpus makes every base near-dup pair reappear once per
+  * copy stratum, and candidate/verified pairs grow with genuine dup
+  * structure — not machinery cost. This drill separates the two: at
+  * each scale it times the registry query, then counts the stage
+  * cardinalities (LSH candidates, prefilter survivors, verified pairs;
+  * n56: distinct (source,fp) rows, multi-source fingerprints, output
+  * pairs), and reports wall per candidate. Healthy = the per-candidate
+  * cost stays flat while candidates grow; a growing per-candidate cost
+  * would mean the verify machinery itself degrades with scale.
+  *
+  * Counting a stage re-executes its plan (drill cost); the timed run is
+  * separate and sweep-isolated, same discipline as Bench/ScaleDrill.
+  *
+  * args(0) = base sf dir (default sf0.1); args(1) = comma scale list
+  * (default "1,10,100"); args(2) = comma query filter.
+  */
+object PairDrill {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val scales =
+      (if (args.length > 1) args(1) else "1,10,100").split(",").map(_.toInt)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def want(q: String): Boolean = only.forall(_.contains(q))
+
+    val spark = Sessions.local(appName = "graft-pair-drill")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def timed(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      dt
+    }
+    // one warmup pass per query shape at base scale so no arm is
+    // charged first-run codegen/JIT (shape-keyed, shared across scales)
+    Seq("n3_minhash_neardup", "n68_online_neardup", "n56_source_overlap")
+      .filter(want).foreach(q => timed(q, sfDir))
+
+    def report(scale: Int, q: String, wall: Double, counts: (String, Long)*): Unit = {
+      val cand = counts.head._2
+      val us = if (cand > 0) wall * 1e6 / cand else 0.0
+      println(f"[pairs] scale=$scale%3d $q%-20s wall=$wall%8.2fs  " +
+        counts.map { case (k, v) => f"$k=$v%,d" }.mkString("  ") +
+        f"  us_per_${counts.head._1}=$us%9.1f")
+    }
+
+    scales.foreach { c =>
+      val dir = if (c == 1) sfDir else ScaleCorpus.build(spark, sfDir, c)
+      val docs = Tables(spark, dir, "documents")
+
+      if (want("n3_minhash_neardup")) {
+        val wall = timed("n3_minhash_neardup", dir)
+        // stage cardinalities via the operator's own stage relations —
+        // identical code path, so the counts are the query's counts
+        val st = MinHashNearDup.stages(
+          Partitioning.spread(docs)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("ws")),
+          threshold = 0.8)
+        val (nc, np, nv) =
+          (st.candidates.count(), st.plausible.count(), st.verified.count())
+        sweep()
+        report(c, "n3_minhash_neardup", wall,
+          "candidates" -> nc, "plausible" -> np, "verified" -> nv)
+      }
+
+      if (want("n68_online_neardup")) {
+        val wall = timed("n68_online_neardup", dir)
+        // the query's own candidate spelling: streaming band keys,
+        // bucket self-join, distinct
+        val shingled = docs
+          .select(col("doc_id"),
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val bk = StreamingNearDup.bandKeysFromSignatures(
+          StreamingNearDup.signaturesFromShingles(
+            shingled.select(col("doc_id"), col("sh").as("graft__sh"))))
+          .transform(graft.operators.Materialize.shared)
+        val nc = bk.alias("l")
+          .join(bk.alias("r"),
+            col("l.bucket") === col("r.bucket") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id"), col("r.doc_id")).distinct().count()
+        val nv = SparkEntry.queries("n68_online_neardup")(spark, dir).count()
+        sweep()
+        report(c, "n68_online_neardup", wall,
+          "candidates" -> nc, "verified" -> nv)
+      }
+
+      if (want("n56_source_overlap")) {
+        val wall = timed("n56_source_overlap", dir)
+        // workload cardinalities: distinct (source, fingerprint) rows
+        // feed the one corpus shuffle; multi-source fingerprints feed
+        // the pair explode; output pairs are bounded by sources²
+        val sh = docs
+          .select(col("source"),
+            explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3))
+              .as("graft__sh"))
+          .select(col("source"), TextOps.hexHash60(col("graft__sh")).as("fp"))
+          .distinct()
+          .transform(graft.operators.Materialize.shared)
+        val nFp = sh.count()
+        val nShared = sh.groupBy(col("fp"))
+          .agg(countDistinct(col("source")).as("ns"))
+          .filter(col("ns") >= 2).count()
+        val nOut = SparkEntry.queries("n56_source_overlap")(spark, dir).count()
+        sweep()
+        report(c, "n56_source_overlap", wall,
+          "src_fp_rows" -> nFp, "shared_fps" -> nShared, "pairs" -> nOut)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Shared synthetic-scale corpus generator for the drill tools
+  * (ScaleDrill, PairDrill): `copies` salted copies per base document /
+  * embedding under `target/scale<copies>x`, testdata untouched.
+  *
+  * Copy 0 is verbatim; document copies 1..N-1 suffix every 3rd token
+  * with a copy tag, which destroys enough 3-shingles that COPIES ARE
+  * NOT NEAR-DUPS OF EACH OTHER (pairwise Jaccard ≈ 0.2, far under the
+  * 0.8 threshold) while each copy stratum preserves the original
+  * corpus's near-dup structure — so near-dup workloads scale ~N× in
+  * pairs and clusters instead of exploding quadratically inside N-way
+  * exact-duplicate groups (which would measure output-size growth, not
+  * operator scaling). Embedding copies perturb per-component so copies
+  * spread across IVF cells instead of piling into duplicate stacks.
+  * All salting is deterministic — re-runs are identical.
+  */
+object ScaleCorpus {
+
+  /** Build (or rebuild) the scaled corpus; returns its directory. */
+  def build(spark: SparkSession, sfDir: String, copies: Int): String = {
+    val scaledDir = s"target/scale${copies}x"
+
+    Tables(spark, sfDir, "documents")
+      .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .select(
+        (col("doc_id") * copies + col("graft__copy")).as("doc_id"),
+        when(col("graft__copy") === 0, col("text"))
+          .otherwise(concat_ws(" ", expr(
+            """transform(split(text, ' '),
+              |  (w, j) -> CASE WHEN j % 3 = 0
+              |    THEN concat(w, '_c', graft__copy) ELSE w END)""".stripMargin)))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+
+    Tables(spark, sfDir, "embeddings")
+      .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .select(
+        (col("vec_id") * copies + col("graft__copy")).as("vec_id"),
+        when(col("graft__copy") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(embedding, (x, j) ->
+              |  CAST(x + 0.03d * (((graft__copy * 7 + j) % 5) - 2)
+              |       AS FLOAT))""".stripMargin))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+
+    scaledDir
+  }
+}

@@ -64,7 +64,6 @@ object ScaleDrill {
     // any factor; mind the quadratic families' wall time before
     // pointing 100× at them)
     val copies = if (args.length > 2) args(2).toInt else 10
-    val scaledDir = s"target/scale${copies}x"
     val queries = Seq("n3_minhash_neardup", "n13_simhash_neardup",
       "n30_dedup_clusters", "n40_corpus_pipeline", "n41_winnow_fingerprint",
       "n42_winnow_candidates", "n56_source_overlap", "n61_dup_ngram_frac",
@@ -76,31 +75,8 @@ object ScaleDrill {
     val spark = Sessions.local(appName = "graft-scale-drill")
     spark.sparkContext.setLogLevel("WARN")
 
-    Tables(spark, sfDir, "documents")
-      .crossJoin(spark.range(copies).toDF("graft__copy"))
-      .select(
-        (col("doc_id") * copies + col("graft__copy")).as("doc_id"),
-        when(col("graft__copy") === 0, col("text"))
-          .otherwise(concat_ws(" ", expr(
-            """transform(split(text, ' '),
-              |  (w, j) -> CASE WHEN j % 3 = 0
-              |    THEN concat(w, '_c', graft__copy) ELSE w END)""".stripMargin)))
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
-
-    Tables(spark, sfDir, "embeddings")
-      .crossJoin(spark.range(copies).toDF("graft__copy"))
-      .select(
-        (col("vec_id") * copies + col("graft__copy")).as("vec_id"),
-        when(col("graft__copy") === 0, col("embedding"))
-          .otherwise(expr(
-            """transform(embedding, (x, j) ->
-              |  CAST(x + 0.03d * (((graft__copy * 7 + j) % 5) - 2)
-              |       AS FLOAT))""".stripMargin))
-          .as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    // corpus construction: see ScaleCorpus (shared with PairDrill)
+    val scaledDir = ScaleCorpus.build(spark, sfDir, copies)
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -65,4 +65,19 @@ class SketchesSpec extends SparkTestBase {
     // 3000 keys in 65536 bits / 6 hashes → theoretical fp ≈ 2e-4; allow 10×
     assert(fp <= (27000 * 0.002).toInt, s"false-positive rate too high: $fp/27000")
   }
+
+  test("graft_minhash_band_mix rejects null signature slots loudly") {
+    // direct SQL use can feed a null-containing array; getLong on a
+    // null slot would silently read 0 and hash a wrong band (ADVICE r08)
+    import org.apache.spark.sql.functions.col
+    val df = spark.sql(
+      "SELECT array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)) AS sig")
+    val ex = intercept[Exception] {
+      df.selectExpr("graft_minhash_band_mix(sig, 2)").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(ex).exists(c => Option(c.getMessage)
+      .exists(_.contains("null signature element"))), s"got: $ex")
+  }
 }

@@ -68,12 +68,35 @@ class TablesVintageSpec extends SparkTestBase {
     // takes the same truncation path — the branch predicate is the type
     val dir = Files.createTempDirectory("graft_vintage_plain").toFile
     dir.deleteOnExit()
-    val df = Seq((1L, 42L * 1000L, 7L, "click", 1.5, "{}"))
+    val nanos = 1704067200L * 1000000000L + 42000L // plausible 2024 nanos
+    val df = Seq((1L, nanos, 7L, "click", 1.5, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(df.schema("ts").dataType === LongType)
     df.write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
     val got = Tables(spark, dir.getPath, "events")
     assert(got.schema("ts").dataType === TimestampType)
-    assert(got.select(unix_micros(col("ts"))).collect()(0).getLong(0) === 42L)
+    assert(got.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      === 1704067200L * 1000000L + 42L)
+  }
+
+  test("implausible long ts fails loudly instead of corrupting 1000x") {
+    // epoch-MICROS shipped as plain BIGINT: under the nanos assumption
+    // this would silently become ~year-1970 garbage; the sanity gate
+    // must raise instead (ADVICE r08: key only on the surfaced type ->
+    // guard the truncated values)
+    val dir = Files.createTempDirectory("graft_vintage_bad").toFile
+    dir.deleteOnExit()
+    val micros = 1704067200L * 1000000L // 2024 as micros, not nanos
+    Seq((1L, micros, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+    val ex = intercept[Exception] {
+      Tables(spark, dir.getPath, "events").select(col("ts")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("long-vintage sanity"))),
+      s"expected the sanity-check error, got: $ex")
   }
 }
