@@ -1962,7 +1962,10 @@ object NorthStar {
         |JOIN n na ON na.source = a.source
         |JOIN n nb ON nb.source = b.source
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      val sh = t(s, d, "documents")
+      // spread before the shingle fold: a single-row-group corpus file
+      // scans as ONE split, which would run the expensive per-row
+      // explode+hash on one core (no-op at scale — see Partitioning)
+      val sh = graft.operators.Partitioning.spread(t(s, d, "documents"))
         .select(col("source"),
           explode(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3))
             .as("graft__sh"))
@@ -2543,7 +2546,10 @@ object NorthStar {
       "n68_online_neardup",
       s"""WITH $shingleCte,
          |${jaccardPairsSql(0.8)}""".stripMargin) { (s, d) =>
-      val docs = t(s, d, "documents")
+      // spread: the signature fold below is the cost of this query and
+      // must not be serialized by a one-split corpus file (no-op at
+      // scale — see Partitioning)
+      val docs = graft.operators.Partitioning.spread(t(s, d, "documents"))
       // ONE shingle pass feeds both the stream's sketch expression and
       // the exact verify (the per-row fold is the cost of this query —
       // it is the point of it — but shingling twice wasn't)
@@ -2677,7 +2683,8 @@ object NorthStar {
          |${jaccardPairsCte(0.8)}
          |SELECT id_a, id_b, jaccard FROM dup
          |WHERE id_b - id_a <= 100""".stripMargin) { (s, d) =>
-      val docs = t(s, d, "documents")
+      // spread for the signature fold, as in n68 (no-op at scale)
+      val docs = graft.operators.Partitioning.spread(t(s, d, "documents"))
       val shingled = docs
         .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
         .select(col("doc_id"),

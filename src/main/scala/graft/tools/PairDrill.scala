@@ -69,7 +69,9 @@ object PairDrill {
 
     scales.foreach { c =>
       val dir = if (c == 1) sfDir else ScaleCorpus.build(spark, sfDir, c)
-      val docs = Tables(spark, dir, "documents")
+      // counting stages re-run the queries' expensive per-row folds;
+      // spread them exactly as the queries themselves do
+      val docs = Partitioning.spread(Tables(spark, dir, "documents"))
 
       if (want("n3_minhash_neardup")) {
         val wall = timed("n3_minhash_neardup", dir)

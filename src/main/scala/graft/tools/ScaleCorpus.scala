@@ -26,8 +26,12 @@ object ScaleCorpus {
   def build(spark: SparkSession, sfDir: String, copies: Int): String = {
     val scaledDir = s"target/scale${copies}x"
 
+    // the base corpus is a one-row-group file; repartition the copy
+    // expansion so the scaled corpus is written as many files and every
+    // downstream drill scan splits across cores at every scale
     Tables(spark, sfDir, "documents")
       .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         (col("doc_id") * copies + col("graft__copy")).as("doc_id"),
         when(col("graft__copy") === 0, col("text"))
@@ -41,6 +45,7 @@ object ScaleCorpus {
 
     Tables(spark, sfDir, "embeddings")
       .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         (col("vec_id") * copies + col("graft__copy")).as("vec_id"),
         when(col("graft__copy") === 0, col("embedding"))
