@@ -41,12 +41,17 @@ object FrontierDrill {
   def main(args: Array[String]): Unit = {
     // dev knobs: args(0) = comma family filter (small,med,ring,chain),
     // args(1) = integer downscale divisor for fast experiments,
-    // args(2) = "nodouble" to A/B the within-round pointer-doubling
+    // args(2) = "nodouble" to A/B the within-round pointer-doubling,
+    //           "nofast" to A/B the small-graph gate's counted edge
+    //           checkpoint (smallGraphEdgeRows = -1 skips it — the
+    //           pre-round-9 symmetrize-in-one-pass spelling)
     val fams: Set[String] =
       if (args.nonEmpty) args(0).split(",").toSet
       else Set("small", "med", "ring", "chain")
     val div = if (args.length > 1) args(1).toLong else 1L
     val doubling = !(args.length > 2 && args(2) == "nodouble")
+    val smallRows = if (args.length > 2 && args(2) == "nofast") -1L
+                    else 4000000L
 
     val spark = Sessions.local(appName = "graft-frontier-drill")
     spark.sparkContext.setLogLevel("WARN")
@@ -96,6 +101,7 @@ object FrontierDrill {
     val t0 = System.nanoTime()
     val labels = DedupClusters.components(
       edges, "u", "v", maxIter = 30, pointerDoubling = doubling,
+      smallGraphEdgeRows = smallRows,
       roundHook = (r, f, s) =>
         println(f"[frontier] round $r%2d  frontier $f%,12d  $s%7.2fs"))
     val nComp = labels.agg(countDistinct(col("comp"))).head.getLong(0)
