@@ -2716,5 +2716,194 @@ object NorthStar {
             size(col("sh_b")).cast("long") - col("graft__i")))
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
+
+    // ----- n75: weighted sampling (Efraimidis–Spirakis A-ES) ------------
+    // Weighted sampling WITHOUT replacement: keep the k docs per
+    // language with the smallest key = -ln(u)/w (Efraimidis & Spirakis
+    // 2006) — equivalent to sampling proportional to weight w (here
+    // token count: longer docs more likely kept, the length-biased
+    // draw a token-budgeted corpus build uses). u is the deterministic
+    // md5-residue uniform in (0, 1] (the n24 convention), so re-runs
+    // are identical and the oracle computes the same draw. ln() is
+    // engine-libm, but appears ONLY in the ordering key, never in the
+    // output: adjacent key gaps are O(1/n) while libm disagreement is
+    // ≤ 1 ulp (~1e-16), so the selected set is stable cross-engine.
+    //
+    // Scale shape: the key is map-only; selection is TWO-LEVEL top-k —
+    // a local top-k per (lang, salt-of-id) bucket first, then the
+    // final top-k over ≤ 32k survivors per lang. The global top-k per
+    // lang is a subset of the per-bucket top-ks (each winner sits in
+    // some bucket and is in that bucket's top-k), so the two levels
+    // are exactly equivalent — and the hot-language reducer that a
+    // one-level window would create at 100 TB (half the corpus is one
+    // lang) never sees more than 32·k slim rows.
+    QuerySpec(
+      "n75_weighted_sample",
+      s"""WITH w AS (SELECT doc_id, lang,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        (${hex60("CAST(doc_id AS VARCHAR)")} + 1)
+         |          / 1152921504606846976.0 AS u
+         |      FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |                          ORDER BY -ln(u) / n_tokens, doc_id)
+         |       AS BIGINT) AS rk
+         |FROM w
+         |QUALIFY rk <= 5""".stripMargin) { (s, d) =>
+      val k = 5
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.nTokens(col("text")).as("n_tokens"),
+          TextOps.hexHash60(col("doc_id").cast("string")).as("graft__h"))
+        .withColumn("graft__key",
+          -log((col("graft__h") + 1).cast("double") /
+            lit(1152921504606846976.0)) / col("n_tokens"))
+      val localW = Window
+        .partitionBy(col("lang"), pmod(col("graft__h"), lit(32L)))
+        .orderBy(col("graft__key"), col("doc_id"))
+      val finalW = Window.partitionBy(col("lang"))
+        .orderBy(col("graft__key"), col("doc_id"))
+      keyed
+        .withColumn("graft__lrk", row_number().over(localW))
+        .filter(col("graft__lrk") <= k)
+        .withColumn("rk", row_number().over(finalW).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk"))
+    },
+
+    // ----- n76: logistic-regression gradient step -----------------------
+    // One batch gradient-descent step of a quality classifier — the
+    // third member of the distributed-training family (n58 k-means,
+    // n67 BPE): label y = (lang = 'en'), features (bias, token count,
+    // char count), and the gradient Σ (σ(z) − y)·xⱼ reduced the n58
+    // way — per-row contributions quantized to BIGINT nano-units so
+    // the sum is EXACT integer math, independent of partitioning and
+    // reduction order (a raw double sum would differ run-to-run AND
+    // engine-to-engine). The activation is the rational fast sigmoid
+    // 0.5 + z/(2(1+|z|)) — same shape, zero libm, bit-identical
+    // cross-engine (exp() is not, see n26's idf note). Scale shape:
+    // one map-only pass, one 3-column partial-agg shuffle of BIGINT
+    // partials, then a 3-row stack — the per-step cost of distributed
+    // GD at any corpus size. (BIGINT nano-unit headroom: |per-row|
+    // < ~5e9, so overflow needs ~2e9 rows per gradient — a 100 TB run
+    // scales the quantum down or sums in DECIMAL(38,0).)
+    QuerySpec(
+      "n76_logreg_step",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(0 AS DOUBLE) END AS y,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01 AS x1,
+        |    CAST(n_chars AS DOUBLE) * 0.001 AS x2
+        |  FROM documents),
+        |z AS (SELECT y, x1, x2,
+        |        0.1 - 0.05 * x1 + 0.02 * x2 AS z FROM f),
+        |r AS (SELECT x1, x2,
+        |        (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS res FROM z),
+        |q AS (SELECT
+        |        CAST(floor(res * 1000000000.0) AS BIGINT) AS gq0,
+        |        CAST(floor((res * x1) * 1000000000.0) AS BIGINT) AS gq1,
+        |        CAST(floor((res * x2) * 1000000000.0) AS BIGINT) AS gq2
+        |      FROM r),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(gq0) AS BIGINT) AS g0,
+        |          CAST(sum(gq1) AS BIGINT) AS g1,
+        |          CAST(sum(gq2) AS BIGINT) AS g2 FROM q)
+        |SELECT CAST(0 AS BIGINT) AS feature, n, g0 AS gsum,
+        |  0.1 - 0.1 * (CAST(g0 AS DOUBLE) / 1000000000.0
+        |               / CAST(n AS DOUBLE)) AS w_new FROM agg
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n, g1,
+        |  -0.05 - 0.1 * (CAST(g1 AS DOUBLE) / 1000000000.0
+        |                 / CAST(n AS DOUBLE)) FROM agg
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n, g2,
+        |  0.02 - 0.1 * (CAST(g2 AS DOUBLE) / 1000000000.0
+        |                / CAST(n AS DOUBLE)) FROM agg""".stripMargin) { (s, d) =>
+      val f = t(s, d, "documents").select(
+        when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"),
+        (TextOps.nTokens(col("text")).cast("double") * lit(0.01))
+          .as("graft__x1"),
+        (col("n_chars").cast("double") * lit(0.001)).as("graft__x2"))
+      val z = f.withColumn("graft__z",
+        lit(0.1) - lit(0.05) * col("graft__x1") +
+          lit(0.02) * col("graft__x2"))
+      val r = z.select(col("graft__x1"), col("graft__x2"),
+        ((lit(0.5) + col("graft__z") /
+          (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))) - col("y"))
+          .as("graft__res"))
+      val agg = r.agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("graft__res") * lit(1000000000.0)).cast("long"))
+          .as("g0"),
+        sum(floor((col("graft__res") * col("graft__x1")) *
+          lit(1000000000.0)).cast("long")).as("g1"),
+        sum(floor((col("graft__res") * col("graft__x2")) *
+          lit(1000000000.0)).cast("long")).as("g2"))
+      agg
+        .select(col("n"),
+          expr("stack(3, 0L, g0, 0.1D, 1L, g1, -0.05D, 2L, g2, 0.02D)")
+            .as(Seq("feature", "gsum", "graft__w")))
+        .select(col("feature"), col("n"), col("gsum"),
+          (col("graft__w") - lit(0.1) *
+            (col("gsum").cast("double") / lit(1000000000.0) /
+              col("n").cast("double"))).as("w_new"))
+    },
+
+    // ----- n77: dedup audit report --------------------------------------
+    // The report every production dedup run emits before anyone trusts
+    // its drop list: cluster-size histogram with docs kept/dropped per
+    // bucket, plus the singleton row, reconciling to the corpus total.
+    // Composes the n3→n30 pipeline (pairs → components → keep flags)
+    // and adds only cluster-sized aggregations on top — the audit
+    // itself never touches the corpus again, so its cost at 100 TB is
+    // the dedup's cost plus a rollup over |clusters| rows.
+    QuerySpec(
+      "n77_dedup_audit",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY 1),
+         |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |         FROM cs GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cl AS (SELECT CAST(count(*) AS BIGINT) AS c FROM comp)
+         |SELECT cluster_size, n_clusters,
+         |  cluster_size * n_clusters AS n_docs,
+         |  (cluster_size - 1) * n_clusters AS n_dropped
+         |FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), n - c, n - c, CAST(0 AS BIGINT)
+         |FROM tot, cl WHERE n > c""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tagged = DedupClusters.keepOnePerCluster(
+        MinHashNearDup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8),
+        "id_a", "id_b")
+      val hist = tagged
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("graft__cs"))
+        .groupBy(col("graft__cs").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      // corpus total and clustered count ride in as broadcast 1-row
+      // aggregates (the n26 pattern — no eager driver-side count)
+      val singles = docs.agg(count(lit(1)).as("graft__n"))
+        .crossJoin(tagged.agg(count(lit(1)).as("graft__c")))
+        .filter(col("graft__n") > col("graft__c"))
+        .select(lit(1L).as("cluster_size"),
+          (col("graft__n") - col("graft__c")).as("n_clusters"),
+          (col("graft__n") - col("graft__c")).as("n_docs"),
+          lit(0L).as("n_dropped"))
+      hist.unionByName(singles)
     })
 }

@@ -414,4 +414,40 @@ class QueryPlansSpec extends SparkTestBase {
       s"bloom must arrive via scalar subquery, not a cross join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("n75 weighted sample: two-level top-k, no global sort, no text in exchanges") {
+    val plan = finalPlan(q("n75_weighted_sample"))
+    // two window levels = two local sorts over slim projections; a
+    // single global-sort funnel (or a one-level window over the raw
+    // corpus at 100 TB) is the regression this pins against
+    assert(!plan.matches("(?s).*Sort .*global=true.*"),
+      s"unexpected global sort:\n$plan")
+    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 2,
+      s"expected the two top-k window levels:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
+  test("n76 logreg step: one partial-agg shuffle of BIGINT partials, no join") {
+    val plan = finalPlan(q("n76_logreg_step"))
+    assert(!plan.contains("Join"), s"gradient step must not join:\n$plan")
+    // map-side partial + final aggregate around a single exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial aggregation must precede the shuffle:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"a global agg needs no keyed exchange:\n$plan")
+  }
+
+  test("n77 dedup audit: joins carry ids, never text; no cartesian corpus join") {
+    val plan = finalPlan(q("n77_dedup_audit"))
+    val joinLines =
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("text#"),
+      s"document text reached a join:\n$joinLines")
+    // the only nested-loop joins are the broadcast 1-row total/count
+    // reconciliation — a corpus-sized cartesian is the regression
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
 }
