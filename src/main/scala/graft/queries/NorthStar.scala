@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
+import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, KMeans, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -112,6 +112,38 @@ object NorthStar {
   /** Portable 60-bit md5 hash in DuckDB. */
   private def hex60(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::UBIGINT)::BIGINT"
+
+  /** n79's initial centroids: the shared ±1 hyperplanes on the 1e-6
+    * quantization grid (±1000000) — deterministic, no RNG. */
+  private val kmInit: Seq[Seq[Long]] =
+    Similarity.hyperplanes(4, 64).map(_.map(x => x.toLong * 1000000L))
+
+  /** DuckDB VALUES list for [[kmInit]]: (cell, qc BIGINT[]). */
+  private def kmCentValues: String =
+    kmInit.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ",", "]")}::BIGINT[])"
+    }.mkString(",")
+
+  /** One DuckDB Lloyd round over quantized vectors `e(vec_id, qv)`:
+    * integer argmin assignment against centroid table `$prev`, exact
+    * BIGINT per-(cell, dim) sums, new centroid floor(qsum/n), empty
+    * cells keep the previous centroid — the SQL twin of
+    * [[KMeans.assign]]+[[KMeans.update]], ending in `c$r(cell, qc)`. */
+  private def kmRoundCte(prev: String, r: Int): String =
+    s"""d$r AS (SELECT e.vec_id, e.qv, c.cell,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (e.qv[i] - c.qc[i]) * (e.qv[i] - c.qc[i]))) AS dist
+       |  FROM e CROSS JOIN $prev c),
+       |a$r AS (SELECT vec_id, qv, cell FROM d$r
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+       |x$r AS (SELECT cell, qv, unnest(generate_series(1, 64)) AS pos FROM a$r),
+       |u$r AS (SELECT cell, pos, count(*) AS n,
+       |    CAST(sum(qv[pos]) AS BIGINT) AS qsum FROM x$r GROUP BY 1, 2),
+       |nc$r AS (SELECT cell,
+       |    list(CAST(floor(CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+       |         ORDER BY pos) AS qc FROM u$r GROUP BY cell),
+       |c$r AS (SELECT p.cell, coalesce(n.qc, p.qc) AS qc
+       |  FROM $prev p LEFT JOIN nc$r n ON p.cell = n.cell)""".stripMargin
 
   /** SimHash oracle CTEs (`sv`, `sb`, `shash`) ending in
     * shash(doc_id, simhash) — mirrors SimHash.simhash bit-for-bit
@@ -2905,5 +2937,166 @@ object NorthStar {
           (col("graft__n") - col("graft__c")).as("n_docs"),
           lit(0L).as("n_dropped"))
       hist.unionByName(singles)
+    },
+
+    // ----- n78: batched multi-query ANN (the RAG retrieval shape) -------
+    // Retrieval-augmented pipelines don't ask one query at a time: a
+    // batch of Q query vectors scans the corpus ONCE and each takes its
+    // own top-k. The query batch is metadata-sized → broadcast; scoring
+    // is a map-only fused-cosine projection over the corpus (Q× row
+    // blowup on the map side, never a shuffle of vectors); per-query
+    // top-k is the n75 TWO-LEVEL pattern — local winners per
+    // (query, salt-of-id) bucket first — because a one-level window
+    // partitioned by query_id puts each query's whole corpus ranking on
+    // ONE reducer (Q partitions total: the classic funnel). The global
+    // top-k per query is a subset of the per-bucket top-ks, so the
+    // levels are exactly equivalent.
+    QuerySpec(
+      "n78_multiquery_ann",
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 8)
+        |SELECT query_id, vec_id,
+        |  round(list_cosine_similarity(v, qv), 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+        |                  vec_id)
+        |       AS BIGINT) AS rk
+        |FROM c CROSS JOIN q
+        |QUALIFY rk <= 10""".stripMargin) { (s, d) =>
+      val k = 10
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("graft__qv"))
+      val scored = emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("graft__v"))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
+            .as("sim"))
+      val localW = Window
+        .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(32)))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val finalW = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("graft__lrk", row_number().over(localW))
+        .filter(col("graft__lrk") <= k)
+        .withColumn("rk", row_number().over(finalW).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+    },
+
+    // ----- n79: k-means TRAINING loop (multi-round Lloyd, exact) --------
+    // The full training loop behind every centroid the engine consumes
+    // (n35/n43/s23 IVF, n54 SemDeDup, n58 is ONE step of this): two
+    // Lloyd rounds from the shared ±1 init, then the final assignment's
+    // per-(cell, dim) stats. Bit-reproducible at any partitioning
+    // because every round is exact integer arithmetic on a 1e-6
+    // quantization grid (see KMeans scaladoc) — which is what lets the
+    // oracle replay the ENTIRE loop in SQL (unrolled CTE per round).
+    // Scale shape: centroids ride in one broadcast k×d row, assignment
+    // is map-only, each round's sole exchange carries ≤ cells×dims
+    // BIGINT partials — the corpus never shuffles, any round count.
+    QuerySpec(
+      "n79_kmeans_train",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT * FROM (VALUES $kmCentValues) t(cell, qc)),
+         |${kmRoundCte("c0", 1)},
+         |${kmRoundCte("c1", 2)},
+         |d3 AS (SELECT e.vec_id, e.qv, c.cell,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (e.qv[i] - c.qc[i]) * (e.qv[i] - c.qc[i]))) AS dist
+         |  FROM e CROSS JOIN c2 c),
+         |a3 AS (SELECT vec_id, qv, cell FROM d3
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |x3 AS (SELECT cell, qv, unnest(generate_series(1, 64)) AS pos FROM a3)
+         |SELECT cell, CAST(pos AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(qv[pos]) AS BIGINT) AS qsum,
+         |  CAST(CAST(sum(qv[pos]) AS BIGINT) AS DOUBLE)
+         |    / (1000000.0 * count(*)) AS centroid
+         |FROM x3 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      KMeans.train(t(s, d, "embeddings"), "vec_id", "embedding",
+        kmInit, rounds = 2)
+    },
+
+    // ----- n80: quality-classifier inference (corpus scoring pass) ------
+    // The APPLY side of n76's training step: score every document with
+    // the trained weights and tag the keep decision — the
+    // classifier-filter stage every modern corpus build runs (e.g.
+    // fastText-style quality models). Same cross-engine arithmetic as
+    // n76: rational fast sigmoid (zero libm — +,−,×,÷,abs are all IEEE
+    // deterministic), so the scores are bit-identical, not just close.
+    // Scale shape: pure map-only projection — no exchange at all; at
+    // 100 TB this is a single fused scan.
+    QuerySpec(
+      "n80_classifier_apply",
+      """WITH f AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01 AS x1,
+        |    CAST(n_chars AS DOUBLE) * 0.001 AS x2
+        |  FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |        -2.0 + 6.0 * x1 - 1.1 * x2 AS z FROM f)
+        |SELECT doc_id, lang,
+        |  0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
+        |  (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5 AS keep
+        |FROM z""".stripMargin) { (s, d) =>
+      val z = t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        (lit(-2.0) +
+          lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
+          lit(1.1) * (col("n_chars").cast("double") * lit(0.001)))
+          .as("graft__z"))
+      val score = lit(0.5) + col("graft__z") /
+        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      z.select(col("doc_id"), col("lang"), score.as("score"),
+        (score >= lit(0.5)).as("keep"))
+    },
+
+    // ----- n81: temperature-flattened multilingual mixture --------------
+    // The multilingual sampling-rate table (XLM-R / mBERT style):
+    // low-resource languages are up-sampled by flattening the natural
+    // token shares with temperature α = 0.5 — rate ∝ share^0.5. α=0.5
+    // is the one temperature with an EXACT cross-engine spelling:
+    // share^α = sqrt(n_l), and sqrt is IEEE correctly-rounded on both
+    // engines (pow/exp are not — the n26 idf lesson). The sqrt weights
+    // are floored onto a 1e-3 grid (qw = floor(sqrt(n_l·1e6)), exact
+    // BIGINT) so the normalizing sum is ASSOCIATIVE integer math —
+    // a raw double Σ√n would depend on language summation order.
+    // Scale shape: one partial-agg pass over the corpus (per-lang token
+    // counts), then lang-cardinality arithmetic with the totals riding
+    // in as a broadcast 1-row aggregate.
+    QuerySpec(
+      "n81_temperature_mix",
+      """WITH tl AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |q AS (SELECT lang, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS qw
+        |  FROM tl),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt,
+        |    CAST(sum(qw) AS BIGINT) AS wt FROM q)
+        |SELECT lang, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / nt AS share,
+        |  CAST(qw AS DOUBLE) / wt AS rate
+        |FROM q, tot""".stripMargin) { (s, d) =>
+      val q = t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextOps.nTokens(col("text"))).as("n_tokens"))
+        .withColumn("graft__qw",
+          floor(sqrt((col("n_tokens") * lit(1000000L)).cast("double")))
+            .cast("long"))
+      val tot = q.agg(sum(col("n_tokens")).as("graft__nt"),
+        sum(col("graft__qw")).as("graft__wt"))
+      q.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("graft__nt")).as("share"),
+          (col("graft__qw").cast("double") / col("graft__wt")).as("rate"))
     })
 }

@@ -450,4 +450,52 @@ class QueryPlansSpec extends SparkTestBase {
     // reconciliation — a corpus-sized cartesian is the regression
     assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
   }
+
+  test("n78 multi-query ANN: query batch broadcast, two-level top-k, vectors stay out of exchanges") {
+    val plan = finalPlan(q("n78_multiquery_ann"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query batch must broadcast:\n$plan")
+    assert(!plan.matches("(?s).*Sort .*global=true.*"),
+      s"unexpected global sort:\n$plan")
+    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 2,
+      s"expected the two top-k window levels:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("embedding#") &&
+      !exchangeLines.contains("graft__v#") &&
+      !exchangeLines.contains("graft__qv#"),
+      s"vectors entered an exchange (only slim scored rows may):\n$exchangeLines")
+  }
+
+  test("n79 k-means train: centroids broadcast, corpus vectors never shuffle") {
+    val plan = finalPlan(q("n79_kmeans_train"))
+    // every assignment joins against the one-row centroid broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 3,
+      s"3 assignment rounds must each broadcast the centroid row:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast cross join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+    // the per-round exchange carries (cell, dim) BIGINT partials, never
+    // the quantized vectors
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("graft__qv#") &&
+      !exchangeLines.contains("embedding#"),
+      s"vectors entered an exchange:\n$exchangeLines")
+  }
+
+  test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
+    val plan = finalPlan(q("n80_classifier_apply"))
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("n81 temperature mix: one corpus agg, totals ride a broadcast") {
+    val plan = finalPlan(q("n81_temperature_mix"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row totals must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
 }
