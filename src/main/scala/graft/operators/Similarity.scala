@@ -143,6 +143,19 @@ object Similarity {
         struct(dist2(v, c).as("d"), lit(i).as("i"))
       }: _*)), 1).getField("i")
 
+  /** The `nprobe` cells nearest to `v` — the query-side probe set of an
+    * IVF search (squared-L2 ranking, ties to the lower index; the same
+    * struct-sort convention as [[nearestCellHof]], so probe ranking and
+    * member assignment can never disagree). */
+  def probeCells(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    slice(
+      transform(
+        array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(dist2(v, c).as("d"), lit(i).as("i"))
+        }: _*)),
+        s => s.getField("i")),
+      1, nprobe)
+
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -156,13 +169,7 @@ object Similarity {
     // probe set: the nprobe centroids nearest to the query vector
     val q = query.select(asDouble(col(queryVecCol)).as("graft__qv"))
       .withColumn("graft__probes",
-        slice(
-          transform(
-            array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-              struct(dist2(col("graft__qv"), c).as("d"), lit(i).as("i"))
-            }: _*)),
-            s => s.getField("i")),
-          1, nprobe))
+        probeCells(col("graft__qv"), centroids, nprobe))
     emb
       .withColumn("graft__cell", nearest(asDouble(col(vecCol))))
       .crossJoin(broadcast(q))

@@ -3098,5 +3098,63 @@ object NorthStar {
         .select(col("lang"), col("n_tokens"),
           (col("n_tokens").cast("double") / col("graft__nt")).as("share"),
           (col("graft__qw").cast("double") / col("graft__wt")).as("rate"))
+    },
+
+    // ----- n82: IVF-bucketed multi-query ANN (batch retrieval at scale) -
+    // n78's scale path, completing the retrieval family (single-query:
+    // n4 brute / n5 LSH / n43 IVF; batch: n78 brute / THIS): each query
+    // expands to its nprobe=2 probe cells, and candidate generation is
+    // an EQUI-join on the cell — queries×nprobe slim rows broadcast
+    // onto the corpus's map-side cell assignment, so each query scores
+    // only nprobe/nlist of the data and the plan is a BroadcastHashJoin
+    // (n78's cross join scores everything). Same two-level per-query
+    // top-k. The oracle reproduces the full index: per-vector argmin
+    // cell, per-query probe ranking (argmin-L2 ≡ argmax-dot on ±1
+    // centroids, the n43 equivalence), member filter by join.
+    QuerySpec(
+      "n82_ivf_multiquery",
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |p AS (SELECT query_id, qv,
+         |        unnest(list_transform(${ivfRankSql("qv")}, s -> s.i)[1:2]) AS cell
+         |      FROM q),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings WHERE vec_id >= 8)
+         |SELECT query_id, vec_id,
+         |  round(list_cosine_similarity(v, qv), 6) AS sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+         |                  vec_id)
+         |       AS BIGINT) AS rk
+         |FROM c JOIN p USING (cell)
+         |QUALIFY rk <= 10""".stripMargin) { (s, d) =>
+      val k = 10
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("graft__qv"))
+        .withColumn("cell",
+          explode(Similarity.probeCells(col("graft__qv"), cents, nprobe = 2)))
+      val scored = emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("graft__v"))
+        .withColumn("cell", Similarity.nearestCell(col("graft__v"), cents))
+        .join(broadcast(probes), Seq("cell"))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
+            .as("sim"))
+      val localW = Window
+        .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(32)))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val finalW = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("graft__lrk", row_number().over(localW))
+        .filter(col("graft__lrk") <= k)
+        .withColumn("rk", row_number().over(finalW).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
     })
 }

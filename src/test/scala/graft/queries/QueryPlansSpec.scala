@@ -483,6 +483,24 @@ class QueryPlansSpec extends SparkTestBase {
       s"vectors entered an exchange:\n$exchangeLines")
   }
 
+  test("n82 IVF multi-query: candidate generation is an equi-join on the cell, not a cross join") {
+    val plan = finalPlan(q("n82_ivf_multiquery"))
+    // the whole point vs n78: probes arrive as a broadcast HASH join on
+    // cell (each query scores nprobe/nlist of the corpus), never a
+    // nested-loop scoring of everything
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set must equi-join on cell:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"candidate generation regressed to all-pairs scoring:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("embedding#") &&
+      !exchangeLines.contains("graft__v#") &&
+      !exchangeLines.contains("graft__qv#"),
+      s"vectors entered an exchange:\n$exchangeLines")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
