@@ -69,7 +69,12 @@ object ScaleDrill {
       "n42_winnow_candidates", "n56_source_overlap", "n61_dup_ngram_frac",
       "n68_online_neardup", "n70_leakage_safe_split",
       "n5_ann_lsh_topk", "n43_ann_ivf_probe", "n54_semdedup",
-      "n71_semantic_decontam", "s23_ivf_layout")
+      "n71_semantic_decontam", "s23_ivf_layout",
+      // round-9 additions: batch retrieval (brute + IVF-bucketed) and
+      // the k-means training loop; classifier apply / temperature mix
+      // ride the documents corpus
+      "n78_multiquery_ann", "n82_ivf_multiquery", "n79_kmeans_train",
+      "n80_classifier_apply", "n81_temperature_mix")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
