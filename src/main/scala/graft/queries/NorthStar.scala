@@ -124,6 +124,29 @@ object NorthStar {
       s"($i, ${c.mkString("[", ",", "]")}::BIGINT[])"
     }.mkString(",")
 
+  /** One DuckDB gradient-descent step for n83 — the SQL twin of the
+    * Spark loop body: rational fast-sigmoid residuals, 1e-9 BIGINT
+    * gradient partials (exact, order-independent), weight update as
+    * the identical chain of IEEE ops; ends in `w$r(w0, w1, w2)`. */
+  private def lrStepCte(prev: String, r: Int): String =
+    s"""z$r AS (SELECT f.y, f.x1, f.x2,
+       |    (w.w0 + w.w1 * f.x1) + w.w2 * f.x2 AS z FROM f, $prev w),
+       |r$r AS (SELECT x1, x2,
+       |    (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS res FROM z$r),
+       |g$r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(res * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+       |    CAST(sum(CAST(floor((res * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1,
+       |    CAST(sum(CAST(floor((res * x2) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g2
+       |  FROM r$r),
+       |w$r AS (SELECT
+       |    w.w0 - 0.1 * (CAST(g.g0 AS DOUBLE) / 1000000000.0
+       |                  / CAST(g.n AS DOUBLE)) AS w0,
+       |    w.w1 - 0.1 * (CAST(g.g1 AS DOUBLE) / 1000000000.0
+       |                  / CAST(g.n AS DOUBLE)) AS w1,
+       |    w.w2 - 0.1 * (CAST(g.g2 AS DOUBLE) / 1000000000.0
+       |                  / CAST(g.n AS DOUBLE)) AS w2
+       |  FROM g$r g, $prev w)""".stripMargin
+
   /** One DuckDB Lloyd round over quantized vectors `e(vec_id, qv)`:
     * integer argmin assignment against centroid table `$prev`, exact
     * BIGINT per-(cell, dim) sums, new centroid floor(qsum/n), empty
@@ -3156,5 +3179,178 @@ object NorthStar {
         .withColumn("rk", row_number().over(finalW).cast("long"))
         .filter(col("rk") <= k)
         .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+    },
+
+    // ----- n83: logistic-regression TRAINING loop (multi-step GD) -------
+    // n76 is one gradient step; this is the LOOP — three full-batch GD
+    // steps of the quality classifier, the n79 pattern applied to
+    // logreg (the engine's fourth iterative trainer: k-means, BPE,
+    // logreg). Reproducibility argument, per step: the gradient is a
+    // sum of 1e-9-quantized BIGINT partials (exact, associative, any
+    // partitioning), and the weight update is a fixed chain of IEEE
+    // ops on exact integers — so the weights after EVERY step are
+    // bit-identical cross-engine, which lets the oracle unroll the
+    // whole loop. Scale shape: per step, one map-only pass over the
+    // corpus + one 4-column partial-agg exchange; weights travel as a
+    // broadcast 1-row table in both directions (never a collect).
+    QuerySpec(
+      "n83_logreg_train",
+      s"""WITH f AS (
+         |  SELECT CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+         |              ELSE CAST(0 AS DOUBLE) END AS y,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01 AS x1,
+         |    CAST(n_chars AS DOUBLE) * 0.001 AS x2
+         |  FROM documents),
+         |w0 AS (SELECT 0.1 AS w0, -0.05 AS w1, 0.02 AS w2),
+         |${lrStepCte("w0", 1)},
+         |${lrStepCte("w1", 2)},
+         |${lrStepCte("w2", 3)}
+         |SELECT CAST(0 AS BIGINT) AS feature, w0 AS w FROM w3
+         |UNION ALL SELECT CAST(1 AS BIGINT), w1 FROM w3
+         |UNION ALL SELECT CAST(2 AS BIGINT), w2 FROM w3""".stripMargin) {
+      (s, d) =>
+        val f = t(s, d, "documents").select(
+          when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("graft__y"),
+          (TextOps.nTokens(col("text")).cast("double") * lit(0.01))
+            .as("graft__x1"),
+          (col("n_chars").cast("double") * lit(0.001)).as("graft__x2"))
+        var w = s.range(1).select(lit(0.1d).as("graft__w0"),
+          lit(-0.05d).as("graft__w1"), lit(0.02d).as("graft__w2"))
+        for (_ <- 1 to 3) {
+          val res = f.crossJoin(broadcast(w))
+            .withColumn("graft__z",
+              (col("graft__w0") + col("graft__w1") * col("graft__x1")) +
+                col("graft__w2") * col("graft__x2"))
+            .select(col("graft__x1"), col("graft__x2"),
+              ((lit(0.5) + col("graft__z") /
+                (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))) -
+                col("graft__y")).as("graft__res"))
+          val g = res.agg(
+            count(lit(1)).as("graft__n"),
+            sum(floor(col("graft__res") * lit(1000000000.0)).cast("long"))
+              .as("graft__g0"),
+            sum(floor((col("graft__res") * col("graft__x1")) *
+              lit(1000000000.0)).cast("long")).as("graft__g1"),
+            sum(floor((col("graft__res") * col("graft__x2")) *
+              lit(1000000000.0)).cast("long")).as("graft__g2"))
+          def upd(wc: String, gc: String) =
+            col(wc) - lit(0.1) * (col(gc).cast("double") /
+              lit(1000000000.0) / col("graft__n").cast("double"))
+          w = g.crossJoin(w).select(
+            upd("graft__w0", "graft__g0").as("graft__w0"),
+            upd("graft__w1", "graft__g1").as("graft__w1"),
+            upd("graft__w2", "graft__g2").as("graft__w2"))
+        }
+        w.select(expr(
+          "stack(3, 0L, graft__w0, 1L, graft__w1, 2L, graft__w2)")
+          .as(Seq("feature", "w")))
+    },
+
+    // ----- n84: classifier evaluation (confusion matrix + metrics) ------
+    // The eval gate between n83's training and n80's corpus-wide apply:
+    // confusion matrix of the keep decision against the y = (lang='en')
+    // label, with precision/recall/F1 as SINGLE divisions of exact
+    // BIGINT counts (F1 spelled 2·tp/(2·tp+fp+fn) precisely so it stays
+    // one exact division — the 2pr/(p+r) form would chain rounded
+    // doubles). One map-only pass, one global partial agg — the cheap
+    // always-on eval every model refresh should run.
+    QuerySpec(
+      "n84_classifier_eval",
+      """WITH f AS (SELECT
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    -2.0 + 6.0 * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)
+        |      - 1.1 * (CAST(n_chars AS DOUBLE) * 0.001) AS z
+        |  FROM documents),
+        |p AS (SELECT y, CASE WHEN (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5
+        |                     THEN 1 ELSE 0 END AS yhat FROM f),
+        |m AS (SELECT
+        |    CAST(sum(y * yhat) AS BIGINT) AS tp,
+        |    CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+        |    CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+        |    CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+        |FROM m""".stripMargin) { (s, d) =>
+      val z = lit(-2.0) +
+        lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
+        lit(1.1) * (col("n_chars").cast("double") * lit(0.001))
+      val score = lit(0.5) + col("graft__z") /
+        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      val p = t(s, d, "documents")
+        .select(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
+          .as("graft__y"), z.as("graft__z"))
+        .select(col("graft__y"),
+          when(score >= lit(0.5), lit(1L)).otherwise(lit(0L)).as("graft__p"))
+      p.agg(
+        sum(col("graft__y") * col("graft__p")).as("tp"),
+        sum((lit(1L) - col("graft__y")) * col("graft__p")).as("fp"),
+        sum(col("graft__y") * (lit(1L) - col("graft__p"))).as("fn"),
+        sum((lit(1L) - col("graft__y")) * (lit(1L) - col("graft__p")))
+          .as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fp")))
+            .as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+          ((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+    },
+
+    // ----- n85: per-source data card (corpus datasheet in one pass) -----
+    // The per-source report a dataset release ships (Datasheets for
+    // Datasets, Gebru et al. 2021): docs, tokens, exact-dup fraction,
+    // language share, mean quality score — every signal from ONE
+    // grouped pass over the corpus. Cross-engine exactness: counts are
+    // BIGINT; dup/en fractions are single divisions of exact counts;
+    // the mean score quantizes the n80 sigmoid to 1e-9 BIGINT partials
+    // (the n58/n76 discipline) so the per-source sum is
+    // order-independent. The distinct-hash count shuffles md5 keys,
+    // never text; at 100 TB this is the n44 two-phase shape Spark
+    // plans automatically via Expand.
+    QuerySpec(
+      "n85_source_datacard",
+      """WITH d AS (SELECT source, lang, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    -2.0 + 6.0 * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)
+        |      - 1.1 * (CAST(n_chars AS DOUBLE) * 0.001) AS z
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT h) AS BIGINT) AS n_uniq,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_en,
+        |    CAST(sum(CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z))))
+        |                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS qs
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_uniq,
+        |  CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS dup_frac,
+        |  CAST(n_en AS DOUBLE) / n_docs AS en_frac,
+        |  CAST(qs AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE)
+        |    AS mean_score
+        |FROM s""".stripMargin) { (s, d) =>
+      val z = lit(-2.0) +
+        lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
+        lit(1.1) * (col("n_chars").cast("double") * lit(0.001))
+      val score = lit(0.5) + col("graft__z") /
+        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      t(s, d, "documents")
+        .select(col("source"), col("lang"), md5(col("text")).as("graft__h"),
+          TextOps.nTokens(col("text")).as("graft__nt"), z.as("graft__z"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("graft__nt")).as("n_tokens"),
+          count_distinct(col("graft__h")).as("n_uniq"),
+          sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+            .as("graft__n_en"),
+          sum(floor(score * lit(1000000000.0)).cast("long")).as("graft__qs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_uniq"),
+          ((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"))
+            .as("dup_frac"),
+          (col("graft__n_en").cast("double") / col("n_docs")).as("en_frac"),
+          (col("graft__qs").cast("double") / lit(1000000000.0) /
+            col("n_docs").cast("double")).as("mean_score"))
     })
 }

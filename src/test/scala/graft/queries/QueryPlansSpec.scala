@@ -501,6 +501,36 @@ class QueryPlansSpec extends SparkTestBase {
       s"vectors entered an exchange:\n$exchangeLines")
   }
 
+  test("n83 logreg train: weights broadcast both directions, no keyed exchange") {
+    val plan = finalPlan(q("n83_logreg_train"))
+    // each of the 3 steps: corpus × broadcast weights, global partial agg
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 3,
+      s"each GD step must broadcast the 1-row weights:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"global gradient aggs need no keyed exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"unexpected join strategy:\n$plan")
+  }
+
+  test("n84 classifier eval: one map-only pass into a global agg, no join") {
+    val plan = finalPlan(q("n84_classifier_eval"))
+    assert(!plan.contains("Join"), s"eval must not join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial aggregation must precede the shuffle:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"a global agg needs no keyed exchange:\n$plan")
+  }
+
+  test("n85 source datacard: exchanges carry md5 keys and partials, never text") {
+    val plan = finalPlan(q("n85_source_datacard"))
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial aggregation must precede the shuffle:\n$plan")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
