@@ -3352,5 +3352,66 @@ object NorthStar {
           (col("graft__n_en").cast("double") / col("n_docs")).as("en_frac"),
           (col("graft__qs").cast("double") / lit(1000000000.0) /
             col("n_docs").cast("double")).as("mean_score"))
+    },
+
+    // ----- n86: relative quality filter (top-30% per language) ----------
+    // FineWeb-style PERCENTILE filtering: an absolute score threshold
+    // drifts as the corpus mix shifts, so production gates keep the top
+    // X% per language instead. The scale problem: "top 30% of a group"
+    // has no fixed k, and a per-lang rank window over the corpus is the
+    // hot-language funnel. The scale-safe shape used here: quantize
+    // scores to a 1e-4 grid, aggregate the corpus to a per-(lang,
+    // bucket) HISTOGRAM (map-side partials; ≤ |grid| rows per lang),
+    // run the cumulative window over the HISTOGRAM (tiny), derive each
+    // language's 70th-percentile cutoff bucket in pure integer math
+    // (cum·10 ≥ n·7 — no ratio doubles), and broadcast the 5-row
+    // cutoff table back onto the corpus. Keep = strictly above the
+    // cutoff bucket — bucket-exact semantics, deterministic
+    // cross-engine because the score is bit-identical (n80) and
+    // floor/integer compares are exact.
+    QuerySpec(
+      "n86_quality_percentile",
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 10000.0)
+        |         AS BIGINT) AS qs
+        |  FROM (SELECT doc_id, lang,
+        |      -2.0 + 6.0 * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)
+        |        - 1.1 * (CAST(n_chars AS DOUBLE) * 0.001) AS z
+        |    FROM documents)),
+        |h AS (SELECT lang, qs, CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2),
+        |w AS (SELECT lang, qs, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY qs) AS BIGINT)
+        |      AS cum
+        |  FROM h),
+        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY lang),
+        |cut AS (SELECT w.lang, CAST(min(qs) AS BIGINT) AS cutoff
+        |  FROM w JOIN n ON w.lang = n.lang
+        |  WHERE cum * 10 >= n * 7 GROUP BY w.lang)
+        |SELECT doc_id, d.lang, qs, qs > cutoff AS kept
+        |FROM d JOIN cut ON d.lang = cut.lang""".stripMargin) { (s, d) =>
+      val z = lit(-2.0) +
+        lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
+        lit(1.1) * (col("n_chars").cast("double") * lit(0.001))
+      val score = lit(0.5) + col("graft__z") /
+        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), z.as("graft__z"))
+        .select(col("doc_id"), col("lang"),
+          floor(score * lit(10000.0)).cast("long").as("qs"))
+      val hist = docs.groupBy(col("lang"), col("qs"))
+        .agg(count(lit(1)).as("graft__c"))
+      val cum = hist.withColumn("graft__cum",
+        sum(col("graft__c"))
+          .over(Window.partitionBy(col("lang")).orderBy(col("qs"))))
+      val totals = hist.groupBy(col("lang"))
+        .agg(sum(col("graft__c")).as("graft__n"))
+      val cutoffs = cum.join(broadcast(totals), Seq("lang"))
+        .filter(col("graft__cum") * 10 >= col("graft__n") * 7)
+        .groupBy(col("lang"))
+        .agg(min(col("qs")).as("graft__cutoff"))
+      docs.join(broadcast(cutoffs), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("qs"),
+          (col("qs") > col("graft__cutoff")).as("kept"))
     })
 }

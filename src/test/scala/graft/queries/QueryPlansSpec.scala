@@ -531,6 +531,25 @@ class QueryPlansSpec extends SparkTestBase {
       s"partial aggregation must precede the shuffle:\n$plan")
   }
 
+  test("n86 quality percentile: window over the HISTOGRAM, cutoffs broadcast back") {
+    val plan = finalPlan(q("n86_quality_percentile"))
+    // the corpus join must be against the broadcast 5-row cutoff table,
+    // and the cumulative window must sit above the histogram aggregate
+    // (a per-lang rank window directly over the corpus is the
+    // hot-language funnel this shape exists to avoid)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoffs must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffle join:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx > aggIdx,
+      s"window must run over the aggregated histogram, not the corpus:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
