@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * integer sums (max |diff| ≤ ~2e6 → diff² ≤ 4e12, ×64 dims ≤ 2.6e14,
   * far under 2^53 AND 2^63: exact, associative, partial-agg safe), and
   * each new centroid is `floor(qsum / n)` — one double division of two
-  * exactly-representable integers, identically rounded everywhere. Every
+  * exactly-representable integers (exactly representable while
+  * |qsum| < 2^53, i.e. cells below ~4.5e9 members at the ~1e6
+  * component scale; beyond that both engines still perform the SAME
+  * int64→double rounding, so cross-engine bit-parity holds even where
+  * the grid-exactness claim no longer does), identically rounded
+  * everywhere. Every
   * round is therefore bit-reproducible across partitionings, cluster
   * sizes, and engines — which is what lets a DuckDB oracle replay the
   * whole loop (n79).

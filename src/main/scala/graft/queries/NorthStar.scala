@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +124,59 @@ object NorthStar {
     kmInit.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.mkString("[", ",", "]")}::BIGINT[])"
     }.mkString(",")
+
+  /** The quality classifier shared by the n80/n83–n86 family: n76's
+    * feature map with the round-9 trained weights. ONE definition per
+    * engine — the apply/eval/datacard/percentile queries and their
+    * oracles all read these, so a weight retune cannot desynchronize
+    * the family. The score is the rational fast sigmoid (zero libm —
+    * every op IEEE-deterministic, bit-identical cross-engine). */
+  private val qualityW: (Double, Double, Double) = (-2.0, 6.0, -1.1)
+
+  /** Spark z = w0 + w1·(tokens·0.01) + w2·(chars·0.001) over a
+    * documents row — identical op chain to [[qualityZSql]] (IEEE:
+    * `a + (−w)·x ≡ a − w·x` bit-for-bit, so the signed-literal form
+    * equals the original subtraction spelling). */
+  private def qualityZCol: Column =
+    lit(qualityW._1) +
+      lit(qualityW._2) *
+      (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) +
+      lit(qualityW._3) * (col("n_chars").cast("double") * lit(0.001))
+
+  /** Spark fast-sigmoid score of a z column. */
+  private def qualityScoreCol(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Two-level per-group top-k (the n75 funnel-avoidance pattern, one
+    * definition for n75/n78/n82): local winners per (group, salt)
+    * bucket first — every global winner sits in some bucket and is in
+    * that bucket's top-k, so the levels are exactly equivalent — then
+    * the final rank over ≤ 32·k slim survivors per group. Emits `rk`
+    * (BIGINT, 1-based). The ordering must be total (tie-break on a
+    * unique id) or ranks are nondeterministic. */
+  private def twoLevelTopK(
+      df: DataFrame,
+      group: Seq[Column],
+      salt: Column,
+      order: Seq[Column],
+      k: Int): DataFrame = {
+    val localW = Window.partitionBy(group :+ salt: _*).orderBy(order: _*)
+    val finalW = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("graft__lrk", row_number().over(localW))
+      .filter(col("graft__lrk") <= k)
+      .withColumn("rk", row_number().over(finalW).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("graft__lrk")
+  }
+
+  /** DuckDB z over a documents row (same op chain as [[qualityZCol]]). */
+  private def qualityZSql: String =
+    s"${qualityW._1} + ${qualityW._2} * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)\n" +
+      s"      + ${qualityW._3} * (CAST(n_chars AS DOUBLE) * 0.001)"
+
+  /** DuckDB fast-sigmoid score of a z expression. */
+  private def qualityScoreSql(z: String): String =
+    s"0.5 + $z / (2.0 * (1.0 + abs($z)))"
 
   /** One DuckDB gradient-descent step for n83 — the SQL twin of the
     * Spark loop body: rational fast-sigmoid residuals, 1e-9 BIGINT
@@ -2814,16 +2868,8 @@ object NorthStar {
         .withColumn("graft__key",
           -log((col("graft__h") + 1).cast("double") /
             lit(1152921504606846976.0)) / col("n_tokens"))
-      val localW = Window
-        .partitionBy(col("lang"), pmod(col("graft__h"), lit(32L)))
-        .orderBy(col("graft__key"), col("doc_id"))
-      val finalW = Window.partitionBy(col("lang"))
-        .orderBy(col("graft__key"), col("doc_id"))
-      keyed
-        .withColumn("graft__lrk", row_number().over(localW))
-        .filter(col("graft__lrk") <= k)
-        .withColumn("rk", row_number().over(finalW).cast("long"))
-        .filter(col("rk") <= k)
+      twoLevelTopK(keyed, Seq(col("lang")), pmod(col("graft__h"), lit(32L)),
+        Seq(col("graft__key"), col("doc_id")), k)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk"))
     },
 
@@ -3000,16 +3046,9 @@ object NorthStar {
         .select(col("query_id"), col("vec_id"),
           round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
             .as("sim"))
-      val localW = Window
-        .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(32)))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val finalW = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("graft__lrk", row_number().over(localW))
-        .filter(col("graft__lrk") <= k)
-        .withColumn("rk", row_number().over(finalW).cast("long"))
-        .filter(col("rk") <= k)
+      twoLevelTopK(scored, Seq(col("query_id")),
+        pmod(hash(col("vec_id")), lit(32)),
+        Seq(col("sim").desc, col("vec_id")), k)
         .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
     },
 
@@ -3060,24 +3099,16 @@ object NorthStar {
     // 100 TB this is a single fused scan.
     QuerySpec(
       "n80_classifier_apply",
-      """WITH f AS (SELECT doc_id, lang,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01 AS x1,
-        |    CAST(n_chars AS DOUBLE) * 0.001 AS x2
-        |  FROM documents),
-        |z AS (SELECT doc_id, lang,
-        |        -2.0 + 6.0 * x1 - 1.1 * x2 AS z FROM f)
-        |SELECT doc_id, lang,
-        |  0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
-        |  (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5 AS keep
-        |FROM z""".stripMargin) { (s, d) =>
+      s"""WITH z AS (SELECT doc_id, lang,
+         |    $qualityZSql AS z
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  ${qualityScoreSql("z")} AS score,
+         |  (${qualityScoreSql("z")}) >= 0.5 AS keep
+         |FROM z""".stripMargin) { (s, d) =>
       val z = t(s, d, "documents").select(
-        col("doc_id"), col("lang"),
-        (lit(-2.0) +
-          lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
-          lit(1.1) * (col("n_chars").cast("double") * lit(0.001)))
-          .as("graft__z"))
-      val score = lit(0.5) + col("graft__z") /
-        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+        col("doc_id"), col("lang"), qualityZCol.as("graft__z"))
+      val score = qualityScoreCol(col("graft__z"))
       z.select(col("doc_id"), col("lang"), score.as("score"),
         (score >= lit(0.5)).as("keep"))
     },
@@ -3101,7 +3132,7 @@ object NorthStar {
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang),
         |q AS (SELECT lang, n_tokens,
-        |    CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS qw
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 1000000.0)) AS BIGINT) AS qw
         |  FROM tl),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt,
         |    CAST(sum(qw) AS BIGINT) AS wt FROM q)
@@ -3112,8 +3143,12 @@ object NorthStar {
       val q = t(s, d, "documents")
         .groupBy(col("lang"))
         .agg(sum(TextOps.nTokens(col("text"))).as("n_tokens"))
+        // double BEFORE scaling: an integer n_tokens·1e6 silently wraps
+        // past 2^63 (Spark non-ANSI) while DuckDB errors — the double
+        // product is the same exact value below 2^53 and stays finite
+        // (identically rounded on both engines) above it
         .withColumn("graft__qw",
-          floor(sqrt((col("n_tokens") * lit(1000000L)).cast("double")))
+          floor(sqrt(col("n_tokens").cast("double") * lit(1000000.0)))
             .cast("long"))
       val tot = q.agg(sum(col("n_tokens")).as("graft__nt"),
         sum(col("graft__qw")).as("graft__wt"))
@@ -3168,16 +3203,9 @@ object NorthStar {
         .select(col("query_id"), col("vec_id"),
           round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
             .as("sim"))
-      val localW = Window
-        .partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(32)))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val finalW = Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("graft__lrk", row_number().over(localW))
-        .filter(col("graft__lrk") <= k)
-        .withColumn("rk", row_number().over(finalW).cast("long"))
-        .filter(col("rk") <= k)
+      twoLevelTopK(scored, Seq(col("query_id")),
+        pmod(hash(col("vec_id")), lit(32)),
+        Seq(col("sim").desc, col("vec_id")), k)
         .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
     },
 
@@ -3256,34 +3284,37 @@ object NorthStar {
     // always-on eval every model refresh should run.
     QuerySpec(
       "n84_classifier_eval",
-      """WITH f AS (SELECT
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-        |    -2.0 + 6.0 * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)
-        |      - 1.1 * (CAST(n_chars AS DOUBLE) * 0.001) AS z
-        |  FROM documents),
-        |p AS (SELECT y, CASE WHEN (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5
-        |                     THEN 1 ELSE 0 END AS yhat FROM f),
-        |m AS (SELECT
-        |    CAST(sum(y * yhat) AS BIGINT) AS tp,
-        |    CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
-        |    CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
-        |    CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
-        |  FROM p)
-        |SELECT tp, fp, fn, tn,
-        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
-        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
-        |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
-        |FROM m""".stripMargin) { (s, d) =>
-      val z = lit(-2.0) +
-        lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
-        lit(1.1) * (col("n_chars").cast("double") * lit(0.001))
-      val score = lit(0.5) + col("graft__z") /
-        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      s"""WITH f AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    $qualityZSql AS z
+         |  FROM documents),
+         |p AS (SELECT y, CASE WHEN (${qualityScoreSql("z")}) >= 0.5
+         |                     THEN 1 ELSE 0 END AS yhat FROM f),
+         |m AS (SELECT
+         |    CAST(sum(y * yhat) AS BIGINT) AS tp,
+         |    CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+         |    CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+         |    CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+         |  FROM p)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |       ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+         |FROM m""".stripMargin) { (s, d) =>
+      val score = qualityScoreCol(col("graft__z"))
       val p = t(s, d, "documents")
         .select(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
-          .as("graft__y"), z.as("graft__z"))
+          .as("graft__y"), qualityZCol.as("graft__z"))
         .select(col("graft__y"),
           when(score >= lit(0.5), lit(1L)).otherwise(lit(0L)).as("graft__p"))
+      // degenerate-split guard: an empty predicted/actual class must be
+      // NULL on BOTH engines (DuckDB's raw 0/0 is NaN, Spark's is NULL)
+      def safeDiv(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        when(den === 0L, lit(null)).otherwise(num.cast("double") / den)
       p.agg(
         sum(col("graft__y") * col("graft__p")).as("tp"),
         sum((lit(1L) - col("graft__y")) * col("graft__p")).as("fp"),
@@ -3291,11 +3322,10 @@ object NorthStar {
         sum((lit(1L) - col("graft__y")) * (lit(1L) - col("graft__p")))
           .as("tn"))
         .select(col("tp"), col("fp"), col("fn"), col("tn"),
-          (col("tp").cast("double") / (col("tp") + col("fp")))
-            .as("precision"),
-          (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
-          ((lit(2L) * col("tp")).cast("double") /
-            (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+          safeDiv(col("tp"), col("tp") + col("fp")).as("precision"),
+          safeDiv(col("tp"), col("tp") + col("fn")).as("recall"),
+          safeDiv(lit(2L) * col("tp"),
+            lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
     },
 
     // ----- n85: per-source data card (corpus datasheet in one pass) -----
@@ -3311,33 +3341,29 @@ object NorthStar {
     // plans automatically via Expand.
     QuerySpec(
       "n85_source_datacard",
-      """WITH d AS (SELECT source, lang, md5(text) AS h,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-        |    -2.0 + 6.0 * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)
-        |      - 1.1 * (CAST(n_chars AS DOUBLE) * 0.001) AS z
-        |  FROM documents),
-        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |    CAST(count(DISTINCT h) AS BIGINT) AS n_uniq,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_en,
-        |    CAST(sum(CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z))))
-        |                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS qs
-        |  FROM d GROUP BY source)
-        |SELECT source, n_docs, n_tokens, n_uniq,
-        |  CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS dup_frac,
-        |  CAST(n_en AS DOUBLE) / n_docs AS en_frac,
-        |  CAST(qs AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE)
-        |    AS mean_score
-        |FROM s""".stripMargin) { (s, d) =>
-      val z = lit(-2.0) +
-        lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
-        lit(1.1) * (col("n_chars").cast("double") * lit(0.001))
-      val score = lit(0.5) + col("graft__z") /
-        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      s"""WITH d AS (SELECT source, lang, md5(text) AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    $qualityZSql AS z
+         |  FROM documents),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_uniq,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_en,
+         |    CAST(sum(CAST(floor((${qualityScoreSql("z")})
+         |                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS qs
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_uniq,
+         |  CAST(n_docs - n_uniq AS DOUBLE) / n_docs AS dup_frac,
+         |  CAST(n_en AS DOUBLE) / n_docs AS en_frac,
+         |  CAST(qs AS DOUBLE) / 1000000000.0 / CAST(n_docs AS DOUBLE)
+         |    AS mean_score
+         |FROM s""".stripMargin) { (s, d) =>
+      val score = qualityScoreCol(col("graft__z"))
       t(s, d, "documents")
         .select(col("source"), col("lang"), md5(col("text")).as("graft__h"),
-          TextOps.nTokens(col("text")).as("graft__nt"), z.as("graft__z"))
+          TextOps.nTokens(col("text")).as("graft__nt"),
+          qualityZCol.as("graft__z"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -3371,42 +3397,39 @@ object NorthStar {
     // floor/integer compares are exact.
     QuerySpec(
       "n86_quality_percentile",
-      """WITH d AS (SELECT doc_id, lang,
-        |    CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 10000.0)
-        |         AS BIGINT) AS qs
-        |  FROM (SELECT doc_id, lang,
-        |      -2.0 + 6.0 * (CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01)
-        |        - 1.1 * (CAST(n_chars AS DOUBLE) * 0.001) AS z
-        |    FROM documents)),
-        |h AS (SELECT lang, qs, CAST(count(*) AS BIGINT) AS c
-        |      FROM d GROUP BY 1, 2),
-        |w AS (SELECT lang, qs, c,
-        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY qs) AS BIGINT)
-        |      AS cum
-        |  FROM h),
-        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY lang),
-        |cut AS (SELECT w.lang, CAST(min(qs) AS BIGINT) AS cutoff
-        |  FROM w JOIN n ON w.lang = n.lang
-        |  WHERE cum * 10 >= n * 7 GROUP BY w.lang)
-        |SELECT doc_id, d.lang, qs, qs > cutoff AS kept
-        |FROM d JOIN cut ON d.lang = cut.lang""".stripMargin) { (s, d) =>
-      val z = lit(-2.0) +
-        lit(6.0) * (TextOps.nTokens(col("text")).cast("double") * lit(0.01)) -
-        lit(1.1) * (col("n_chars").cast("double") * lit(0.001))
-      val score = lit(0.5) + col("graft__z") /
-        (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(floor((${qualityScoreSql("z")}) * 10000.0)
+         |         AS BIGINT) AS qs
+         |  FROM (SELECT doc_id, lang,
+         |      $qualityZSql AS z
+         |    FROM documents)),
+         |h AS (SELECT lang, qs, CAST(count(*) AS BIGINT) AS c
+         |      FROM d GROUP BY 1, 2),
+         |w AS (SELECT lang, qs, c,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY qs) AS BIGINT)
+         |      AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM h),
+         |cut AS (SELECT lang, CAST(min(qs) AS BIGINT) AS cutoff
+         |  FROM w WHERE cum * 10 >= n * 7 GROUP BY lang)
+         |SELECT doc_id, d.lang, qs, qs > cutoff AS kept
+         |FROM d JOIN cut ON d.lang = cut.lang""".stripMargin) { (s, d) =>
+      val score = qualityScoreCol(col("graft__z"))
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), z.as("graft__z"))
+        .select(col("doc_id"), col("lang"), qualityZCol.as("graft__z"))
         .select(col("doc_id"), col("lang"),
           floor(score * lit(10000.0)).cast("long").as("qs"))
       val hist = docs.groupBy(col("lang"), col("qs"))
         .agg(count(lit(1)).as("graft__c"))
-      val cum = hist.withColumn("graft__cum",
-        sum(col("graft__c"))
-          .over(Window.partitionBy(col("lang")).orderBy(col("qs"))))
-      val totals = hist.groupBy(col("lang"))
-        .agg(sum(col("graft__c")).as("graft__n"))
-      val cutoffs = cum.join(broadcast(totals), Seq("lang"))
+      // both the running and the total per-lang sums ride the SAME
+      // partitioned histogram — no second aggregation, no totals join
+      val cum = hist
+        .withColumn("graft__cum",
+          sum(col("graft__c"))
+            .over(Window.partitionBy(col("lang")).orderBy(col("qs"))))
+        .withColumn("graft__n",
+          sum(col("graft__c")).over(Window.partitionBy(col("lang"))))
+      val cutoffs = cum
         .filter(col("graft__cum") * 10 >= col("graft__n") * 7)
         .groupBy(col("lang"))
         .agg(min(col("qs")).as("graft__cutoff"))
