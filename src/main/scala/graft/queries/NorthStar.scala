@@ -154,7 +154,7 @@ object NorthStar {
     * the final rank over ≤ 32·k slim survivors per group. Emits `rk`
     * (BIGINT, 1-based). The ordering must be total (tie-break on a
     * unique id) or ranks are nondeterministic. */
-  private def twoLevelTopK(
+  private[graft] def twoLevelTopK(
       df: DataFrame,
       group: Seq[Column],
       salt: Column,

@@ -326,6 +326,34 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("two-level top-k == one-level window top-k for any data and salt width") = {
+    // the helper behind n75/n78/n82: local winners per (group, salt)
+    // bucket, then the final rank — must equal the naive single window
+    // for ANY grouping, duplicate values (total order comes from the
+    // id tiebreak), salt width, and k
+    val rowGen = Gen.listOf(for {
+      g <- Gen.choose(0, 3); v <- Gen.choose(0, 5)
+    } yield (g, v))
+    forAll(rowGen, Gen.choose(1, 8), Gen.choose(1, 5)) { (rows, salts, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id")
+      val got = graft.queries.NorthStar.twoLevelTopK(
+        df, Seq(col("g")), pmod(hash(col("id")), lit(salts)),
+        Seq(col("v").desc, col("id")), k)
+        .select(col("g"), col("id"), col("rk"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1)
+        .flatMap { case (g, grp) =>
+          grp.sortBy { case (_, v, id) => (-v, id) }.take(k).zipWithIndex
+            .map { case ((_, _, id), r) => (g, id, (r + 1).toLong) }
+        }.toSet
+      got == expect
+    }
+  }
+
   property("unpivot of a flag matrix preserves every set flag exactly once") = {
     val flagGen = Gen.listOfN(3, Gen.listOfN(3, Gen.oneOf("1", "", "0")))
     forAll(flagGen) { rows =>
