@@ -3436,5 +3436,77 @@ object NorthStar {
       docs.join(broadcast(cutoffs), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("qs"),
           (col("qs") > col("graft__cutoff")).as("kept"))
+    },
+
+    // ----- n87: curriculum ordering (quality-phased epoch order) --------
+    // Curriculum learning's data-side contract (Bengio et al. 2009):
+    // present high-quality data first, random WITHIN each phase. Order
+    // key = (quality bucket DESC, seeded shuffle hash, id) — bucket
+    // from the shared classifier score (deterministic deciles), the
+    // shuffle the n60 seeded md5 permutation, so a new seed re-deals
+    // within buckets without touching the phase structure. The dense
+    // global position is SurrogateKey.denseRowNumber (range shuffle +
+    // per-partition offsets) because row_number() OVER (ORDER BY …) is
+    // the single-partition funnel — same scale posture as n60, now
+    // with a composite semantic key.
+    QuerySpec(
+      "n87_curriculum_order",
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(floor((${qualityScoreSql("z")}) * 10.0) AS BIGINT) AS bucket,
+         |    ${hex60("'c42:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM (SELECT doc_id, $qualityZSql AS z FROM documents))
+         |SELECT doc_id, bucket,
+         |  CAST(row_number() OVER (ORDER BY bucket DESC, hk, doc_id)
+         |       AS BIGINT) AS ord
+         |FROM d""".stripMargin) { (s, d) =>
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), qualityZCol.as("graft__z"))
+        .select(col("doc_id"),
+          floor(qualityScoreCol(col("graft__z")) * lit(10.0)).cast("long")
+            .as("bucket"),
+          TextOps.hexHash60(
+            concat(lit("c42:"), col("doc_id").cast("string"))).as("graft__hk"))
+      SurrogateKey
+        .denseRowNumber(keyed, "ord",
+          col("bucket").desc, col("graft__hk"), col("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("ord"))
+    },
+
+    // ----- n88: OOV rate against a frequency vocabulary -----------------
+    // The tokenizer-eval metric between n33 (top-k vocabulary mining)
+    // and n69 (BPE encoding): what fraction of each language's token
+    // stream falls outside the corpus top-k vocabulary — the coverage
+    // number that decides a vocab size. Top-20 is totally ordered
+    // (freq DESC, word ASC) so both engines pick the same set; the
+    // stream-side membership test is a BROADCAST left join (vocab is
+    // k rows by construction) and the rate is one division of exact
+    // BIGINT counts. One corpus pass; exchanges carry (lang, flag)
+    // partials, never tokens.
+    QuerySpec(
+      "n88_oov_rate",
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w),
+        |v AS (SELECT w FROM wc ORDER BY f DESC, w LIMIT 20)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
+        |  CAST(count(*) FILTER (v.w IS NULL) AS DOUBLE) / count(*)
+        |    AS oov_rate
+        |FROM toks LEFT JOIN v ON toks.w = v.w
+        |GROUP BY lang""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("graft__f"))
+        .orderBy(col("graft__f").desc, col("w"))
+        .limit(20)
+        .select(col("w"), lit(1L).as("graft__in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("graft__in").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
     })
 }

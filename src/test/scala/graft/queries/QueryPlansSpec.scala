@@ -550,6 +550,26 @@ class QueryPlansSpec extends SparkTestBase {
       s"document text entered an exchange:\n$exchangeLines")
   }
 
+  test("n87 curriculum order: range-partitioned numbering, no global-order funnel") {
+    val plan = finalPlan(q("n87_curriculum_order"))
+    assert(plan.contains("rangepartitioning"),
+      s"dense numbering must range-shuffle, not globally sort:\n$plan")
+    assert(!plan.matches("(?s).*Sort .*global=true.*"),
+      s"single-partition global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast:\n$plan")
+  }
+
+  test("n88 OOV rate: vocab rides a broadcast, top-20 via TakeOrdered") {
+    val plan = finalPlan(q("n88_oov_rate"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k vocab must not globally sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"membership test must broadcast the k-row vocab:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must never shuffle-join:\n$plan")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
