@@ -3508,5 +3508,49 @@ object NorthStar {
             .as("n_oov"))
         .select(col("lang"), col("n_tokens"), col("n_oov"),
           (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+    },
+
+    // ----- s25: IVF index maintenance (delta refresh of cell stats) -----
+    // The s24 incremental-aggregate pattern on the VECTOR warehouse: an
+    // IVF layout's per-cell occupancy stats (what nprobe tuning and
+    // cell-rebalance decisions read) refreshed by merging a new vector
+    // batch's assignment partials with the STORED stats — the indexed
+    // corpus is never rescanned. The refresh plan reads exactly two
+    // inputs (plan-pinned): the stats file (cells, not vectors) and
+    // the delta rows; cell assignment on the delta is the same
+    // map-only NearestCell projection the index itself uses. The
+    // oracle recomputes both generations from scratch and proves
+    // merged == full recompute. Cells present on one side only
+    // survive via the full-outer merge.
+    QuerySpec(
+      "s25_ivf_refresh",
+      s"""WITH c AS (SELECT vec_id,
+         |    ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |  FROM embeddings)
+         |SELECT cell,
+         |  CAST(count(*) FILTER (vec_id % 10 <> 0) AS BIGINT) AS n_before,
+         |  CAST(count(*) FILTER (vec_id % 10 = 0) AS BIGINT) AS n_delta,
+         |  CAST(count(*) AS BIGINT) AS n_total
+         |FROM c GROUP BY cell""".stripMargin) { (s, d) =>
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val path = "target/sinks/s25_ivf_stats"
+      val emb = t(s, d, "embeddings")
+      def celled(df: DataFrame) = df.withColumn("cell",
+        Similarity.nearestCell(Similarity.asDouble(col("embedding")), cents))
+      // the stored index stats: the existing corpus aggregated away
+      celled(emb.filter(col("vec_id") % 10 =!= 0))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+        .write.mode("overwrite").parquet(path)
+      // the refresh: stored stats + the delta batch's assignment
+      // partials — exactly two scans, the indexed corpus untouched
+      val delta = celled(emb.filter(col("vec_id") % 10 === 0))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+      s.read.parquet(path)
+        .join(delta, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_before"), lit(0L)) +
+            coalesce(col("n_delta"), lit(0L))).as("n_total"))
     })
 }

@@ -570,6 +570,15 @@ class QueryPlansSpec extends SparkTestBase {
       s"token stream must never shuffle-join:\n$plan")
   }
 
+  test("s25 IVF refresh: reads the stats file + the delta only, never the indexed corpus") {
+    val plan = finalPlan(q("s25_ivf_refresh"))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"refresh must read exactly stats + delta, found $scans scans:\n$plan")
+    // (the full-outer merge itself joins two ≤nlist-row cell tables —
+    // any strategy is fine at that size; the scan count is the pin)
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
