@@ -335,4 +335,30 @@ object EventStream {
           .partitionBy(col("source")).orderBy(col("doc_id"))))
       .filter(col("graft__rn") <= perSourceQuota)
       .select(col("doc_id"), col("source"))
+
+  /** Streaming frequency sketch — the streaming twin of the n49 CMS
+    * heavy-hitters: the SAME CountMinSketchAgg the batch query runs,
+    * as a sharded STREAMING aggregation. Each shard's sketch is a
+    * fixed-size long array updated per micro-batch by the state store;
+    * state is O(shards × depth × width) — constant in stream length,
+    * the 100 TB/day-safe shape. Sharding by the key hash spreads
+    * sketch updates across partitions (a single global sketch key
+    * would funnel every row through one state partition); the final
+    * global sketch is the ELEMENT-WISE SUM of shard sketches, exact
+    * and order-independent because every CMS cell is a plain count —
+    * which is precisely why stream ≡ batch holds bit-for-bit
+    * regardless of micro-batch boundaries (EventStreamSpec pins it).
+    * Query in complete mode; estimates via
+    * [[graft.functions.SketchAggregates.cmsEstimate]] over the merged
+    * array. `hash31Col` must hold the same 31-bit nonnegative hash the
+    * batch sketch is built over. */
+  def streamingCms(
+      stream: DataFrame,
+      hash31Col: String,
+      shards: Int,
+      depth: Int,
+      width: Int): DataFrame =
+    stream
+      .groupBy(pmod(col(hash31Col), lit(shards.toLong)).as("shard"))
+      .agg(expr(s"graft_cms($hash31Col, $depth, $width)").as("cms"))
 }

@@ -458,4 +458,50 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch === Set(1L, 2L, 3L, 6L).map((_, "srcA")) ++
       Set(4L, 5L, 9L, 10L).map((_, "srcB")))
   }
+
+  test("streamingCms across micro-batches ≡ batch CMS, bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (shards, depth, width) = (4, 4, 256)
+    // skewed token stream split across 3 micro-batches at arbitrary
+    // boundaries — CMS cells are plain counts, so boundaries must not
+    // matter at all
+    val words = Seq.tabulate(300)(i => s"w${i % 17}") ++
+      Seq.fill(50)("hot") ++ Seq.tabulate(40)(i => s"rare$i")
+    val (b1, rest) = words.splitAt(97)
+    val (b2, b3) = rest.splitAt(121)
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      df.select(
+        xxhash64(col("value")).bitwiseAND(lit(0x7fffffffL)).as("graft__h"))
+    val mem = MemoryStream[String]
+    val q = EventStream
+      .streamingCms(hashed(mem.toDF()), "graft__h", shards, depth, width)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // final snapshot: element-wise-sum the shard sketches into the
+    // global sketch (every CMS cell is a count — merge is exact)
+    val shardArrays = spark.table("cms_stream").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("cms"))
+    assert(shardArrays.length === shards)
+    val merged = shardArrays.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val batchArray = hashed(words.toDF())
+      .agg(expr(s"graft_cms(graft__h, $depth, $width)").as("cms"))
+      .collect().head.getAs[scala.collection.Seq[Long]]("cms")
+    assert(merged === batchArray)
+    // and the merged sketch answers point estimates with CMS guarantees
+    // (estimate >= true count) for the hot key
+    val est = words.toDF().distinct()
+      .crossJoin(broadcast(words.toDF("w2").agg(
+        expr(s"graft_cms(xxhash64(w2) & ${0x7fffffffL}L, $depth, $width)")
+          .as("graft__cms"))))
+      .select(col("value"),
+        graft.functions.SketchAggregates.cmsEstimate(
+          col("graft__cms"),
+          xxhash64(col("value")).bitwiseAND(lit(0x7fffffffL)),
+          depth, width).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") >= 50L)
+  }
 }
