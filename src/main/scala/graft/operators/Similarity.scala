@@ -181,6 +181,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF retrieval — the multi-query scale path (one corpus
+    * pass serves Q queries): each query expands to its `nprobe` probe
+    * cells ([[probeCells]]) and candidate generation is an EQUI-join on
+    * the cell — queries×nprobe slim rows broadcast onto the corpus's
+    * map-side cell assignment, so each query scores only nprobe/nlist
+    * of the data (a cross join would score all of it). Per-query top-k
+    * via [[TopK.twoLevel]] so no per-query reducer funnel. Output:
+    * (qidCol, idCol, sim, rk). */
+  def ivfMultiTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      qidCol: String,
+      queryVecCol: String,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val probes = query
+      .select(col(qidCol), asDouble(col(queryVecCol)).as("graft__qv"))
+      .withColumn("cell",
+        explode(probeCells(col("graft__qv"), centroids, nprobe)))
+    val scored = emb
+      .select(col(idCol), asDouble(col(vecCol)).as("graft__v"))
+      .withColumn("cell", nearestCell(col("graft__v"), centroids))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col(qidCol), col(idCol),
+        round(cosine(col("graft__v"), col("graft__qv")), 6).as("sim"))
+    TopK.twoLevel(scored, Seq(col(qidCol)),
+      pmod(hash(col(idCol)), lit(32)),
+      Seq(col("sim").desc, col(idCol)), k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rk"))
+  }
+
   /** Near-duplicate vector pairs within a blocking key (e.g. label):
     * the join is equi on the block, quadratic only inside it. Norms are
     * computed once per vector BEFORE the join (O(n) instead of O(pairs)

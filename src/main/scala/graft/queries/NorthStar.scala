@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, KMeans, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps}
+import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, KMeans, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -147,27 +147,9 @@ object NorthStar {
   private def qualityScoreCol(z: Column): Column =
     lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
-  /** Two-level per-group top-k (the n75 funnel-avoidance pattern, one
-    * definition for n75/n78/n82): local winners per (group, salt)
-    * bucket first — every global winner sits in some bucket and is in
-    * that bucket's top-k, so the levels are exactly equivalent — then
-    * the final rank over ≤ 32·k slim survivors per group. Emits `rk`
-    * (BIGINT, 1-based). The ordering must be total (tie-break on a
-    * unique id) or ranks are nondeterministic. */
-  private[graft] def twoLevelTopK(
-      df: DataFrame,
-      group: Seq[Column],
-      salt: Column,
-      order: Seq[Column],
-      k: Int): DataFrame = {
-    val localW = Window.partitionBy(group :+ salt: _*).orderBy(order: _*)
-    val finalW = Window.partitionBy(group: _*).orderBy(order: _*)
-    df.withColumn("graft__lrk", row_number().over(localW))
-      .filter(col("graft__lrk") <= k)
-      .withColumn("rk", row_number().over(finalW).cast("long"))
-      .filter(col("rk") <= k)
-      .drop("graft__lrk")
-  }
+  // two-level per-group top-k: moved to operators/TopK.twoLevel (one
+  // definition for n75/n78 and Similarity.ivfMultiTopK; law-tested in
+  // EngineLawsProps)
 
   /** DuckDB z over a documents row (same op chain as [[qualityZCol]]). */
   private def qualityZSql: String =
@@ -2868,7 +2850,7 @@ object NorthStar {
         .withColumn("graft__key",
           -log((col("graft__h") + 1).cast("double") /
             lit(1152921504606846976.0)) / col("n_tokens"))
-      twoLevelTopK(keyed, Seq(col("lang")), pmod(col("graft__h"), lit(32L)),
+      TopK.twoLevel(keyed, Seq(col("lang")), pmod(col("graft__h"), lit(32L)),
         Seq(col("graft__key"), col("doc_id")), k)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk"))
     },
@@ -3046,7 +3028,7 @@ object NorthStar {
         .select(col("query_id"), col("vec_id"),
           round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
             .as("sim"))
-      twoLevelTopK(scored, Seq(col("query_id")),
+      TopK.twoLevel(scored, Seq(col("query_id")),
         pmod(hash(col("vec_id")), lit(32)),
         Seq(col("sim").desc, col("vec_id")), k)
         .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
@@ -3187,26 +3169,14 @@ object NorthStar {
          |       AS BIGINT) AS rk
          |FROM c JOIN p USING (cell)
          |QUALIFY rk <= 10""".stripMargin) { (s, d) =>
-      val k = 10
-      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
       val emb = t(s, d, "embeddings")
-      val probes = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"),
-          Similarity.asDouble(col("embedding")).as("graft__qv"))
-        .withColumn("cell",
-          explode(Similarity.probeCells(col("graft__qv"), cents, nprobe = 2)))
-      val scored = emb.filter(col("vec_id") >= 8)
-        .select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("graft__v"))
-        .withColumn("cell", Similarity.nearestCell(col("graft__v"), cents))
-        .join(broadcast(probes), Seq("cell"))
-        .select(col("query_id"), col("vec_id"),
-          round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
-            .as("sim"))
-      twoLevelTopK(scored, Seq(col("query_id")),
-        pmod(hash(col("vec_id")), lit(32)),
-        Seq(col("sim").desc, col("vec_id")), k)
-        .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+      Similarity.ivfMultiTopK(
+        emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding",
+        centroids = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)),
+        nprobe = 2, k = 10)
     },
 
     // ----- n83: logistic-regression TRAINING loop (multi-step GD) -------

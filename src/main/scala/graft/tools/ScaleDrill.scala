@@ -143,6 +143,17 @@ object ScaleDrill {
           centroids = Similarity.hyperplanes(probeNlist, 64).map(_.map(_.toDouble)),
           nprobe = 6, k = 15)
       }
+    if (queries.contains("n82_ivf_multiquery"))
+      timeSized(s"n82_sized_ivf($probeNlist)") {
+        val emb = Tables(spark, scaledDir, "embeddings")
+        Similarity.ivfMultiTopK(
+          emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id", "embedding",
+          centroids = Similarity.hyperplanes(probeNlist, 64).map(_.map(_.toDouble)),
+          nprobe = 6, k = 10)
+      }
     if (queries.contains("n54_semdedup"))
       timeSized(s"n54_sized_ivf($semNlist)") {
         Similarity.semDedup(

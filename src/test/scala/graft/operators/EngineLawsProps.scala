@@ -338,7 +338,7 @@ object EngineLawsProps extends Properties("EngineLaws") {
       val df = rows.zipWithIndex
         .map { case ((g, v), i) => (g, v, i.toLong) }
         .toDF("g", "v", "id")
-      val got = graft.queries.NorthStar.twoLevelTopK(
+      val got = TopK.twoLevel(
         df, Seq(col("g")), pmod(hash(col("id")), lit(salts)),
         Seq(col("v").desc, col("id")), k)
         .select(col("g"), col("id"), col("rk"))
