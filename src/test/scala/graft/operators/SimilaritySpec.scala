@@ -172,6 +172,76 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("probeCells ranks cells by squared distance, lower index on ties") {
+    val centroids = Seq(
+      Seq.fill(16)(1.0), Seq.fill(16)(-1.0),
+      Seq.fill(16)(0.5), Seq.fill(16)(0.5)) // 2 and 3 tie everywhere
+    val got = embDf(vecs)
+      .select(col("vec_id"),
+        Similarity.probeCells(
+          Similarity.asDouble(col("embedding")), centroids, nprobe = 4)
+          .as("probes"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v, _) =>
+      val byDist = centroids.zipWithIndex.map { case (c, i) =>
+        (v.map(_.toDouble).zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.sorted.map(_._2)
+      assert(got(id) === byDist, s"probe order for vec $id")
+      // the tied pair (2, 3) must come out lower-index-first
+      assert(got(id).indexOf(2) < got(id).indexOf(3))
+    }
+  }
+
+  test("ivfMultiTopK at nprobe = nlist equals per-query brute force") {
+    val df = embDf(vecs)
+    val centroids = Similarity.hyperplanes(2, 16).map(_.map(_.toDouble))
+    val queries = vecs.take(3)
+    val got = Similarity.ivfMultiTopK(
+      df.filter(col("vec_id") >= 3), "vec_id", "embedding",
+      df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", "embedding", centroids, nprobe = centroids.size, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv, _) =>
+      val expected = vecs.drop(3)
+        .map { case (id, v, _) => id ->
+          BigDecimal(cos(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((id, s), r) => (qid, id, s, (r + 1).toLong) }
+      assert(got(qid).sortBy(_._4).toSeq === expected, s"query $qid")
+    }
+  }
+
+  test("ivfMultiTopK partial probe returns only probed-cell members, correctly ranked") {
+    val df = embDf(vecs)
+    val centroids = Similarity.hyperplanes(3, 16).map(_.map(_.toDouble))
+    val got = Similarity.ivfMultiTopK(
+      df.filter(col("vec_id") >= 3), "vec_id", "embedding",
+      df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", "embedding", centroids, nprobe = 2, k = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    // driver twin: per-vector cell, per-query 2-cell probe set
+    def cell(v: Seq[Float]): Int =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (v.map(_.toDouble).zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.min._2
+    def probes(v: Seq[Float]): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (v.map(_.toDouble).zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.sorted.take(2).map(_._2)
+    vecs.take(3).foreach { case (qid, qv, _) =>
+      val ps = probes(qv).toSet
+      val members = vecs.drop(3).filter { case (_, v, _) => ps.contains(cell(v)) }
+        .map(_._1).toSet
+      assert(got(qid).map(_._2).toSet === members, s"probe membership, query $qid")
+    }
+  }
+
   test("semDedup: salting is plan-only — same keep set at any bucket count") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 40L).map { i =>
