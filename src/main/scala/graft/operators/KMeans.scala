@@ -98,17 +98,42 @@ object KMeans {
 
   /** `rounds` Lloyd updates from `init`, then a final assignment;
     * returns the trained model as per-(cell, dim) stats:
-    * (cell, dim 1-based, n, qsum, centroid = qsum / (1e6·n)). */
+    * (cell, dim 1-based, n, qsum, centroid = qsum / (1e6·n)).
+    *
+    * Deep-round lineage discipline (the BpeTrainer pattern): each
+    * round's centroid row depends on a full corpus aggregation over the
+    * PREVIOUS row's lineage, so an unchecked k-round loop builds a
+    * plan k corpus-aggs deep — analysis cost grows with k even though
+    * the data is one row. Past `checkpointEvery` rounds the loop
+    * truncates via [[IterationCheckpoint.localCounted]] (internal-row
+    * rebuild, fresh stats) and eagerly releases the superseded round's
+    * blocks. Checkpointing cannot change values: every round is exact
+    * integer arithmetic, so the truncated and untruncated loops are
+    * bit-identical (KMeansSpec pins it). */
   def train(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       init: Seq[Seq[Long]],
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    val sc = emb.sparkSession.sparkContext
     val qv = quantize(emb, idCol, vecCol)
     var cents = centroidRow(emb, init)
-    for (_ <- 1 to rounds)
+    var held: scala.collection.Set[Int] = Set.empty
+    for (r <- 1 to rounds) {
       cents = update(assign(qv, cents), cents)
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
+        val (ck, ids, _) = IterationCheckpoint.localCounted(cents)
+        IterationCheckpoint.release(sc, held)
+        cents = ck
+        held = ids
+      }
+    }
+    // blocks behind the LAST surviving checkpoint stay held: the
+    // returned plan reads them (a truncated localCheckpoint cannot be
+    // recomputed). One 1-row RDD; ContextCleaner reclaims it with the
+    // frame. Every superseded round was released eagerly above.
     assign(qv, cents)
       .select(col("cell"),
         posexplode(col("graft__qv")).as(Seq("graft__pos", "graft__x")))

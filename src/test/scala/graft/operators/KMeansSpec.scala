@@ -35,6 +35,17 @@ class KMeansSpec extends SparkTestBase {
     assert(math.abs(c1d1.getAs[Double]("centroid") + 1.02) < 1e-6)
   }
 
+  test("checkpointed deep-round loop is bit-identical to the unchecked loop") {
+    // 6 rounds with a checkpoint every 2 vs the same loop unchecked —
+    // truncation must be plan-only (every round is exact integer math)
+    val emb = vecs(blobA ++ blobB)
+    def run(every: Int) =
+      KMeans.train(emb, "vec_id", "embedding", init, rounds = 6,
+        checkpointEvery = every)
+        .orderBy("cell", "dim").collect().toSeq
+    assert(run(2) == run(0), "checkpointing changed the trained model")
+  }
+
   test("bit-reproducible under any partitioning (the quantization contract)") {
     val base = vecs(blobA ++ blobB)
     def run(df: org.apache.spark.sql.DataFrame): Seq[Row] =
