@@ -3522,5 +3522,81 @@ object NorthStar {
           coalesce(col("n_delta"), lit(0L)).as("n_delta"),
           (coalesce(col("n_before"), lit(0L)) +
             coalesce(col("n_delta"), lit(0L))).as("n_total"))
+    },
+
+    // ----- n89: token-distribution drift between corpus snapshots -------
+    // The data-drift monitor a continuously-crawled corpus runs between
+    // releases: per-token occurrence-rate deltas across two snapshots
+    // (here the deterministic doc_id-parity split), top movers first.
+    // Exactness: each rate is ONE division of exact BIGINTs (bit-
+    // identical doubles), and the drift |rate_a − rate_b| is a single
+    // IEEE subtraction of two such doubles — deterministic cross-engine
+    // with no quantization needed. Tokens present in only one snapshot
+    // survive via the full-outer vocab join (vocab-sized, not corpus-
+    // sized); totals ride in as a broadcast 1-row aggregate; top-10 is
+    // TakeOrdered. Shuffles carry (token, count) — never documents.
+    QuerySpec(
+      "n89_token_drift",
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split(text, ' ')) AS w
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ta GROUP BY w),
+        |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tb GROUP BY w),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ta) AS na,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nb)
+        |SELECT coalesce(ca.w, cb.w) AS tok,
+        |  coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b,
+        |  CAST(coalesce(ca.n, 0) AS DOUBLE) / na AS rate_a,
+        |  CAST(coalesce(cb.n, 0) AS DOUBLE) / nb AS rate_b,
+        |  abs(CAST(coalesce(ca.n, 0) AS DOUBLE) / na
+        |      - CAST(coalesce(cb.n, 0) AS DOUBLE) / nb) AS drift
+        |FROM ca FULL JOIN cb ON ca.w = cb.w, tot
+        |ORDER BY drift DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val ta = toks.filter(col("doc_id") % 2 === 0).select(col("w"))
+      val tb = toks.filter(col("doc_id") % 2 === 1).select(col("w"))
+      val tot = ta.agg(count(lit(1)).as("graft__ta"))
+        .crossJoin(tb.agg(count(lit(1)).as("graft__tb")))
+      val ra = coalesce(col("graft__na"), lit(0L)).cast("double") /
+        col("graft__ta")
+      val rb = coalesce(col("graft__nb"), lit(0L)).cast("double") /
+        col("graft__tb")
+      ta.groupBy(col("w")).agg(count(lit(1)).as("graft__na"))
+        .join(tb.groupBy(col("w")).agg(count(lit(1)).as("graft__nb")),
+          Seq("w"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("w").as("tok"),
+          coalesce(col("graft__na"), lit(0L)).as("n_a"),
+          coalesce(col("graft__nb"), lit(0L)).as("n_b"),
+          ra.as("rate_a"), rb.as("rate_b"), abs(ra - rb).as("drift"))
+        .orderBy(col("drift").desc, col("tok"))
+        .limit(10)
+    },
+
+    // ----- n90: log2-bucketed length histogram (distribution monitor) ---
+    // The length-distribution snapshot every corpus release records:
+    // per-language doc counts in power-of-two token-length buckets.
+    // The log2 bucket needs NO libm: bucket = len(bin(n)) = ⌊log2 n⌋+1
+    // — `bin` (binary string) exists with identical semantics on both
+    // engines, so the bucket id is integer-exact; the bucket floor is
+    // an integer shift. Map-only projection + one grouped partial agg.
+    QuerySpec(
+      "n90_length_histogram",
+      """SELECT lang,
+        |  CAST(length(bin(len(string_split(text, ' ')))) AS BIGINT)
+        |    AS bucket,
+        |  CAST(1 << (CAST(length(bin(len(string_split(text, ' ')))) AS INT)
+        |             - 1) AS BIGINT) AS lo,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          length(bin(TextOps.nTokens(col("text")))).cast("long").as("bucket"))
+        .withColumn("lo",
+          expr("CAST(shiftleft(1, CAST(bucket AS INT) - 1) AS BIGINT)"))
+        .groupBy(col("lang"), col("bucket"), col("lo"))
+        .agg(count(lit(1)).as("n_docs"))
     })
 }

@@ -579,6 +579,29 @@ class QueryPlansSpec extends SparkTestBase {
     // any strategy is fine at that size; the scan count is the pin)
   }
 
+  test("n89 token drift: vocab-sized joins, totals broadcast, top-10 TakeOrdered") {
+    val plan = finalPlan(q("n89_token_drift"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top movers must not globally sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row totals must broadcast:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
+  test("n90 length histogram: map-only bucket projection into one grouped agg") {
+    val plan = finalPlan(q("n90_length_histogram"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial aggregation must precede the shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"histogram must not join:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
