@@ -76,7 +76,8 @@ object ScaleDrill {
       "n78_multiquery_ann", "n82_ivf_multiquery", "n79_kmeans_train",
       "n80_classifier_apply", "n81_temperature_mix", "n83_logreg_train",
       "n84_classifier_eval", "n85_source_datacard", "n86_quality_percentile",
-      "n87_curriculum_order", "n88_oov_rate")
+      "n87_curriculum_order", "n88_oov_rate", "n89_token_drift",
+      "n90_length_histogram")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
