@@ -3537,40 +3537,53 @@ object NorthStar {
     // TakeOrdered. Shuffles carry (token, count) — never documents.
     QuerySpec(
       "n89_token_drift",
-      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS w
-        |            FROM documents WHERE doc_id % 2 = 0),
-        |tb AS (SELECT unnest(string_split(text, ' ')) AS w
-        |       FROM documents WHERE doc_id % 2 = 1),
-        |ca AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM ta GROUP BY w),
-        |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tb GROUP BY w),
-        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ta) AS na,
-        |               (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nb)
-        |SELECT coalesce(ca.w, cb.w) AS tok,
-        |  coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b,
-        |  CAST(coalesce(ca.n, 0) AS DOUBLE) / na AS rate_a,
-        |  CAST(coalesce(cb.n, 0) AS DOUBLE) / nb AS rate_b,
-        |  abs(CAST(coalesce(ca.n, 0) AS DOUBLE) / na
-        |      - CAST(coalesce(cb.n, 0) AS DOUBLE) / nb) AS drift
-        |FROM ca FULL JOIN cb ON ca.w = cb.w, tot
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w,
+        |    CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS nb
+        |  FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |               CAST(sum(nb) AS BIGINT) AS tb FROM c)
+        |SELECT w AS tok, na AS n_a, nb AS n_b,
+        |  CASE WHEN ta = 0 THEN NULL
+        |       ELSE CAST(na AS DOUBLE) / ta END AS rate_a,
+        |  CASE WHEN tb = 0 THEN NULL
+        |       ELSE CAST(nb AS DOUBLE) / tb END AS rate_b,
+        |  CASE WHEN ta = 0 OR tb = 0 THEN NULL
+        |       ELSE abs(CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+        |  END AS drift
+        |FROM c, tot
         |ORDER BY drift DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
-      val toks = t(s, d, "documents")
+      // ONE tokenize pass: per-token counts for both snapshots via
+      // conditional aggregation (no full-outer vocab join, no extra
+      // total-count scans); totals are a second VOCAB-sized agg.
+      // Zero-denominator guard (an empty snapshot): NULL on BOTH
+      // engines — DuckDB's raw x/0 is inf/NaN, Spark's is NULL (the
+      // n84 lesson).
+      val counts = t(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      val ta = toks.filter(col("doc_id") % 2 === 0).select(col("w"))
-      val tb = toks.filter(col("doc_id") % 2 === 1).select(col("w"))
-      val tot = ta.agg(count(lit(1)).as("graft__ta"))
-        .crossJoin(tb.agg(count(lit(1)).as("graft__tb")))
-      val ra = coalesce(col("graft__na"), lit(0L)).cast("double") /
-        col("graft__ta")
-      val rb = coalesce(col("graft__nb"), lit(0L)).cast("double") /
-        col("graft__tb")
-      ta.groupBy(col("w")).agg(count(lit(1)).as("graft__na"))
-        .join(tb.groupBy(col("w")).agg(count(lit(1)).as("graft__nb")),
-          Seq("w"), "full_outer")
-        .crossJoin(broadcast(tot))
+        .groupBy(col("w"))
+        .agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+            .as("graft__na"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L))
+            .as("graft__nb"))
+      val tot = counts.agg(sum(col("graft__na")).as("graft__ta"),
+        sum(col("graft__nb")).as("graft__tb"))
+      def rate(n: String, t: String) =
+        when(col(t) === 0L, lit(null))
+          .otherwise(col(n).cast("double") / col(t))
+      counts.crossJoin(broadcast(tot))
         .select(col("w").as("tok"),
-          coalesce(col("graft__na"), lit(0L)).as("n_a"),
-          coalesce(col("graft__nb"), lit(0L)).as("n_b"),
-          ra.as("rate_a"), rb.as("rate_b"), abs(ra - rb).as("drift"))
+          col("graft__na").as("n_a"), col("graft__nb").as("n_b"),
+          rate("graft__na", "graft__ta").as("rate_a"),
+          rate("graft__nb", "graft__tb").as("rate_b"),
+          when(col("graft__ta") === 0L || col("graft__tb") === 0L, lit(null))
+            .otherwise(abs(
+              col("graft__na").cast("double") / col("graft__ta") -
+                col("graft__nb").cast("double") / col("graft__tb")))
+            .as("drift"))
         .orderBy(col("drift").desc, col("tok"))
         .limit(10)
     },
