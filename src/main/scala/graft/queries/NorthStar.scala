@@ -3611,5 +3611,46 @@ object NorthStar {
           expr("CAST(shiftleft(1, CAST(bucket AS INT) - 1) AS BIGINT)"))
         .groupBy(col("lang"), col("bucket"), col("lo"))
         .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ----- n91: cross-modal cell-language profile -----------------------
+    // The first cross-TABLE op of the pipeline family: join the text
+    // corpus to its embeddings (shared ids) and profile each IVF cell's
+    // language mix — the cluster-content report that tells you whether
+    // a semantic cell is language-pure (and whether SemDeDup inside it
+    // risks cross-language collapses). Scale shape: the cell assignment
+    // is the map-only NearestCell projection; the doc↔vector join is
+    // CORPUS×CORPUS, so the correct 100 TB plan is a co-partitioned
+    // shuffle join ON IDS ONLY — both sides are projected to (id, key)
+    // before the join, so the exchanges carry ids and cells/langs,
+    // never text or vectors (plan-pinned). Shares are single divisions
+    // over the cells×langs aggregate, with the per-cell total as a
+    // window over that tiny relation.
+    QuerySpec(
+      "n91_cell_lang_profile",
+      s"""WITH c AS (SELECT vec_id,
+         |    ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |  FROM embeddings),
+         |j AS (SELECT c.cell, d.lang
+         |      FROM c JOIN documents d ON d.doc_id = c.vec_id),
+         |g AS (SELECT cell, lang, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM j GROUP BY 1, 2)
+         |SELECT cell, lang, n_docs,
+         |  CAST(n_docs AS DOUBLE)
+         |    / CAST(sum(n_docs) OVER (PARTITION BY cell) AS BIGINT) AS share
+         |FROM g""".stripMargin) { (s, d) =>
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val cells = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.nearestCell(Similarity.asDouble(col("embedding")), cents)
+            .as("cell"))
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .join(cells, col("doc_id") === col("vec_id"))
+        .groupBy(col("cell"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      g.withColumn("share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(col("cell"))))
     })
 }

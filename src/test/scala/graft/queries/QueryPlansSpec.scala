@@ -540,10 +540,12 @@ class QueryPlansSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"cutoffs must broadcast onto the corpus:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffle join:\n$plan")
-    val winIdx = plan.indexOf("Window")
-    val aggIdx = plan.indexOf("HashAggregate")
-    assert(winIdx >= 0 && aggIdx >= 0 && winIdx > aggIdx,
-      s"window must run over the aggregated histogram, not the corpus:\n$plan")
+    // both windows must consume the HISTOGRAM aggregate's count column
+    // (a per-lang rank window directly over corpus rows is the funnel
+    // this shape exists to avoid)
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("sum(graft__c#")),
+      s"windows must run over the aggregated histogram, not the corpus:\n$plan")
     val exchangeLines =
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeLines.contains("text#"),
@@ -600,6 +602,20 @@ class QueryPlansSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeLines.contains("text#"),
       s"document text entered an exchange:\n$exchangeLines")
+  }
+
+  test("n91 cell-lang profile: the doc↔vector join ships ids and keys, never text or vectors") {
+    val plan = finalPlan(q("n91_cell_lang_profile"))
+    val heavy = plan.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Join"))
+      .mkString("\n")
+    assert(!heavy.contains("text#") && !heavy.contains("embedding#"),
+      s"payload columns reached a join/exchange:\n$heavy")
+    // the share window runs over the cells×langs AGGREGATE, not the
+    // corpus: its sum argument must be the aggregate's output column
+    val winLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("sum(n_docs#"),
+      s"share window must consume the aggregated relation:\n$plan")
   }
 
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
