@@ -110,7 +110,11 @@ object KMeans {
     * blocks. Checkpointing cannot change values: every round is exact
     * integer arithmetic, so the truncated and untruncated loops are
     * bit-identical (KMeansSpec pins it). */
-  def train(
+  /** The trained model itself: the 1-row quantized centroid table
+    * after `rounds` Lloyd updates — the artifact [[train]] assigns
+    * against, exposed for model-centric consumers (centroid audits,
+    * index builds). Same loop, same checkpoint discipline. */
+  def trainedCentroidRow(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -134,6 +138,19 @@ object KMeans {
     // returned plan reads them (a truncated localCheckpoint cannot be
     // recomputed). One 1-row RDD; ContextCleaner reclaims it with the
     // frame. Every superseded round was released eagerly above.
+    cents
+  }
+
+  def train(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      init: Seq[Seq[Long]],
+      rounds: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    val qv = quantize(emb, idCol, vecCol)
+    val cents =
+      trainedCentroidRow(emb, idCol, vecCol, init, rounds, checkpointEvery)
     assign(qv, cents)
       .select(col("cell"),
         posexplode(col("graft__qv")).as(Seq("graft__pos", "graft__x")))

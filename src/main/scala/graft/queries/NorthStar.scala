@@ -3652,5 +3652,90 @@ object NorthStar {
       g.withColumn("share",
         col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy(col("cell"))))
+    },
+
+    // ----- n92: embedding-norm QA scoring (vector sanity report) --------
+    // The pre-index vector QA pass: z-score every embedding's squared
+    // norm against the corpus distribution — truncated/zeroed/blown-up
+    // vectors (the classic upstream-encoder failure modes) land in the
+    // tails. The n34 exact-moments discipline on the vector modality:
+    // norms are exact BIGINT sums of 1e-6-grid squares, coarsened to a
+    // 1e-7 grid (positive ⇒ floor-division is identical truncation on
+    // both engines) so Σx² stays in BIGINT to ~1e5 rows per stat
+    // group at this magnitude (production: DECIMAL(38) partials, the
+    // n76 note); mean/σ/z are then the identical IEEE tree over
+    // identical integers — bit-identical, no quantization of z needed
+    // beyond the cross-engine round(6). Zero-variance guarded by the
+    // exact integer predicate. One map pass + one global agg.
+    QuerySpec(
+      "n92_embed_norm_qa",
+      """WITH q AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(
+        |      list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> CAST(floor(x * 1000000.0) AS BIGINT)),
+        |      x -> x * x)) AS BIGINT) // 10000000 AS nq
+        |  FROM embeddings),
+        |st AS (SELECT count(*) AS n, CAST(sum(nq) AS BIGINT) AS s,
+        |    CAST(sum(nq * nq) AS BIGINT) AS sq FROM q)
+        |SELECT vec_id, nq,
+        |  round((nq - CAST(s AS DOUBLE) / n) /
+        |    sqrt(CAST(sq AS DOUBLE) / n -
+        |         (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS z
+        |FROM q, st WHERE n * sq > s * s""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("""CAST(aggregate(
+            |  transform(CAST(embedding AS array<double>),
+            |    x -> CAST(floor(x * 1000000.0D) AS BIGINT)),
+            |  0L, (a, x) -> a + x * x) AS BIGINT) div 10000000L"""
+            .stripMargin).as("nq"))
+      val st = q.agg(count(lit(1)).as("graft__n"),
+        sum(col("nq")).as("graft__s"),
+        sum(col("nq") * col("nq")).as("graft__sq"))
+      val mean = col("graft__s").cast("double") / col("graft__n")
+      q.crossJoin(broadcast(st))
+        .filter(col("graft__n") * col("graft__sq") >
+          col("graft__s") * col("graft__s"))
+        .select(col("vec_id"), col("nq"),
+          round((col("nq") - mean) /
+            sqrt(col("graft__sq").cast("double") / col("graft__n") -
+              mean * mean), 6).as("z"))
+    },
+
+    // ----- n93: trained-centroid distance audit -------------------------
+    // The index-health report run after every k-means refresh (n79):
+    // the k×k inter-centroid squared-distance matrix over the TRAINED
+    // quantized model — cells collapsing toward each other are merge
+    // candidates and make nprobe ranking unstable. Consumes
+    // KMeans.trainedCentroidRow (the model as a first-class artifact,
+    // not a re-derivation); distances are exact BIGINT sums on the
+    // 1e-6 grid, and the oracle replays the whole 2-round training to
+    // the same quantized centroids before measuring. Cost beyond the
+    // training itself: a k×k join of k rows.
+    QuerySpec(
+      "n93_centroid_audit",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT * FROM (VALUES $kmCentValues) t(cell, qc)),
+         |${kmRoundCte("c0", 1)},
+         |${kmRoundCte("c1", 2)}
+         |SELECT a.cell AS cell_a, b.cell AS cell_b,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> (a.qc[i] - b.qc[i]) * (a.qc[i] - b.qc[i]))) AS BIGINT)
+         |    AS dist2
+         |FROM c2 a JOIN c2 b ON a.cell < b.cell""".stripMargin) { (s, d) =>
+      val cents = KMeans.trainedCentroidRow(
+        t(s, d, "embeddings"), "vec_id", "embedding", kmInit, rounds = 2)
+      val rows = cents
+        .select(posexplode(col("graft__cents")).as(Seq("cell", "graft__arr")))
+      rows.alias("a")
+        .join(rows.alias("b"), col("a.cell") < col("b.cell"))
+        .select(col("a.cell").as("cell_a"), col("b.cell").as("cell_b"),
+          aggregate(
+            zip_with(col("a.graft__arr"), col("b.graft__arr"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v).as("dist2"))
     })
 }

@@ -618,6 +618,31 @@ class QueryPlansSpec extends SparkTestBase {
       s"share window must consume the aggregated relation:\n$plan")
   }
 
+  test("n92 embed-norm QA: one map pass, moments broadcast back, no vector in exchanges") {
+    val plan = finalPlan(q("n92_embed_norm_qa"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row moments must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("embedding#"),
+      s"vectors entered an exchange:\n$exchangeLines")
+  }
+
+  test("n93 centroid audit: k×k join of the trained k-row model, corpus never re-shuffled") {
+    val plan = finalPlan(q("n93_centroid_audit"))
+    // the audit join runs over the posexploded centroid ROW (k rows);
+    // the only corpus-touching stages are the training rounds, whose
+    // exchanges carry (cell, dim) BIGINT partials
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("graft__qv#") &&
+      !exchangeLines.contains("embedding#"),
+      s"vectors entered an exchange:\n$exchangeLines")
+    assert(!plan.contains("CartesianProduct"),
+      s"k-row audit join must stay broadcast:\n$plan")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
