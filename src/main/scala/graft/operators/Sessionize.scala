@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Per-session rollup: (user_id, session_id, session_start,
-    * session_end, n_events, span_s). session_id is 1-based per user. */
-  def sessions(events: DataFrame, tsCol: String, gapMinutes: Int): DataFrame = {
+  /** Per-EVENT session tagging: the input rows with a 1-based-per-user
+    * `session_id` column appended (gap-and-island over the
+    * (ts, event_id)-total order). The building block [[sessions]] and
+    * sequence-assembly consumers (n94) share, so the island logic
+    * cannot drift between them. */
+  def tagged(events: DataFrame, tsCol: String, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col(tsCol), col("event_id"))
     val gapS = gapMinutes * 60L
     events
@@ -37,6 +40,13 @@ object Sessionize {
             unix_timestamp(col(tsCol)) - unix_timestamp(col("graft__prev")) > gapS,
           1L).otherwise(0L))
       .withColumn("session_id", sum(col("graft__new")).over(byUser))
+      .drop("graft__prev", "graft__new")
+  }
+
+  /** Per-session rollup: (user_id, session_id, session_start,
+    * session_end, n_events, span_s). session_id is 1-based per user. */
+  def sessions(events: DataFrame, tsCol: String, gapMinutes: Int): DataFrame =
+    tagged(events, tsCol, gapMinutes)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         min(col(tsCol)).as("session_start"),
@@ -44,5 +54,4 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("span_s"))
-  }
 }

@@ -3737,5 +3737,51 @@ object NorthStar {
             zip_with(col("a.graft__arr"), col("b.graft__arr"),
               (x, y) => (x - y) * (x - y)),
             lit(0L), (acc, v) => acc + v).as("dist2"))
+    },
+
+    // ----- n94: session → training-sequence assembly --------------------
+    // The dialog/behavioral-data prep step between sessionization (n15)
+    // and sequence packing (n38): each user session becomes ONE ordered
+    // training sequence — its event types concatenated in
+    // (ts, event_id)-total order. Consumes Sessionize.tagged (the same
+    // island logic n15 rolls up, now per-event), so session boundaries
+    // cannot drift between the rollup and the assembly. Ordered
+    // concatenation without a second corpus sort: sort_array over the
+    // per-session collect_list (sessions are bounded — the per-group
+    // sort is local and tiny), shuffles carry event types never
+    // payloads. Deterministic: the order key (ts, event_id) is total,
+    // and both engines concatenate the identical ordered list.
+    QuerySpec(
+      "n94_session_sequences",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, event_type, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR date_diff('second',
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, event_id, event_type, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      Sessionize
+        .tagged(t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts")),
+          "ts", gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(" ",
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type").as("et")))),
+              x => x.getField("et"))).as("seq"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("seq"))
     })
 }

@@ -643,6 +643,18 @@ class QueryPlansSpec extends SparkTestBase {
       s"k-row audit join must stay broadcast:\n$plan")
   }
 
+  test("n94 session sequences: one user shuffle shared by window and rollup") {
+    val plan = finalPlan(q("n94_session_sequences"))
+    // the island window and the per-session aggregation both key on
+    // user_id — Catalyst must reuse ONE hash exchange (a second
+    // corpus shuffle for the rollup is the regression)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"window + rollup must share one user shuffle, found $exchanges:\n$plan")
+    assert(!plan.matches("(?s).*Sort .*global=true.*"),
+      s"unexpected global sort:\n$plan")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
