@@ -3681,7 +3681,9 @@ object NorthStar {
         |  round((nq - CAST(s AS DOUBLE) / n) /
         |    sqrt(CAST(sq AS DOUBLE) / n -
         |         (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS z
-        |FROM q, st WHERE n * sq > s * s""".stripMargin) { (s, d) =>
+        |FROM q, st
+        |WHERE CAST(n AS DOUBLE) * sq > CAST(s AS DOUBLE) * s""".stripMargin) {
+      (s, d) =>
       val q = t(s, d, "embeddings")
         .select(col("vec_id"),
           expr("""CAST(aggregate(
@@ -3694,8 +3696,14 @@ object NorthStar {
         sum(col("nq") * col("nq")).as("graft__sq"))
       val mean = col("graft__s").cast("double") / col("graft__n")
       q.crossJoin(broadcast(st))
-        .filter(col("graft__n") * col("graft__sq") >
-          col("graft__s") * col("graft__s"))
+        // zero-variance guard in EXPLICIT double on both engines: the
+        // n34-style integer spelling n·Σx² > (Σx)² overflows BIGINT at
+        // these magnitudes (s² > 2^63 past ~2e5 rows — the 100× drill
+        // found it; DuckDB silently promotes to HUGEINT while ANSI
+        // Spark errors). The double products round identically on both
+        // engines, so the guard stays deterministic.
+        .filter(col("graft__n").cast("double") * col("graft__sq") >
+          col("graft__s").cast("double") * col("graft__s"))
         .select(col("vec_id"), col("nq"),
           round((col("nq") - mean) /
             sqrt(col("graft__sq").cast("double") / col("graft__n") -

@@ -43,6 +43,20 @@ object ScaleCorpus {
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
 
+    // events scale by user population: each copy is a disjoint user
+    // universe (ids offset per copy), so per-user session/funnel
+    // structure is preserved verbatim while user counts grow N× —
+    // the right workload shape for the sessionization family
+    Tables(spark, sfDir, "events")
+      .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        (col("event_id") * copies + col("graft__copy")).as("event_id"),
+        col("ts"),
+        (col("user_id") * copies + col("graft__copy")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+
     Tables(spark, sfDir, "embeddings")
       .crossJoin(spark.range(copies).toDF("graft__copy"))
       .repartition(spark.sparkContext.defaultParallelism)
