@@ -3791,5 +3791,73 @@ object NorthStar {
               x => x.getField("et"))).as("seq"))
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("seq"))
+    },
+
+    // ----- n95: fuzzy benchmark decontamination (MinHash-LSH) -----------
+    // Completes the decontamination trio: n36 catches exact n-gram
+    // collisions, n71 semantic (embedding) proximity — this catches
+    // NEAR-DUPLICATE benchmark leaks (paraphrased/lightly-edited eval
+    // items, the Lee et al. 2022 fuzzy-dedup concern applied to
+    // decontamination). Same scale shape as n36: the benchmark side is
+    // tiny, so its band keys AND shingle sets broadcast; the corpus
+    // contributes one map-only per-row sketch fold and never shuffles —
+    // candidates come from the broadcast band join, exact-Jaccard
+    // verify removes LSH false positives, and the oracle computes the
+    // exact cross-set answer (recall argument = n3's: FN mass ≪ 1e-6
+    // at τ=0.8 under the 20-band geometry). One row per contaminated
+    // doc: its best-matching benchmark item (j DESC, id tiebreak; the
+    // rank window runs over flagged docs only — a tiny relation).
+    QuerySpec(
+      "n95_fuzzy_decontam",
+      s"""WITH $shingleCte,
+         |lab AS (SELECT doc_id, source FROM documents),
+         |bsh AS (SELECT sh.doc_id, shingle FROM sh JOIN lab USING (doc_id)
+         |        WHERE source = 'src0'),
+         |csh AS (SELECT sh.doc_id, shingle FROM sh JOIN lab USING (doc_id)
+         |        WHERE source <> 'src0'),
+         |bn AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+         |cn AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+         |pair AS (SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS i
+         |  FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1, 2)
+         |SELECT cid AS doc_id, bid AS bench_id,
+         |  CAST(i AS DOUBLE) / (cn.n + bn.n - i) AS jaccard
+         |FROM pair JOIN cn ON cn.doc_id = cid JOIN bn ON bn.doc_id = bid
+         |WHERE CAST(i AS DOUBLE) / (cn.n + bn.n - i) >= 0.8
+         |QUALIFY row_number()
+         |  OVER (PARTITION BY cid ORDER BY jaccard DESC, bid) = 1""".stripMargin) {
+      (s, d) =>
+      val docs = graft.operators.Partitioning.spread(t(s, d, "documents"))
+      val shingled = docs
+        .select(col("doc_id"), col("source"),
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .transform(graft.operators.Materialize.shared)
+      def bands(df: DataFrame) = StreamingNearDup.bandKeysFromSignatures(
+        StreamingNearDup.signaturesFromShingles(
+          df.select(col("doc_id"), col("sh").as("graft__sh"))))
+      val benchSh = shingled.filter(col("source") === "src0")
+      val corpSh = shingled.filter(col("source") =!= "src0")
+      val flagged = bands(corpSh).alias("c")
+        .join(broadcast(bands(benchSh)).alias("b"),
+          col("c.bucket") === col("b.bucket"))
+        .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+        .distinct()
+        .join(corpSh.select(col("doc_id"), col("sh").as("graft__shc")),
+          Seq("doc_id"))
+        .join(broadcast(benchSh.select(col("doc_id").as("bench_id"),
+          col("sh").as("graft__shb"))), Seq("bench_id"))
+        .withColumn("graft__i",
+          size(array_intersect(col("graft__shc"), col("graft__shb")))
+            .cast("long"))
+        .withColumn("jaccard", col("graft__i").cast("double") /
+          (size(col("graft__shc")).cast("long") +
+            size(col("graft__shb")).cast("long") - col("graft__i")))
+        .filter(col("jaccard") >= 0.8)
+      flagged
+        .withColumn("graft__rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("jaccard").desc, col("bench_id"))))
+        .filter(col("graft__rk") === 1)
+        .select(col("doc_id"), col("bench_id"), col("jaccard"))
     })
 }

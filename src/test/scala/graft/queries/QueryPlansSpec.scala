@@ -655,6 +655,18 @@ class QueryPlansSpec extends SparkTestBase {
       s"unexpected global sort:\n$plan")
   }
 
+  test("n95 fuzzy decontam: bench side broadcast twice, corpus text out of exchanges") {
+    val plan = finalPlan(q("n95_fuzzy_decontam"))
+    // candidates via broadcast band join + verify via broadcast shingle
+    // join — the corpus side must never shuffle-join against the bench
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"bench bands AND bench shingles must broadcast:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
