@@ -3859,5 +3859,55 @@ object NorthStar {
             .orderBy(col("jaccard").desc, col("bench_id"))))
         .filter(col("graft__rk") === 1)
         .select(col("doc_id"), col("bench_id"), col("jaccard"))
+    },
+
+    // ----- n96: water-filling token-budget allocation -------------------
+    // The budget allocator BETWEEN n81's temperature weights and n55's
+    // admission rates: split a global token budget (90% of the corpus)
+    // fairly across languages, CAP each language at what it actually
+    // has, and redistribute the freed surplus to the uncapped ones —
+    // one unrolled round of the classic water-filling fixpoint (the
+    // low-resource langs cap in round 1 at this corpus's skew; 'en'
+    // absorbs the surplus in round 2, at every SF). Everything is
+    // BIGINT floor arithmetic on positive values (`div` ≡ DuckDB `//`
+    // for non-negatives) — exact, associative, replayable. Corpus cost
+    // is ONE grouped token count; the allocation itself is
+    // lang-cardinality arithmetic with 1-row totals broadcast twice.
+    QuerySpec(
+      "n96_budget_waterfill",
+      """WITH a AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY lang),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(avail) AS BIGINT) AS total FROM a),
+        |r1 AS (SELECT lang, avail,
+        |    least(avail, (total * 9 // 10) // ns) AS take1,
+        |    total * 9 // 10 AS b
+        |  FROM a, p),
+        |s1 AS (SELECT CAST(sum(take1) AS BIGINT) AS taken,
+        |    CAST(count(*) FILTER (avail > take1) AS BIGINT) AS elig FROM r1)
+        |SELECT lang, avail, take1,
+        |  CASE WHEN avail > take1 AND elig > 0
+        |       THEN least(avail, take1 + (b - taken) // elig)
+        |       ELSE take1 END AS allocated
+        |FROM r1, s1""".stripMargin) { (s, d) =>
+      val a = t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextOps.nTokens(col("text"))).as("avail"))
+      val p = a.agg(count(lit(1)).as("graft__ns"),
+        sum(col("avail")).as("graft__total"))
+      val r1 = a.crossJoin(broadcast(p))
+        .withColumn("graft__b", expr("graft__total * 9L div 10L"))
+        .withColumn("take1",
+          least(col("avail"), expr("graft__b div graft__ns")))
+      val s1 = r1.agg(sum(col("take1")).as("graft__taken"),
+        sum(when(col("avail") > col("take1"), 1L).otherwise(0L))
+          .as("graft__elig"))
+      r1.crossJoin(broadcast(s1))
+        .select(col("lang"), col("avail"), col("take1"),
+          when(col("avail") > col("take1") && col("graft__elig") > 0,
+            least(col("avail"), col("take1") +
+              expr("(graft__b - graft__taken) div graft__elig")))
+            .otherwise(col("take1")).as("allocated"))
     })
 }

@@ -667,6 +667,16 @@ class QueryPlansSpec extends SparkTestBase {
       s"document text entered an exchange:\n$exchangeLines")
   }
 
+  test("n96 waterfill: one corpus agg; allocation arithmetic over broadcast totals") {
+    val plan = finalPlan(q("n96_budget_waterfill"))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"the corpus must be read once (one grouped token count), found $scans:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      s"both 1-row total tables must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
   test("n80 classifier apply: a pure map-only scoring pass — no exchange") {
     val plan = finalPlan(q("n80_classifier_apply"))
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
