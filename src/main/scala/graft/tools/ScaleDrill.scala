@@ -78,7 +78,8 @@ object ScaleDrill {
       "n84_classifier_eval", "n85_source_datacard", "n86_quality_percentile",
       "n87_curriculum_order", "n88_oov_rate", "n89_token_drift",
       "n90_length_histogram", "n91_cell_lang_profile", "n92_embed_norm_qa",
-      "n93_centroid_audit", "n94_session_sequences", "n95_fuzzy_decontam")
+      "n93_centroid_audit", "n94_session_sequences", "n95_fuzzy_decontam",
+      "n96_budget_waterfill")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
