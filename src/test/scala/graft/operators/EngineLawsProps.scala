@@ -326,6 +326,12 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("len(bin(n)) == floor(log2 n) + 1 for any positive count (the n90 bucket)") =
+    forAll(Gen.choose(1L, 1L << 52)) { n =>
+      java.lang.Long.toBinaryString(n).length ==
+        63 - java.lang.Long.numberOfLeadingZeros(n) + 1
+    }
+
   property("two-level top-k == one-level window top-k for any data and salt width") = {
     // the helper behind n75/n78/n82: local winners per (group, salt)
     // bucket, then the final rank — must equal the naive single window
