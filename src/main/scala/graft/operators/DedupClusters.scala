@@ -391,4 +391,47 @@ object DedupClusters {
         col("id").as("doc_id"),
         col("comp").as("component"),
         (col("id") === col("comp")).as("keep"))
+
+  /** Canonical-document selection: one representative per duplicate
+    * cluster, chosen by QUALITY (max `scoreCol`, ties to the lower id)
+    * instead of [[keepOnePerCluster]]'s min-id rule — what a production
+    * dedup pipeline actually ships, since dropping the better-quality
+    * copy because it has the higher id throws away signal for free.
+    * Singletons (docs in no pair) are their own component and their own
+    * representative. Output: (component, rep_id, rep_score, n_docs),
+    * one row per component over the FULL doc set.
+    *
+    * Scale shape: [[components]] labels only docs that appear in pairs
+    * (frontier-sized state); the full corpus joins those labels by id
+    * (broadcastable — the labeled set is pair-participants only) and
+    * singletons coalesce to self-labels without ever entering the CC
+    * fixpoint. The argmax is a groupBy min(struct(-score, id)) — exact,
+    * associative, one agg exchange carrying a struct of two longs per
+    * component partial, never document content. */
+  def bestPerCluster(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = components(pairs, idA, idB)
+      .select(col("id").as(idCol), col("comp").as("graft__comp"))
+    docs
+      .select(col(idCol).cast("long").as(idCol),
+        col(scoreCol).cast("long").as("graft__score"))
+      .join(labels, Seq(idCol), "left")
+      .select(
+        coalesce(col("graft__comp"), col(idCol)).as("component"),
+        col(idCol), col("graft__score"))
+      .groupBy(col("component"))
+      .agg(
+        min(struct((-col("graft__score")).as("graft__neg"),
+          col(idCol).as("graft__id"))).as("graft__best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("component"),
+        col("graft__best.graft__id").as("rep_id"),
+        (-col("graft__best.graft__neg")).as("rep_score"),
+        col("n_docs"))
+  }
 }

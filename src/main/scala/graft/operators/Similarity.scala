@@ -337,4 +337,100 @@ object Similarity {
       .select(col(idCol), col("cell"),
         coalesce(!col("graft__dropped"), lit(true)).as("keep"))
   }
+
+  /** Batched brute-force retrieval — the exact multi-query baseline
+    * (one corpus pass serves Q queries): the query batch is
+    * metadata-sized → broadcast; scoring is a map-only fused-cosine
+    * projection over the corpus (Q× row blowup on the map side, never
+    * a shuffle of vectors); per-query top-k is [[TopK.twoLevel]] —
+    * local winners per (query, salt-of-id) bucket first — because a
+    * one-level window partitioned by query puts each query's whole
+    * corpus ranking on ONE reducer. Output: (qidCol, idCol, sim, rk).
+    */
+  def bruteMultiTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      qidCol: String,
+      queryVecCol: String,
+      k: Int): DataFrame = {
+    val q = query.select(col(qidCol),
+      asDouble(col(queryVecCol)).as("graft__qv"))
+    val scored = emb
+      .select(col(idCol), asDouble(col(vecCol)).as("graft__v"))
+      .crossJoin(broadcast(q))
+      .select(col(qidCol), col(idCol),
+        round(cosine(col("graft__v"), col("graft__qv")), 6).as("sim"))
+    TopK.twoLevel(scored, Seq(col(qidCol)),
+      pmod(hash(col(idCol)), lit(32)),
+      Seq(col("sim").desc, col(idCol)), k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rk"))
+  }
+
+  /** Recall@k audit of an approximate retrieval result against the
+    * exact one — the metric every ANN deployment monitors before
+    * trading exactness for probe fraction. Both inputs are per-query
+    * top-k id sets shaped (qidCol, idCol); output is one row per query
+    * in `exact`: (qidCol, n_hits, recall) with recall = n_hits / k as
+    * a single exact-integer division (bit-identical cross-engine).
+    *
+    * Scale shape: the retrieval RESULTS are queries×k rows — metadata,
+    * not corpus — so the intersection join and per-query count are
+    * trivially broadcastable regardless of corpus size; the expensive
+    * part is producing the inputs, which each follow their own scale
+    * path ([[bruteMultiTopK]] map-only scan, [[ivfMultiTopK]] partial
+    * probe). The left join keeps zero-hit queries in the audit (the
+    * failure you most need to see). */
+  def recallAtK(
+      exact: DataFrame,
+      approx: DataFrame,
+      qidCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val hits = exact.select(col(qidCol), col(idCol))
+      .join(broadcast(approx.select(col(qidCol), col(idCol))),
+        Seq(qidCol, idCol))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("graft__hits"))
+    exact.select(col(qidCol)).distinct()
+      .join(broadcast(hits), Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("graft__hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+  }
+
+  /** One distributed power-iteration step y = G·x₀ of the corpus
+    * Gramian G = Σ_v v vᵀ with the all-ones start vector x₀ — the
+    * first step of dominant-direction extraction (PCA top component,
+    * spectral embedding-quality probes) re-expressed so the d×d matrix
+    * is NEVER materialized: y_j = Σ_v v_j · (Σ_i v_i), i.e. each row
+    * contributes its vector scaled by its own element sum.
+    *
+    * Exactness: vectors are quantized to the 1e-3 grid as BIGINTs, so
+    * every product and sum is exact integer arithmetic — associative,
+    * bit-reproducible at any partitioning, and replayable by a SQL
+    * oracle. Overflow headroom: for unit-scale 64-dim vectors each
+    * |term| ≤ 64e6, so the BIGINT sum is safe to ~1.4e11 rows; beyond
+    * that, shard the sum by key range or coarsen the grid.
+    *
+    * Scale shape: the per-row scalar (element sum) and per-dim terms
+    * are a map-only projection; the only exchange is the per-dimension
+    * aggregate, which map-side partials shrink to d rows per partition
+    * (the corpus never shuffles). */
+  def gramPowerStep(
+      emb: DataFrame,
+      vecCol: String): DataFrame = {
+    val qv = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(1000.0)).cast("long"))
+    val rowSum = aggregate(col("graft__qv"), lit(0L), (a, x) => a + x)
+    emb
+      .select(qv.as("graft__qv"))
+      .select(col("graft__qv"), rowSum.as("graft__s"))
+      .select(posexplode(col("graft__qv")).as(Seq("graft__pos", "graft__q")),
+        col("graft__s"))
+      .groupBy((col("graft__pos") + 1).cast("long").as("dim"))
+      .agg(sum(col("graft__q") * col("graft__s")).as("y"))
+  }
 }

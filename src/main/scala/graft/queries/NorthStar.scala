@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, KMeans, Multimodal, MinHashNearDup, Sessionize, SimHash, Similarity, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, ImportanceWeights, KMeans, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -3016,22 +3016,12 @@ object NorthStar {
         |       AS BIGINT) AS rk
         |FROM c CROSS JOIN q
         |QUALIFY rk <= 10""".stripMargin) { (s, d) =>
-      val k = 10
       val emb = t(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"),
-          Similarity.asDouble(col("embedding")).as("graft__qv"))
-      val scored = emb.filter(col("vec_id") >= 8)
-        .select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("graft__v"))
-        .crossJoin(broadcast(q))
-        .select(col("query_id"), col("vec_id"),
-          round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
-            .as("sim"))
-      TopK.twoLevel(scored, Seq(col("query_id")),
-        pmod(hash(col("vec_id")), lit(32)),
-        Seq(col("sim").desc, col("vec_id")), k)
-        .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+      Similarity.bruteMultiTopK(
+        emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding", k = 10)
     },
 
     // ----- n79: k-means TRAINING loop (multi-round Lloyd, exact) --------
@@ -3909,5 +3899,191 @@ object NorthStar {
             least(col("avail"), col("take1") +
               expr("(graft__b - graft__taken) div graft__elig")))
             .otherwise(col("take1")).as("allocated"))
+    },
+
+    // ----- n97: ANN recall@k audit (exact vs IVF partial probe) ---------
+    // The metric every approximate-retrieval deployment monitors before
+    // trading exactness for probe fraction: per query, how many of the
+    // true top-k does the nprobe=2 IVF path return? Composes the two
+    // batch retrieval operators (n78 exact, n82 IVF — identical
+    // configs) and intersects their id sets; recall is one exact
+    // n_hits/k division. The retrieval RESULTS are queries×k rows —
+    // metadata, not corpus — so the audit itself is join-of-broadcasts
+    // regardless of corpus size; zero-hit queries stay in the output
+    // via the left join (the failure you most need to see).
+    QuerySpec(
+      "n97_ann_recall",
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings WHERE vec_id >= 8),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+         |               vec_id) AS rk
+         |  FROM c CROSS JOIN q) WHERE rk <= 10),
+         |p AS (SELECT query_id, qv,
+         |        unnest(list_transform(${ivfRankSql("qv")}, s -> s.i)[1:2]) AS cell
+         |      FROM q),
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+         |               vec_id) AS rk
+         |  FROM c JOIN p USING (cell)) WHERE rk <= 10),
+         |h AS (SELECT query_id, count(*) AS n_hits
+         |      FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |FROM q LEFT JOIN h USING (query_id)""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteMultiTopK(
+        corpus, "vec_id", "embedding",
+        queries, "query_id", "embedding", k = 10)
+      val approx = Similarity.ivfMultiTopK(
+        corpus, "vec_id", "embedding",
+        queries, "query_id", "embedding",
+        centroids = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)),
+        nprobe = 2, k = 10)
+      Similarity.recallAtK(exact, approx, "query_id", "vec_id", k = 10)
+    },
+
+    // ----- n98: distributed Gramian power-iteration step ----------------
+    // One step y = (Σ_v v vᵀ)·1 of dominant-direction extraction over
+    // the embedding corpus (the PCA/spectral building block), with the
+    // d×d Gramian NEVER materialized: y_j = Σ_v v_j·(Σ_i v_i), so each
+    // row contributes a scalar-scaled copy of itself. Exact fixed-point
+    // BIGINT arithmetic on the 1e-3 grid (associative, any
+    // partitioning); the only exchange is the d-row dimension
+    // aggregate, shrunk by map-side partials — the corpus never
+    // shuffles. See Similarity.gramPowerStep for the overflow headroom
+    // argument (~1.4e11 rows at this grid/dim).
+    QuerySpec(
+      "n98_gram_power",
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |s AS (SELECT qv, CAST(list_sum(qv) AS BIGINT) AS sv FROM e),
+        |x AS (SELECT unnest(qv) AS q, generate_subscripts(qv, 1) AS dim, sv
+        |      FROM s)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(sum(q * sv) AS BIGINT) AS y
+        |FROM x GROUP BY 1""".stripMargin) { (s, d) =>
+      Similarity.gramPowerStep(t(s, d, "embeddings"), "embedding")
+    },
+
+    // ----- n99: DSIR-style importance weights (data selection) ----------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every document by how much more likely
+    // its tokens are under the TARGET distribution (here: the 'en'
+    // slice) than under the full-corpus background — the ranking that
+    // decides what a domain-targeted training mix keeps. Add-one
+    // smoothed unigram models; each token's likelihood ratio is ONE
+    // double division of exact integer products quantized to the 1e-6
+    // grid, and a doc's score is the exact BIGINT sum of its tokens'
+    // ratios (libm-free — see ImportanceWeights scaladoc). Scale
+    // shape: vocab-sized count aggs, ratio table broadcast back onto
+    // the map-only token stream; the corpus text never shuffles.
+    QuerySpec(
+      "n99_dsir_weights",
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |c AS (SELECT w, count(*) AS cb, count(*) FILTER (t) AS ct
+        |      FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb,
+        |          CAST(sum(ct) AS BIGINT) AS nt,
+        |          CAST(count(*) AS BIGINT) AS v
+        |        FROM c),
+        |r AS (SELECT w,
+        |        CAST(round(1000000.0 *
+        |          (CAST(ct + 1 AS DOUBLE) * CAST(nb + v AS DOUBLE)) /
+        |          (CAST(cb + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE)))
+        |          AS BIGINT) AS r
+        |      FROM c, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(r) AS BIGINT) AS score
+        |FROM tok JOIN r USING (w) GROUP BY 1""".stripMargin) { (s, d) =>
+      ImportanceWeights.unigram(
+        t(s, d, "documents"), "doc_id", "text", col("lang") === "en")
+    },
+
+    // ----- n100: keep-BEST canonical doc per duplicate cluster ----------
+    // n30 resolves clusters and keeps the min-id doc; a production
+    // dedup pipeline keeps the BEST copy — dropping the higher-quality
+    // duplicate because it has the higher id throws away signal for
+    // free. Same MinHash pair source and CC resolution as n30, then
+    // one argmax-by-(n_chars, id) per component via min(struct) — one
+    // agg exchange of two-long structs, never text. Singletons are
+    // their own component and representative (the CC fixpoint only
+    // ever sees pair participants; the full corpus enters via a
+    // broadcastable left join on id).
+    QuerySpec(
+      "n100_cluster_rep",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |        FROM reach GROUP BY u),
+         |alldocs AS (SELECT d.doc_id,
+         |              coalesce(lab.component, d.doc_id) AS component,
+         |              d.n_chars
+         |            FROM documents d LEFT JOIN lab USING (doc_id)),
+         |rk AS (SELECT component, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY n_chars DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY component) AS n_docs
+         |       FROM alldocs)
+         |SELECT CAST(component AS BIGINT) AS component,
+         |  CAST(doc_id AS BIGINT) AS rep_id,
+         |  CAST(n_chars AS BIGINT) AS rep_score,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM rk WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      DedupClusters.bestPerCluster(
+        MinHashNearDup.nearDupPairs(
+          docs, "doc_id", "text", threshold = 0.8),
+        "id_a", "id_b",
+        docs, "doc_id", "n_chars")
+    },
+
+    // ----- n101: token-balanced shard assignment (writer balancing) -----
+    // The last step before a training corpus hits disk: deal documents
+    // to N output shards so per-shard token mass is balanced,
+    // deterministically (same inputs → same layout at any parallelism).
+    // Boustrophedon fold over the size-descending global rank — each
+    // 2N-window gives every shard one large and one small pick, the
+    // near-LPT guarantee without LPT's sequential state. The rank is
+    // SurrogateKey.denseRowNumber (range repartition + broadcast
+    // offsets), NOT a one-partition row_number window — the canonical
+    // 100 TB funnel this operator exists to avoid.
+    QuerySpec(
+      "n101_balanced_shards",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+        |  FROM t),
+        |a AS (SELECT n_tokens, (rk - 1) % 16 AS pos FROM r)
+        |SELECT CAST(CASE WHEN pos < 8 THEN pos ELSE 15 - pos END AS BIGINT)
+        |    AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_size
+        |FROM a GROUP BY 1""".stripMargin) { (s, d) =>
+      ShardBalance.report(
+        t(s, d, "documents")
+          .select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", nShards = 8)
     })
 }

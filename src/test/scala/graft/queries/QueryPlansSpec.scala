@@ -692,4 +692,55 @@ class QueryPlansSpec extends SparkTestBase {
     assert(!exchangeLines.contains("text#"),
       s"document text entered an exchange:\n$exchangeLines")
   }
+
+  test("n97 ann recall: every join broadcasts (retrieval results are metadata)") {
+    val plan = finalPlan(q("n97_ann_recall"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"recall audit must never shuffle-join queriesxk metadata:\n$plan")
+  }
+
+  test("n98 gram power: map-only projection plus ONE aggregate exchange") {
+    val plan = finalPlan(q("n98_gram_power"))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the Gramian product must stay join/window-free:\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles <= 2, // hashpartitioning + AQE read marker at most
+      s"expected the single dim-agg exchange, found $shuffles:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum") ||
+      plan.contains("Partial"),
+      s"dimension aggregate must combine map-side:\n$plan")
+  }
+
+  test("n99 dsir: vocab ratio table broadcasts; text never enters an exchange") {
+    val plan = finalPlan(q("n99_dsir_weights"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio lookup must be a broadcast equi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must not shuffle-join the vocab:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
+  test("n100 cluster rep: argmax is agg-shaped (min struct), not a window") {
+    val plan = finalPlan(q("n100_cluster_rep"))
+    assert(!plan.contains("Window"),
+      s"per-component argmax must be an aggregate, not a window:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
+  test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
+    val plan = finalPlan(q("n101_balanced_shards"))
+    assert(plan.contains("rangepartitioning"),
+      s"the global rank must range-shuffle on the size key:\n$plan")
+    val rowNumWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .mkString("\n")
+    assert(rowNumWindows.contains("graft__pid"),
+      s"row_number window must be partition-local:\n$rowNumWindows")
+  }
 }
