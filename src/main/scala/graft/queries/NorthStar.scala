@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Decontaminate, DedupClusters, ImportanceWeights, KMeans, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, CrossDupSpans, Decontaminate, DedupClusters, ImportanceWeights, KMeans, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -113,6 +113,35 @@ object NorthStar {
   /** Portable 60-bit md5 hash in DuckDB. */
   private def hex60(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::UBIGINT)::BIGINT"
+
+  /** n104's shared PQ codebook: 16 deterministic ±1 centroids per
+    * 16-dim subspace (the same hyperplane generator as the IVF/LSH
+    * family — constants both engines can replay). */
+  private val pqCodebook: Seq[Seq[Int]] = Similarity.hyperplanes(16, 16)
+
+  /** DuckDB 1e-3 integer quantization of an embedding column. */
+  private def pqQvSql(e: String): String =
+    s"list_transform(CAST($e AS DOUBLE[]), x -> CAST(floor(x * 1000) AS BIGINT))"
+
+  /** DuckDB exact integer dot of quantized `v` (1-based offset `o`)
+    * with a ±1 centroid — a signed sum, no multiplies needed. */
+  private def pqDotSql(v: String, o: Int, c: Seq[Int]): String =
+    c.zipWithIndex.map { case (s, j) => s"($s * $v[${o + j + 1}])" }
+      .mkString(" + ")
+
+  /** DuckDB per-subspace PQ code: argmax dot, ties to the lower code
+    * (struct sort on (-dot, code) — the n43 ranking idiom, exact here
+    * because every dot is integer arithmetic). */
+  private def pqRankSql(v: String, o: Int): String = {
+    val items = pqCodebook.zipWithIndex.map { case (c, i) =>
+      s"{'d': -(${pqDotSql(v, o, c)}), 'i': $i}"
+    }.mkString(",")
+    s"list_sort([$items])[1].i"
+  }
+
+  /** DuckDB ADC lookup table for one subspace: partial dot per code. */
+  private def pqLutSql(v: String, o: Int): String =
+    pqCodebook.map(c => s"(${pqDotSql(v, o, c)})").mkString("[", ",", "]")
 
   /** n79's initial centroids: the shared ±1 hyperplanes on the 1e-6
     * quantization grid (±1000000) — deterministic, no RNG. */
@@ -4067,6 +4096,109 @@ object NorthStar {
     // SurrogateKey.denseRowNumber (range repartition + broadcast
     // offsets), NOT a one-partition row_number window — the canonical
     // 100 TB funnel this operator exists to avoid.
+    // ----- n102: cross-document duplicated-span coverage ----------------
+    // The ExactSubstr decision signal (Lee et al. 2021,
+    // arXiv:2107.06499): per document, the fraction of token positions
+    // covered by a 5-gram that also occurs in >= 2 DISTINCT documents —
+    // boilerplate/license/template text the corpus repeats across docs
+    // (n61 catches the within-doc axis; this is the cross-doc one, and
+    // it genuinely needs the corpus-wide fingerprint exchange n61
+    // avoids). Shuffles carry (fp, doc, pos) longs with two-level
+    // partials; matched positions per doc are bounded by doc length
+    // and the interval union is a per-row array op — text never
+    // shuffles. See CrossDupSpans scaladoc.
+    QuerySpec(
+      "n102_dup_spans",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |             len(string_split(text, ' ')) AS n
+         |           FROM documents),
+         |g AS (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS p
+         |      FROM t WHERE n >= 5),
+         |gg AS (SELECT doc_id, p,
+         |         ${hex60("array_to_string(ws[p : p+4], ' ')")} AS fp
+         |       FROM g),
+         |df AS (SELECT fp FROM (
+         |         SELECT fp, count(DISTINCT doc_id) AS nd FROM gg GROUP BY 1)
+         |       WHERE nd >= 2),
+         |oc AS (SELECT doc_id, p FROM gg JOIN df USING (fp)),
+         |cov AS (SELECT DISTINCT doc_id,
+         |          unnest(generate_series(p, p + 4)) AS pos
+         |        FROM oc),
+         |nc AS (SELECT doc_id, count(*) AS nc FROM cov GROUP BY 1)
+         |SELECT t.doc_id, n AS n_tokens,
+         |  CAST(coalesce(nc, 0) AS BIGINT) AS n_covered,
+         |  CAST(coalesce(nc, 0) AS DOUBLE) / n AS dup_span_frac
+         |FROM t LEFT JOIN nc ON t.doc_id = nc.doc_id""".stripMargin) {
+      (s, d) =>
+        CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
+    },
+
+    // ----- n103: corpus snapshot diff (release reconciliation) ----------
+    // The diff every incremental training-data release is built from:
+    // old vs new snapshot → added / removed / changed / unchanged per
+    // id, comparing md5 digests so the full-outer id join ships
+    // (id, digest) and never document bodies. The two snapshots here
+    // are deterministic views of the documents table (drop id%7==0
+    // from old, id%11==0 from new, append a version marker to id%5==0
+    // in old) so the oracle sees every status class.
+    QuerySpec(
+      "n103_snapshot_diff",
+      """WITH oldv AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |newv AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        |o AS (SELECT doc_id, md5(text) AS h FROM oldv),
+        |n AS (SELECT doc_id, md5(text) AS h FROM newv)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+    },
+
+    // ----- n104: product-quantization ADC retrieval ---------------------
+    // PQ (Jégou et al. 2011): vectors code to `subspaces` bytes (the
+    // ~64x memory lever for in-RAM candidate sets at 100 TB) and the
+    // query scores coded candidates through a per-query lookup table —
+    // no decode. Deterministic ±1 codebook + 1e-3 integer grid make
+    // code assignment AND the ADC score exact BIGINT arithmetic, so
+    // the oracle replays the whole index: per-subspace argmax-dot
+    // coding (ties to the lower code) and LUT lookups as list
+    // indexing. See Similarity.pqTopK.
+    QuerySpec(
+      "n104_pq_adc",
+      s"""WITH q AS (SELECT ${pqQvSql("embedding")} AS qv
+         |           FROM embeddings WHERE vec_id = 4),
+         |lut AS (SELECT ${(0 until 4).map(m =>
+                    s"${pqLutSql("qv", m * 16)} AS lut$m").mkString(", ")}
+         |        FROM q),
+         |c AS (SELECT vec_id, ${pqQvSql("embedding")} AS v
+         |      FROM embeddings WHERE vec_id <> 4),
+         |coded AS (SELECT vec_id, ${(0 until 4).map(m =>
+                      s"${pqRankSql("v", m * 16)} AS c$m").mkString(", ")}
+         |          FROM c)
+         |SELECT vec_id,
+         |  CAST(${(0 until 4).map(m => s"lut$m[c$m + 1]").mkString(" + ")}
+         |       AS BIGINT) AS score
+         |FROM coded, lut
+         |ORDER BY score DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(
+        emb.filter(col("vec_id") =!= 4), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 4), "embedding",
+        codebook = pqCodebook, subspaces = 4, k = 15)
+    },
+
     QuerySpec(
       "n101_balanced_shards",
       """WITH t AS (SELECT doc_id,

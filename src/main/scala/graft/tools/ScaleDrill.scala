@@ -79,7 +79,12 @@ object ScaleDrill {
       "n87_curriculum_order", "n88_oov_rate", "n89_token_drift",
       "n90_length_histogram", "n91_cell_lang_profile", "n92_embed_norm_qa",
       "n93_centroid_audit", "n94_session_sequences", "n95_fuzzy_decontam",
-      "n96_budget_waterfill")
+      "n96_budget_waterfill",
+      // round-10 additions: recall audit (exact + IVF retrieval pair),
+      // Gramian step, DSIR weights, keep-best representative, shards
+      "n97_ann_recall", "n98_gram_power", "n99_dsir_weights",
+      "n100_cluster_rep", "n101_balanced_shards",
+      "n102_dup_spans", "n103_snapshot_diff", "n104_pq_adc")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")

@@ -733,6 +733,33 @@ class QueryPlansSpec extends SparkTestBase {
       s"document text entered an exchange:\n$exchangeLines")
   }
 
+  test("n102 cross-doc spans: shuffles carry fingerprint/position longs, never text") {
+    val plan = finalPlan(q("n102_dup_spans"))
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#") &&
+      !exchangeLines.contains("graft__ws#"),
+      s"document text/tokens entered an exchange:\n$exchangeLines")
+  }
+
+  test("n103 snapshot diff: the id join ships digests, never document bodies") {
+    val plan = finalPlan(q("n103_snapshot_diff"))
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
+  test("n104 pq adc: map-only coding, broadcast LUT, TakeOrdered top-k") {
+    val plan = finalPlan(q("n104_pq_adc"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row LUT must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"PQ scoring must not shuffle-join:\n$plan")
+  }
+
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
     val plan = finalPlan(q("n101_balanced_shards"))
     assert(plan.contains("rangepartitioning"),
