@@ -2755,6 +2755,32 @@ object NorthStar {
         t(s, d, "documents").select(col("doc_id"), col("source")), 10L)
     },
 
+    // ----- n106: streaming funnel, batch parity -------------------------
+    // The per-user stage relation behind n65's funnel rollup, as the
+    // state a streaming funnel carries: first view, first qualifying
+    // purchase. streamingFunnel maintains exactly this as TWO longs per
+    // user via transformWithState (EventStreamSpec proves stream ≡
+    // batch on the same feed, including within-batch disorder); gating
+    // the batch twin certifies the shared semantics — the n72/n73
+    // parity pattern. Timestamps emit at full micro precision on both
+    // engines (the n73 CAST discipline).
+    QuerySpec(
+      "n106_stream_funnel_parity",
+      """WITH v AS (SELECT user_id, min(ts) AS fv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS fp
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= v.fv
+        |      GROUP BY 1)
+        |SELECT v.user_id, CAST(v.fv AS TIMESTAMP) AS first_view,
+        |  CAST(p.fp AS TIMESTAMP) AS first_purchase
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin) {
+      (s, d) =>
+        EventStream.funnelBatch(
+          t(s, d, "events")
+            .select(col("user_id"), col("ts"), col("event_type")))
+    },
+
     // ----- n73: stream-stream interval join, batch parity ---------------
     // The SAME intervalJoin function wires the streaming path
     // (streamingIntervalJoin only adds watermarks — EventStreamSpec
@@ -4131,6 +4157,52 @@ object NorthStar {
          |FROM t LEFT JOIN nc ON t.doc_id = nc.doc_id""".stripMargin) {
       (s, d) =>
         CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
+    },
+
+    // ----- n105: exact-substring span SCRUB (the rewrite half) ----------
+    // n102 measures cross-doc duplicated-span coverage; this APPLIES
+    // the dedup (Lee et al. 2021 §4.2: remove each duplicated
+    // substring from all but one occurrence): every cross-doc 5-gram
+    // keeps its occurrence in the keeper doc (min id) and its covered
+    // positions are dropped everywhere else, then the text is rebuilt
+    // from the kept tokens. The rebuild is a per-row array filter —
+    // dropped positions collect per doc and join back by id, so
+    // document text STILL never enters an exchange (see
+    // CrossDupSpans.scrub). Exact duplicates scrub to empty in every
+    // non-keeper copy — the n1 semantics falling out of the span rule.
+    QuerySpec(
+      "n105_span_scrub",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |             len(string_split(text, ' ')) AS n
+         |           FROM documents),
+         |g AS (SELECT doc_id, ws, unnest(generate_series(1, n - 4)) AS p
+         |      FROM t WHERE n >= 5),
+         |gg AS (SELECT doc_id, p,
+         |         ${hex60("array_to_string(ws[p : p+4], ' ')")} AS fp
+         |       FROM g),
+         |k AS (SELECT fp, min(doc_id) AS keeper,
+         |        count(DISTINCT doc_id) AS nd
+         |      FROM gg GROUP BY 1),
+         |oc AS (SELECT gg.doc_id, gg.p FROM gg JOIN k USING (fp)
+         |       WHERE k.nd >= 2 AND gg.doc_id <> k.keeper),
+         |drp AS (SELECT DISTINCT doc_id,
+         |          unnest(generate_series(p, p + 4)) AS pos
+         |        FROM oc),
+         |tok AS (SELECT doc_id, unnest(ws) AS w,
+         |          generate_subscripts(ws, 1) AS pos
+         |        FROM t),
+         |kept AS (SELECT tok.doc_id,
+         |           string_agg(w, ' ' ORDER BY tok.pos) AS clean_text,
+         |           count(*) AS n_kept
+         |         FROM tok LEFT JOIN drp
+         |           ON tok.doc_id = drp.doc_id AND tok.pos = drp.pos
+         |         WHERE drp.pos IS NULL GROUP BY 1)
+         |SELECT t.doc_id, n AS n_tokens,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id""".stripMargin) {
+      (s, d) =>
+        CrossDupSpans.scrub(t(s, d, "documents"), "doc_id", "text", n = 5)
     },
 
     // ----- n103: corpus snapshot diff (release reconciliation) ----------

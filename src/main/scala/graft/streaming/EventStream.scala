@@ -336,6 +336,104 @@ object EventStream {
       .filter(col("graft__rn") <= perSourceQuota)
       .select(col("doc_id"), col("source"))
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelRow(
+      user_id: Long,
+      first_view: Option[Timestamp],
+      first_purchase: Option[Timestamp])
+  /** micros since epoch, -1 = unset. */
+  private final case class FunnelState(view: Long, conv: Long)
+
+  private def tsMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(m: Long): Option[Timestamp] =
+    if (m < 0) None
+    else {
+      val t = new Timestamp(m / 1000L)
+      t.setNanos((m % 1000000L).toInt * 1000)
+      Some(t)
+    }
+
+  /** Per-user funnel progression for [[streamingFunnel]]: state is TWO
+    * longs per user (first view micros, first qualifying purchase
+    * micros) — O(users), constant in event volume. Each micro-batch's
+    * rows for a user are buffered and folded in EVENT-TIME order (the
+    * sessions discipline: handleInputRows' arrival order within a
+    * batch is partition-dependent), so within-batch disorder cannot
+    * flip a conversion. Across batches the fold is exact whenever each
+    * user's purchases arrive after that user's first view has arrived
+    * (event-time-ordered feeds trivially satisfy this); a purchase
+    * that arrived before a LATER-arriving earlier view is the one case
+    * the two-long state cannot re-admit — buffering all purchases
+    * would make state O(events), the 100 TB-unsafe shape.
+    */
+  private class FunnelProcessor
+    extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelRow] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L)
+      val evs = rows.toArray.sortBy(e => tsMicros(e.ts))
+      evs.foreach { e =>
+        val m = tsMicros(e.ts)
+        e.event_type match {
+          case "view" if s.view < 0 || m < s.view => s = s.copy(view = m)
+          case "purchase" if s.view >= 0 && m >= s.view &&
+            (s.conv < 0 || m < s.conv) => s = s.copy(conv = m)
+          case _ => ()
+        }
+      }
+      st.update(s)
+      if (s.view < 0) Iterator.empty
+      else Iterator.single(
+        FunnelRow(user, microsTs(s.view), microsTs(s.conv)))
+    }
+  }
+
+  /** Streaming conversion funnel — the streaming twin of the n65 batch
+    * funnel's per-user stage relation: for every user, the first view
+    * and the first purchase at-or-after it, maintained across
+    * micro-batches by the state store (transformWithState, RocksDB).
+    * Emits the user's current funnel snapshot each batch their state
+    * advances — a changelog the downstream rollup (or the spec's
+    * last-row-per-user read) consumes. EventStreamSpec proves
+    * stream ≡ [[funnelBatch]] on the same feed. */
+  def streamingFunnel(
+      spark: SparkSession,
+      events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[streamingFunnel]] for the driver's DuckDB gate
+    * (`n106_stream_funnel_parity`): first view per user (one grouped
+    * min), first qualifying purchase via a user-co-partitioned join +
+    * grouped min — n65's per-user stage relation WITHOUT the global
+    * rollup, which is exactly the state the streaming processor
+    * carries. */
+  def funnelBatch(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(views, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    views.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_purchase"))
+  }
+
   /** Streaming frequency sketch — the streaming twin of the n49 CMS
     * heavy-hitters: the SAME CountMinSketchAgg the batch query runs,
     * as a sharded STREAMING aggregation. Each shard's sketch is a

@@ -84,7 +84,8 @@ object ScaleDrill {
       // Gramian step, DSIR weights, keep-best representative, shards
       "n97_ann_recall", "n98_gram_power", "n99_dsir_weights",
       "n100_cluster_rep", "n101_balanced_shards",
-      "n102_dup_spans", "n103_snapshot_diff", "n104_pq_adc")
+      "n102_dup_spans", "n103_snapshot_diff", "n104_pq_adc",
+      "n105_span_scrub")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")

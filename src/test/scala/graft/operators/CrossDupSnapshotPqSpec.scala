@@ -36,6 +36,36 @@ class CrossDupSnapshotPqSpec extends SparkTestBase {
     assert(got === Map(1L -> 6L, 2L -> 6L))
   }
 
+  test("span scrub keeps the min-id occurrence, scrubs the rest") {
+    // docs 1,2 share "a b c d e": keeper is doc 1 (kept verbatim);
+    // doc 2 loses positions 2..6, keeping only "z". Doc 3 untouched.
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "z a b c d e"),
+      (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = CrossDupSpans.scrub(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      1L -> ((7L, "a b c d e x y")),
+      2L -> ((1L, "z")),
+      3L -> ((6L, "p q r s t u"))))
+  }
+
+  test("span scrub empties exact-duplicate copies (the n1 semantics)") {
+    val docs = Seq(
+      (5L, "one two three four five six"),
+      (9L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = CrossDupSpans.scrub(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      5L -> ((6L, "one two three four five six")),
+      9L -> ((0L, ""))))
+  }
+
   test("snapshot diff classifies all four statuses") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")

@@ -742,6 +742,16 @@ class QueryPlansSpec extends SparkTestBase {
       s"document text/tokens entered an exchange:\n$exchangeLines")
   }
 
+  test("n105 span scrub: rebuild is a per-row filter; text never in an exchange") {
+    val plan = finalPlan(q("n105_span_scrub"))
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#") &&
+      !exchangeLines.contains("graft__ws#") &&
+      !exchangeLines.contains("clean_text#"),
+      s"document text entered an exchange:\n$exchangeLines")
+  }
+
   test("n103 snapshot diff: the id join ships digests, never document bodies") {
     val plan = finalPlan(q("n103_snapshot_diff"))
     val exchangeLines =

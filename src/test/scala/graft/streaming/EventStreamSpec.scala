@@ -504,4 +504,53 @@ class EventStreamSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("hot") >= 50L)
   }
+
+  test("streamingFunnel final snapshots equal funnelBatch on the same feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+    // user 1 converts; user 2 views only; user 3's purchase PRECEDES
+    // any view (must not count); user 4's batch-2 purchase converts
+    // against the batch-1 view (state crosses the boundary). Batch 1
+    // is deliberately shuffled within itself — the processor folds in
+    // event-time order.
+    val batch1 = Seq(
+      EventStream.FunnelEvent(1L, ts(100), "purchase"), // after view below
+      EventStream.FunnelEvent(1L, ts(50), "view"),
+      EventStream.FunnelEvent(2L, ts(10), "view"),
+      EventStream.FunnelEvent(3L, ts(20), "purchase"),
+      EventStream.FunnelEvent(4L, ts(40), "view"))
+    val batch2 = Seq(
+      EventStream.FunnelEvent(3L, ts(30), "view"),
+      EventStream.FunnelEvent(4L, ts(60), "purchase"),
+      EventStream.FunnelEvent(1L, ts(70), "purchase")) // earlier valid conv
+    withRocksDBStateStore {
+      val mem = MemoryStream[EventStream.FunnelEvent]
+      val out = EventStream.streamingFunnel(spark, mem.toDS())
+      val q = out.writeStream.format("memory")
+        .queryName("funnel_test").outputMode("append").start()
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // last emitted snapshot per user (the changelog read)
+      val snaps = spark.table("funnel_test").collect().zipWithIndex
+        .groupBy(_._1.getLong(0)).view
+        .mapValues { rs =>
+          val r = rs.maxBy(_._2)._1
+          (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))
+        }.toMap
+      val batch = EventStream.funnelBatch(
+        (batch1 ++ batch2).toDF("user_id", "ts", "event_type"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2))))).toMap
+      assert(snaps === batch)
+      assert(batch(1L)._2 === Some(ts(70)),
+        "the earlier batch-2 purchase must supersede the batch-1 conversion")
+      assert(batch(3L)._2 === None,
+        "a purchase before any view must not convert")
+    }
+  }
 }
