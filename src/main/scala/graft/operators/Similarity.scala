@@ -424,6 +424,63 @@ object Similarity {
     * Scale shape: coding is a map-only projection; the query's LUT is
     * a 1-row broadcast; scoring is map-only adds; top-k plans as
     * TakeOrdered (k rows per partition reach the driver merge). */
+  private def pqQuantize(c: Column): Column =
+    transform(asDouble(c), x => floor(x * lit(1000.0)).cast("long"))
+
+  private def pqSubDot(v: Column, o: Int, cent: Seq[Int]): Column =
+    cent.zipWithIndex.map { case (s, j) =>
+      element_at(v, o + j + 1) * lit(s.toLong)
+    }.reduce(_ + _)
+
+  /** The coding half: (idCol, code_0 .. code_{subspaces-1}) — the
+    * index-build output a serving deployment STORES (a `subspaces`-byte
+    * row standing in for the full vector; the s26 layout query writes
+    * exactly this table). Map-only. */
+  def pqCodes(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Seq[Seq[Int]],
+      subspaces: Int): DataFrame = {
+    val width = codebook.head.size
+    def code(v: Column, o: Int): Column =
+      array_min(array(codebook.zipWithIndex.map { case (c, i) =>
+        struct((-pqSubDot(v, o, c)).as("d"), lit(i.toLong).as("i"))
+      }: _*)).getField("i")
+    emb.select(col(idCol), pqQuantize(col(vecCol)).as("graft__v"))
+      .select(col(idCol) +: (0 until subspaces).map(m =>
+        code(col("graft__v"), m * width).as(s"code_$m")): _*)
+  }
+
+  /** The serving half: ADC top-k over an already-coded table — the
+    * query's per-subspace lookup tables broadcast as one row, scoring
+    * is `subspaces` list-indexing adds per candidate, top-k plans as
+    * TakeOrdered. The scan this runs over reads ONLY the code columns
+    * (the ~64× I/O + memory lever vs rescanning vectors). */
+  def pqAdc(
+      codes: DataFrame,
+      idCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      codebook: Seq[Seq[Int]],
+      subspaces: Int,
+      k: Int): DataFrame = {
+    val width = codebook.head.size
+    def lut(v: Column, o: Int): Column =
+      array(codebook.map(c => pqSubDot(v, o, c)): _*)
+    val q = query.select(pqQuantize(col(queryVecCol)).as("graft__qv"))
+      .select((0 until subspaces).map(m =>
+        lut(col("graft__qv"), m * width).as(s"graft__lut$m")): _*)
+    codes.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (0 until subspaces).map(m =>
+          element_at(col(s"graft__lut$m"),
+            (col(s"code_$m") + 1).cast("int"))).reduce(_ + _)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def pqTopK(
       emb: DataFrame,
       idCol: String,
@@ -432,35 +489,9 @@ object Similarity {
       queryVecCol: String,
       codebook: Seq[Seq[Int]],
       subspaces: Int,
-      k: Int): DataFrame = {
-    val width = codebook.head.size
-    def qv(c: Column): Column =
-      transform(asDouble(c), x => floor(x * lit(1000.0)).cast("long"))
-    def subDot(v: Column, o: Int, cent: Seq[Int]): Column =
-      cent.zipWithIndex.map { case (s, j) =>
-        element_at(v, o + j + 1) * lit(s.toLong)
-      }.reduce(_ + _)
-    def code(v: Column, o: Int): Column =
-      array_min(array(codebook.zipWithIndex.map { case (c, i) =>
-        struct((-subDot(v, o, c)).as("d"), lit(i.toLong).as("i"))
-      }: _*)).getField("i")
-    def lut(v: Column, o: Int): Column =
-      array(codebook.map(c => subDot(v, o, c)): _*)
-    val q = query.select(qv(col(queryVecCol)).as("graft__qv"))
-      .select((0 until subspaces).map(m =>
-        lut(col("graft__qv"), m * width).as(s"graft__lut$m")): _*)
-    val coded = emb.select(col(idCol), qv(col(vecCol)).as("graft__v"))
-      .select(col(idCol) +: (0 until subspaces).map(m =>
-        code(col("graft__v"), m * width).as(s"graft__c$m")): _*)
-    coded.crossJoin(broadcast(q))
-      .select(col(idCol),
-        (0 until subspaces).map(m =>
-          element_at(col(s"graft__lut$m"),
-            (col(s"graft__c$m") + 1).cast("int"))).reduce(_ + _)
-          .as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
-  }
+      k: Int): DataFrame =
+    pqAdc(pqCodes(emb, idCol, vecCol, codebook, subspaces),
+      idCol, query, queryVecCol, codebook, subspaces, k)
 
   /** One distributed power-iteration step y = G·x₀ of the corpus
     * Gramian G = Σ_v v vᵀ with the all-ones start vector x₀ — the

@@ -4159,6 +4159,76 @@ object NorthStar {
         CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
     },
 
+    // ----- n107: exact-k deterministic sample per group ------------------
+    // The rate-based samplers (n24 hash, n32 stratified, n55 mixture)
+    // emit a BINOMIAL number of rows; an eval-set builder needs EXACTLY
+    // k per group, reproducibly. Deterministic reservoir: per language,
+    // the k docs with the smallest seeded md5 residue (uniform over
+    // docs, new seed → fresh draw) — ranked by the portable 60-bit
+    // hash with doc_id as total-order tiebreak. Per-group top-k is
+    // TopK.twoLevel (local winners per salt bucket first), NOT a
+    // one-reducer-per-group window — groups are few and huge, the
+    // exact funnel the two-level pattern exists for.
+    QuerySpec(
+      "n107_exact_k_sample",
+      s"""WITH h AS (SELECT lang, doc_id,
+         |       ${hex60("'s7:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |     FROM documents)
+         |SELECT lang, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+         |       AS BIGINT) AS rk
+         |FROM h QUALIFY rk <= 20""".stripMargin) { (s, d) =>
+      val hashed = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.hexHash60(concat(lit("s7:"), col("doc_id").cast("string")))
+            .as("graft__hk"))
+      TopK.twoLevel(hashed, Seq(col("lang")),
+        pmod(hash(col("doc_id")), lit(32)),
+        Seq(col("graft__hk"), col("doc_id")), 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+    },
+
+    // ----- n108: hard-negative mining (contrastive training pairs) ------
+    // Embedding-model training needs, per anchor, the highest-cosine
+    // items that are NOT the anchor's class — the hard negatives that
+    // make contrastive losses learn (easy random negatives teach
+    // nothing). n78's batched one-pass retrieval shape with a label
+    // guard: anchors broadcast, scoring is map-only, the label
+    // mismatch filters before ranking, per-anchor top-k is two-level.
+    QuerySpec(
+      "n108_hard_negatives",
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 8)
+        |SELECT query_id, vec_id,
+        |  round(list_cosine_similarity(v, qv), 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+        |                  vec_id)
+        |       AS BIGINT) AS rk
+        |FROM c CROSS JOIN q
+        |WHERE c.label <> q.qlabel
+        |QUALIFY rk <= 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("graft__ql"),
+          Similarity.asDouble(col("embedding")).as("graft__qv"))
+      val scored = emb.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("label"),
+          Similarity.asDouble(col("embedding")).as("graft__v"))
+        .crossJoin(broadcast(q))
+        .filter(col("label") =!= col("graft__ql"))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("graft__v"), col("graft__qv")), 6)
+            .as("sim"))
+      TopK.twoLevel(scored, Seq(col("query_id")),
+        pmod(hash(col("vec_id")), lit(32)),
+        Seq(col("sim").desc, col("vec_id")), 10)
+        .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+    },
+
     // ----- n105: exact-substring span SCRUB (the rewrite half) ----------
     // n102 measures cross-doc duplicated-span coverage; this APPLIES
     // the dedup (Lee et al. 2021 §4.2: remove each duplicated
@@ -4267,6 +4337,44 @@ object NorthStar {
       val emb = t(s, d, "embeddings")
       Similarity.pqTopK(
         emb.filter(col("vec_id") =!= 4), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 4), "embedding",
+        codebook = pqCodebook, subspaces = 4, k = 15)
+    },
+
+    // ----- s26: PQ codes as WAREHOUSE LAYOUT (stored index serving) -----
+    // n104 codes the corpus per query; at 100 TB the PQ index IS a
+    // table — codes computed ONCE at build time and stored as a
+    // subspaces-column table (4 longs here standing in for 4 bytes vs
+    // a 256 B f32 vector), so a probe scans the narrow codes table and
+    // never touches embeddings. Same codebook, same coding, same
+    // answer as n104 — what changes is WHERE the coding happened
+    // (index build vs query time). The s23 discipline applied to PQ;
+    // plan-pinned: the serving scan's ReadSchema carries only id+codes.
+    QuerySpec(
+      "s26_pq_layout",
+      s"""WITH q AS (SELECT ${pqQvSql("embedding")} AS qv
+         |           FROM embeddings WHERE vec_id = 4),
+         |lut AS (SELECT ${(0 until 4).map(m =>
+                    s"${pqLutSql("qv", m * 16)} AS lut$m").mkString(", ")}
+         |        FROM q),
+         |c AS (SELECT vec_id, ${pqQvSql("embedding")} AS v
+         |      FROM embeddings WHERE vec_id <> 4),
+         |coded AS (SELECT vec_id, ${(0 until 4).map(m =>
+                      s"${pqRankSql("v", m * 16)} AS c$m").mkString(", ")}
+         |          FROM c)
+         |SELECT vec_id,
+         |  CAST(${(0 until 4).map(m => s"lut$m[c$m + 1]").mkString(" + ")}
+         |       AS BIGINT) AS score
+         |FROM coded, lut
+         |ORDER BY score DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s26_pq"
+      val emb = t(s, d, "embeddings")
+      Similarity.pqCodes(
+        emb.filter(col("vec_id") =!= 4), "vec_id", "embedding",
+        codebook = pqCodebook, subspaces = 4)
+        .write.mode("overwrite").parquet(path)
+      Similarity.pqAdc(
+        s.read.parquet(path), "vec_id",
         emb.filter(col("vec_id") === 4), "embedding",
         codebook = pqCodebook, subspaces = 4, k = 15)
     },

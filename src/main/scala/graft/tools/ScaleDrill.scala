@@ -85,7 +85,8 @@ object ScaleDrill {
       "n97_ann_recall", "n98_gram_power", "n99_dsir_weights",
       "n100_cluster_rep", "n101_balanced_shards",
       "n102_dup_spans", "n103_snapshot_diff", "n104_pq_adc",
-      "n105_span_scrub")
+      "n105_span_scrub", "n106_stream_funnel_parity",
+      "n107_exact_k_sample", "n108_hard_negatives")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")

@@ -99,6 +99,22 @@ class CrossDupSnapshotPqSpec extends SparkTestBase {
     assert(got.toSeq === Seq((12L, 2000L), (10L, 0L), (11L, -2000L)))
   }
 
+  test("pqAdc over stored codes equals pqTopK end-to-end") {
+    val emb = (1 to 120)
+      .map(i => (i.toLong, Seq.tabulate(8)(j => (i * 0.031f - j * 0.09f))))
+      .toDF("vec_id", "embedding")
+    val query = Seq((0L, Seq.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val cb = Similarity.hyperplanes(4, 4)
+    val direct = Similarity.pqTopK(
+      emb, "vec_id", "embedding", query, "embedding", cb, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cb, 2)
+    val viaCodes = Similarity.pqAdc(
+      codes, "vec_id", query, "embedding", cb, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct === viaCodes)
+  }
+
   test("pqTopK is partitioning-invariant (exact integer scores)") {
     val emb = (1 to 300)
       .map(i => (i.toLong, Seq.tabulate(8)(j => (i * 0.017f - j * 0.11f))))

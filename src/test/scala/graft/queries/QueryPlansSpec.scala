@@ -770,6 +770,19 @@ class QueryPlansSpec extends SparkTestBase {
       s"PQ scoring must not shuffle-join:\n$plan")
   }
 
+  test("s26 pq layout: serving scans codes; vectors only for the 1-row query") {
+    val plan = finalPlan(q("s26_pq_layout"))
+    assert(plan.contains("code_0#"),
+      s"serving side must read the stored codes table:\n$plan")
+    val vectorScans = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("embedding"))
+      .size
+    assert(vectorScans <= 1,
+      s"only the query row may touch embeddings, found $vectorScans scans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$plan")
+  }
+
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
     val plan = finalPlan(q("n101_balanced_shards"))
     assert(plan.contains("rangepartitioning"),
