@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (P6) and 24-bit uncompressed BMP payloads in pure JVM code — header
   * parse, dimension extraction, pixel decode, box-filter downsample —
   * so `resize` and `extractFeatures` do actual pixel work on decodable
-  * payloads. Payloads in formats this container has no codec for
-  * (JPEG/PNG/audio) fall back to a deterministic byte-level transform,
+  * payloads. The audio path is real too: [[AudioCodec]] parses
+  * RIFF/WAVE PCM16 and [[audioMeta]] computes integer-exact per-clip
+  * statistics. Payloads in formats this container has no codec for
+  * (JPEG/PNG/MP3) fall back to a deterministic byte-level transform,
   * clearly marked below — a production deployment swaps that fallback
   * for a JNI/FFI codec with the same signature.
   *
@@ -106,6 +108,40 @@ object Multimodal {
         (id, resized)
       })
       .toDF("doc_id", "resized")
+  }
+
+  /** Real audio metadata + sample statistics over a binary payload
+    * column: [[AudioCodec]] parses RIFF/WAVE PCM16 (header walk,
+    * chunk skip, little-endian sample decode) and this stage reports
+    * per-clip (n_samples, sample_rate, duration_us, sum_sq, peak) —
+    * the ingest profile an audio lake computes per object. Total over
+    * junk bytes: undecodable payloads yield null stats. Same decode
+    * boundary as the image path: mapPartitions, payload bytes never
+    * leave the executor, integer-exact statistics (sum of squares and
+    * peak over 16-bit samples — no floating point, so the numbers are
+    * partitioning- and engine-independent). */
+  def audioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioCodec.decode(bytes) match {
+          case Some(pcm) =>
+            var sumSq = 0L
+            var peak = 0L
+            pcm.samples.foreach { v =>
+              sumSq += v.toLong * v.toLong
+              if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            }
+            (id, Some(pcm.nFrames.toLong), Some(pcm.sampleRate.toLong),
+              Some(pcm.nFrames.toLong * 1000000L / pcm.sampleRate),
+              Some(sumSq), Some(peak))
+          case None => (id, None, None, None, None, None)
+        }
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "duration_us",
+        "sum_sq", "peak")
   }
 
   /** Fallback for non-image payloads: keep every `factor`-th byte.

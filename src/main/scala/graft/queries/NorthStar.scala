@@ -4159,6 +4159,79 @@ object NorthStar {
         CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
     },
 
+    // ----- n110: PageRank step over the near-dup graph -------------------
+    // Graph centrality next to n30's connectivity: one exact damped
+    // power-iteration step (d = 85/100, integer fixed-point — see
+    // PageRank scaladoc) over the symmetrized n6 embedding near-dup
+    // graph. Ranks the HUBS of duplicate neighborhoods — the doc most
+    // connected inside its cluster is the canonical-copy candidate a
+    // quality-blind min-id rule misses. Degrees/mass are edge-list
+    // aggregates with map-side partials; the one join is equi on the
+    // uniform source id; exchanges carry ids and longs only.
+    QuerySpec(
+      "n110_pagerank_step",
+      """WITH dup AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        |e AS (SELECT id_a AS u, id_b AS v FROM dup
+        |      UNION ALL SELECT id_b, id_a FROM dup),
+        |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |m AS (SELECT v, CAST(sum(1000000 // deg) AS BIGINT) AS mass
+        |      FROM e JOIN dg USING (u) GROUP BY 1),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)
+        |SELECT id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+        |  CAST(150000 + (coalesce(m.mass, 0) * 85) // 100 AS BIGINT)
+        |    AS rank1
+        |FROM nodes LEFT JOIN dg ON nodes.id = dg.u
+        |LEFT JOIN m ON nodes.id = m.v""".stripMargin) { (s, d) =>
+      val pairs = Similarity.blockedNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label",
+        threshold = 0.4)
+      val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      graft.operators.PageRank.step(sym, "u", "v")
+    },
+
+    // ----- n109: audio-clip metadata (real WAV decode) -------------------
+    // The multimodal family's audio axis (n17 is the image/bytes one):
+    // per-doc synthetic PCM16 WAV clips — samples a deterministic
+    // function of (doc_id, i), ENCODED to real RIFF/WAVE bytes and
+    // DECODED back through AudioCodec's genuine header walk — with
+    // integer-exact per-clip stats (frames, rate, floor-µs duration,
+    // sum of squares, peak). The oracle never parses WAV: it computes
+    // the same stats closed-form from the generator formula, so any
+    // encode/decode disagreement (header offset, endianness, chunk
+    // alignment) surfaces as a value mismatch. Decode runs in
+    // mapPartitions (the image-path boundary); payload bytes never
+    // leave the executor.
+    QuerySpec(
+      "n109_audio_meta",
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS ns FROM documents),
+        |s AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS i
+        |      FROM p),
+        |v AS (SELECT doc_id, ns,
+        |        ((doc_id * 31 + i * 7919) % 4096) - 2048 AS x
+        |      FROM s)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(ns * 1000000 // 8000 AS BIGINT) AS duration_us,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(x)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id, ns""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val wavs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (64 + id % 64).toInt
+          val samples = Array.tabulate(ns)(i =>
+            (((id * 31L + i.toLong * 7919L) % 4096L) - 2048L).toShort)
+          (id, graft.operators.AudioCodec.encodePcm16Mono(8000, samples))
+        }).toDF("doc_id", "payload")
+      Multimodal.audioMeta(wavs, "payload")
+    },
+
     // ----- n107: exact-k deterministic sample per group ------------------
     // The rate-based samplers (n24 hash, n32 stratified, n55 mixture)
     // emit a BINOMIAL number of rows; an eval-set builder needs EXACTLY

@@ -86,7 +86,8 @@ object ScaleDrill {
       "n100_cluster_rep", "n101_balanced_shards",
       "n102_dup_spans", "n103_snapshot_diff", "n104_pq_adc",
       "n105_span_scrub", "n106_stream_funnel_parity",
-      "n107_exact_k_sample", "n108_hard_negatives")
+      "n107_exact_k_sample", "n108_hard_negatives", "s26_pq_layout",
+      "n109_audio_meta", "n110_pagerank_step")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
