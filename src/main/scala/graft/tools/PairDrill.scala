@@ -56,7 +56,8 @@ object PairDrill {
     }
     // one warmup pass per query shape at base scale so no arm is
     // charged first-run codegen/JIT (shape-keyed, shared across scales)
-    Seq("n3_minhash_neardup", "n68_online_neardup", "n56_source_overlap")
+    Seq("n3_minhash_neardup", "n68_online_neardup", "n56_source_overlap",
+      "n110_pagerank_step")
       .filter(want).foreach(q => timed(q, sfDir))
 
     def report(scale: Int, q: String, wall: Double, counts: (String, Long)*): Unit = {
@@ -131,6 +132,23 @@ object PairDrill {
         sweep()
         report(c, "n56_source_overlap", wall,
           "src_fp_rows" -> nFp, "shared_fps" -> nShared, "pairs" -> nOut)
+      }
+
+      if (want("n110_pagerank_step")) {
+        val wall = timed("n110_pagerank_step", dir)
+        // workload cardinality: the symmetrized near-dup edge list the
+        // step aggregates/joins over — the scaled corpus grows it
+        // ~quadratically within label blocks (perturbed copies stay
+        // above the 0.4 cosine threshold), so edge count, not machinery,
+        // is the scaling term to verify per-edge cost against
+        val pairs = graft.operators.Similarity.blockedNearDupPairs(
+          Tables(spark, dir, "embeddings"), "vec_id", "embedding", "label",
+          threshold = 0.4)
+        val nPairs = pairs.count()
+        val nNodes = SparkEntry.queries("n110_pagerank_step")(spark, dir).count()
+        sweep()
+        report(c, "n110_pagerank_step", wall,
+          "edges" -> (2 * nPairs), "nodes" -> nNodes)
       }
     }
     spark.stop()
