@@ -4159,6 +4159,132 @@ object NorthStar {
         CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
     },
 
+    // ----- n111: reciprocal-rank-fusion hybrid search --------------------
+    // The RAG-stack retrieval shape (Cormack et al. 2009 RRF): a LEXICAL
+    // ranking (shared 3-shingle count with the query document — the
+    // BM25 stand-in this corpus supports exactly) and a VECTOR ranking
+    // (cosine top-k from the query's embedding, the n4 machinery) fused
+    // by RRF score = Σ 1/(60 + rank) — rank-space fusion, so the two
+    // signals need no score calibration. Both source rankings are
+    // top-20 cuts; ids missing from one list contribute 0 from it. The
+    // score is a fixed-order sum of two exact integer divisions —
+    // bit-identical cross-engine, no rounding needed. Scale shape: each
+    // leg is the established retrieval pattern (shingle equi-join /
+    // broadcast query vector); the fusion itself joins two k-row lists.
+    QuerySpec(
+      "n111_rrf_fusion",
+      s"""WITH RECURSIVE $shingleCte,
+         |qsh AS (SELECT shingle FROM sh WHERE doc_id = 3),
+         |tr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT)
+         |           AS rt
+         |       FROM (SELECT sh.doc_id, count(*) AS c FROM sh
+         |             JOIN qsh USING (shingle)
+         |             WHERE sh.doc_id <> 3 GROUP BY 1)
+         |       QUALIFY rt <= 20),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id = 3),
+         |vr AS (SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY round(list_cosine_similarity(
+         |             CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)), 6)
+         |             DESC, vec_id) AS BIGINT) AS rv
+         |       FROM embeddings WHERE vec_id <> 3
+         |       QUALIFY rv <= 20)
+         |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         |  CASE WHEN tr.rt IS NULL THEN CAST(0 AS DOUBLE)
+         |       ELSE 1.0 / (60 + tr.rt) END +
+         |  CASE WHEN vr.rv IS NULL THEN CAST(0 AS DOUBLE)
+         |       ELSE 1.0 / (60 + vr.rv) END AS rrf
+         |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)))
+          .as("graft__sh"))
+      val qsh = sh.filter(col("doc_id") === 3).select(col("graft__sh"))
+      val textRank = sh.filter(col("doc_id") =!= 3)
+        .join(broadcast(qsh), Seq("graft__sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("graft__c"))
+        .orderBy(col("graft__c").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("graft__c").desc, col("doc_id")))
+            .cast("long").as("graft__rt"))
+      val emb = t(s, d, "embeddings")
+      val vecRank = Similarity.topKCosine(
+        emb.filter(col("vec_id") =!= 3), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 3), "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("sim").desc, col("vec_id")))
+            .cast("long").as("graft__rv"))
+      textRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (when(col("graft__rt").isNull, lit(0.0))
+            .otherwise(lit(1.0) / (lit(60L) + col("graft__rt"))) +
+            when(col("graft__rv").isNull, lit(0.0))
+              .otherwise(lit(1.0) / (lit(60L) + col("graft__rv"))))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // ----- n112: Matryoshka truncated-dim retrieval recall ---------------
+    // MRL-style embeddings (Kusupati et al. 2022) let a serving stack
+    // search on a PREFIX of the vector (16 of 64 dims = 4× less memory
+    // and compute) and re-rank with the full vector only for the short
+    // list — IF prefix recall holds. This audit measures exactly that:
+    // recall@10 of 16-dim-prefix retrieval against full-dim retrieval,
+    // per query, via the same recallAtK operator n97 uses (the audit
+    // API's second consumer — composition, not copy). Both legs are
+    // the n78 broadcast-scored batch shape.
+    QuerySpec(
+      "n112_matryoshka_recall",
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 8),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+        |               vec_id) AS rk
+        |  FROM c CROSS JOIN q) WHERE rk <= 10),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(v[1:16], qv[1:16]), 6)
+        |               DESC, vec_id) AS rk
+        |  FROM c CROSS JOIN q) WHERE rk <= 10),
+        |h AS (SELECT query_id, count(*) AS n_hits
+        |      FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1)
+        |SELECT q.query_id,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+        |FROM q LEFT JOIN h USING (query_id)""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+          slice(Similarity.asDouble(col("embedding")), 1, 16)
+            .as("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteMultiTopK(
+        corpus, "vec_id", "embedding", queries, "query_id", "embedding",
+        k = 10)
+      val approx = Similarity.bruteMultiTopK(
+        trunc(corpus), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            slice(Similarity.asDouble(col("embedding")), 1, 16)
+              .as("embedding")),
+        "query_id", "embedding", k = 10)
+      Similarity.recallAtK(exact, approx, "query_id", "vec_id", k = 10)
+    },
+
     // ----- n110: PageRank step over the near-dup graph -------------------
     // Graph centrality next to n30's connectivity: one exact damped
     // power-iteration step (d = 85/100, integer fixed-point — see

@@ -87,7 +87,8 @@ object ScaleDrill {
       "n102_dup_spans", "n103_snapshot_diff", "n104_pq_adc",
       "n105_span_scrub", "n106_stream_funnel_parity",
       "n107_exact_k_sample", "n108_hard_negatives", "s26_pq_layout",
-      "n109_audio_meta", "n110_pagerank_step")
+      "n109_audio_meta", "n110_pagerank_step", "n111_rrf_fusion",
+      "n112_matryoshka_recall")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
