@@ -375,4 +375,96 @@ object EngineLawsProps extends Properties("EngineLaws") {
         long.filter(col("flag") === "1").count() == expectSet
     }
   }
+
+  // --- round-10 laws --------------------------------------------------
+
+  property("gramPowerStep is additive over disjoint corpora (exact sums)") = {
+    val vecGen = Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 50.0f))
+    forAll(Gen.nonEmptyListOf(vecGen), Gen.nonEmptyListOf(vecGen)) { (a, b) =>
+      def y(vs: List[List[Float]], base: Long) = Similarity.gramPowerStep(
+        vs.zipWithIndex.map { case (v, i) => (base + i, v) }
+          .toDF("vec_id", "embedding"), "embedding")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ya = y(a, 0L)
+      val yb = y(b, 1000L)
+      val yab = y(a ++ b, 2000L)
+      yab == (ya.keySet ++ yb.keySet).map(d =>
+        d -> (ya.getOrElse(d, 0L) + yb.getOrElse(d, 0L))).toMap
+    }
+  }
+
+  property("boustrophedon deal: every 2S-window gives each shard one doc") = {
+    forAll(Gen.choose(1, 4), Gen.choose(1, 40)) { (shards, n) =>
+      val docs = (1 to n).map(i => (i.toLong, ((i * 131) % 50 + 1).toLong))
+        .toDF("doc_id", "sz")
+      val got = ShardBalance.assign(docs, "doc_id", "sz", shards)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reconstruct rank order and check each full 2S window is a
+      // permutation-complete deal (every shard exactly twice)
+      val ranked = (1 to n).map(i => (i.toLong, ((i * 131) % 50 + 1).toLong))
+        .sortBy { case (id, sz) => (-sz, id) }.map(_._1)
+      val windows = ranked.grouped(2 * shards).toList
+      windows.filter(_.size == 2 * shards).forall { w =>
+        w.map(got).groupBy(identity).values.forall(_.size == 2)
+      } && got.values.forall(s => s >= 0 && s < shards)
+    }
+  }
+
+  property("recallAtK: hits = |exact ∩ approx| per query, bounded by k") = {
+    val idsGen = Gen.listOfN(6, Gen.choose(0L, 9L)).map(_.distinct)
+    forAll(idsGen, idsGen) { (ex, ap) =>
+      (ex.nonEmpty) ==> {
+        val exact = ex.map(i => (1L, i)).toDF("query_id", "vec_id")
+        val approx = ap.map(i => (1L, i)).toDF("query_id", "vec_id")
+        val r = Similarity.recallAtK(exact, approx, "query_id", "vec_id",
+          k = math.max(ex.size, 1))
+          .collect().head
+        r.getLong(1) == ex.toSet.intersect(ap.toSet).size &&
+          r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0
+      }
+    }
+  }
+
+  property("pagerank step conserves damped mass up to floor loss") = {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 8L)))
+    forAll(edgeGen) { es0 =>
+      val es = es0.distinct
+      val df = es.toDF("u", "v")
+      val rows = PageRank.step(df, "u", "v").collect()
+      val nodes = rows.length
+      val totalRank = rows.map(_.getLong(2)).sum
+      // sent mass = Σ_u deg(u)·floor(scale/deg(u)) ∈ (scale·srcs - loss, scale·srcs]
+      val srcs = es.map(_._1).distinct.size
+      val upper = 150000L * nodes + 850000L * srcs
+      val lowerLoss = es.size.toLong // ≤ 1 unit per edge from each floor
+      totalRank <= upper &&
+        totalRank >= 150000L * nodes + (850000L * srcs) - 2L * lowerLoss -
+          100L * srcs // damping floor per receiving sum
+    }
+  }
+
+  property("snapshot diff statuses partition the id universe") = {
+    val snapGen = Gen.listOf(Gen.zip(Gen.choose(1L, 12L), Gen.alphaStr))
+      .map(_.toMap.toList)
+    forAll(snapGen, snapGen) { (o, n) =>
+      (o.nonEmpty || n.nonEmpty) ==> {
+        val od = o.toDF("doc_id", "text")
+        val nd = n.toDF("doc_id", "text")
+        val got = SnapshotDiff.diff(od, nd, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val om = o.toMap; val nm = n.toMap
+        got.keySet == om.keySet.union(nm.keySet) &&
+          got.forall { case (id, st) =>
+            (om.get(id), nm.get(id)) match {
+              case (None, Some(_))            => st == "added"
+              case (Some(_), None)            => st == "removed"
+              case (Some(a), Some(b)) if a == b => st == "unchanged"
+              case (Some(_), Some(_))         => st == "changed"
+              case (None, None)               => false
+            }
+          }
+      }
+    }
+  }
 }
