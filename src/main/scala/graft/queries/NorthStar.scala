@@ -4159,6 +4159,96 @@ object NorthStar {
         CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
     },
 
+    // ----- n113: classifier calibration bins (reliability diagram) ------
+    // The eval every shipped quality classifier needs beyond n84's
+    // confusion matrix: is a 0.8 score actually right 80% of the time?
+    // Scores bucket into 10 confidence bins (floor(score·10), top bin
+    // closed) and each bin reports count, positives, the fixed-point
+    // confidence mass (Σ round(1e6·score) — exact BIGINT, so the mean
+    // confidence is one division away), and accuracy as one exact
+    // n_pos/n division. Scores are the n80 chain — bit-identical
+    // doubles cross-engine, so the bin boundaries cannot straddle.
+    // Scale shape: map-only scoring + ONE 10-row grouped aggregate.
+    QuerySpec(
+      "n113_calibration_bins",
+      s"""WITH z AS (SELECT doc_id, lang, $qualityZSql AS z FROM documents),
+         |sc AS (SELECT lang, ${qualityScoreSql("z")} AS score FROM z)
+         |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS conf_fp,
+         |  CAST(count(*) FILTER (lang = 'en') AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS acc
+         |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      val sc = t(s, d, "documents")
+        .select(col("lang"),
+          qualityScoreCol(qualityZCol).as("graft__score"))
+      sc.groupBy(
+        least(floor(col("graft__score") * 10).cast("long"), lit(9L))
+          .as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+          sum(round(col("graft__score") * 1000000.0).cast("long"))
+            .as("conf_fp"))
+        .select(col("bin"), col("n"), col("n_pos"), col("conf_fp"),
+          (col("n_pos").cast("double") / col("n").cast("double")).as("acc"))
+    },
+
+    // ----- n114: idf-weighted lexical retrieval (the BM25-ish leg) ------
+    // n111's lexical leg promoted to a first-class ranked retrieval:
+    // candidates score by Σ over SHARED 3-shingles of the shingle's
+    // corpus rarity, round(1e6·N/df) — the n31 exact-rational idf
+    // (no log: libm territory) on the 1e-6 grid so the per-doc score
+    // is an exact BIGINT sum. Scale shape: df is one vocab-sized
+    // two-level aggregate; the query's weighted shingles BROADCAST
+    // onto the corpus shingle stream (map-only probe), then one
+    // doc-keyed partial agg and TakeOrdered — corpus shingle text
+    // never enters an exchange.
+    QuerySpec(
+      "n114_lexical_topk",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        // three consumers (df agg, query weights, corpus probe) — the
+        // per-doc shingle explode runs once, not three times
+        val sh = docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)))
+            .as("graft__sh"))
+          .transform(graft.operators.Materialize.shared)
+        val df = sh.groupBy(col("graft__sh"))
+          .agg(count(lit(1)).as("graft__df"))
+        val nd = docs.agg(count(lit(1)).as("graft__n"))
+        val qw = sh.filter(col("doc_id") === 3).select(col("graft__sh"))
+          .join(df, Seq("graft__sh"))
+          .crossJoin(broadcast(nd))
+          .select(col("graft__sh"),
+            round(lit(1000000.0) *
+              (col("graft__n").cast("double") /
+                col("graft__df").cast("double")))
+              .cast("long").as("graft__w"))
+        sh.filter(col("doc_id") =!= 3)
+          .join(broadcast(qw), Seq("graft__sh"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("graft__w")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+    },
+
     // ----- n111: reciprocal-rank-fusion hybrid search --------------------
     // The RAG-stack retrieval shape (Cormack et al. 2009 RRF): a LEXICAL
     // ranking (shared 3-shingle count with the query document — the

@@ -783,6 +783,38 @@ class QueryPlansSpec extends SparkTestBase {
       s"top-k must be TakeOrdered:\n$plan")
   }
 
+  test("n107 exact-k sample: two-level top-k, no one-reducer-per-group window") {
+    val plan = finalPlan(q("n107_exact_k_sample"))
+    // both window levels must carry a partition spec (lang+salt / lang)
+    val windows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .mkString("\n")
+    assert(!windows.contains("Window [row_number() windowspecdefinition(ORDER"),
+      s"unpartitioned ranking window found:\n$windows")
+    assert(plan.contains("graft__salt") || plan.contains("pmod"),
+      s"local level must salt-bucket the group:\n$plan")
+  }
+
+  test("n108 hard negatives: anchors broadcast; label guard before ranking") {
+    val plan = finalPlan(q("n108_hard_negatives"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the anchor batch must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle-join the anchors:\n$plan")
+  }
+
+  test("n109 audio meta: synth+decode is map-only — zero exchanges") {
+    val plan = finalPlan(q("n109_audio_meta"))
+    assert(!plan.contains("Exchange"),
+      s"per-clip decode must not shuffle:\n$plan")
+  }
+
+  test("n112 matryoshka recall: every join broadcasts (metadata audit)") {
+    val plan = finalPlan(q("n112_matryoshka_recall"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"audit joins must broadcast:\n$plan")
+  }
+
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
     val plan = finalPlan(q("n101_balanced_shards"))
     assert(plan.contains("rangepartitioning"),
