@@ -52,12 +52,75 @@ object CorpusPipeline {
       // MinHashNearDup.stagedMaterializer to stage through the warehouse
       materialize: MinHashNearDup.Materializer = MinHashNearDup.cacheMaterializer)
 
+  /** Every stage's survivor/drop relations, shared by [[trainingSet]]
+    * (which packs the final pool) and [[dropProvenance]] (which labels
+    * every input doc with the FIRST rule that dropped it). One
+    * builder, so the two surfaces cannot drift. */
+  private final case class Stages(
+      tokenized: DataFrame,
+      dupDrops: DataFrame,
+      dropIds: DataFrame,
+      contaminated: DataFrame,
+      gated: DataFrame,
+      sampled: DataFrame)
+
   /** docs(doc_id, text, lang, source, …) + benchmark(doc_id, text, …) →
     * training set with (shard, pack) assignment. */
   def trainingSet(
       docs: DataFrame,
       benchmark: DataFrame,
       config: Config = Config()): DataFrame = {
+    val st = buildStages(docs, benchmark, config)
+
+    // 6. sequence packing: sharded running offsets (n38 shape) — each
+    //    shard packs independently, no global order
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st.sampled
+      .withColumn("shard", col("doc_id") % config.shards)
+      .withColumn("graft__cum", sum(col("graft__n_tok")).over(w))
+      .withColumn("pack",
+        ((col("graft__cum") - col("graft__n_tok")) / config.packTokens)
+          .cast("long"))
+      .drop("graft__cum", "graft__ws", "graft__md5")
+      .withColumnRenamed("graft__n_tok", "n_tokens")
+  }
+
+  /** Data-governance provenance: every input doc labeled with the
+    * FIRST pipeline rule that dropped it (`exact_dup` → `near_dup` →
+    * `contaminated` → `length_gate` → `sampled_out`) or `kept` — the
+    * audit trail behind n40's training set, from the SAME stage
+    * relations (one builder, no drift). Verdicts are id-keyed left
+    * joins of the drop lists (16-byte rows, AQE-broadcast when small);
+    * the priority chain is a per-row CASE. */
+  def dropProvenance(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      config: Config = Config()): DataFrame = {
+    val st = buildStages(docs, benchmark, config)
+    def mark(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id"), lit(true).as(name))
+    st.tokenized.select(col("doc_id"))
+      .join(mark(st.dupDrops, "graft__ex"), Seq("doc_id"), "left")
+      .join(mark(st.dropIds, "graft__nd"), Seq("doc_id"), "left")
+      .join(mark(st.contaminated, "graft__ct"), Seq("doc_id"), "left")
+      .join(mark(st.gated.select(col("doc_id")), "graft__gt"),
+        Seq("doc_id"), "left")
+      .join(mark(st.sampled.select(col("doc_id")), "graft__sm"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("graft__ex"), "exact_dup")
+          .when(col("graft__nd"), "near_dup")
+          .when(col("graft__ct"), "contaminated")
+          .when(col("graft__gt").isNull, "length_gate")
+          .when(col("graft__sm").isNull, "sampled_out")
+          .otherwise("kept").as("verdict"))
+  }
+
+  private def buildStages(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      config: Config): Stages = {
     val spark = docs.sparkSession
 
     // 0. the ONE corpus scan: tokens, token count and content hash
@@ -127,17 +190,6 @@ object CorpusPipeline {
     val sampled = gated.filter(
       TextOps.hexHash60(col("doc_id").cast("string")) % 10000 < keepExpr)
 
-    // 6. sequence packing: sharded running offsets (n38 shape) — each
-    //    shard packs independently, no global order
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled
-      .withColumn("shard", col("doc_id") % config.shards)
-      .withColumn("graft__cum", sum(col("graft__n_tok")).over(w))
-      .withColumn("pack",
-        ((col("graft__cum") - col("graft__n_tok")) / config.packTokens)
-          .cast("long"))
-      .drop("graft__cum", "graft__ws", "graft__md5")
-      .withColumnRenamed("graft__n_tok", "n_tokens")
+    Stages(tokenized, dupDrops, dropIds, contaminated, gated, sampled)
   }
 }

@@ -4159,6 +4159,92 @@ object NorthStar {
         CrossDupSpans.coverage(t(s, d, "documents"), "doc_id", "text", n = 5)
     },
 
+    // ----- n115: pipeline drop provenance (governance audit) ------------
+    // The audit trail behind n40's training set: every input doc
+    // labeled with the FIRST rule that dropped it (exact_dup →
+    // near_dup → contaminated → length_gate → sampled_out) or kept —
+    // what a data-governance review asks of any dedup/filter pipeline
+    // ("why is this document not in the corpus?"). Same stage builder
+    // as trainingSet (CorpusPipeline.buildStages — one builder, no
+    // drift); verdicts are id-keyed left joins of the 16-byte drop
+    // lists plus one per-row CASE. The oracle replays the n40 stage
+    // CTEs and spells the same priority chain.
+    QuerySpec(
+      "n115_drop_provenance",
+      s"""WITH RECURSIVE
+         |raw AS (SELECT doc_id, text, lang, source FROM documents
+         |        WHERE source <> 'src0'),
+         |bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |exdrop AS (SELECT doc_id FROM (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM raw) WHERE doc_id <> keep_id),
+         |ex AS (SELECT * FROM raw WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM ex),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    w || ' ' || lead(w, 1) OVER win3 || ' ' || lead(w, 2) OVER win3 AS shingle
+         |  FROM toks WINDOW win3 AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL),
+         |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT id_a, id_b FROM pair
+         |  JOIN shn ca ON ca.doc_id = id_a
+         |  JOIN shn cb ON cb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |nddrop AS (SELECT u AS doc_id FROM reach GROUP BY u
+         |           HAVING u <> least(u, min(v))),
+         |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+         |t5 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM nd),
+         |sh5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    w || ' ' || lead(w, 1) OVER win5 || ' ' || lead(w, 2) OVER win5
+         |      || ' ' || lead(w, 3) OVER win5 || ' ' || lead(w, 4) OVER win5 AS shingle
+         |  FROM t5 WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL),
+         |tb AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM bench),
+         |b5 AS (
+         |  SELECT DISTINCT
+         |    w || ' ' || lead(w, 1) OVER winb || ' ' || lead(w, 2) OVER winb
+         |      || ' ' || lead(w, 3) OVER winb || ' ' || lead(w, 4) OVER winb AS shingle
+         |  FROM tb WINDOW winb AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL),
+         |contam AS (SELECT DISTINCT doc_id FROM sh5
+         |           WHERE shingle IN (SELECT shingle FROM b5))
+         |SELECT r.doc_id,
+         |  CASE WHEN r.doc_id IN (SELECT doc_id FROM exdrop) THEN 'exact_dup'
+         |       WHEN r.doc_id IN (SELECT doc_id FROM nddrop) THEN 'near_dup'
+         |       WHEN r.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         |       WHEN CAST(len(string_split(r.text, ' ')) AS BIGINT)
+         |            NOT BETWEEN 40 AND 100000 THEN 'length_gate'
+         |       ELSE 'kept' END AS verdict
+         |FROM raw r""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.pipeline.CorpusPipeline.dropProvenance(
+        docs.filter(col("source") =!= "src0")
+          .select("doc_id", "text", "lang", "source"),
+        docs.filter(col("source") === "src0"),
+        graft.pipeline.CorpusPipeline.Config(minTokens = 40L))
+    },
+
     // ----- n113: classifier calibration bins (reliability diagram) ------
     // The eval every shipped quality classifier needs beyond n84's
     // confusion matrix: is a 0.8 score actually right 80% of the time?

@@ -7,7 +7,7 @@ class SparkEntrySpec extends SparkTestBase {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
-    assert(names.size >= 184) // registry-loss guard (round 10 shipped 184)
+    assert(names.size >= 185) // registry-loss guard (round 10 shipped 185)
   }
 
   test("oracle keys are a subset of query keys") {

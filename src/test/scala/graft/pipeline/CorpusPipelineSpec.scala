@@ -42,6 +42,32 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(byDoc(6L) === (0L, 0L))
   }
 
+  test("dropProvenance labels every doc with the FIRST dropping rule") {
+    import spark.implicits._
+    val base = text("w", 60)
+    val docs = Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "web"), // exact dup of 1
+      (3L, text("w", 59) + " zz", "en", "web"), // near dup of 1
+      (4L, "eval leak alpha beta gamma delta epsilon tail", "en", "web"),
+      (5L, "too short", "en", "web"),
+      (6L, text("u", 40), "de", "web"),
+      (7L, text("v", 40), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq(
+      (100L, "prefix eval leak alpha beta gamma suffix"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.dropProvenance(
+      docs, benchmark, CorpusPipeline.Config(minTokens = 5L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "contaminated", 5L -> "length_gate",
+      6L -> "kept", 7L -> "kept"))
+    // the verdict relation is total over the input: same ids in = out
+    assert(got.keySet === (1L to 7L).toSet)
+  }
+
   test("trainingSet: staged materializer (the 100 TB swap) matches the cached default") {
     import spark.implicits._
     val base = text("w", 60)
