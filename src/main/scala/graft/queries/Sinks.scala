@@ -512,5 +512,39 @@ object Sinks {
         .groupBy(col("o_orderstatus"), col("year"))
         .agg(sum(col("n_orders")).as("n_orders"),
           sum(col("total_cents")).as("total_cents"))
+    },
+
+    // ----- s27: retention vacuum (lifecycle / compliance) ----------------
+    // "Keep the last N days" as a PHYSICAL operation: the events fact
+    // lands partitioned by day, the vacuum deletes every partition
+    // directory older than the retention threshold (a metadata-sized
+    // directory walk — no data read, no tombstones on the read path),
+    // and the read-back proves exactly the retained days remain. The
+    // threshold is config in production; here it derives
+    // deterministically from the data (min day + 10) via a
+    // metadata-sized 1-row aggregate so the oracle can replay it.
+    QuerySpec(
+      "s27_retention_vacuum",
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |  count(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS DATE) >=
+        |  (SELECT min(CAST(ts AS DATE)) + INTERVAL 10 DAY FROM events)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val path = s"$base/s27_retention"
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"),
+          col("ts").cast("date").cast("string").as("event_date"))
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+      val keepFrom = ev
+        .agg(date_add(min(col("ts").cast("date")), 10).cast("string")
+          .as("graft__from"))
+        .head().getString(0)
+      Warehouse.retentionVacuum(s, path, "event_date", keepFrom)
+      // partition-column type inference reads the dir value back as a
+      // DATE; the report column is the ISO day string
+      s.read.parquet(path)
+        .groupBy(col("event_date").cast("string").as("event_date"))
+        .agg(count(lit(1)).as("n"))
     })
 }

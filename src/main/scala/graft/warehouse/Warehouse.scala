@@ -160,6 +160,32 @@ object Warehouse {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Retention vacuum over a partitioned parquet path: physically
+    * delete every partition directory whose `partitionCol` value sorts
+    * BELOW `keepFrom` (ISO dates compare correctly as strings) and
+    * return how many partitions were removed. This is the lifecycle
+    * op behind every data-retention policy ("keep 90 days"): the
+    * delete is a metadata-sized directory walk — no data is read, no
+    * job runs — and every later scan of the path is smaller by
+    * construction, with no tombstone filtering on the read path.
+    * Irreversible by design; production deployments snapshot first. */
+  def retentionVacuum(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      keepFrom: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0L
+    val prefix = s"$partitionCol="
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, value) => value < keepFrom }
+      .map { case (dir, _) => fs.delete(dir, true); 1L }
+      .sum
+  }
+
   /** S9: declarative CREATE TABLE ... USING PARQUET (create_tables.sql
     * semantics — schema-first, idempotent). */
   def createTable(

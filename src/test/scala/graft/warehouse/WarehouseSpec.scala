@@ -265,4 +265,24 @@ class WarehouseSpec extends SparkTestBase {
     assert(spark.read.parquet(zed).except(df).isEmpty &&
       df.except(spark.read.parquet(zed)).isEmpty)
   }
+
+  test("retentionVacuum deletes exactly the below-threshold partitions") {
+    import spark.implicits._
+    val path = "target/test_warehouse/retention"
+    val df = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"),
+      (4L, "2024-01-10"), (5L, "2024-01-11"))
+      .toDF("id", "day")
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+    val removed = Warehouse.retentionVacuum(spark, path, "day", "2024-01-03")
+    assert(removed === 2L) // 01 and 02; the boundary day itself is kept
+    val left = spark.read.parquet(path)
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(left === Set("2024-01-03", "2024-01-10", "2024-01-11"))
+    // idempotent: nothing below the threshold remains
+    assert(Warehouse.retentionVacuum(spark, path, "day", "2024-01-03") === 0L)
+    // total over a missing path
+    assert(Warehouse.retentionVacuum(spark, path + "_nope", "day", "x") === 0L)
+  }
 }
