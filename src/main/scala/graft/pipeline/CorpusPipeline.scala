@@ -100,21 +100,37 @@ object CorpusPipeline {
     val st = buildStages(docs, benchmark, config)
     def mark(df: DataFrame, name: String): DataFrame =
       df.select(col("doc_id"), lit(true).as(name))
-    st.tokenized.select(col("doc_id"))
+    // gate and sampling are ROW-LOCAL predicates on the tokenized
+    // relation (shared spellings: gatePass/sampleAdmit) — evaluating
+    // them inline instead of joining st.gated/st.sampled id sets keeps
+    // this to THREE drop-list joins; the naive spelling re-executed the
+    // whole decontamination chain once per downstream mark (7.1s vs
+    // ~3s at sf0.1 bench scale)
+    st.tokenized.select(col("doc_id"), col("lang"), col("graft__n_tok"))
       .join(mark(st.dupDrops, "graft__ex"), Seq("doc_id"), "left")
       .join(mark(st.dropIds, "graft__nd"), Seq("doc_id"), "left")
       .join(mark(st.contaminated, "graft__ct"), Seq("doc_id"), "left")
-      .join(mark(st.gated.select(col("doc_id")), "graft__gt"),
-        Seq("doc_id"), "left")
-      .join(mark(st.sampled.select(col("doc_id")), "graft__sm"),
-        Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("graft__ex"), "exact_dup")
           .when(col("graft__nd"), "near_dup")
           .when(col("graft__ct"), "contaminated")
-          .when(col("graft__gt").isNull, "length_gate")
-          .when(col("graft__sm").isNull, "sampled_out")
+          .when(!gatePass(config), "length_gate")
+          .when(!sampleAdmit(config), "sampled_out")
           .otherwise("kept").as("verdict"))
+  }
+
+  /** Row-local admission predicates shared by the stage chain and the
+    * provenance CASE — both read them from here so the spellings
+    * cannot drift. */
+  private def gatePass(config: Config) =
+    col("graft__n_tok").between(config.minTokens, config.maxTokens)
+
+  private def sampleAdmit(config: Config) = {
+    val keepExpr = config.sampleRatesPer10k
+      .foldLeft(lit(config.defaultRatePer10k)) { case (acc, (lang, rate)) =>
+        when(col("lang") === lang, lit(rate)).otherwise(acc)
+      }
+    TextOps.hexHash60(col("doc_id").cast("string")) % 10000 < keepExpr
   }
 
   private def buildStages(
@@ -178,17 +194,11 @@ object CorpusPipeline {
 
     // 4. quality gate: token-count bounds, already on the tokenized
     //    relation — no recompute
-    val gated = clean
-      .filter(col("graft__n_tok").between(config.minTokens, config.maxTokens))
+    val gated = clean.filter(gatePass(config))
 
     // 5. stratified sampling: per-lang keep thresholds over the same
     //    coordination-free md5 residue as n24/n32
-    val keepExpr = config.sampleRatesPer10k
-      .foldLeft(lit(config.defaultRatePer10k)) { case (acc, (lang, rate)) =>
-        when(col("lang") === lang, lit(rate)).otherwise(acc)
-      }
-    val sampled = gated.filter(
-      TextOps.hexHash60(col("doc_id").cast("string")) % 10000 < keepExpr)
+    val sampled = gated.filter(sampleAdmit(config))
 
     Stages(tokenized, dupDrops, dropIds, contaminated, gated, sampled)
   }
