@@ -4716,6 +4716,50 @@ object NorthStar {
         codebook = pqCodebook, subspaces = 4, k = 15)
     },
 
+    // ----- n116: two-stage retrieval (PQ shortlist → exact rerank) ------
+    // The production ANN serving path the n97/n112 audits measure FOR:
+    // the cheap coded index (n104's ADC) builds a top-50 shortlist,
+    // and only those 50 ids rejoin the vector table for an exact
+    // cosine rerank to the final top-10 — full-precision distance
+    // work bounded by the shortlist, never the corpus. Shortlist ids
+    // broadcast; the rerank is a broadcast equi-join + 50 fused-cosine
+    // rows + TakeOrdered. (Recall of the composite vs brute force is
+    // exactly what n97 audits; this query pins the PIPELINE.)
+    QuerySpec(
+      "n116_pq_rerank",
+      s"""WITH q AS (SELECT ${pqQvSql("embedding")} AS qv,
+         |             CAST(embedding AS DOUBLE[]) AS fv
+         |           FROM embeddings WHERE vec_id = 4),
+         |lut AS (SELECT ${(0 until 4).map(m =>
+                    s"${pqLutSql("qv", m * 16)} AS lut$m").mkString(", ")}
+         |        FROM q),
+         |c AS (SELECT vec_id, ${pqQvSql("embedding")} AS v,
+         |        CAST(embedding AS DOUBLE[]) AS fv
+         |      FROM embeddings WHERE vec_id <> 4),
+         |coded AS (SELECT vec_id, fv, ${(0 until 4).map(m =>
+                      s"${pqRankSql("v", m * 16)} AS c$m").mkString(", ")}
+         |          FROM c),
+         |short AS (SELECT vec_id, fv FROM (
+         |  SELECT vec_id, fv,
+         |    ${(0 until 4).map(m => s"lut$m[c$m + 1]").mkString(" + ")} AS score
+         |  FROM coded, lut
+         |  ORDER BY score DESC, vec_id LIMIT 50))
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(fv, (SELECT fv FROM q)), 6) AS sim
+         |FROM short
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") =!= 4)
+      val query = emb.filter(col("vec_id") === 4)
+      val shortlist = Similarity.pqAdc(
+        Similarity.pqCodes(corpus, "vec_id", "embedding", pqCodebook, 4),
+        "vec_id", query, "embedding", pqCodebook, 4, k = 50)
+        .select(col("vec_id"))
+      Similarity.topKCosine(
+        corpus.join(broadcast(shortlist), Seq("vec_id")),
+        "vec_id", "embedding", query, "embedding", k = 10)
+    },
+
     // ----- s26: PQ codes as WAREHOUSE LAYOUT (stored index serving) -----
     // n104 codes the corpus per query; at 100 TB the PQ index IS a
     // table — codes computed ONCE at build time and stored as a
