@@ -4716,6 +4716,108 @@ object NorthStar {
         codebook = pqCodebook, subspaces = 4, k = 15)
     },
 
+    // ----- n117: event-rate anomaly detection (trailing z-score) -------
+    // The ops-monitoring shape over the event stream: hourly rates per
+    // event type, a trailing-24h baseline via a RANGE frame ending at
+    // 1 PRECEDING (the current hour must not contaminate its own
+    // baseline), and a z-score from EXACT integer window sums
+    // (count/sum/sum-of-squares — associative BIGINT partials; the
+    // n34/n92 moments discipline). The z chain is division →
+    // subtraction → sqrt → division on exact inputs — every op IEEE
+    // correctly-rounded, so the score is bit-identical cross-engine
+    // with no quantization. Zero-variance and empty-baseline guards
+    // are INTEGER comparisons (exact), emitting NULL not NaN.
+    QuerySpec(
+      "n117_rate_anomaly",
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, n,
+        |    CAST(count(*) OVER fr AS BIGINT) AS cnt,
+        |    CAST(sum(n) OVER fr AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER fr AS BIGINT) AS s2
+        |  FROM h WINDOW fr AS (PARTITION BY event_type ORDER BY hr
+        |                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+        |  cnt AS baseline_hours,
+        |  CASE WHEN cnt > 0 AND cnt * s2 - s1 * s1 > 0
+        |       THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+        |            / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+        |                   / CAST(cnt * cnt AS DOUBLE))
+        |       END AS z
+        |FROM w""".stripMargin) { (s, d) =>
+      val h = t(s, d, "events")
+        .withColumn("graft__es", unix_timestamp(col("ts")))
+        .groupBy(col("event_type"), expr("graft__es div 3600").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val fr = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-24, -1)
+      val w = h.select(col("event_type"), col("hr"), col("n"),
+        count(lit(1)).over(fr).as("graft__cnt"),
+        sum(col("n")).over(fr).as("graft__s1"),
+        sum(col("n") * col("n")).over(fr).as("graft__s2"))
+      val varNum =
+        col("graft__cnt") * col("graft__s2") - col("graft__s1") * col("graft__s1")
+      w.select(col("event_type"), col("hr"), col("n"),
+        col("graft__cnt").as("baseline_hours"),
+        when(col("graft__cnt") > 0 && varNum > 0,
+          (col("n").cast("double") -
+            col("graft__s1").cast("double") / col("graft__cnt")) /
+            sqrt(varNum.cast("double") /
+              (col("graft__cnt") * col("graft__cnt")).cast("double")))
+          .as("z"))
+    },
+
+    // ----- n118: exact "more like this" document search -----------------
+    // Single-document similarity serving: given a query doc, the
+    // top-10 corpus docs by EXACT 3-shingle Jaccard. Distinct from
+    // n114's idf-sum ranking (set overlap vs rarity mass) and from the
+    // n3 pair sweep (one probe, not all-pairs): the query's distinct
+    // shingle set broadcasts onto the corpus shingle stream (map-only
+    // probe — the corpus never shuffles shingle text), intersection
+    // sizes come from one doc-keyed partial agg, and each Jaccard is
+    // the exact integer ratio i/(n_a + n_q - i) — bit-identical, no
+    // rounding (the n3 discipline). TakeOrdered top-10.
+    QuerySpec(
+      "n118_similar_docs",
+      s"""WITH $shingleCte,
+         |q AS (SELECT shingle FROM sh WHERE doc_id = 7),
+         |qn AS (SELECT n FROM shn WHERE doc_id = 7),
+         |i AS (SELECT sh.doc_id, count(*) AS i
+         |      FROM sh JOIN q USING (shingle)
+         |      WHERE sh.doc_id <> 7 GROUP BY 1)
+         |SELECT i.doc_id,
+         |  CAST(i AS DOUBLE) / (shn.n + (SELECT n FROM qn) - i) AS jaccard
+         |FROM i JOIN shn ON shn.doc_id = i.doc_id
+         |ORDER BY jaccard DESC, i.doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      // (an A/B with 64-bit-hashed shingles measured the same wall —
+      // the cost is the per-row shingle string construction every
+      // shingle-family query pays, not the sort/join — so the exact
+      // string spelling stays, collision-caveat-free)
+      val withSh = t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(
+            TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3))
+            .as("graft__shs"))
+        .withColumn("graft__ns", size(col("graft__shs")).cast("long"))
+      val q = withSh.filter(col("doc_id") === 7)
+        .select(explode(col("graft__shs")).as("graft__sh"),
+          col("graft__ns").as("graft__qn"))
+      withSh.filter(col("doc_id") =!= 7)
+        .select(col("doc_id"), col("graft__ns"),
+          explode(col("graft__shs")).as("graft__sh"))
+        .join(broadcast(q), Seq("graft__sh"))
+        .groupBy(col("doc_id"), col("graft__ns"), col("graft__qn"))
+        .agg(count(lit(1)).as("graft__i"))
+        .select(col("doc_id"),
+          (col("graft__i").cast("double") /
+            (col("graft__ns") + col("graft__qn") - col("graft__i")))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // ----- n116: two-stage retrieval (PQ shortlist → exact rerank) ------
     // The production ANN serving path the n97/n112 audits measure FOR:
     // the cheap coded index (n104's ADC) builds a top-50 shortlist,

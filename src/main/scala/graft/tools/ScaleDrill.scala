@@ -89,7 +89,8 @@ object ScaleDrill {
       "n107_exact_k_sample", "n108_hard_negatives", "s26_pq_layout",
       "n109_audio_meta", "n110_pagerank_step", "n111_rrf_fusion",
       "n112_matryoshka_recall", "n113_calibration_bins",
-      "n114_lexical_topk", "n115_drop_provenance", "n116_pq_rerank")
+      "n114_lexical_topk", "n115_drop_provenance", "n116_pq_rerank",
+      "n117_rate_anomaly", "n118_similar_docs")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")

@@ -7,7 +7,7 @@ class SparkEntrySpec extends SparkTestBase {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
-    assert(names.size >= 187) // registry-loss guard (round 10 shipped 187)
+    assert(names.size >= 189) // registry-loss guard (round 10 shipped 189)
   }
 
   test("oracle keys are a subset of query keys") {
