@@ -40,7 +40,8 @@ object AudioCodec {
     * cannot handle (wrong magic, compressed formats, truncated data —
     * a media lake's decode stage must be total over junk bytes). */
   def decode(bytes: Array[Byte]): Option[Pcm] = {
-    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+    if (bytes == null || bytes.length < 44 ||
+      tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
       return None
     var off = 12
     var rate = -1
@@ -51,7 +52,10 @@ object AudioCodec {
     while (off + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
       val id = tag(bytes, off)
       val len = le32(bytes, off + 4)
-      if (len < 0 || off + 8 + len > bytes.length) return None
+      // Long arithmetic: a corrupt len near Int.MaxValue would wrap the
+      // Int sum negative and slip past the bound check.
+      if (len < 0 || off.toLong + 8L + len.toLong > bytes.length.toLong)
+        return None
       id match {
         case "fmt " =>
           if (len < 16) return None

@@ -39,7 +39,8 @@ object ImageCodec {
     * anything that is not a well-formed P6 PPM or 24-bit BMP — the
     * caller decides the fallback policy for opaque payloads. */
   def decode(bytes: Array[Byte]): Option[RawImage] =
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    if (bytes == null) None
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
     else None
 

@@ -103,7 +103,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         val resized = ImageCodec.decode(bytes) match {
           case Some(img) => ImageCodec.encodePpm(ImageCodec.downsample(img, factor))
-          case None      => strideSample(bytes, factor)
+          case None      => if (bytes == null) null else strideSample(bytes, factor)
         }
         (id, resized)
       })

@@ -381,7 +381,11 @@ object EventStream {
         rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelRow] = {
       var s = if (st.exists()) st.get() else FunnelState(-1L, -1L)
-      val evs = rows.toArray.sortBy(e => tsMicros(e.ts))
+      // Tie-break equal timestamps by type (views before purchases):
+      // the batch twin counts a purchase with ts == first_view, so a
+      // same-ts pair must fold view-first regardless of arrival order.
+      val evs = rows.toArray.sortBy(e =>
+        (tsMicros(e.ts), if (e.event_type == "view") 0 else 1))
       evs.foreach { e =>
         val m = tsMicros(e.ts)
         e.event_type match {

@@ -178,10 +178,23 @@ object Warehouse {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0L
     val prefix = s"$partitionCol="
+    // Spark URI-escapes partition values on write (':' in timestamps,
+    // spaces, '%'); compare the UNESCAPED value or anything that
+    // escapes would sort wrong. Null partitions materialize as the
+    // Hive default-partition sentinel — they carry no date, so the
+    // retention predicate cannot classify them; keep them (a policy
+    // that drops nulls must say so explicitly, not by string luck).
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
-      .filter { case (_, value) => value < keepFrom }
+      .map { st =>
+        val raw = st.getPath.getName.stripPrefix(prefix)
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
+        (st.getPath, value)
+      }
+      .filter { case (_, value) =>
+        value != "__HIVE_DEFAULT_PARTITION__" && value < keepFrom
+      }
       .map { case (dir, _) => fs.delete(dir, true); 1L }
       .sum
   }

@@ -46,6 +46,24 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decode(adpcm).isEmpty)
   }
 
+  test("null payload and overflow-crafted chunk length decode to None") {
+    assert(AudioCodec.decode(null).isEmpty)
+    // chunk length near Int.MaxValue: off + 8 + len wraps negative in
+    // Int arithmetic and would slip past the bound check, then blow up
+    // in the sample copy — the Long-arithmetic check must reject it
+    val good = AudioCodec.encodePcm16Mono(8000, Array[Short](1, 2, 3, 4))
+    val crafted = good.clone()
+    val b = java.nio.ByteBuffer.wrap(crafted)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(16, Int.MaxValue - 4) // fmt chunk length
+    assert(AudioCodec.decode(crafted).isEmpty)
+    val crafted2 = good.clone()
+    val b2 = java.nio.ByteBuffer.wrap(crafted2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.putInt(40, Int.MaxValue - 4) // data chunk length
+    assert(AudioCodec.decode(crafted2).isEmpty)
+  }
+
   test("negative and max-magnitude samples survive the LE round trip") {
     val edge = Array.tabulate(256)(i => ((i * 257) - 32768).toShort)
     val pcm = AudioCodec.decode(AudioCodec.encodePcm16Mono(16000, edge)).get

@@ -92,4 +92,19 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(again === rows) // deterministic
   }
+
+  test("audioMeta and resize are total over null payload cells") {
+    import spark.implicits._
+    val wav = graft.operators.AudioCodec
+      .encodePcm16Mono(8000, Array[Short](100, -100))
+    val df = Seq((1L, wav), (2L, null: Array[Byte]))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.audioMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(meta === Map(1L -> false, 2L -> true),
+      "a null binary cell must yield the null stats row, not kill the stage")
+    val resized = Multimodal.resize(df, "payload", factor = 2).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(resized === Map(1L -> false, 2L -> true))
+  }
 }

@@ -519,7 +519,13 @@ class EventStreamSpec extends SparkTestBase {
       EventStream.FunnelEvent(1L, ts(50), "view"),
       EventStream.FunnelEvent(2L, ts(10), "view"),
       EventStream.FunnelEvent(3L, ts(20), "purchase"),
-      EventStream.FunnelEvent(4L, ts(40), "view"))
+      EventStream.FunnelEvent(4L, ts(40), "view"),
+      // user 5: purchase ARRIVES before its equal-ts view — the batch
+      // twin counts ts >= first_view, so the stream's fold must break
+      // the timestamp tie view-first (a stable ts-only sort would drop
+      // the purchase and break parity)
+      EventStream.FunnelEvent(5L, ts(80), "purchase"),
+      EventStream.FunnelEvent(5L, ts(80), "view"))
     val batch2 = Seq(
       EventStream.FunnelEvent(3L, ts(30), "view"),
       EventStream.FunnelEvent(4L, ts(60), "purchase"),
@@ -551,6 +557,8 @@ class EventStreamSpec extends SparkTestBase {
         "the earlier batch-2 purchase must supersede the batch-1 conversion")
       assert(batch(3L)._2 === None,
         "a purchase before any view must not convert")
+      assert(batch(5L)._2 === Some(ts(80)),
+        "an equal-ts purchase must convert regardless of arrival order")
     }
   }
 }

@@ -285,4 +285,23 @@ class WarehouseSpec extends SparkTestBase {
     // total over a missing path
     assert(Warehouse.retentionVacuum(spark, path + "_nope", "day", "x") === 0L)
   }
+
+  test("retentionVacuum unescapes partition values and keeps null partitions") {
+    import spark.implicits._
+    val path = "target/test_warehouse/retention_escaped"
+    // timestamp-shaped values: ':' is URI-escaped on write (%3A), so a
+    // raw directory-name comparison would sort the escaped form wrong
+    val df = Seq(
+      (1L, "2024-01-01 08:00"), (2L, "2024-01-02 09:30"),
+      (3L, "2024-01-05 10:00"), (4L, null: String))
+      .toDF("id", "ts_part")
+    df.write.mode("overwrite").partitionBy("ts_part").parquet(path)
+    val removed =
+      Warehouse.retentionVacuum(spark, path, "ts_part", "2024-01-03")
+    assert(removed === 2L) // the two January-early days; null survives
+    val left = spark.read.parquet(path)
+      .select(col("ts_part").cast("string"))
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(left === Set(Some("2024-01-05 10:00"), None))
+  }
 }
