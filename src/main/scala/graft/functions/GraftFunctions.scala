@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_cms(hash31, depth, width)                  → array<bigint>
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
   *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
+  *   graft_shingles(words, n)                         → array<string>
   */
 object GraftFunctions {
 
@@ -87,5 +88,10 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         BloomMightContain(args(0), args(1),
           intLit(args(2), "numBits"), intLit(args(3), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSetFromTokens].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        ShingleSetFromTokens(args(0), intLit(args(1), "n"))))
   }
 }

@@ -39,18 +39,27 @@ object TextOps {
       slice(ws, lit(2), size(ws) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
 
-  /** Word n-gram shingles (distinct, space-joined) from a pre-split
-    * token array column. Callers MUST project the token array into a
-    * named column first (`df.withColumn("ws", TextOps.tokens(...))`):
-    * expressions captured inside a higher-order-function lambda are
-    * re-evaluated per element, so passing `split(text)` directly here
-    * would re-split the document once per shingle — O(n²) per row.
-    *
-    * Documents shorter than n words get an empty set — the guard
-    * matters because `sequence(0, negative)` would descend, not return
-    * empty.
+  /** Word n-gram shingles (distinct, space-joined, first-occurrence
+    * order) from a token array column — one fused codegen'd pass per
+    * row ([[graft.functions.ShingleSetFromTokens]]). Documents shorter
+    * than n words, and null token arrays, yield an empty set (the
+    * coalesce preserves the legacy null fold).
     */
-  def shinglesFromTokens(ws: Column, n: Int): Column = {
+  def shinglesFromTokens(ws: Column, n: Int): Column =
+    coalesce(
+      call_function("graft_shingles", ws, lit(n)),
+      array().cast("array<string>"))
+
+  /** The original higher-order-function spelling of
+    * [[shinglesFromTokens]] — kept as the parity witness for the fused
+    * [[graft.functions.ShingleSetFromTokens]] expression that replaced
+    * it on the hot path (the HOF chain is CodegenFallback: interpreted
+    * lambda dispatch + a sliced array per shingle per row, then a
+    * second distinct pass — profiled as the wall of the whole shingle
+    * family). EngineLawsProps proves new ≡ old on adversarial token
+    * arrays; production call sites all route through
+    * [[shinglesFromTokens]]. */
+  private[graft] def shinglesFromTokensHof(ws: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))

@@ -243,6 +243,34 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("fused graft_shingles == HOF transform/concat_ws/array_distinct spelling") = {
+    // the fused expression replaced the CodegenFallback HOF chain on
+    // every shingle-family hot path — order (first occurrence), the
+    // skip-null concat_ws fold, multi-space empty tokens, unicode and
+    // the <n-token empty guard must all match bit-for-bit
+    val textGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("a"),
+      Gen.const("a b"),
+      Gen.const("a  b   c d"), // empty tokens from repeated spaces
+      Gen.const("x y x y x y x y"), // heavy duplication
+      Gen.const("héllo wörld ✓ héllo wörld ✓ tail"),
+      Gen.listOfN(12,
+        Gen.oneOf("a", "bb", "", "ccc", "d d")).map(_.mkString(" ")),
+      Gen.listOf(Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(6, textGen), Gen.choose(1, 4)) { (xs, n) =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+        .withColumn("ws", TextOps.tokens(col("t")))
+      val got = df.select(col("i"), TextOps.shinglesFromTokens(col("ws"), n).as("sh"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("i"), TextOps.shinglesFromTokensHof(col("ws"), n).as("sh"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      val nullIn = spark.sql("SELECT coalesce(graft_shingles(NULL, 2), array()) AS sh")
+        .collect().head.getSeq[String](0)
+      got == want && nullIn.isEmpty
+    }
+  }
+
   property("per-row simhash == explode+distinct+vote aggregate simhash") = {
     // duplicated words inside a doc exercise the per-row dedup (the
     // aggregate spelling distincts (doc, word) globally); tiny shared
