@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored inverted shingle index — the warehouse layout behind lexical
+  * retrieval serving (the s23/s26 discipline applied to the text side).
+  *
+  * The ad-hoc lexical queries (idf top-k, more-like-this, the RRF
+  * lexical leg) rebuild the corpus shingle stream per query; the
+  * measured wall of that family IS the per-row shingle build. At 100 TB
+  * the shingle relation is an INDEX: computed once at build time and
+  * stored, so a serving probe scans (doc_id, shingle, ns) — never the
+  * corpus text.
+  *
+  * Layout under `path`:
+  *  - `postings/` (doc_id, ns, shingle) partitioned by `bucket` =
+  *    pmod(hash60(shingle), buckets), each bucket sorted by shingle —
+  *    bucket dirs give catalog pruning for point-shingle probes, the
+  *    sort gives parquet row-group min/max pruning within a bucket, and
+  *    co-partitioned index↔index joins (bucket, shingle) never
+  *    shuffle the posting stream. `ns` (the doc's distinct-shingle
+  *    count) is denormalized onto each posting so Jaccard needs no
+  *    second table.
+  *  - `lexicon/` (shingle, df) same bucketing — the document-frequency
+  *    table idf ranking weighs by; derived from the STORED postings, so
+  *    the text is shingled exactly once per build.
+  *  - `meta/` one row (n_docs) — the corpus size the idf ratio needs
+  *    (counted over documents, not postings: docs shorter than the
+  *    shingle width have no postings but still count).
+  *
+  * Serving probes are index-only: the query doc's shingles come from
+  * the postings themselves (pushed doc_id filter), weights broadcast,
+  * and the corpus side is one doc-keyed partial aggregate + TakeOrdered
+  * — the n114/n118 shapes with the build amortized away. Plan-pinned
+  * (QueryPlansSpec): no scan in a probe plan reads a text column.
+  */
+object LexicalIndex {
+
+  /** Shingle the corpus ONCE and write the postings/lexicon/meta
+    * layout. The postings stream is repartitioned by bucket before the
+    * partitioned write so each task writes one bucket directory
+    * (no small-files fan-out) with shingle-sorted row groups. */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 3,
+      buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val post = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)
+          .as("graft__shs"))
+      .select(col("doc_id"),
+        size(col("graft__shs")).cast("long").as("ns"),
+        explode(col("graft__shs")).as("shingle"))
+      .withColumn("bucket",
+        pmod(TextOps.hexHash60(col("shingle")), lit(buckets.toLong)))
+    post
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("shingle"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // document frequency from the STORED postings — one groupBy over
+    // the narrow index, no second pass over text
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("bucket"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("shingle"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/lexicon")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The stored posting relation (doc_id, ns, shingle, bucket). */
+  def postings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/postings")
+
+  /** Exact-Jaccard "more like this" served FROM the index (the n118
+    * question): query shingles from a pushed doc_id filter on the
+    * postings, broadcast onto the posting stream, one doc-keyed
+    * partial agg, TakeOrdered. Text is never read. */
+  def moreLikeThis(
+      spark: SparkSession, path: String, queryDocId: Long, k: Int): DataFrame = {
+    val post = postings(spark, path)
+    val q = post.filter(col("doc_id") === queryDocId)
+      .select(col("shingle"), col("ns").as("graft__qn"))
+    post.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(q), Seq("shingle"))
+      .groupBy(col("doc_id"), col("ns"), col("graft__qn"))
+      .agg(count(lit(1)).as("graft__i"))
+      .select(col("doc_id"),
+        (col("graft__i").cast("double") /
+          (col("ns") + col("graft__qn") - col("graft__i"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact-rational idf-weighted retrieval served FROM the index (the
+    * n114 question): per-shingle weight round(1e6·N/df) from the stored
+    * lexicon + meta, query weights broadcast onto the posting stream,
+    * BIGINT score sum, TakeOrdered. The (bucket, shingle) join between
+    * query postings and lexicon is co-partitioned by construction. */
+  def lexicalTopK(
+      spark: SparkSession, path: String, queryDocId: Long, k: Int): DataFrame = {
+    val post = postings(spark, path)
+    val lex = spark.read.parquet(s"$path/lexicon")
+    val meta = spark.read.parquet(s"$path/meta")
+    val qw = post.filter(col("doc_id") === queryDocId)
+      .select(col("bucket"), col("shingle"))
+      .join(lex, Seq("bucket", "shingle"))
+      .crossJoin(broadcast(meta))
+      .select(col("shingle"),
+        round(lit(1000000.0) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+          .cast("long").as("graft__w"))
+    post.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qw), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("graft__w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

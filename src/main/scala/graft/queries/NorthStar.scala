@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, CrossDupSpans, Decontaminate, DedupClusters, ImportanceWeights, KMeans, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, CrossDupSpans, Decontaminate, DedupClusters, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -4918,5 +4918,58 @@ object NorthStar {
         t(s, d, "documents")
           .select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", nShards = 8)
+    },
+
+    // ----- s28: shingle index as WAREHOUSE LAYOUT (lexical serving) -----
+    // n118 shingles the corpus per query; at 100 TB the shingle
+    // relation IS a table — [[LexicalIndex.build]] writes it once as
+    // fp-bucketed, shingle-sorted postings (+ lexicon + meta), and the
+    // serving probe answers the SAME more-like-this question from the
+    // stored layout: query shingles via a pushed doc_id filter on the
+    // postings, broadcast, one doc-keyed agg, TakeOrdered. The s23/s26
+    // discipline applied to the lexical side; plan-pinned: no scan on
+    // the probe path reads a text column.
+    QuerySpec(
+      "s28_lexical_index",
+      s"""WITH $shingleCte,
+         |q AS (SELECT shingle FROM sh WHERE doc_id = 7),
+         |qn AS (SELECT n FROM shn WHERE doc_id = 7),
+         |i AS (SELECT sh.doc_id, count(*) AS i
+         |      FROM sh JOIN q USING (shingle)
+         |      WHERE sh.doc_id <> 7 GROUP BY 1)
+         |SELECT i.doc_id,
+         |  CAST(i AS DOUBLE) / (shn.n + (SELECT n FROM qn) - i) AS jaccard
+         |FROM i JOIN shn ON shn.doc_id = i.doc_id
+         |ORDER BY jaccard DESC, i.doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s28_lex"
+      LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
+      LexicalIndex.moreLikeThis(s, path, queryDocId = 7L, k = 10)
+    },
+
+    // ----- s29: idf retrieval served from the stored shingle index ------
+    // The n114 ranking answered INDEX-ONLY: per-shingle weights
+    // round(1e6·N/df) from the stored lexicon (df) + meta (N), query
+    // weights broadcast onto the stored postings, BIGINT score sum.
+    // The query-shingles↔lexicon join is co-partitioned (bucket,
+    // shingle) by construction — zero text reads, zero shingle builds
+    // at serve time.
+    QuerySpec(
+      "s29_lexical_serve",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s29_lex"
+      LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
+      LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     })
 }

@@ -32,6 +32,17 @@ class QueryPlansSpec extends SparkTestBase {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf)
 
+  /** Every file scan in an EXECUTED plan — scans hide below AQE
+    * query-stage leaves, so recurse through them. */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+    }.flatten
+
   override def withFixture(test: NoArgTest) =
     try super.withFixture(test)
     finally spark.catalog.clearCache()
@@ -378,15 +389,6 @@ class QueryPlansSpec extends SparkTestBase {
   test("s24 incremental agg: refresh reads summary groups + date-pruned delta only") {
     val df = q("s24_incremental_agg")
     df.collect()
-    // scans hide below AQE query-stage leaves — recurse through them
-    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allScans(qs.plan)
-      }.flatten
     val scans = allScans(df.queryExecution.executedPlan)
     // exactly two relations feed the refresh: the stored summary and
     // the delta slice of orders — and the delta's date cutoff must
@@ -813,6 +815,38 @@ class QueryPlansSpec extends SparkTestBase {
     val plan = finalPlan(q("n112_matryoshka_recall"))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"audit joins must broadcast:\n$plan")
+  }
+
+  test("s28 lexical index: probe path reads ONLY the index — no text anywhere, broadcast probe, TakeOrdered") {
+    val df = q("s28_lexical_index") // builds the index, returns the probe
+    val plan = finalPlan(df)
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "probe must scan the stored index")
+    scans.foreach { s =>
+      assert(!s.metadata("ReadSchema").contains("text"),
+        s"probe scan must never read text: ${s.metadata("ReadSchema")}")
+      assert(!s.metadata("Location").contains("documents"),
+        s"probe must read the index path, not the corpus: ${s.metadata("Location")}")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query shingles must broadcast onto the postings:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
+  test("s29 lexical serve: index-only idf ranking — no text scan, weights broadcast") {
+    val df = q("s29_lexical_serve")
+    val plan = finalPlan(df)
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(!s.metadata("ReadSchema").contains("text"),
+        s"serve scan must never read text: ${s.metadata("ReadSchema")}")
+      assert(!s.metadata("Location").contains("documents"),
+        s"serve must read the index path, not the corpus: ${s.metadata("Location")}")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query weights must broadcast onto the postings:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
