@@ -90,6 +90,17 @@ object NorthStar {
 
   private val shingleCte: String = shingleCteN(3)
 
+  /** One unrolled damped PageRank round (scale 1e6, d = 85/100, so
+    * (1−d)·scale = 150000) — the DuckDB twin of one [[PageRank.train]]
+    * iteration; `//` is BIGINT floor division, matching Spark `div`. */
+  private def prRoundCte(i: Int): String =
+    s"""m$i AS (SELECT e.v, CAST(sum(r.pr // dg.deg) AS BIGINT) AS mass
+       |      FROM e JOIN dg USING (u) JOIN r${i - 1} r ON r.id = e.u
+       |      GROUP BY 1),
+       |r$i AS (SELECT nodes.id,
+       |      CAST(150000 + (coalesce(m.mass, 0) * 85) // 100 AS BIGINT) AS pr
+       |      FROM nodes LEFT JOIN m$i m ON nodes.id = m.v)""".stripMargin
+
   /** CTE `dup(id_a, id_b, jaccard)`: exact-Jaccard pairs at/above the
     * threshold, over the `sh`/`shn` CTEs. */
   private def jaccardPairsCte(threshold: Double): String =
@@ -4495,6 +4506,97 @@ object NorthStar {
       val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       graft.operators.PageRank.step(sym, "u", "v")
+    },
+
+    // ----- n119: full multi-round PageRank (the n110 step iterated) -----
+    // Three damped power-iteration rounds over the same near-dup graph,
+    // driver-loop-controlled under IterationCheckpoint (a checkpoint
+    // fires mid-loop at round 2 — the oracle replays the WHOLE loop, so
+    // the gate proves checkpoint-invariance on real data, the n79/n83/
+    // n67 trainer discipline). All arithmetic is the step's exact
+    // BIGINT floor fixed-point, so three unrolled DuckDB rounds match
+    // bit-for-bit. Per-round cost is one edge↔rank equi-join + one
+    // grouped sum — edge-list-sized at any round count; the edge list,
+    // degrees and node universe are computed once and persisted.
+    QuerySpec(
+      "n119_pagerank_train",
+      s"""WITH dup AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a
+         |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+         |e AS (SELECT id_a AS u, id_b AS v FROM dup
+         |      UNION ALL SELECT id_b, id_a FROM dup),
+         |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${prRoundCte(1)},
+         |${prRoundCte(2)},
+         |${prRoundCte(3)}
+         |SELECT r3.id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg, r3.pr
+         |FROM r3 LEFT JOIN dg ON r3.id = dg.u""".stripMargin) { (s, d) =>
+      val pairs = Similarity.blockedNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label",
+        threshold = 0.4)
+      val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      graft.operators.PageRank.train(sym, "u", "v", rounds = 3)
+    },
+
+    // ----- n120: streaming-CMS parity (the sharded sketch, gated) -------
+    // The last parity-expressible streaming behavior brought under the
+    // oracle (the n68/n74/n106 recipe): EventStream.streamingCms is a
+    // plain sharded aggregation, so the SAME function applied to the
+    // batch frame IS the stream's final snapshot (micro-batch
+    // boundaries cannot matter — CMS cells are counts; EventStreamSpec
+    // proves the across-batches run bit-equal). This query certifies
+    // the two sketch laws on real data: (1) LINEARITY — the
+    // element-wise-merged shard sketches equal the one-pass global
+    // sketch bit-for-bit (`shard_parity`, exactly what a distributed
+    // stream relies on), and (2) the ESTIMATE bound — merged-sketch
+    // estimates dominate exact counts within depth·N/width slack
+    // (`cms_ok`, the n49 discipline; the oracle computes exact counts
+    // and pins both booleans true). Scale shape: one map-side-combined
+    // sharded agg; the merge touches shards·depth·width sketch cells,
+    // never data.
+    QuerySpec(
+      "n120_stream_cms_parity",
+      """SELECT tok, n_tok, true AS shard_parity, true AS cms_ok FROM (
+        |  SELECT tok, count(*) AS n_tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |ORDER BY n_tok DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
+      val (shards, depth, width) = (8, 4, 8192)
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .transform(graft.operators.Materialize.shared)
+      def h31(c: Column) = xxhash64(c).bitwiseAND(lit(0x7fffffffL))
+      val hashed = toks.select(h31(col("tok")).as("graft__h"))
+      val merged = EventStream
+        .streamingCms(hashed, "graft__h", shards, depth, width)
+        .select(posexplode(col("cms")).as(Seq("graft__pos", "graft__c")))
+        .groupBy(col("graft__pos"))
+        .agg(sum(col("graft__c")).as("graft__c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("graft__pos"), col("graft__c")))),
+          x => x.getField("graft__c")).as("graft__merged"))
+      val oneShot = hashed.agg(
+        expr(s"graft_cms(graft__h, $depth, $width)").as("graft__one"),
+        count(lit(1)).as("graft__n"))
+      val sk = merged.crossJoin(oneShot)
+      val estM = SketchAggregates.cmsEstimate(
+        col("graft__merged"), h31(col("tok")), depth, width)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+        .orderBy(col("n_tok").desc, col("tok"))
+        .limit(10)
+        .join(broadcast(sk))
+        .select(col("tok"), col("n_tok"),
+          (col("graft__merged") === col("graft__one")).as("shard_parity"),
+          (estM >= col("n_tok") &&
+            estM <= col("n_tok") + lit(depth.toLong) *
+              expr(s"graft__n div $width") + lit(depth.toLong))
+            .as("cms_ok"))
     },
 
     // ----- n109: audio-clip metadata (real WAV decode) -------------------
