@@ -19,6 +19,20 @@ object Bench {
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val fixedReps: Option[Int] =
       if (args.length > 1) Some(args(1).toInt) else None
+    // Per-query history from the PREVIOUS artifact (read before this
+    // run overwrites it) — the reference the end-of-run recheck ranks
+    // outliers against. Missing/unparseable history degrades to
+    // ranking by absolute value.
+    val history: Map[String, Double] = try {
+      val txt = Files.readString(Paths.get("BENCH.json"))
+      val i = txt.indexOf("\"queries\":{")
+      if (i < 0) Map.empty
+      else {
+        val body = txt.substring(i + 11, txt.indexOf('}', i))
+        "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     val spark = Sessions.local(appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -115,7 +129,34 @@ object Bench {
     val reps = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor":${fmt(floor)},"reps":$reps}"""
+    // Sustained-stretch anomaly recheck (r10 adjudication: a contiguous
+    // alphabetical stretch of 5 queries ran 3-40x inflated with TIGHT
+    // reps — value≈floor and small spreads, so the load-window fields
+    // above cannot flag it; only re-running later in the process can).
+    // Re-run the 5 worst value-vs-history outliers ONCE at the very end
+    // of the run and record both readings: a stretch anomaly shows
+    // main >> end in the artifact alone; a genuinely slow query shows
+    // main ≈ end.
+    val recheck: Seq[(String, Double, Double)] =
+      if (fixedReps.isEmpty) {
+        results
+          .map { case (k, v, _) =>
+            (k, v, v / math.max(history.getOrElse(k, v), 1e-3)) }
+          .sortBy { case (_, v, r) => (-r, -v) }
+          .take(5)
+          .map { case (k, v, _) =>
+            val t0 = System.nanoTime()
+            try run(k, SparkEntry.queries(k)) catch { case _: Throwable => () }
+            val dt = (System.nanoTime() - t0) / 1e9
+            sweep()
+            (k, v, dt)
+          }
+      } else Nil
+    val recheckJson = recheck
+      .map { case (k, main, end) =>
+        s"\"" + k + "\":{\"main\":" + fmt(main) + ",\"end\":" + fmt(end) + "}" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor":${fmt(floor)},"reps":$reps,"recheck":$recheckJson}"""
     println(json)
     // dev-filtered/rep runs must never masquerade as the driver
     // artifact — only the arg-less contract run writes the files
