@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
   *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
   *   graft_shingles(words, n)                         → array<string>
+  *   graft_pos_fps(words, n)                          → array<struct<p,fp>>
   */
 object GraftFunctions {
 
@@ -93,5 +94,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleSetFromTokens].getName, "graft_shingles"),
       (args: Seq[Expression]) =>
         ShingleSetFromTokens(args(0), intLit(args(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pos_fps"),
+      new ExpressionInfo(classOf[PositionalFingerprints].getName, "graft_pos_fps"),
+      (args: Seq[Expression]) =>
+        PositionalFingerprints(args(0), intLit(args(1), "n"))))
   }
 }

@@ -51,17 +51,24 @@ object CrossDupSpans {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("graft__ws"))
       .withColumn("graft__n", size(col("graft__ws")).cast("long"))
     val pf = base
-      .withColumn("graft__pf", expr(
-        s"""CASE WHEN graft__n >= $n THEN
-           |  transform(sequence(1L, graft__n - ${n - 1}),
-           |    p -> struct(p AS p, CAST(conv(substring(
-           |           md5(array_join(slice(graft__ws, CAST(p AS INT), $n), ' ')),
-           |           1, 15), 16, 10) AS BIGINT) AS fp))
-           |ELSE CAST(array() AS ARRAY<STRUCT<p: BIGINT, fp: BIGINT>>) END"""
-          .stripMargin))
+      .withColumn("graft__pf", expr(s"graft_pos_fps(graft__ws, $n)"))
       .select(col(idCol), col("graft__pf"))
     (base, Materialize.shared(pf))
   }
+
+  /** The original SQL spelling of the positional-fingerprint stage —
+    * kept as the parity witness for the fused codegen'd
+    * [[graft.functions.PositionalFingerprints]] that replaced it (the
+    * HOF chain is CodegenFallback and builds three strings per gram;
+    * EngineLawsProps proves the fused form bit-equal). */
+  private[graft] def posFpsHofSql(n: Int): String =
+    s"""CASE WHEN size(graft__ws) >= $n THEN
+       |  transform(sequence(1L, size(graft__ws) - ${n - 1}),
+       |    p -> struct(p AS p, CAST(conv(substring(
+       |           md5(array_join(slice(graft__ws, CAST(p AS INT), $n), ' ')),
+       |           1, 15), 16, 10) AS BIGINT) AS fp))
+       |ELSE CAST(array() AS ARRAY<STRUCT<p: BIGINT, fp: BIGINT>>) END"""
+      .stripMargin
 
   /** The exploded (doc, pos, fp) occurrence stream. */
   private def occurrences(pf: DataFrame, idCol: String): DataFrame =

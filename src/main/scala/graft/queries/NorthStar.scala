@@ -280,10 +280,9 @@ object NorthStar {
       .withColumn("graft__ws", TextOps.tokens(col("text")))
       .filter(size(col("graft__ws")) >= 6)
       .select(col("doc_id"),
-        transform(
-          sequence(lit(0), size(col("graft__ws")) - 3),
-          i => TextOps.hexHash60(
-            concat_ws(" ", slice(col("graft__ws"), i + lit(1), lit(3)))))
+        // fused positional 3-gram hash60 stream (one digest pass per
+        // row — law-tested parity with the concat_ws/slice spelling)
+        expr("transform(graft_pos_fps(graft__ws, 3), g -> g.fp)")
           .as("graft__hs"))
       .select(col("doc_id"),
         explode(array_distinct(
@@ -2330,13 +2329,11 @@ object NorthStar {
       graft.operators.Partitioning.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
         .withColumn("graft__n", size(col("graft__ws")).cast("long"))
-        .withColumn("graft__fps", expr(
-          """CASE WHEN graft__n >= 3 THEN
-            |  transform(sequence(1L, graft__n - 2),
-            |    i -> CAST(conv(substring(
-            |           md5(array_join(slice(graft__ws, CAST(i AS INT), 3), ' ')),
-            |           1, 15), 16, 10) AS BIGINT))
-            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+        // fused positional fingerprints (one digest pass per row, no
+        // per-gram string construction) — parity with the former
+        // conv/substring/md5 HOF spelling is law-tested
+        .withColumn("graft__fps",
+          expr("transform(graft_pos_fps(graft__ws, 3), g -> g.fp)"))
         .withColumn("graft__sorted", expr("array_sort(graft__fps)"))
         .withColumn("graft__dups", expr(
           // values appearing ≥2 times: keep sorted values equal to

@@ -271,6 +271,36 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("fused graft_pos_fps == conv/substring/md5 HOF spelling") = {
+    // the fused positional-fingerprint expression replaced the
+    // three-strings-per-gram SQL chain on the CrossDupSpans /
+    // winnowing map side — positions (1-based), the md5-prefix long,
+    // multi-space empty tokens, unicode and the <n guard must match
+    val textGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("a b c d"),
+      Gen.const("x  y   z w v"), // empty tokens from repeated spaces
+      Gen.const("héllo wörld ✓ tail one two"),
+      Gen.listOf(Gen.oneOf("w1", "w2", "", "a b")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(5, textGen), Gen.choose(2, 5)) { (xs, n) =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+        .withColumn("graft__ws", TextOps.tokens(col("t")))
+      val got = df.selectExpr("i", s"graft_pos_fps(graft__ws, $n) AS pf")
+        .selectExpr("i", "transform(pf, g -> struct(g.p, g.fp)) AS pf")
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(g => (g.getLong(0), g.getLong(1))))
+        .toMap
+      val want = df.selectExpr("i", CrossDupSpans.posFpsHofSql(n) + " AS pf")
+        .selectExpr("i", "transform(pf, g -> struct(g.p, g.fp)) AS pf")
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(g => (g.getLong(0), g.getLong(1))))
+        .toMap
+      got == want
+    }
+  }
+
   property("per-row simhash == explode+distinct+vote aggregate simhash") = {
     // duplicated words inside a doc exercise the per-row dedup (the
     // aggregate spelling distincts (doc, word) globally); tiny shared
