@@ -90,7 +90,11 @@ object ScaleDrill {
       "n109_audio_meta", "n110_pagerank_step", "n111_rrf_fusion",
       "n112_matryoshka_recall", "n113_calibration_bins",
       "n114_lexical_topk", "n115_drop_provenance", "n116_pq_rerank",
-      "n117_rate_anomaly", "n118_similar_docs")
+      "n117_rate_anomaly", "n118_similar_docs",
+      // round-11 additions: stored lexical index (build+serve), the
+      // PageRank training loop, the sharded-CMS parity certificate
+      "s28_lexical_index", "s29_lexical_serve",
+      "n119_pagerank_train", "n120_stream_cms_parity")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
