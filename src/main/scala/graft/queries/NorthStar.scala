@@ -5070,5 +5070,119 @@ object NorthStar {
       val path = "target/sinks/s29_lex"
       LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
       LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
+    // ----- s30: incremental refresh of the lexical index ----------------
+    // The s25 delta discipline applied to the text side: the index is
+    // built over 90% of the corpus, then refreshed with the remaining
+    // 10% — delta shingled map-only and appended into the bucket
+    // partitions, lexicon updated by a vocab-sized full-outer merge of
+    // stored df + delta partials, meta by adding the delta count. The
+    // indexed corpus is never re-shingled. The oracle computes the idf
+    // serving answer over the FULL corpus from scratch — refresh ≡
+    // full rebuild, proven on the serving answer itself.
+    QuerySpec(
+      "s30_lexical_refresh",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s30_lex"
+      val docs = t(s, d, "documents")
+      LexicalIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", path, n = 3)
+      LexicalIndex.refresh(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path, n = 3)
+      LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
+    // ----- n121: hybrid retrieval served ENTIRELY from stored indexes ---
+    // The n111 RRF fusion with both legs on their warehouse layouts —
+    // the serving stack the s23/s26/s28 layouts exist for: the lexical
+    // leg ranks by shared-shingle count from the STORED postings (s28),
+    // the vector leg by PQ-ADC score from the STORED codes table (s26).
+    // No corpus text is shingled and no full-precision vector is
+    // scored at query time (one query-row read each); fusion is the
+    // same rank-space Σ 1/(60+rank) — exact integer divisions, no
+    // calibration. Each leg is a top-20 cut; ids missing from one list
+    // contribute 0 from it.
+    QuerySpec(
+      "n121_hybrid_serve",
+      s"""WITH RECURSIVE $shingleCte,
+         |qsh AS (SELECT shingle FROM sh WHERE doc_id = 3),
+         |tr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT)
+         |           AS rt
+         |       FROM (SELECT sh.doc_id, count(*) AS c FROM sh
+         |             JOIN qsh USING (shingle)
+         |             WHERE sh.doc_id <> 3 GROUP BY 1)
+         |       QUALIFY rt <= 20),
+         |q AS (SELECT ${pqQvSql("embedding")} AS qv
+         |      FROM embeddings WHERE vec_id = 3),
+         |lut AS (SELECT ${(0 until 4).map(m =>
+                   s"${pqLutSql("qv", m * 16)} AS lut$m").mkString(", ")}
+         |        FROM q),
+         |c AS (SELECT vec_id, ${pqQvSql("embedding")} AS v
+         |      FROM embeddings WHERE vec_id <> 3),
+         |coded AS (SELECT vec_id, ${(0 until 4).map(m =>
+                     s"${pqRankSql("v", m * 16)} AS c$m").mkString(", ")}
+         |          FROM c),
+         |vr AS (SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (
+         |           ORDER BY ${(0 until 4).map(m => s"lut$m[c$m + 1]")
+                       .mkString(" + ")} DESC, vec_id) AS BIGINT) AS rv
+         |       FROM coded, lut
+         |       QUALIFY rv <= 20)
+         |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         |  CASE WHEN tr.rt IS NULL THEN CAST(0 AS DOUBLE)
+         |       ELSE 1.0 / (60 + tr.rt) END +
+         |  CASE WHEN vr.rv IS NULL THEN CAST(0 AS DOUBLE)
+         |       ELSE 1.0 / (60 + vr.rv) END AS rrf
+         |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val lexPath = "target/sinks/n121_lex"
+      val pqPath = "target/sinks/n121_pq"
+      LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", lexPath, n = 3)
+      val post = LexicalIndex.postings(s, lexPath)
+      val qsh = post.filter(col("doc_id") === 3).select(col("shingle"))
+      val textRank = post.filter(col("doc_id") =!= 3)
+        .join(broadcast(qsh), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("graft__c"))
+        .orderBy(col("graft__c").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"),
+          row_number().over(Window
+            .orderBy(col("graft__c").desc, col("doc_id")))
+            .cast("long").as("graft__rt"))
+      val emb = t(s, d, "embeddings")
+      Similarity.pqCodes(
+        emb.filter(col("vec_id") =!= 3), "vec_id", "embedding",
+        pqCodebook, 4)
+        .write.mode("overwrite").parquet(pqPath)
+      val vecRank = Similarity.pqAdc(
+        s.read.parquet(pqPath), "vec_id",
+        emb.filter(col("vec_id") === 3), "embedding",
+        pqCodebook, 4, k = 20)
+        .select(col("vec_id").as("doc_id"), col("score"))
+        .select(col("doc_id"),
+          row_number().over(Window
+            .orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("graft__rv"))
+      textRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (when(col("graft__rt").isNull, lit(0.0))
+            .otherwise(lit(1.0) / (lit(60L) + col("graft__rt"))) +
+            when(col("graft__rv").isNull, lit(0.0))
+              .otherwise(lit(1.0) / (lit(60L) + col("graft__rv"))))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     })
 }

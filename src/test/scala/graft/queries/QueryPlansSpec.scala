@@ -849,6 +849,23 @@ class QueryPlansSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
   }
 
+  test("n121 hybrid serve: both legs from stored layouts — no text scan, one query-row vector read") {
+    val df = q("n121_hybrid_serve") // builds both indexes, returns fusion
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(!s.metadata("ReadSchema").contains("text"),
+        s"serving must never shingle corpus text: ${s.metadata("ReadSchema")}")
+    }
+    // full-precision vectors may be read ONLY for the query row (the
+    // pushed vec_id filter) — the corpus side is the stored codes table
+    scans.filter(_.metadata("ReadSchema").contains("embedding")).foreach { s =>
+      assert(s.metadata("PushedFilters").contains("EqualTo(vec_id,3)"),
+        s"corpus vectors must not be scanned: ${s.metadata("PushedFilters")}")
+    }
+  }
+
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
     val plan = finalPlan(q("n101_balanced_shards"))
     assert(plan.contains("rangepartitioning"),
