@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
   *   graft_shingles(words, n)                         → array<string>
   *   graft_pos_fps(words, n)                          → array<struct<p,fp>>
+  *   graft_shingle_tfs(words, n)                      → array<struct<sh,tf>>
   */
 object GraftFunctions {
 
@@ -99,5 +100,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PositionalFingerprints].getName, "graft_pos_fps"),
       (args: Seq[Expression]) =>
         PositionalFingerprints(args(0), intLit(args(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_tfs"),
+      new ExpressionInfo(classOf[ShingleTfs].getName, "graft_shingle_tfs"),
+      (args: Seq[Expression]) =>
+        ShingleTfs(args(0), intLit(args(1), "n"))))
   }
 }

@@ -14,20 +14,22 @@ import org.apache.spark.sql.functions._
   * corpus text.
   *
   * Layout under `path`:
-  *  - `postings/` (doc_id, ns, shingle) partitioned by `bucket` =
-  *    pmod(hash60(shingle), buckets), each bucket sorted by shingle —
-  *    bucket dirs give catalog pruning for point-shingle probes, the
-  *    sort gives parquet row-group min/max pruning within a bucket, and
-  *    co-partitioned index↔index joins (bucket, shingle) never
-  *    shuffle the posting stream. `ns` (the doc's distinct-shingle
-  *    count) is denormalized onto each posting so Jaccard needs no
-  *    second table.
+  *  - `postings/` (doc_id, ns, dl, shingle, tf) partitioned by
+  *    `bucket` = pmod(hash60(shingle), buckets), each bucket sorted by
+  *    shingle — bucket dirs give catalog pruning for point-shingle
+  *    probes, the sort gives parquet row-group min/max pruning within
+  *    a bucket, and co-partitioned index↔index joins (bucket, shingle)
+  *    never shuffle the posting stream. Per-doc stats are denormalized
+  *    onto each posting so no probe needs a second doc table: `ns`
+  *    (distinct-gram count) serves Jaccard, `dl` (token length) and
+  *    `tf` (within-doc occurrences) serve BM25.
   *  - `lexicon/` (shingle, df) same bucketing — the document-frequency
   *    table idf ranking weighs by; derived from the STORED postings, so
   *    the text is shingled exactly once per build.
-  *  - `meta/` one row (n_docs) — the corpus size the idf ratio needs
-  *    (counted over documents, not postings: docs shorter than the
-  *    shingle width have no postings but still count).
+  *  - `meta/` one row (n_docs, n_tokens) — the corpus sizes the idf
+  *    ratio and the BM25 length normalization need (counted over
+  *    documents, not postings: docs shorter than the shingle width
+  *    have no postings but still count).
   *
   * Serving probes are index-only: the query doc's shingles come from
   * the postings themselves (pushed doc_id filter), weights broadcast,
@@ -41,6 +43,32 @@ object LexicalIndex {
     * layout. The postings stream is repartitioned by bucket before the
     * partitioned write so each task writes one bucket directory
     * (no small-files fan-out) with shingle-sorted row groups. */
+  /** One posting row per distinct (doc, gram): (doc_id, ns = the doc's
+    * distinct-gram count, dl = the doc's TOKEN length, shingle,
+    * tf = within-doc occurrence count, bucket). ns serves Jaccard, dl
+    * and tf serve BM25-style length/frequency normalization — all
+    * denormalized at build so no probe needs a second table beyond the
+    * lexicon. The fused graft_shingle_tfs expression emits the
+    * counted distinct set in one pass, so tf costs NO extra aggregate. */
+  private def postingProjection(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("graft__ws"))
+      .select(col("doc_id"),
+        size(col("graft__ws")).cast("long").as("dl"),
+        expr(s"graft_shingle_tfs(graft__ws, $n)").as("graft__ts"))
+      .select(col("doc_id"),
+        size(col("graft__ts")).cast("long").as("ns"),
+        col("dl"),
+        explode(col("graft__ts")).as("graft__g"))
+      .select(col("doc_id"), col("ns"), col("dl"),
+        col("graft__g.sh").as("shingle"),
+        col("graft__g.tf").as("tf"))
+      .withColumn("bucket",
+        pmod(TextOps.hexHash60(col("shingle")), lit(buckets.toLong)))
+
   def build(
       docs: DataFrame,
       idCol: String,
@@ -49,16 +77,7 @@ object LexicalIndex {
       n: Int = 3,
       buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
-    val post = docs
-      .select(col(idCol).as("doc_id"),
-        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)
-          .as("graft__shs"))
-      .select(col("doc_id"),
-        size(col("graft__shs")).cast("long").as("ns"),
-        explode(col("graft__shs")).as("shingle"))
-      .withColumn("bucket",
-        pmod(TextOps.hexHash60(col("shingle")), lit(buckets.toLong)))
-    post
+    postingProjection(docs, idCol, textCol, n, buckets)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("shingle"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -72,7 +91,9 @@ object LexicalIndex {
       .sortWithinPartitions(col("shingle"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/lexicon")
-    docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -101,15 +122,7 @@ object LexicalIndex {
       n: Int = 3,
       buckets: Int = 16): Unit = {
     val spark = delta.sparkSession
-    val dposts = delta
-      .select(col(idCol).as("doc_id"),
-        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)
-          .as("graft__shs"))
-      .select(col("doc_id"),
-        size(col("graft__shs")).cast("long").as("ns"),
-        explode(col("graft__shs")).as("shingle"))
-      .withColumn("bucket",
-        pmod(TextOps.hexHash60(col("shingle")), lit(buckets.toLong)))
+    val dposts = postingProjection(delta, idCol, textCol, n, buckets)
       .transform(Materialize.shared)
     dposts
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
@@ -130,8 +143,10 @@ object LexicalIndex {
     IterationCheckpoint.release(spark.sparkContext, lexIds)
     val (mergedMeta, metaIds, _) = IterationCheckpoint.localCounted(
       spark.read.parquet(s"$path/meta")
-        .crossJoin(delta.agg(count(lit(1)).as("graft__dn")))
-        .select((col("n_docs") + col("graft__dn")).as("n_docs")))
+        .crossJoin(delta.agg(count(lit(1)).as("graft__dn"),
+          sum(size(split(col(textCol), " ")).cast("long")).as("graft__dt")))
+        .select((col("n_docs") + col("graft__dn")).as("n_docs"),
+          (col("n_tokens") + col("graft__dt")).as("n_tokens")))
     mergedMeta.write.mode("overwrite").parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
   }
@@ -161,6 +176,54 @@ object LexicalIndex {
     * lexicon + meta, query weights broadcast onto the posting stream,
     * BIGINT score sum, TakeOrdered. The (bucket, shingle) join between
     * query postings and lexicon is co-partitioned by construction. */
+  /** BM25-shaped ranked retrieval served FROM the index: the n114
+    * exact-rational idf grid (w = round(1e6·N/df) — no log, the n31
+    * discipline) with the Robertson tf/length normalization at
+    * k1 = 1.2, b = 0.75. With T = corpus token count and N = doc
+    * count, the per-term score reduces to ONE rational:
+    *
+    *   term = w · (k1+1)·tf / (tf + k1·(1−b+b·dl·N/T))
+    *        = w · 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+    *
+    * evaluated as a fixed-order IEEE double chain (identical in
+    * DuckDB), rounded to a BIGINT on w's 1e6 grid, then summed
+    * EXACTLY per doc — so the doc score is order-independent and
+    * bit-identical cross-engine (the n34/n117 "identical IEEE chain +
+    * exact integer sum" discipline; a raw double sum would be
+    * partitioning-dependent). Probe shape: query terms → lexicon
+    * (co-partitioned) → broadcast weights onto the posting stream →
+    * one doc-keyed BIGINT sum → TakeOrdered. Index-only; tf and dl
+    * ride the postings, so no extra join. */
+  def bm25TopK(
+      spark: SparkSession, path: String, queryDocId: Long, k: Int): DataFrame = {
+    val post = postings(spark, path)
+    val lex = spark.read.parquet(s"$path/lexicon")
+    val meta = spark.read.parquet(s"$path/meta")
+    val qw = post.filter(col("doc_id") === queryDocId)
+      .select(col("bucket"), col("shingle"))
+      .join(lex, Seq("bucket", "shingle"))
+      .crossJoin(broadcast(meta))
+      .select(col("shingle"),
+        round(lit(1000000.0) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+          .cast("long").as("graft__w"),
+        col("n_docs"), col("n_tokens"))
+    post.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qw), Seq("shingle"))
+      .select(col("doc_id"),
+        round(
+          (col("graft__w").cast("double") * lit(22.0) *
+            col("n_tokens").cast("double") * col("tf").cast("double")) /
+            (lit(10L) * col("n_tokens") * col("tf") +
+              lit(3L) * col("n_tokens") +
+              lit(9L) * col("dl") * col("n_docs")).cast("double"))
+          .cast("long").as("graft__s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("graft__s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def lexicalTopK(
       spark: SparkSession, path: String, queryDocId: Long, k: Int): DataFrame = {
     val post = postings(spark, path)

@@ -5184,5 +5184,60 @@ object NorthStar {
               .otherwise(lit(1.0) / (lit(60L) + col("graft__rv"))))
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // ----- n122: BM25 ranked retrieval from the stored index ------------
+    // The production lexical scorer (Robertson & Zaragoza 2009) at
+    // k1 = 1.2, b = 0.75 over the n114 exact-rational idf grid (no
+    // log — the n31 discipline). With T = corpus tokens, N = docs, the
+    // per-term score collapses to ONE rational, w·22·T·tf /
+    // (10·T·tf + 3·T + 9·dl·N), evaluated as a fixed-order IEEE chain
+    // (bit-identical in DuckDB), rounded to BIGINT on w's 1e6 grid,
+    // then summed EXACTLY per doc — order-independent, so the grouped
+    // sum cannot depend on partitioning (a raw double sum would).
+    // Served index-only: tf and dl ride the stored postings
+    // (graft_shingle_tfs computes the counted distinct set in the
+    // same one fused pass — tf costs no extra aggregate at build).
+    QuerySpec(
+      "n122_bm25_topk",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |shnd AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |      AS shingle
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY shingle IS NOT NULL),
+        |tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+        |       FROM shnd GROUP BY 1, 2),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |meta AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tt
+        |         FROM documents),
+        |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |qw AS (SELECT tf.shingle,
+        |         CAST(round(1000000.0 * (CAST(nn AS DOUBLE)
+        |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+        |       FROM tf JOIN df USING (shingle) CROSS JOIN meta
+        |       WHERE tf.doc_id = 3),
+        |terms AS (SELECT tf.doc_id,
+        |    CAST(round((CAST(w AS DOUBLE) * 22.0 * CAST(tt AS DOUBLE)
+        |        * CAST(tf.tf AS DOUBLE))
+        |      / CAST(10 * tt * tf.tf + 3 * tt + 9 * dl.dl * nn AS DOUBLE))
+        |      AS BIGINT) AS s
+        |  FROM tf JOIN qw USING (shingle)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN meta
+        |  WHERE tf.doc_id <> 3)
+        |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score
+        |FROM terms GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""
+        .stripMargin) { (s, d) =>
+      val path = "target/sinks/n122_lex"
+      LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
+      LexicalIndex.bm25TopK(s, path, queryDocId = 3L, k = 10)
     })
 }

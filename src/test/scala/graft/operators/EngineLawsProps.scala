@@ -301,6 +301,30 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("graft_shingle_tfs: grams == graft_shingles, tfs sum to the gram count") = {
+    val textGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("a b a b a"),
+      Gen.const("x  y   x y"),
+      Gen.listOf(Gen.oneOf("w1", "w2", "w3")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(5, textGen), Gen.choose(1, 3)) { (xs, n) =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+        .withColumn("ws", TextOps.tokens(col("t")))
+      val rows = df.selectExpr("i", "size(ws) AS nt",
+        s"graft_shingle_tfs(ws, $n) AS ts", s"graft_shingles(ws, $n) AS sh")
+        .collect()
+      rows.forall { r =>
+        val nt = r.getInt(1)
+        val ts = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(g => (g.getString(0), g.getLong(1)))
+        val sh = r.getSeq[String](3)
+        ts.map(_._1) == sh && // same grams, same first-occurrence order
+          ts.map(_._2).sum == math.max(nt - n + 1, 0).toLong && // tf total
+          ts.forall(_._2 >= 1L)
+      }
+    }
+  }
+
   property("per-row simhash == explode+distinct+vote aggregate simhash") = {
     // duplicated words inside a doc exercise the per-row dedup (the
     // aggregate spelling distincts (doc, word) globally); tiny shared
