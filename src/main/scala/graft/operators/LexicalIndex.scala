@@ -97,9 +97,66 @@ object LexicalIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** The stored posting relation (doc_id, ns, shingle, bucket). */
+  /** The stored posting relation (doc_id, ns, dl, shingle, tf, bucket). */
   def postings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/postings")
+
+  /** Driver-side shingling of a LITERAL query string — the serving
+    * path's query side is plan-time constants, not a data scan. Same
+    * semantics as the engine expression (single-space split keeping
+    * empties, space-joined n-grams, first-occurrence distinct). */
+  private[graft] def literalShingles(text: String, n: Int): Seq[String] = {
+    val ws = text.split(" ", -1).toSeq
+    if (ws.length < n) Seq.empty
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" ")).distinct
+  }
+
+  /** The bucket a shingle lands in — same md5-prefix hash60 the build
+    * uses, evaluated driver-side on the literal. */
+  private[graft] def bucketOf(shingle: String, buckets: Int): Long = {
+    val h = graft.functions.SimHashSignature.hash60(
+      shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(h, buckets.toLong)
+  }
+
+  /** Point-probe serving for an ARBITRARY query text: the query is
+    * shingled driver-side (plan-time constants — the s23 probe-set
+    * argument: a serving path receives the query as a literal), its
+    * bucket set prunes the postings and lexicon scans AT THE CATALOG,
+    * and the shingle IN-list is pushed to the parquet reader, so the
+    * probe reads only the row groups that can match — this is the scan
+    * shape the fp-bucketed layout exists for. Ranking is the n114
+    * idf-sum (query tf = 1 per distinct shingle). Plan-pinned:
+    * PartitionFilters carries the bucket set, probe reads ≤ |query
+    * buckets| of the bucket partitions. */
+  def pointProbe(
+      spark: SparkSession,
+      path: String,
+      queryText: String,
+      k: Int,
+      n: Int = 3,
+      buckets: Int = 16): DataFrame = {
+    val qsh = literalShingles(queryText, n)
+    require(qsh.nonEmpty, s"query shorter than the shingle width: $queryText")
+    val qb = qsh.map(bucketOf(_, buckets)).distinct
+    val lex = spark.read.parquet(s"$path/lexicon")
+      .filter(col("bucket").isin(qb: _*))
+      .filter(col("shingle").isin(qsh: _*))
+    val meta = spark.read.parquet(s"$path/meta")
+    val qw = lex.crossJoin(broadcast(meta))
+      .select(col("shingle"),
+        round(lit(1000000.0) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+          .cast("long").as("graft__w"))
+    postings(spark, path)
+      .filter(col("bucket").isin(qb: _*))
+      .filter(col("shingle").isin(qsh: _*))
+      .join(broadcast(qw), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("graft__w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** Incremental refresh with a new document batch — the s25 delta
     * discipline applied to the text index. The delta is shingled

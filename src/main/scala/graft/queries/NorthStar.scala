@@ -90,6 +90,10 @@ object NorthStar {
 
   private val shingleCte: String = shingleCteN(3)
 
+  /** The s31 ad-hoc serving query — vocabulary phrases the corpus
+    * generator emits, so the probe has real hits at every SF. */
+  private val pointProbeQuery = "table scan merge part window small hash"
+
   /** One unrolled damped PageRank round (scale 1e6, d = 85/100, so
     * (1−d)·scale = 150000) — the DuckDB twin of one [[PageRank.train]]
     * iteration; `//` is BIGINT floor division, matching Spark `div`. */
@@ -5239,5 +5243,38 @@ object NorthStar {
       val path = "target/sinks/n122_lex"
       LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
       LexicalIndex.bm25TopK(s, path, queryDocId = 3L, k = 10)
+    },
+
+    // ----- s31: catalog-pruned point probe of the lexical index ---------
+    // The scan shape the fp-bucketed layout exists for: an ad-hoc
+    // query STRING arrives, is shingled driver-side (plan-time
+    // constants — the s23 probe-set argument), and its bucket set
+    // prunes the postings/lexicon scans at the CATALOG while the
+    // shingle IN-list reaches the parquet reader — the probe touches
+    // only the ≤|query shingles| bucket partitions and, within them,
+    // only row groups whose shingle range can match (the build sorts
+    // buckets by shingle for exactly this). Ranking is the n114
+    // idf-sum. Plan-pinned: PartitionFilters carries the bucket set,
+    // selectedPartitions ≤ |query buckets|.
+    QuerySpec(
+      "s31_lexical_point_probe",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |q AS (SELECT unnest([${LexicalIndex
+                  .literalShingles(pointProbeQuery, 3)
+                  .map(x => s"'$x'").mkString(", ")}]) AS shingle),
+         |qw AS (SELECT q.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM q JOIN df USING (shingle) CROSS JOIN nd)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/s31_lex"
+        LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
+        LexicalIndex.pointProbe(s, path, pointProbeQuery, k = 10)
     })
 }

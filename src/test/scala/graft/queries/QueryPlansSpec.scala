@@ -866,6 +866,23 @@ class QueryPlansSpec extends SparkTestBase {
     }
   }
 
+  test("s31 point probe: bucket set prunes partitions at the catalog, shingle IN pushed to the reader") {
+    val df = q("s31_lexical_point_probe")
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    // the query has 5 distinct shingles → at most 5 of 16 bucket dirs
+    val pruned = scans.filter(_.metadata("PartitionFilters").contains("bucket"))
+    assert(pruned.nonEmpty, s"no bucket-pruned scan:\n${scans.map(_.metadata)}")
+    pruned.foreach { p =>
+      assert(p.selectedPartitions.partitionCount <= 5,
+        s"probe must read only the query's buckets, read ${p.selectedPartitions.partitionCount}")
+      assert(p.metadata("PushedFilters").contains("In(shingle"),
+        s"shingle IN-list not pushed: ${p.metadata("PushedFilters")}")
+      assert(!p.metadata("ReadSchema").contains("text"))
+    }
+  }
+
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
     val plan = finalPlan(q("n101_balanced_shards"))
     assert(plan.contains("rangepartitioning"),
