@@ -5276,5 +5276,76 @@ object NorthStar {
         val path = "target/sinks/s31_lex"
         LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
         LexicalIndex.pointProbe(s, path, pointProbeQuery, k = 10)
+    },
+
+    // ----- s32: IVF-PQ composed layout (the production ANN shape) -------
+    // The FAISS-standard serving stack assembled from the repo's own
+    // stored-layout pieces (Jégou et al. 2011; s23 + s26 + n116): ONE
+    // stored table of (vec_id, PQ codes) partitioned by coarse IVF
+    // cell. A probe derives its cell set driver-side (pure arithmetic
+    // on centroid constants — the s23 argument), so the catalog prunes
+    // to nprobe of nlist partitions BEFORE any row is read; within the
+    // probed cells the cheap exact-BIGINT ADC builds a top-50
+    // shortlist (~64× narrower rows than raw vectors), and only those
+    // 50 ids rejoin the vector table for the exact cosine rerank to
+    // the final top-10. Compression AND pruning AND bounded
+    // full-precision work in one pipeline — each piece individually
+    // oracle-proven, here the COMPOSITION is. Plan-pinned:
+    // PartitionFilters carries the cell set (≤2 of ≤16 partitions),
+    // shortlist broadcasts, TakeOrdered.
+    QuerySpec(
+      "s32_ivfpq_layout",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS fv,
+         |             ${pqQvSql("embedding")} AS qv
+         |           FROM embeddings WHERE vec_id = 5),
+         |p AS (SELECT list_transform(${ivfRankSql("fv")}, s -> s.i)[1:2] AS ps
+         |      FROM q),
+         |lut AS (SELECT ${(0 until 4).map(m =>
+                    s"${pqLutSql("qv", m * 16)} AS lut$m").mkString(", ")}
+         |        FROM q),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell,
+         |        ${pqQvSql("embedding")} AS v
+         |      FROM embeddings WHERE vec_id <> 5),
+         |coded AS (SELECT vec_id, fv, ${(0 until 4).map(m =>
+                      s"${pqRankSql("v", m * 16)} AS c$m").mkString(", ")}
+         |          FROM c WHERE list_contains((SELECT ps FROM p), cell)),
+         |short AS (SELECT vec_id, fv FROM (
+         |  SELECT vec_id, fv,
+         |    ${(0 until 4).map(m => s"lut$m[c$m + 1]").mkString(" + ")} AS score
+         |  FROM coded, lut
+         |  ORDER BY score DESC, vec_id LIMIT 50))
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(fv, (SELECT fv FROM q)), 6) AS sim
+         |FROM short
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s32_ivfpq"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") =!= 5)
+      val query = emb.filter(col("vec_id") === 5)
+      // index build: PQ codes + coarse cell, ONE stored table
+      // partitioned by cell (codes ~64× narrower than vectors)
+      Similarity.pqCodes(corpus, "vec_id", "embedding", pqCodebook, 4)
+        .join(corpus.select(col("vec_id"),
+          Similarity.nearestCell(
+            Similarity.asDouble(col("embedding")), cents).as("cell")),
+          Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      // probe-cell set driver-side — same argmin, same tie-break as
+      // Similarity.nearestCell (the s23 discipline: the query vector
+      // is the API's input, the cell argmin is constant arithmetic)
+      val qv = query
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+      val probes = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.sorted.take(2).map(_._2)
+      val shortlist = Similarity.pqAdc(
+        s.read.parquet(path).filter(col("cell").isin(probes: _*)),
+        "vec_id", query, "embedding", pqCodebook, 4, k = 50)
+        .select(col("vec_id"))
+      Similarity.topKCosine(
+        corpus.join(broadcast(shortlist), Seq("vec_id")),
+        "vec_id", "embedding", query, "embedding", k = 10)
     })
 }

@@ -883,6 +883,20 @@ class QueryPlansSpec extends SparkTestBase {
     }
   }
 
+  test("s32 IVF-PQ: cell set prunes the codes table at the catalog, shortlist broadcasts, TakeOrdered") {
+    val df = q("s32_ivfpq_layout")
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    val pruned = scans.filter(_.metadata("PartitionFilters").contains("cell"))
+    assert(pruned.nonEmpty, s"no cell-pruned scan:\n${scans.map(_.metadata)}")
+    pruned.foreach(p => assert(p.selectedPartitions.partitionCount <= 2,
+      s"probe must read only nprobe cells, read ${p.selectedPartitions.partitionCount}"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 50-id shortlist must broadcast into the rerank:\n$plan")
+  }
+
   test("n101 balanced shards: range-partitioned rank, no global-order funnel") {
     val plan = finalPlan(q("n101_balanced_shards"))
     assert(plan.contains("rangepartitioning"),
