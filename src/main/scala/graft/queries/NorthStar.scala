@@ -134,6 +134,9 @@ object NorthStar {
     * family — constants both engines can replay). */
   private val pqCodebook: Seq[Seq[Int]] = Similarity.hyperplanes(16, 16)
 
+  /** The registry's shared PQ codebook, exposed for the serve drill. */
+  private[graft] def pqCodebookShared: Seq[Seq[Int]] = pqCodebook
+
   /** DuckDB 1e-3 integer quantization of an embedding column. */
   private def pqQvSql(e: String): String =
     s"list_transform(CAST($e AS DOUBLE[]), x -> CAST(floor(x * 1000) AS BIGINT))"
