@@ -91,10 +91,13 @@ object ScaleDrill {
       "n112_matryoshka_recall", "n113_calibration_bins",
       "n114_lexical_topk", "n115_drop_provenance", "n116_pq_rerank",
       "n117_rate_anomaly", "n118_similar_docs",
-      // round-11 additions: stored lexical index (build+serve), the
-      // PageRank training loop, the sharded-CMS parity certificate
-      "s28_lexical_index", "s29_lexical_serve",
-      "n119_pagerank_train", "n120_stream_cms_parity")
+      // round-11 additions: stored lexical index (build+serve+refresh+
+      // BM25+point probe), hybrid/IVF-PQ serving, the PageRank training
+      // loop, the sharded-CMS parity certificate
+      "s28_lexical_index", "s29_lexical_serve", "s30_lexical_refresh",
+      "s31_lexical_point_probe", "s32_ivfpq_layout",
+      "n119_pagerank_train", "n120_stream_cms_parity",
+      "n121_hybrid_serve", "n122_bm25_topk")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
