@@ -94,6 +94,8 @@ object LexicalIndex {
     docs
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .withColumn("buckets", lit(buckets.toLong))
+      .withColumn("shingle_n", lit(n.toLong))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -133,9 +135,14 @@ object LexicalIndex {
       spark: SparkSession,
       path: String,
       queryText: String,
-      k: Int,
-      n: Int = 3,
-      buckets: Int = 16): DataFrame = {
+      k: Int): DataFrame = {
+    // shingle width and bucket count are properties of the STORED
+    // layout — read them from meta (1 row, plan-time) rather than
+    // trusting caller parameters that would silently return empty or
+    // mis-pruned results on disagreement
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("shingle_n"), col("buckets")).head()
+    val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
     val qsh = literalShingles(queryText, n)
     require(qsh.nonEmpty, s"query shorter than the shingle width: $queryText")
     val qb = qsh.map(bucketOf(_, buckets)).distinct
@@ -175,10 +182,15 @@ object LexicalIndex {
       delta: DataFrame,
       idCol: String,
       textCol: String,
-      path: String,
-      n: Int = 3,
-      buckets: Int = 16): Unit = {
+      path: String): Unit = {
     val spark = delta.sparkSession
+    // the layout owns its shingle width and bucket count — caller-
+    // supplied values that disagreed with the build would scatter the
+    // delta into wrong directories or mix gram widths, silently
+    // corrupting every probe
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("shingle_n"), col("buckets")).head()
+    val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
     val dposts = postingProjection(delta, idCol, textCol, n, buckets)
       .transform(Materialize.shared)
     dposts
@@ -203,7 +215,8 @@ object LexicalIndex {
         .crossJoin(delta.agg(count(lit(1)).as("graft__dn"),
           sum(size(split(col(textCol), " ")).cast("long")).as("graft__dt")))
         .select((col("n_docs") + col("graft__dn")).as("n_docs"),
-          (col("n_tokens") + col("graft__dt")).as("n_tokens")))
+          (col("n_tokens") + col("graft__dt")).as("n_tokens"),
+          col("buckets"), col("shingle_n")))
     mergedMeta.write.mode("overwrite").parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
   }

@@ -5108,7 +5108,7 @@ object NorthStar {
       LexicalIndex.build(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", path, n = 3)
       LexicalIndex.refresh(
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path, n = 3)
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
       LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
