@@ -543,4 +543,70 @@ object Similarity {
       .groupBy((col("graft__pos") + 1).cast("long").as("dim"))
       .agg(sum(col("graft__q") * col("graft__s")).as("y"))
   }
+
+  /** Full power iteration for the DOMINANT direction of the corpus
+    * Gramian G = Σ_v v vᵀ — [[gramPowerStep]] iterated into a trainer
+    * (the n119/n79/n67 loop discipline): y_{t+1} = G·y_t computed as
+    * Σ_v v·(v·y_t) with the d×d matrix never materialized, then
+    * RESCALED by an arithmetic right-shift so the exact BIGINT
+    * arithmetic never overflows at any round count.
+    *
+    * Exactness: vectors quantize to the 1e-3 grid; y_t is BIGINT; the
+    * per-round shift is greatest(bitlen(max|y|) − 15, 0), computed
+    * WITH `length(bin(m))` (the n90 trick — no libm log), and applied
+    * with an arithmetic shift (floor semantics — identical for Spark's
+    * `shiftright` and DuckDB's `>>`, including negatives). Every round
+    * is therefore bit-reproducible and SQL-replayable; the oracle
+    * unrolls the whole loop. Post-shift |y| < 2^15, so per-row dots
+    * are ≤ 64·10³·2^15 ≈ 2e9 and the dim aggregate is safe to ~4e9
+    * rows per partition-free sum — far beyond any drill scale.
+    *
+    * Scale shape per round: y rides in as ONE broadcast d-row array;
+    * the dot and the per-dim contributions are map-only; the only
+    * exchange is the d-row dimension aggregate (map-side partials) and
+    * a 1-row max. The y frame is checkpointed every round (d rows) so
+    * plan depth stays constant. */
+  def powerIteration(
+      emb: DataFrame,
+      vecCol: String,
+      rounds: Int,
+      dim: Int = 64): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val spark = emb.sparkSession
+    val sc = spark.sparkContext
+    val qv = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(1000.0)).cast("long"))
+    val q = Materialize.shared(emb.select(qv.as("graft__qv")))
+    import spark.implicits._
+    var y = (1 to dim).map(d => (d.toLong, 1L)).toDF("dim", "y")
+    var held: scala.collection.Set[Int] = Set.empty
+    for (_ <- 1 to rounds) {
+      // the d-row state as ONE broadcast array ordered by dim
+      val yArr = y
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("y")))),
+          s => s.getField("y")).as("graft__y"))
+      val raw = q
+        .crossJoin(broadcast(yArr))
+        .select(col("graft__qv"),
+          aggregate(
+            zip_with(col("graft__qv"), col("graft__y"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("graft__dot"))
+        .select(posexplode(col("graft__qv"))
+          .as(Seq("graft__pos", "graft__q")), col("graft__dot"))
+        .groupBy((col("graft__pos") + 1).cast("long").as("dim"))
+        .agg(sum(col("graft__q") * col("graft__dot")).as("y"))
+      val shift = raw
+        .agg(greatest(
+          length(bin(max(abs(col("y"))))).cast("int") - lit(15),
+          lit(0)).as("graft__sh"))
+      val next = raw.crossJoin(broadcast(shift))
+        .select(col("dim"), expr("shiftright(y, graft__sh)").as("y"))
+      val (ck, ids, _) = IterationCheckpoint.localCounted(next)
+      IterationCheckpoint.release(sc, held)
+      y = ck
+      held = ids
+    }
+    y
+  }
 }

@@ -94,6 +94,18 @@ object NorthStar {
     * generator emits, so the probe has real hits at every SF. */
   private val pointProbeQuery = "table scan merge part window small hash"
 
+  /** One unrolled power-iteration round with the overflow rescale —
+    * the DuckDB twin of one [[Similarity.powerIteration]] round. */
+  private def piRoundCte(i: Int): String =
+    s"""d$i AS (SELECT e.vec_id, CAST(sum(e.q[y.dim] * y.y) AS BIGINT) AS dot
+       |      FROM e CROSS JOIN y${i - 1} y GROUP BY 1),
+       |r$i AS (SELECT dm.dim, CAST(sum(e.q[dm.dim] * d$i.dot) AS BIGINT) AS y
+       |      FROM e JOIN d$i USING (vec_id) CROSS JOIN dims dm GROUP BY 1),
+       |sh$i AS (SELECT greatest(length(bin(max(abs(y)))) - 15, 0) AS s
+       |      FROM r$i),
+       |y$i AS (SELECT dim, y >> (SELECT s FROM sh$i) AS y FROM r$i)"""
+      .stripMargin
+
   /** One unrolled damped PageRank round (scale 1e6, d = 85/100, so
     * (1−d)·scale = 150000) — the DuckDB twin of one [[PageRank.train]]
     * iteration; `//` is BIGINT floor division, matching Spark `div`. */
@@ -5350,5 +5362,35 @@ object NorthStar {
       Similarity.topKCosine(
         corpus.join(broadcast(shortlist), Seq("vec_id")),
         "vec_id", "embedding", query, "embedding", k = 10)
+    },
+
+    // ----- n123: full power iteration (the n98 step trained) ------------
+    // Dominant-direction extraction (PCA top component) as a complete
+    // training loop — the n119/n79/n67 discipline applied to the
+    // spectral family: three rounds of y ← G·y with the d×d Gramian
+    // never materialized, each round rescaled by an arithmetic
+    // right-shift sized from length(bin(max|y|)) (the n90 no-libm
+    // trick) so the exact BIGINT arithmetic never overflows at any
+    // round count or corpus size. Shift floor semantics are identical
+    // cross-engine (Spark shiftright ≡ DuckDB >>, negatives included);
+    // the oracle unrolls all three rounds including the shifts.
+    // Scale shape per round: the d-row state broadcasts as one array,
+    // dots and contributions are map-only, the only exchanges are a
+    // d-row aggregate and a 1-row max.
+    QuerySpec(
+      "n123_power_train",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dims AS (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT)
+         |           AS dim),
+         |y0 AS (SELECT dim, CAST(1 AS BIGINT) AS y FROM dims),
+         |${piRoundCte(1)},
+         |${piRoundCte(2)},
+         |${piRoundCte(3)}
+         |SELECT dim, y FROM y3""".stripMargin) { (s, d) =>
+      Similarity.powerIteration(t(s, d, "embeddings"), "embedding",
+        rounds = 3)
     })
 }

@@ -254,4 +254,32 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
     assert(run(1) === run(16), "pair set must not depend on salt buckets")
   }
+
+  test("powerIteration: round 1 == shifted gramPowerStep; partitioning-invariant; finds the dominant axis") {
+    import spark.implicits._
+    // corpus concentrated on dim 2 with noise on dim 4 — the dominant
+    // Gramian direction is axis 2
+    val vs = Seq(
+      Array(0.0f, 0.9f, 0.0f, 0.1f),
+      Array(0.0f, 0.8f, 0.0f, -0.2f),
+      Array(0.1f, 1.0f, 0.0f, 0.1f),
+      Array(0.0f, -0.9f, 0.1f, 0.0f)) // sign flips don't change G
+    val df = vs.map(Tuple1(_)).toDF("embedding")
+    val raw = Similarity.gramPowerStep(df, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = raw.values.map(math.abs).max
+    val sh = math.max(java.lang.Long.toBinaryString(m).length - 15, 0)
+    val one = Similarity.powerIteration(df, "embedding", rounds = 1, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === raw.map { case (k, v) => k -> (v >> sh) },
+      "round 1 must be gramPowerStep followed by the documented shift")
+    def run(parts: Int) = Similarity
+      .powerIteration(df.repartition(parts), "embedding", rounds = 3, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val y = run(1)
+    assert(y === run(3), "exact integers + deterministic shift ⇒ partition-invariant")
+    assert(math.abs(y(2L)) > 2 * math.abs(y(1L)) &&
+      math.abs(y(2L)) > 2 * math.abs(y(4L)),
+      s"three rounds must concentrate mass on the dominant axis: $y")
+  }
 }
