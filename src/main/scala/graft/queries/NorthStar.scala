@@ -5364,6 +5364,44 @@ object NorthStar {
         "vec_id", "embedding", query, "embedding", k = 10)
     },
 
+    // ----- n124: streaming index maintenance (multi-delta parity) -------
+    // The lexical index under CONTINUOUS ingest: the batch spelling of
+    // a foreachBatch-driven maintenance loop — build on the first
+    // batch, refresh on each subsequent micro-batch (two here), serve.
+    // Associativity of the merge (postings append, df partial sums,
+    // meta adds) makes batch boundaries invisible: the oracle computes
+    // the idf serving answer over the FULL corpus from scratch, so the
+    // gate proves build∘refresh∘refresh ≡ rebuild on the serving
+    // answer — and StreamingIndexSpec drives the SAME maintenance
+    // through a real MemoryStream/foreachBatch query (the n68/n106
+    // stream≡batch recipe applied to warehouse maintenance).
+    QuerySpec(
+      "n124_stream_index_parity",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/n124_lex"
+        val docs = t(s, d, "documents")
+        LexicalIndex.build(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path, n = 3)
+        LexicalIndex.refresh(
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+        LexicalIndex.refresh(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path)
+        LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
     // ----- n123: full power iteration (the n98 step trained) ------------
     // Dominant-direction extraction (PCA top component) as a complete
     // training loop — the n119/n79/n67 discipline applied to the

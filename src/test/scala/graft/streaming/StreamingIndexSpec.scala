@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.LexicalIndex
+
+/** Streaming maintenance of the stored lexical index: a real
+  * foreachBatch query drives build-then-refresh over micro-batches,
+  * and the final index must serve the SAME answers as a one-shot
+  * batch build over the union corpus — the stream≡batch discipline
+  * applied to warehouse maintenance (n124 gates the batch spelling of
+  * this loop against DuckDB; this spec drives the actual stream). */
+class StreamingIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("foreachBatch build+refresh over micro-batches == one-shot batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val streamed = "target/test_streamidx/streamed"
+    val oneShot = "target/test_streamidx/oneshot"
+    val b1 = Seq((1L, "a b c a b"), (2L, "a b x"))
+    val b2 = Seq((3L, "b c y a b"), (4L, "b c b c"))
+    val b3 = Seq((5L, "x y z a b c"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L)
+          LexicalIndex.build(batch, "doc_id", "text", streamed, n = 2,
+            buckets = 4)
+        else
+          LexicalIndex.refresh(batch, "doc_id", "text", streamed)
+      }
+      .option("checkpointLocation", "target/test_streamidx/ckpt")
+      .start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    LexicalIndex.build((b1 ++ b2 ++ b3).toDF("doc_id", "text"),
+      "doc_id", "text", oneShot, n = 2, buckets = 4)
+
+    def serve(path: String) = Seq(
+      LexicalIndex.lexicalTopK(spark, path, queryDocId = 1L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      LexicalIndex.moreLikeThis(spark, path, queryDocId = 1L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      LexicalIndex.bm25TopK(spark, path, queryDocId = 1L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      LexicalIndex.pointProbe(spark, path, "a b c", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(serve(streamed) === serve(oneShot),
+      "every serving path must be blind to micro-batch boundaries")
+    // and the stored stats converge too, not just the ranked answers
+    val metaS = spark.read.parquet(s"$streamed/meta")
+      .select("n_docs", "n_tokens").collect().head
+    val metaB = spark.read.parquet(s"$oneShot/meta")
+      .select("n_docs", "n_tokens").collect().head
+    assert(metaS === metaB)
+  }
+}
