@@ -103,6 +103,26 @@ object LexicalIndex {
   def postings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/postings")
 
+  /** The LOGICAL document-frequency table: refresh appends delta df
+    * generations LSM-style (never rewrites the stored table), so the
+    * physical relation holds ≤ #generations rows per (bucket, shingle)
+    * and reads fold them with one sum. [[compact]] collapses
+    * generations back to one. */
+  def lexicon(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/lexicon")
+      .groupBy(col("bucket"), col("shingle"))
+      .agg(sum(col("df")).as("df"))
+
+  /** The LOGICAL meta row (n_docs, n_tokens, buckets, shingle_n):
+    * counters sum across generations; the layout constants are
+    * identical in every generation row. */
+  def metaRow(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("buckets")).as("buckets"),
+        max(col("shingle_n")).as("shingle_n"))
+
   /** Driver-side shingling of a LITERAL query string — the serving
     * path's query side is plan-time constants, not a data scan. Same
     * semantics as the engine expression (single-space split keeping
@@ -140,17 +160,20 @@ object LexicalIndex {
     // layout — read them from meta (1 row, plan-time) rather than
     // trusting caller parameters that would silently return empty or
     // mis-pruned results on disagreement
-    val m = spark.read.parquet(s"$path/meta")
+    val m = metaRow(spark, path)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
     val qsh = literalShingles(queryText, n)
     require(qsh.nonEmpty, s"query shorter than the shingle width: $queryText")
     val qb = qsh.map(bucketOf(_, buckets)).distinct
+    // filter BELOW the generation fold so the bucket set prunes at the
+    // catalog and the shingle IN-list reaches the reader
     val lex = spark.read.parquet(s"$path/lexicon")
       .filter(col("bucket").isin(qb: _*))
       .filter(col("shingle").isin(qsh: _*))
-    val meta = spark.read.parquet(s"$path/meta")
-    val qw = lex.crossJoin(broadcast(meta))
+      .groupBy(col("bucket"), col("shingle"))
+      .agg(sum(col("df")).as("df"))
+    val qw = lex.crossJoin(broadcast(metaRow(spark, path)))
       .select(col("shingle"),
         round(lit(1000000.0) *
           (col("n_docs").cast("double") / col("df").cast("double")))
@@ -166,18 +189,18 @@ object LexicalIndex {
   }
 
   /** Incremental refresh with a new document batch — the s25 delta
-    * discipline applied to the text index. The delta is shingled
-    * map-only and APPENDED into the bucket partitions; the lexicon is
-    * updated by a full-outer merge of the STORED df table with the
-    * delta's df partials, and meta by adding the delta doc count — the
-    * indexed corpus is never re-shingled or rescanned (delta-sized
-    * work plus one vocab-sized merge). The merged lexicon/meta frames
-    * are checkpointed before the overwrite (a parquet path cannot be
-    * overwritten while a live plan still reads it); a production
-    * deployment would write a new generation and swap — the merge
-    * arithmetic is the same. Refresh ≡ full rebuild is oracle-proven
-    * (s30: the idf serving answer from the refreshed index equals the
-    * from-scratch answer over the union corpus). */
+    * discipline applied to the text index, LSM-style: the delta is
+    * shingled map-only and APPENDED into the posting bucket
+    * partitions, its df partials are appended as a new lexicon
+    * GENERATION, and a new meta generation row records the delta
+    * counts. Nothing stored is rewritten — refresh does delta-sized
+    * work only (the 100 TB incremental contract); reads fold
+    * generations with one tiny sum ([[lexicon]]/[[metaRow]]) and
+    * [[compact]] collapses them when the generation count matters.
+    * Merge associativity (append ∪ sum) means any batch decomposition
+    * serves identically — oracle-proven (s30 single delta, n124
+    * multi-delta: the serving answer from the refreshed index equals
+    * the from-scratch rebuild over the union corpus). */
   def refresh(
       delta: DataFrame,
       idCol: String,
@@ -188,7 +211,7 @@ object LexicalIndex {
     // supplied values that disagreed with the build would scatter the
     // delta into wrong directories or mix gram widths, silently
     // corrupting every probe
-    val m = spark.read.parquet(s"$path/meta")
+    val m = metaRow(spark, path)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
     val dposts = postingProjection(delta, idCol, textCol, n, buckets)
@@ -197,27 +220,35 @@ object LexicalIndex {
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
-    val deltaDf = dposts.groupBy(col("bucket"), col("shingle"))
-      .agg(count(lit(1)).as("graft__ddf"))
-    val (mergedLex, lexIds, _) = IterationCheckpoint.localCounted(
-      spark.read.parquet(s"$path/lexicon")
-        .join(deltaDf, Seq("bucket", "shingle"), "full_outer")
-        .select(col("bucket"), col("shingle"),
-          (coalesce(col("df"), lit(0L)) +
-            coalesce(col("graft__ddf"), lit(0L))).as("df")))
-    mergedLex
+    dposts.groupBy(col("bucket"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/lexicon")
+    delta
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .withColumn("buckets", lit(buckets.toLong))
+      .withColumn("shingle_n", lit(n.toLong))
+      .write.mode("append").parquet(s"$path/meta")
+  }
+
+  /** Fold accumulated lexicon/meta generations back to one — the
+    * compaction half of the LSM contract (run when the generation
+    * count starts to matter; probes are correct either way). The
+    * folded frames are checkpointed before the overwrite (a parquet
+    * path cannot be overwritten while a live plan reads it). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (lex, lexIds, _) = IterationCheckpoint.localCounted(
+      lexicon(spark, path))
+    lex
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/lexicon")
     IterationCheckpoint.release(spark.sparkContext, lexIds)
-    val (mergedMeta, metaIds, _) = IterationCheckpoint.localCounted(
-      spark.read.parquet(s"$path/meta")
-        .crossJoin(delta.agg(count(lit(1)).as("graft__dn"),
-          sum(size(split(col(textCol), " ")).cast("long")).as("graft__dt")))
-        .select((col("n_docs") + col("graft__dn")).as("n_docs"),
-          (col("n_tokens") + col("graft__dt")).as("n_tokens"),
-          col("buckets"), col("shingle_n")))
-    mergedMeta.write.mode("overwrite").parquet(s"$path/meta")
+    val (meta, metaIds, _) = IterationCheckpoint.localCounted(
+      metaRow(spark, path))
+    meta.write.mode("overwrite").parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
   }
 
@@ -267,8 +298,8 @@ object LexicalIndex {
   def bm25TopK(
       spark: SparkSession, path: String, queryDocId: Long, k: Int): DataFrame = {
     val post = postings(spark, path)
-    val lex = spark.read.parquet(s"$path/lexicon")
-    val meta = spark.read.parquet(s"$path/meta")
+    val lex = lexicon(spark, path)
+    val meta = metaRow(spark, path)
     val qw = post.filter(col("doc_id") === queryDocId)
       .select(col("bucket"), col("shingle"))
       .join(lex, Seq("bucket", "shingle"))
@@ -297,8 +328,8 @@ object LexicalIndex {
   def lexicalTopK(
       spark: SparkSession, path: String, queryDocId: Long, k: Int): DataFrame = {
     val post = postings(spark, path)
-    val lex = spark.read.parquet(s"$path/lexicon")
-    val meta = spark.read.parquet(s"$path/meta")
+    val lex = lexicon(spark, path)
+    val meta = metaRow(spark, path)
     val qw = post.filter(col("doc_id") === queryDocId)
       .select(col("bucket"), col("shingle"))
       .join(lex, Seq("bucket", "shingle"))

@@ -97,7 +97,8 @@ object ScaleDrill {
       "s28_lexical_index", "s29_lexical_serve", "s30_lexical_refresh",
       "s31_lexical_point_probe", "s32_ivfpq_layout",
       "n119_pagerank_train", "n120_stream_cms_parity",
-      "n121_hybrid_serve", "n122_bm25_topk")
+      "n121_hybrid_serve", "n122_bm25_topk",
+      "n123_power_train", "n124_stream_index_parity")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")

@@ -55,13 +55,24 @@ class LexicalIndexSpec extends SparkTestBase {
     def posts(p: String) = LexicalIndex.postings(spark, p)
       .select("doc_id", "ns", "dl", "shingle", "tf", "bucket")
       .collect().map(_.toSeq).toSet
-    def lexi(p: String) = spark.read.parquet(s"$p/lexicon")
+    def lexi(p: String) = LexicalIndex.lexicon(spark, p)
       .select("shingle", "df").collect().map(_.toSeq).toSet
-    def meta(p: String) = spark.read.parquet(s"$p/meta")
+    def meta(p: String) = LexicalIndex.metaRow(spark, p)
       .select("n_docs", "n_tokens").collect().map(_.toSeq).toSet
     assert(posts(inc) === posts(full))
     assert(lexi(inc) === lexi(full))
     assert(meta(inc) === meta(full))
+    // the refresh appended a generation (LSM) — compaction folds it
+    // back to one without changing the logical relations
+    assert(spark.read.parquet(s"$inc/meta").count() === 2L)
+    LexicalIndex.compact(spark, inc)
+    assert(spark.read.parquet(s"$inc/meta").count() === 1L)
+    assert(posts(inc) === posts(full))
+    assert(lexi(inc) === lexi(full))
+    assert(meta(inc) === meta(full))
+    val lexRows = spark.read.parquet(s"$inc/lexicon").count()
+    assert(lexRows === lexi(full).size.toLong,
+      "compacted lexicon must hold exactly one row per shingle")
   }
 
   test("literalShingles and bucketOf match the engine spellings exactly") {

@@ -17,6 +17,10 @@ class StreamingIndexSpec extends SparkTestBase {
 
   test("foreachBatch build+refresh over micro-batches == one-shot batch build") {
     implicit val sqlCtx = spark.sqlContext
+    // MemoryStream offsets are session-local — a stale checkpoint from
+    // a previous JVM cannot resume and fails the query; start clean
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/test_streamidx"))
     val streamed = "target/test_streamidx/streamed"
     val oneShot = "target/test_streamidx/oneshot"
     val b1 = Seq((1L, "a b c a b"), (2L, "a b x"))
@@ -53,9 +57,9 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(serve(streamed) === serve(oneShot),
       "every serving path must be blind to micro-batch boundaries")
     // and the stored stats converge too, not just the ranked answers
-    val metaS = spark.read.parquet(s"$streamed/meta")
+    val metaS = LexicalIndex.metaRow(spark, streamed)
       .select("n_docs", "n_tokens").collect().head
-    val metaB = spark.read.parquet(s"$oneShot/meta")
+    val metaB = LexicalIndex.metaRow(spark, oneShot)
       .select("n_docs", "n_tokens").collect().head
     assert(metaS === metaB)
   }
