@@ -22,6 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_shingles(words, n)                         → array<string>
   *   graft_pos_fps(words, n)                          → array<struct<p,fp>>
   *   graft_shingle_tfs(words, n)                      → array<struct<sh,tf>>
+  *   graft_nfc(str)                                   → string (UAX #15 NFC)
   */
 object GraftFunctions {
 
@@ -105,5 +106,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleTfs].getName, "graft_shingle_tfs"),
       (args: Seq[Expression]) =>
         ShingleTfs(args(0), intLit(args(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
   }
 }

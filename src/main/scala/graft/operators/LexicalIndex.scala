@@ -233,12 +233,23 @@ object LexicalIndex {
       .write.mode("append").parquet(s"$path/meta")
   }
 
-  /** Fold accumulated lexicon/meta generations back to one — the
-    * compaction half of the LSM contract (run when the generation
-    * count starts to matter; probes are correct either way). The
-    * folded frames are checkpointed before the overwrite (a parquet
-    * path cannot be overwritten while a live plan reads it). */
+  /** Fold accumulated generations back to one — the compaction half
+    * of the LSM contract (run when the generation/file count starts to
+    * matter; probes are correct either way). Lexicon and meta fold
+    * their sums; the postings (already logically final — appends never
+    * duplicate a (doc, gram) row) are rewritten once per bucket to
+    * restore the one-sorted-file-per-bucket layout the row-group
+    * pruning story assumes (the s19 discipline). Folded frames are
+    * checkpointed before each overwrite (a parquet path cannot be
+    * overwritten while a live plan reads it). */
   def compact(spark: SparkSession, path: String): Unit = {
+    val (post, postIds, _) = IterationCheckpoint.localCounted(
+      postings(spark, path))
+    post
+      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    IterationCheckpoint.release(spark.sparkContext, postIds)
     val (lex, lexIds, _) = IterationCheckpoint.localCounted(
       lexicon(spark, path))
     lex
@@ -251,6 +262,20 @@ object LexicalIndex {
     meta.write.mode("overwrite").parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
   }
+
+  /** Index-health report: per-bucket posting/vocabulary/document
+    * occupancy — what a rebalance or compaction policy reads. One scan
+    * of the narrow postings; never text. The bucket function is the
+    * PORTABLE md5-prefix hash, so an external system (or the DuckDB
+    * oracle) can recompute the same buckets from raw text — s33 gates
+    * exactly that. */
+  def stats(spark: SparkSession, path: String): DataFrame =
+    postings(spark, path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("shingle")).as("n_shingles"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
 
   /** Exact-Jaccard "more like this" served FROM the index (the n118
     * question): query shingles from a pushed doc_id filter on the

@@ -5364,6 +5364,72 @@ object NorthStar {
         "vec_id", "embedding", query, "embedding", k = 10)
     },
 
+    // ----- n125: Unicode NFC normalization (canonical text cleaning) ----
+    // The multilingual-corpus cleaning step: canonically-equivalent
+    // strings (composed é vs e + COMBINING ACUTE U+0301) must hash and
+    // dedup as ONE document, so normalization runs before any
+    // fingerprinting. The harness corpus is ASCII, so each doc is
+    // AUGMENTED with a deterministic suffix — odd doc ids get the
+    // decomposed spelling, even ids the composed one — and the gate
+    // checks three things per doc: codepoint length before/after (the
+    // decomposed side must shrink by exactly the composition), the
+    // changed flag, and the md5-prefix hash of the NORMALIZED string —
+    // i.e. DuckDB's nfc_normalize and the JDK-backed graft_nfc must
+    // produce byte-identical output (both implement UAX #15). Scale
+    // shape: pure map-only projection with an is-normalized fast path
+    // that skips the rebuild on already-NFC text (virtually all of a
+    // real corpus).
+    QuerySpec(
+      "n125_unicode_nfc",
+      """WITH a AS (SELECT doc_id,
+        |    text || ' ' || CASE WHEN doc_id % 2 = 1 THEN 'e' || chr(769)
+        |                        ELSE chr(233) END AS aug
+        |  FROM documents),
+        |n AS (SELECT doc_id, aug, nfc_normalize(aug) AS nrm FROM a)
+        |SELECT doc_id, CAST(length(aug) AS BIGINT) AS len_raw,
+        |  CAST(length(nrm) AS BIGINT) AS len_nfc,
+        |  length(aug) <> length(nrm) AS changed,
+        |  (('0x' || substr(md5(nrm), 1, 15))::UBIGINT)::BIGINT AS h
+        |FROM n""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"), lit(" "),
+        // explicit escapes: decomposed e+U+0301 vs composed U+00E9 must
+      // survive any editor normalization of this source file
+      when(col("doc_id") % 2 === 1, lit("e\u0301"))
+          .otherwise(lit("\u00e9")))
+      t(s, d, "documents")
+        .select(col("doc_id"), aug.as("graft__aug"))
+        .withColumn("graft__nrm", call_function("graft_nfc", col("graft__aug")))
+        .select(col("doc_id"),
+          length(col("graft__aug")).cast("long").as("len_raw"),
+          length(col("graft__nrm")).cast("long").as("len_nfc"),
+          (length(col("graft__aug")) =!= length(col("graft__nrm")))
+            .as("changed"),
+          TextOps.hexHash60(col("graft__nrm")).as("h"))
+    },
+
+    // ----- s33: lexical-index health stats (bucket occupancy) -----------
+    // The report a rebalance/compaction policy reads: per-bucket
+    // posting, vocabulary and document occupancy from ONE scan of the
+    // narrow postings. The gate's real teeth: the bucket function is
+    // the PORTABLE md5-prefix hash60 mod 16, so DuckDB recomputes the
+    // same buckets from raw text — any drift in the hash, the mod, or
+    // the shingle construction between engines fails the hash compare.
+    QuerySpec(
+      "s33_lexical_stats",
+      s"""WITH $shingleCte,
+         |b AS (SELECT doc_id, shingle,
+         |        (('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+         |          % 16)::BIGINT AS bucket
+         |      FROM sh)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s33_lex"
+      LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", path, n = 3)
+      LexicalIndex.stats(s, path)
+    },
+
     // ----- n124: streaming index maintenance (multi-delta parity) -------
     // The lexical index under CONTINUOUS ingest: the batch spelling of
     // a foreachBatch-driven maintenance loop — build on the first
