@@ -196,6 +196,49 @@ object ImageCodec {
   /** Serialize to binary PPM — the canonical output container for the
     * resize stage regardless of input format (PPM round-trips the raw
     * raster losslessly and decodes with [[decodePpm]]). */
+  /** Box-average resample to a FIXED grid (the perceptual-hash front
+    * end): target cell (tx, ty) averages the source rectangle
+    * [⌊tx·W/w⌋, ⌊(tx+1)·W/w⌋) × [⌊ty·H/h⌋, ⌊(ty+1)·H/h⌋) per channel
+    * with integer floor division — exact, deterministic, and when the
+    * source is block-constant (the test/oracle construction) the
+    * average IS the block value. */
+  def gridResample(img: RawImage, w: Int, h: Int): RawImage = {
+    require(w >= 1 && h >= 1 && w <= img.width && h <= img.height,
+      s"target ${w}x$h must be within source ${img.width}x${img.height}")
+    val out = new Array[Byte](w * h * 3)
+    var ty = 0
+    while (ty < h) {
+      val y0 = ty * img.height / h
+      val y1 = (ty + 1) * img.height / h
+      var tx = 0
+      while (tx < w) {
+        val x0 = tx * img.width / w
+        val x1 = (tx + 1) * img.width / w
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val o = (y * img.width + x) * 3
+            sr += img.pixels(o) & 0xff
+            sg += img.pixels(o + 1) & 0xff
+            sb += img.pixels(o + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0).toLong
+        val to = (ty * w + tx) * 3
+        out(to) = (sr / n).toByte
+        out(to + 1) = (sg / n).toByte
+        out(to + 2) = (sb / n).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    RawImage(w, h, out)
+  }
+
   def encodePpm(img: RawImage): Array[Byte] = {
     val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + img.pixels.length)

@@ -120,6 +120,46 @@ object Multimodal {
     * leave the executor, integer-exact statistics (sum of squares and
     * peak over 16-bit samples — no floating point, so the numbers are
     * partitioning- and engine-independent). */
+  /** Perceptual difference-hash (dHash) over a binary image column —
+    * the image-modality near-dup key: decode, box-resample to a 9×8
+    * luminance grid ([[ImageCodec.gridResample]]; integer-exact), then
+    * one bit per adjacent-pixel comparison (g[x+1] > g[x]) → a 64-bit
+    * BIGINT. Perceptually-equal images (same content, small pixel
+    * noise, different bytes) hash together while EXACT byte dedup
+    * would not — n126 gates exactly that separation. Luminance is the
+    * integer (299r + 587g + 114b)/1000 the feature path uses. Same
+    * mapPartitions decode boundary as the other media ops; null and
+    * undecodable payloads yield a null hash. */
+  def dHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.decode(bytes) match {
+          case Some(img) if img.width >= 9 && img.height >= 8 =>
+            val g = ImageCodec.gridResample(img, 9, 8)
+            var h = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val (r0, g0, b0) = g.rgb(x, y)
+                val (r1, g1, b1) = g.rgb(x + 1, y)
+                val l0 = (299 * r0 + 587 * g0 + 114 * b0) / 1000
+                val l1 = (299 * r1 + 587 * g1 + 114 * b1) / 1000
+                h = (h << 1) | (if (l1 > l0) 1L else 0L)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(h))
+          case _ => (id, None)
+        }
+      })
+      .toDF("doc_id", "phash")
+  }
+
   def audioMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -5364,6 +5364,58 @@ object NorthStar {
         "vec_id", "embedding", query, "embedding", k = 10)
     },
 
+    // ----- n126: perceptual image near-dup (dHash grouping) -------------
+    // The image-modality dedup byte hashing CANNOT do: per doc, a real
+    // 36×32 PPM is synthesized whose 4×4 blocks follow a
+    // class-dependent ramp (class = doc_id % 10; block row by runs
+    // ascending or descending by bit (class >> (by % 4)) & 1, step 20)
+    // PLUS per-document pixel noise of amplitude ≤ 8 — so same-class
+    // images are byte-DIFFERENT (md5 dedup finds nothing) but the
+    // dHash comparisons (step 20 vs worst-case ±16 noise swing) are
+    // noise-immune and hash each class to one 64-bit key. The pipeline
+    // is the real one: encode → decode → box-resample 9×8 → luminance
+    // → 64 comparison bits → group. The oracle is the closed-form
+    // generator twin (group = doc_id % 10) — it never sees the hash,
+    // so only a correct decode+resample+hash chain reproduces exactly
+    // its 10 groups with these keepers and sizes.
+    QuerySpec(
+      "n126_image_phash_dedup",
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM documents GROUP BY doc_id % 10
+        |ORDER BY keeper""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val imgs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val c = (id % 10L).toInt
+          val px = new Array[Byte](36 * 32 * 3)
+          var y = 0
+          while (y < 32) {
+            val by = y / 4
+            val asc = ((c >> (by % 4)) & 1) == 1
+            var x = 0
+            while (x < 36) {
+              val bx = x / 4
+              val base = if (asc) 30 + bx * 20 else 190 - bx * 20
+              val noise = (((id * 131L + bx * 17L + by * 7L) % 17L) - 8L).toInt
+              val v = (base + noise).toByte
+              val o = (y * 36 + x) * 3
+              px(o) = v; px(o + 1) = v; px(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, graft.operators.ImageCodec.encodePpm(
+            graft.operators.ImageCodec.RawImage(36, 32, px)))
+        }).toDF("doc_id", "payload")
+      Multimodal.dHash(imgs, "payload")
+        .groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_members"))
+        .select(col("keeper"), col("n_members"))
+        .orderBy(col("keeper"))
+    },
+
     // ----- n125: Unicode NFC normalization (canonical text cleaning) ----
     // The multilingual-corpus cleaning step: canonically-equivalent
     // strings (composed é vs e + COMBINING ACUTE U+0301) must hash and

@@ -93,6 +93,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(again === rows) // deterministic
   }
 
+  test("gridResample: box averages are exact; block-constant images pass through") {
+    // 4x2 -> 2x1: each target cell averages a 2x2 box
+    val px = Array[Int](
+      10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40,
+      50, 50, 50, 60, 60, 60, 70, 70, 70, 80, 80, 80).map(_.toByte)
+    val g = ImageCodec.gridResample(ImageCodec.RawImage(4, 2, px), 2, 1)
+    assert(g.rgb(0, 0) === (((10 + 20 + 50 + 60) / 4,
+      (10 + 20 + 50 + 60) / 4, (10 + 20 + 50 + 60) / 4)))
+    assert(g.rgb(1, 0) === (((30 + 40 + 70 + 80) / 4,
+      (30 + 40 + 70 + 80) / 4, (30 + 40 + 70 + 80) / 4)))
+  }
+
+  test("dHash: noise-invariant within class, distinct across classes, null for junk") {
+    import spark.implicits._
+    def synth(id: Long): Array[Byte] = {
+      val c = (id % 10L).toInt
+      val px = new Array[Byte](36 * 32 * 3)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val (bx, by) = (x / 4, y / 4)
+        val asc = ((c >> (by % 4)) & 1) == 1
+        val base = if (asc) 30 + bx * 20 else 190 - bx * 20
+        val noise = (((id * 131L + bx * 17L + by * 7L) % 17L) - 8L).toInt
+        val o = (y * 36 + x) * 3
+        val v = (base + noise).toByte
+        px(o) = v; px(o + 1) = v; px(o + 2) = v
+      }
+      ImageCodec.encodePpm(ImageCodec.RawImage(36, 32, px))
+    }
+    // ids 0..29: three docs per class, all byte-distinct
+    val df = (0L until 30L).map(id => (id, synth(id))).toDF("doc_id", "payload")
+    val h = Multimodal.dHash(df, "payload").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach { id =>
+      assert(h(id) === h(id % 10L),
+        "same class must hash together despite per-doc pixel noise")
+    }
+    assert((0L until 10L).map(h).distinct.size === 10,
+      "the ten classes must hash apart")
+    // byte dedup would find NOTHING here — every payload is distinct
+    assert((0L until 30L).map(id => synth(id).toSeq).distinct.size === 30)
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")),
+      (2L, null: Array[Byte])).toDF("doc_id", "payload")
+    val hj = Multimodal.dHash(junk, "payload").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(hj === Map(1L -> true, 2L -> true))
+  }
+
   test("audioMeta and resize are total over null payload cells") {
     import spark.implicits._
     val wav = graft.operators.AudioCodec
