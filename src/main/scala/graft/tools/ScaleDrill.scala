@@ -98,7 +98,8 @@ object ScaleDrill {
       "s31_lexical_point_probe", "s32_ivfpq_layout",
       "n119_pagerank_train", "n120_stream_cms_parity",
       "n121_hybrid_serve", "n122_bm25_topk",
-      "n123_power_train", "n124_stream_index_parity")
+      "n123_power_train", "n124_stream_index_parity",
+      "s33_lexical_stats", "n125_unicode_nfc", "n126_image_phash_dedup")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
