@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, CrossDupSpans, Decontaminate, DedupClusters, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -5548,5 +5548,30 @@ object NorthStar {
          |SELECT dim, y FROM y3""".stripMargin) { (s, d) =>
       Similarity.powerIteration(t(s, d, "embeddings"), "embedding",
         rounds = 3)
+    },
+
+    // ----- n127: n-gram containment (sub-document detection) ------------
+    // The ASYMMETRIC dedup signal the resemblance family can't see:
+    // containment |S(a)∩S(b)|/|S(a)| (Broder 1997) is ~1 for a short
+    // doc pasted inside a long one even when Jaccard is tiny, so
+    // LSH-on-resemblance (n3/n18) structurally misses the pair. Spark
+    // resolves it with ONE fp-keyed inverted join over per-row-distinct
+    // shingle fingerprints (the CrossDupSpans shape — longs only in the
+    // exchange, text never shuffles); the oracle is the exact directed
+    // intersection/|S(sub)| over the shared shingle CTEs. Ratio of
+    // exact integers → bit-identical doubles cross-engine.
+    QuerySpec(
+      "n127_containment",
+      s"""WITH $shingleCte,
+         |pc AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_sup,
+         |         count(*) AS i
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |         AND a.doc_id <> b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_sub, id_sup, CAST(i AS DOUBLE) / n AS containment
+         |FROM pc JOIN shn ON shn.doc_id = id_sub
+         |WHERE CAST(i AS DOUBLE) / n >= 0.9""".stripMargin) { (s, d) =>
+      Containment.containmentPairs(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.9)
     })
 }
