@@ -5573,5 +5573,58 @@ object NorthStar {
          |WHERE CAST(i AS DOUBLE) / n >= 0.9""".stripMargin) { (s, d) =>
       Containment.containmentPairs(
         t(s, d, "documents"), "doc_id", "text", threshold = 0.9)
+    },
+
+    // ----- n128: image resize (box-filter downsample, closed-form twin) -
+    // Gates the resize stage the way n126 gates dHash: per doc a real
+    // 32×32 PPM whose 4×4 blocks carry base value
+    // (id·7 + bx·13 + by·29) % 200 + 20 plus ±amp pixel noise that
+    // SUMS TO ZERO per block (checkerboard sign over the 16 pixels),
+    // so the rounded box mean of each block is exactly the base — a
+    // stride-sampler or off-by-one box window picks up the noise and
+    // fails the hash compare. Pipeline exercised end-to-end: encodePpm
+    // → resize (decode + box downsample ×4 + re-encode) → decodePpm →
+    // integer pixel stats. Oracle is the closed form over doc_id: the
+    // 8×8 output raster's byte sum is 3·Σ_blocks base. All integers —
+    // no float anywhere.
+    QuerySpec(
+      "n128_image_resize",
+      """SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  CAST(3 * list_sum(list_transform(range(0, 64),
+        |    i -> (doc_id * 7 + (i % 8) * 13 + (i // 8) * 29) % 200 + 20))
+        |    AS BIGINT) AS pix_sum
+        |FROM documents""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val imgs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val px = new Array[Byte](32 * 32 * 3)
+          var y = 0
+          while (y < 32) {
+            val by = y / 4
+            var x = 0
+            while (x < 32) {
+              val bx = x / 4
+              val base = ((id * 7 + bx * 13 + by * 29) % 200 + 20).toInt
+              val amp = ((id + bx + by) % 7 + 1).toInt
+              val v = (base + (if (((x + y) & 1) == 0) amp else -amp)).toByte
+              val o = (y * 32 + x) * 3
+              px(o) = v; px(o + 1) = v; px(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, graft.operators.ImageCodec.encodePpm(
+            graft.operators.ImageCodec.RawImage(32, 32, px)))
+        }).toDF("doc_id", "payload")
+      Multimodal.resize(imgs, "payload", factor = 4)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          val img = graft.operators.ImageCodec.decodePpm(b).getOrElse(
+            sys.error(s"resized payload for doc $id is not decodable PPM"))
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          (id, img.width.toLong, img.height.toLong, sum)
+        }).toDF("doc_id", "out_w", "out_h", "pix_sum")
     })
 }
