@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -5626,5 +5626,41 @@ object NorthStar {
           while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
           (id, img.width.toLong, img.height.toLong, sum)
         }).toDF("doc_id", "out_w", "out_h", "pix_sum")
+    },
+
+    // ----- n129: DoReMi-style domain reweighting ------------------------
+    // The mixture-optimization step between measuring domains and
+    // sampling them (n55/n81 consume weights like these): per-source
+    // excess loss → clamped linear multiplicative-weights update →
+    // normalize → smooth 10% toward uniform. Loss proxy here is mean
+    // chars-per-token in 1e6 fixed point (a real verbosity signal and
+    // exactly replayable). Everything BIGINT; Spark `div` ≡ DuckDB
+    // `//` on the non-negative operands used. The oracle unrolls the
+    // whole chain — group means, corpus mean, clamp, normalizer and
+    // smoothing — so any drift in any step fails the hash compare.
+    QuerySpec(
+      "n129_doremi_weights",
+      """WITH s AS (SELECT source,
+        |    (CAST(n_chars AS BIGINT) * 1000000)
+        |      // len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+        |          CAST(sum(score) AS BIGINT) AS ssum
+        |        FROM s GROUP BY 1),
+        |g AS (SELECT CAST(sum(score) // count(*) AS BIGINT) AS gmean FROM s),
+        |e AS (SELECT source, (ssum // cnt) - gmean AS excess
+        |      FROM dom CROSS JOIN g),
+        |w AS (SELECT source, excess,
+        |        greatest(1000000 + excess, 1000) AS w FROM e),
+        |tk AS (SELECT CAST(sum(w) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS k FROM w)
+        |SELECT source, CAST(excess AS BIGINT) AS excess,
+        |  CAST((90 * ((w * 1000000) // tot) + 10 * (1000000 // k)) // 100
+        |    AS BIGINT) AS alpha
+        |FROM w CROSS JOIN tk""".stripMargin) { (s, d) =>
+      DomainReweight.weights(
+        t(s, d, "documents"), "source",
+        expr("(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"))
+        .withColumnRenamed("domain", "source")
     })
 }

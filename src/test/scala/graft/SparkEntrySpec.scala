@@ -7,7 +7,7 @@ class SparkEntrySpec extends SparkTestBase {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
-    assert(names.size >= 205) // registry-loss guard (round 11 shipped 205)
+    assert(names.size >= 206) // registry-loss guard (round 11 shipped 206)
   }
 
   test("oracle keys are a subset of query keys") {
