@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`): exact
@@ -399,6 +400,69 @@ object Similarity {
         coalesce(col("graft__hits"), lit(0L)).as("n_hits"))
       .withColumn("recall",
         col("n_hits").cast("double") / lit(k).cast("double"))
+  }
+
+  /** Margin-based alignment mining (Artetxe & Schwenk 2019, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"): raw cosine is a poor pairing score because some
+    * vectors sit in dense "hub" regions where EVERYTHING scores high;
+    * the margin discounts each pair by the average similarity of both
+    * endpoints' k nearest neighbors. Emits each query's single best
+    * target by margin (forward mining).
+    *
+    * Arithmetic: cosine → round 6 (the engine's established parity
+    * point) → 1e6-scaled BIGINT; the "distance" margin variant
+    * a − (avgₓ + avg_y)/2 is computed SCALED BY 2k as
+    * 2k·c − Σtopkₓ − Σtopk_y, a monotone transform that needs no
+    * division at all — every comparison is exact-integer, so ranking
+    * can never drift cross-engine on float summation order.
+    *
+    * Scale shape: queries are a batch → broadcast; the pair relation
+    * is batch × corpus, map-only after the broadcast. Σtopkₓ is a
+    * per-query aggregate over corpus-sized groups (map-side
+    * combinable after the per-partition top-k below); Σtopk_y groups
+    * are batch-sized per target — a narrow (tid, ci) aggregate. The
+    * final per-query argmax is a TopK, not a global sort. For corpus-
+    * scale candidate generation plug an IVF/LSH shortlist in as
+    * `corpus` — the margin math is candidate-set-agnostic. */
+  def marginMining(
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(qidCol).as("sid"), asDouble(col(qvecCol)).as("graft__qv"))
+    val pairs = corpus
+      .select(col(idCol).as("tid"), asDouble(col(vecCol)).as("graft__v"))
+      .crossJoin(broadcast(q))
+      .select(col("sid"), col("tid"),
+        round(round(cosine(col("graft__v"), col("graft__qv")), 6) *
+          1000000d).cast("long").as("ci"))
+    val shared = Materialize.shared(pairs)
+
+    def topSum(keyCol: String, otherCol: String) = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("ci").desc, col(otherCol))
+      shared
+        .withColumn("graft__rn", row_number().over(w))
+        .filter(col("graft__rn") <= k)
+        .groupBy(col(keyCol))
+        .agg(sum(col("ci")).as(s"graft__sum_$keyCol"))
+    }
+
+    val best = Window.partitionBy(col("sid"))
+      .orderBy(col("margin").desc, col("tid"))
+    shared
+      .join(topSum("sid", "tid"), "sid")
+      .join(topSum("tid", "sid"), "tid")
+      .withColumn("margin",
+        lit(2L * k) * col("ci") - col("graft__sum_sid") - col("graft__sum_tid"))
+      .withColumn("graft__rn", row_number().over(best))
+      .filter(col("graft__rn") === 1)
+      .select(col("sid"), col("tid"), col("margin"))
   }
 
   /** Product-quantization ADC retrieval (Jégou et al. 2011, "Product

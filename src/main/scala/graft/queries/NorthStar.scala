@@ -5662,5 +5662,45 @@ object NorthStar {
         t(s, d, "documents"), "source",
         expr("(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"))
         .withColumnRenamed("domain", "source")
+    },
+
+    // ----- n130: margin-based alignment mining --------------------------
+    // Bitext/retrieval pairing with hubness correction (Artetxe &
+    // Schwenk 2019): a query batch (vec_id % 50 = 0) is mined against
+    // a disjoint corpus half (odd vec_ids); each pair's cosine is
+    // discounted by its endpoints' top-4-neighbor mass. Cosine →
+    // round-6 (the engine's parity point) → 1e6 BIGINT; the margin is
+    // the DIVISION-FREE scaled form 2k·c − Σtop4ₓ − Σtop4_y, so every
+    // rank the oracle replays is exact-integer — no float summation-
+    // order risk anywhere past the single rounded cosine.
+    QuerySpec(
+      "n130_margin_mining",
+      """WITH x AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |y AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |p AS (SELECT sid, tid,
+        |        CAST(round(round(list_cosine_similarity(y.v, x.v), 6)
+        |          * 1000000) AS BIGINT) AS ci
+        |      FROM x CROSS JOIN y),
+        |sx AS (SELECT sid, CAST(sum(ci) AS BIGINT) AS sumx FROM (
+        |        SELECT sid, ci, row_number() OVER (
+        |          PARTITION BY sid ORDER BY ci DESC, tid) AS rn FROM p)
+        |      WHERE rn <= 4 GROUP BY 1),
+        |sy AS (SELECT tid, CAST(sum(ci) AS BIGINT) AS sumy FROM (
+        |        SELECT tid, ci, row_number() OVER (
+        |          PARTITION BY tid ORDER BY ci DESC, sid) AS rn FROM p)
+        |      WHERE rn <= 4 GROUP BY 1),
+        |m AS (SELECT p.sid, p.tid, 8 * ci - sumx - sumy AS margin
+        |      FROM p JOIN sx USING (sid) JOIN sy USING (tid))
+        |SELECT sid, tid, CAST(margin AS BIGINT) AS margin FROM (
+        |  SELECT sid, tid, margin, row_number() OVER (
+        |    PARTITION BY sid ORDER BY margin DESC, tid) AS rn FROM m)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMining(
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        k = 4)
     })
 }
