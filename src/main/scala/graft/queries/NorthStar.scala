@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -5702,5 +5702,41 @@ object NorthStar {
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         k = 4)
+    },
+
+    // ----- n131: blocked fuzzy-match entity resolution ------------------
+    // Record linkage over the customer dimension: candidates only from
+    // shared nation blocks (never the cross product), scored with the
+    // exact Levenshtein distance — an integer metric both engines
+    // implement identically, so the gate needs no float discipline at
+    // all. The blocking bound is the whole scale story: per-block
+    // quadratic, corpus-linear overall.
+    QuerySpec(
+      "n131_fuzzy_er",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, d) =>
+      EntityResolution.blockedFuzzyPairs(
+        t(s, d, "customer"), "c_custkey", "c_name", "c_nationkey",
+        maxDist = 1)
+    },
+
+    // ----- n132: prefix-truncation dedup --------------------------------
+    // Truncated re-crawls / length-capped copies: doc a's text is a
+    // STRICT prefix of doc b's. Candidates from a narrow hash60 block
+    // on the first 32 chars (min corpus doc is 48 chars, so every true
+    // pair shares the key); text rehydrates BY ID only for candidates.
+    // Oracle is the exact all-pairs starts_with.
+    QuerySpec(
+      "n132_prefix_dedup",
+      """SELECT a.doc_id AS id_prefix, b.doc_id AS id_full,
+        |  CAST(length(a.text) AS BIGINT) AS prefix_len,
+        |  CAST(length(b.text) AS BIGINT) AS full_len
+        |FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+        |  AND length(b.text) > length(a.text)
+        |  AND starts_with(b.text, a.text)""".stripMargin) { (s, d) =>
+      PrefixDedup.prefixPairs(t(s, d, "documents"), "doc_id", "text")
     })
 }
