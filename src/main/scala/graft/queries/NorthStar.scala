@@ -5738,5 +5738,57 @@ object NorthStar {
         |  AND length(b.text) > length(a.text)
         |  AND starts_with(b.text, a.text)""".stripMargin) { (s, d) =>
       PrefixDedup.prefixPairs(t(s, d, "documents"), "doc_id", "text")
+    },
+
+    // ----- n133: sorted-neighborhood linkage ----------------------------
+    // The complementary blocking scheme to n131's equality blocks:
+    // global sort by name (SurrogateKey.denseRowNumber — range
+    // repartition, never a one-reducer window), then each record meets
+    // only its 3 rank-successors. Catches near-matches that straddle
+    // any equality block boundary. Exact-integer end to end.
+    QuerySpec(
+      "n133_sorted_neighborhood",
+      """WITH r AS (SELECT c_custkey, c_name,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, d) =>
+      EntityResolution.sortedNeighborhoodPairs(
+        t(s, d, "customer"), "c_custkey", "c_name",
+        window = 4, maxDist = 1)
+    },
+
+    // ----- s34: IVF-layout health stats (cell occupancy) ----------------
+    // The vector-side twin of s33: the report an IVF rebalance policy
+    // reads, computed from the STORED s23-style layout (one scan of
+    // the partitioned table, cells from directory values — the
+    // embedding column itself is never needed for occupancy). The
+    // oracle recomputes every cell assignment from raw embeddings, so
+    // the gate proves the layout's partition directories carry exactly
+    // the argmin-cell assignment. id_sum is the content signature: a
+    // misplaced vector moves it even when counts collide.
+    QuerySpec(
+      "s34_ivf_stats",
+      s"""WITH c AS (SELECT vec_id,
+         |    ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |  FROM embeddings)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM c GROUP BY 1 ORDER BY cell""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s34_ivf"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.nearestCell(Similarity.asDouble(col("embedding")), cents)
+            .as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+        .select(col("cell"), col("n_vecs"), col("id_sum"))
+        .orderBy(col("cell"))
     })
 }
