@@ -57,16 +57,21 @@ object Containment {
       explode(col("sh")).as("g"))
       .select(col("doc_id"), col("n"), xxhash64(col("g")).as("fp"))
 
+    // Materialized: the narrow (fp, doc_id, n) stream feeds BOTH sides
+    // of the inverted self-join (and the df prefilter when capped) —
+    // without it each consumer re-runs the scan→shingle→hash chain.
+    val stream = Materialize.shared(fps)
+
     val pruned = maxDf match {
       case Some(cap) =>
         // df is computed on the same narrow (fp) stream; the semi-join
         // back is fp-keyed like everything else in the operator.
-        val keep = fps.groupBy(col("fp"))
+        val keep = stream.groupBy(col("fp"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select(col("fp"))
-        fps.join(keep, Seq("fp"), "left_semi")
-      case None => fps
+        stream.join(keep, Seq("fp"), "left_semi")
+      case None => stream
     }
 
     pruned.alias("a")

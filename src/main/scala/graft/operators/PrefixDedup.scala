@@ -43,12 +43,23 @@ object PrefixDedup {
       .select(col("a.graft__id").as("id_prefix"),
         col("b.graft__id").as("id_full"))
 
-    val texts = base
+    // Rehydration is candidate-sized BY CONSTRUCTION: the candidate id
+    // set (near-output-sized after blocking) broadcasts into a semi-join
+    // that prunes the text relation map-side, so the only exchange that
+    // ever carries text holds candidate rows, not the corpus. If a
+    // corpus has degenerate blocks (a boilerplate 32-char header shared
+    // corpus-wide), cap them upstream — such a block is exactly the
+    // cross-dup-span signature n102 handles.
+    val candIds = cand.select(col("id_prefix").as("graft__id"))
+      .union(cand.select(col("id_full").as("graft__id")))
+      .distinct()
+    val hydrated = base.join(broadcast(candIds), Seq("graft__id"), "left_semi")
+
     cand
-      .join(texts.select(col("graft__id").as("id_prefix"),
+      .join(hydrated.select(col("graft__id").as("id_prefix"),
         col("graft__text").as("graft__ta"),
         col("graft__len").as("prefix_len")), "id_prefix")
-      .join(texts.select(col("graft__id").as("id_full"),
+      .join(hydrated.select(col("graft__id").as("id_full"),
         col("graft__text").as("graft__tb"),
         col("graft__len").as("full_len")), "id_full")
       .filter(col("graft__tb").startsWith(col("graft__ta")))

@@ -907,4 +907,41 @@ class QueryPlansSpec extends SparkTestBase {
     assert(rowNumWindows.contains("graft__pid"),
       s"row_number window must be partition-local:\n$rowNumWindows")
   }
+
+  test("n127 containment: the inverted join ships fp/id/size longs, never text") {
+    val plan = finalPlan(q("n127_containment"))
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#") && !exchangeLines.contains("g#"),
+      s"document text/grams entered an exchange:\n$exchangeLines")
+  }
+
+  test("n130 margin mining: query batch broadcasts; vectors never shuffle") {
+    val plan = finalPlan(q("n130_margin_mining"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query batch must broadcast into the pair scan:\n$plan")
+    val exchangeLines =
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("embedding#") &&
+      !exchangeLines.contains("graft__v#") &&
+      !exchangeLines.contains("graft__qv#"),
+      s"embedding vectors entered an exchange:\n$exchangeLines")
+  }
+
+  test("n132 prefix dedup: candidate ids broadcast; corpus text pruned map-side") {
+    val plan = finalPlan(q("n132_prefix_dedup"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the candidate semi-join must broadcast:\n$plan")
+  }
+
+  test("s34 ivf stats: occupancy scan reads ids only, never the vectors") {
+    val df = q("s34_ivf_stats")
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan found")
+    scans.foreach { sc =>
+      assert(!sc.schema.fieldNames.contains("embedding"),
+        s"stats scan read the vector column: ${sc.schema.fieldNames.mkString(",")}")
+    }
+  }
 }
