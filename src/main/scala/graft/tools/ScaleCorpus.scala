@@ -71,6 +71,22 @@ object ScaleCorpus {
         col("label"))
       .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
 
+    // customer scales by key-space densification: each copy re-keys into
+    // an interleaved custkey range and the name is REGENERATED from the
+    // new key in the generator's own format, so the linkage workload
+    // (lev-1 digit-substitution neighbors within a nation block) grows
+    // with row density exactly as a bigger generated table would — no
+    // artificial cross-copy duplicate names.
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .crossJoin(spark.range(copies).toDF("graft__copy"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        (col("c_custkey") * copies + col("graft__copy")).as("c_custkey"),
+        expr(s"concat('Customer#', lpad(CAST(c_custkey * $copies" +
+          " + graft__copy AS STRING), 9, '0'))").as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$scaledDir/customer.parquet")
+
     scaledDir
   }
 }

@@ -99,7 +99,12 @@ object ScaleDrill {
       "n119_pagerank_train", "n120_stream_cms_parity",
       "n121_hybrid_serve", "n122_bm25_topk",
       "n123_power_train", "n124_stream_index_parity",
-      "s33_lexical_stats", "n125_unicode_nfc", "n126_image_phash_dedup")
+      "s33_lexical_stats", "n125_unicode_nfc", "n126_image_phash_dedup",
+      // round-11 continuation: containment, image resize, DoReMi
+      // weights, margin mining, the linkage pair, IVF stats
+      "n127_containment", "n128_image_resize", "n129_doremi_weights",
+      "n130_margin_mining", "n131_fuzzy_er", "n132_prefix_dedup",
+      "n133_sorted_neighborhood", "s34_ivf_stats")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
