@@ -70,4 +70,52 @@ object Decontaminate {
       .select(col("doc_id"), col("n_hits"), col("n_shingles"),
         (col("n_hits").cast("double") / col("n_shingles")).as("hit_ratio"))
   }
+
+  /** Per-document NOVELTY against a reference corpus: the fraction of a
+    * doc's distinct n-gram shingles absent from the reference — the
+    * "new information rate" a curation pass ranks by (the inverse of
+    * [[collisionStats]]'s contamination view, against a different-sized
+    * opponent: an eval benchmark broadcasts, a REFERENCE CORPUS does
+    * not). Lookup is therefore a distributed fp-keyed semi-join —
+    * shuffle rows are (fp[, doc_id, n]) longs, text never in an
+    * exchange; at 100 TB put a broadcast Bloom of the reference fps
+    * below the join (the n51 machinery) so most probes never shuffle.
+    *
+    * Emits (doc_id, n_sh, n_new, novelty) for every scored doc with at
+    * least one shingle; novelty is the exact-integer ratio.
+    */
+  def noveltyScore(
+      scored: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def shingled(df: DataFrame) = Partitioning.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val base = shingled(scored)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        col("sh"))
+    val scoredFps = base
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), TextOps.hexHash60(col("g")).as("fp"))
+    val refFps = shingled(reference)
+      .select(explode(col("sh")).as("g"))
+      .select(TextOps.hexHash60(col("g")).as("fp"))
+      .distinct()
+
+    val nSeen = scoredFps
+      .join(refFps, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("graft__n_seen"))
+
+    base.select(col("doc_id"), col("n_sh"))
+      .join(nSeen, Seq("doc_id"), "left")
+      .withColumn("n_new",
+        col("n_sh") - coalesce(col("graft__n_seen"), lit(0L)))
+      .select(col("doc_id"), col("n_sh"), col("n_new"),
+        (col("n_new").cast("double") / col("n_sh")).as("novelty"))
+  }
 }

@@ -184,6 +184,38 @@ object Multimodal {
         "sum_sq", "peak")
   }
 
+  /** Windowed audio energy segmentation over a binary WAV column — the
+    * silence/activity profile a speech pipeline computes per clip
+    * before any model touches it: fixed sample windows, integer
+    * sum-of-squares energy per window, exact silence flag. Same
+    * mapPartitions decode boundary and integer-exact discipline as
+    * [[audioMeta]] (no floating point → partitioning- and
+    * engine-independent numbers). Null or undecodable payloads emit no
+    * windows (an activity profile of junk is the empty profile; the
+    * clip-level null-stats row lives in audioMeta). */
+  def audioEnergyWindows(
+      df: DataFrame, payloadCol: String, windowSamples: Int): DataFrame = {
+    require(windowSamples >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val pcm = if (bytes == null) None else AudioCodec.decode(bytes)
+        pcm match {
+          case Some(p) =>
+            p.samples.grouped(windowSamples).zipWithIndex.map {
+              case (w, wi) =>
+                var sumSq = 0L
+                w.foreach(v => sumSq += v.toLong * v.toLong)
+                (id, wi.toLong, w.length.toLong, sumSq, sumSq == 0L)
+            }
+          case None => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "win", "n", "sum_sq", "is_silent")
+  }
+
   /** Fallback for non-image payloads: keep every `factor`-th byte.
     * Deterministic and size-reducing, so the pipeline stays total over
     * mixed-media corpora; real codecs replace this per-format. */

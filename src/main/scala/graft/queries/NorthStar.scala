@@ -5801,5 +5801,67 @@ object NorthStar {
         .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
         .select(col("cell"), col("n_vecs"), col("id_sum"))
         .orderBy(col("cell"))
+    },
+
+    // ----- n134: novelty scoring against a reference corpus -------------
+    // The curation inverse of contamination (n36): what fraction of a
+    // doc's distinct 3-shingles is NEW relative to a reference half
+    // (even doc_ids)? Unlike a benchmark, a reference corpus can't
+    // broadcast, so the lookup is a distributed fp-keyed semi-join —
+    // longs only in the exchange; the 100 TB note (Bloom prefilter
+    // below the join) is in the operator doc. Exact-integer ratio.
+    QuerySpec(
+      "n134_novelty_score",
+      s"""WITH $shingleCte,
+         |ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+         |sc AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ref)
+         |           THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+         |  CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ref)
+         |           THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS novelty
+         |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Decontaminate.noveltyScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3)
+    },
+
+    // ----- n135: windowed audio energy (silence segmentation) -----------
+    // The n109 recipe extended from clip stats to a WINDOWED activity
+    // profile: synthetic PCM16 WAVs whose 32-sample windows are either
+    // exact silence ((id + win) % 3 = 0) or a deterministic signal,
+    // encoded to real RIFF bytes and decoded back through the genuine
+    // header walk. The oracle computes per-window energies closed-form
+    // from the generator — a window misalignment, off-by-one in the
+    // sample walk, or silence-flag drift fails the hash compare.
+    QuerySpec(
+      "n135_audio_energy",
+      """WITH p AS (SELECT doc_id, 128 + (doc_id % 2) * 64 AS ns
+        |           FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i
+        |      FROM p),
+        |v AS (SELECT doc_id, i // 32 AS win,
+        |        CASE WHEN (doc_id + i // 32) % 3 = 0 THEN 0
+        |             ELSE ((doc_id * 31 + i * 7919) % 4096) - 2048
+        |        END AS x
+        |      FROM s)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_sq,
+        |  (sum(x * x) = 0) AS is_silent
+        |FROM v GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val wavs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ns = (128 + (id % 2) * 64).toInt
+          val samples = Array.tabulate(ns) { i =>
+            if ((id + i / 32) % 3 == 0) 0.toShort
+            else (((id * 31L + i.toLong * 7919L) % 4096L) - 2048L).toShort
+          }
+          (id, graft.operators.AudioCodec.encodePcm16Mono(8000, samples))
+        }).toDF("doc_id", "payload")
+      Multimodal.audioEnergyWindows(wavs, "payload", windowSamples = 32)
     })
 }
