@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, GraphMetrics, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -5863,5 +5863,65 @@ object NorthStar {
           (id, graft.operators.AudioCodec.encodePcm16Mono(8000, samples))
         }).toDF("doc_id", "payload")
       Multimodal.audioEnergyWindows(wavs, "payload", windowSamples = 32)
+    },
+
+    // ----- n136: near-dup graph triangles (template-family signal) ------
+    // The dedup-audit metric that separates template families from
+    // chance collisions: triangle-rich neighborhoods are boilerplate,
+    // isolated edges are noise. Edges are the exact-verified J≥0.6
+    // pair graph (the n3 machinery at a softer bar); enumeration is
+    // the oriented two-join (wedges closed by a semi-join — each
+    // triangle exactly once as a<b<c). The oracle replays the exact
+    // pair graph and the same triple join. Degree orientation at scale
+    // is documented in GraphMetrics (Schank & Wagner 2005).
+    QuerySpec(
+      "n136_dup_triangles",
+      s"""WITH $shingleCte,
+         |${jaccardPairsCte(0.6)},
+         |e AS (SELECT id_a AS u, id_b AS v FROM dup)
+         |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) {
+      (s, d) =>
+        GraphMetrics.triangles(
+          MinHashNearDup.nearDupPairs(
+            t(s, d, "documents"), "doc_id", "text", threshold = 0.6),
+          "id_a", "id_b")
+    },
+
+    // ----- n137: event-transition matrix (behavioral Markov model) ------
+    // First-order transition estimation over per-user event streams —
+    // the base model behind next-event prediction and funnel-shape
+    // monitoring. Consecutive pairs come from a per-user window in
+    // (ts, event_id)-total order; probabilities are exact-integer
+    // ratios n / Σ_from n. The from-type totals are a k×k-sized
+    // aggregate joined back as a broadcast.
+    QuerySpec(
+      "n137_event_transitions",
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type,
+        |        count(*) AS n
+        |      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+        |        FROM c GROUP BY 1)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / t AS p
+        |FROM c JOIN tot USING (from_type)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("graft__t"))
+      pairs.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("graft__t")).as("p"))
     })
 }
