@@ -104,7 +104,9 @@ object ScaleDrill {
       // weights, margin mining, the linkage pair, IVF stats
       "n127_containment", "n128_image_resize", "n129_doremi_weights",
       "n130_margin_mining", "n131_fuzzy_er", "n132_prefix_dedup",
-      "n133_sorted_neighborhood", "s34_ivf_stats")
+      "n133_sorted_neighborhood", "s34_ivf_stats",
+      "n134_novelty_score", "n135_audio_energy",
+      "n136_dup_triangles", "n137_event_transitions")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
