@@ -5910,18 +5910,41 @@ object NorthStar {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |  CAST(n AS DOUBLE) / t AS p
         |FROM c JOIN tot USING (from_type)""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val pairs = t(s, d, "events")
-        .select(col("event_type").as("from_type"),
-          lead(col("event_type"), 1).over(w).as("to_type"))
-        .filter(col("to_type").isNotNull)
-        .groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val tot = pairs.groupBy(col("from_type"))
-        .agg(sum(col("n")).as("graft__t"))
-      pairs.join(broadcast(tot), Seq("from_type"))
-        .select(col("from_type"), col("to_type"), col("n"),
-          (col("n").cast("double") / col("graft__t")).as("p"))
+      EventStream.transitionMatrix(
+        EventStream.transitionPairs(t(s, d, "events")))
+    },
+
+    // ----- n138: streaming transition maintenance (fold parity) ---------
+    // The n137 matrix under CONTINUOUS ingest: the batch spelling of
+    // the streaming maintenance loop — three event-time-ordered
+    // micro-batches folded with a per-user last-event CARRY, so the
+    // pair that straddles a batch boundary is counted exactly once
+    // (the state TransitionProcessor keeps in the state store, spelled
+    // as a one-row-per-user relation). The oracle computes the matrix
+    // over the whole stream from scratch: the gate proves
+    // fold(b1∘b2∘b3) ≡ rebuild — and StreamingTransitionsSpec drives
+    // the SAME maintenance through a real MemoryStream with a
+    // checkpointed restart (the n106/n124 recipe).
+    QuerySpec(
+      "n138_stream_transitions_parity",
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type,
+        |        count(*) AS n
+        |      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+        |        FROM c GROUP BY 1)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / t AS p
+        |FROM c JOIN tot USING (from_type)""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+      val c1 = lit("2024-01-11").cast("timestamp")
+      val c2 = lit("2024-01-21").cast("timestamp")
+      EventStream.transitionsBatchFold(Seq(
+        e.filter(col("ts") < c1),
+        e.filter(col("ts") >= c1 && col("ts") < c2),
+        e.filter(col("ts") >= c2)))
     })
 }

@@ -463,4 +463,117 @@ object EventStream {
     stream
       .groupBy(pmod(col(hash31Col), lit(shards.toLong)).as("shard"))
       .agg(expr(s"graft_cms($hash31Col, $depth, $width)").as("cms"))
+
+  // ------------------------------------------------------------------
+  // First-order transition matrix (the behavioral Markov family)
+  // ------------------------------------------------------------------
+
+  /** Per-user consecutive (from_type, to_type) pairs in (ts, event_id)
+    * total order — the transition occurrences the matrix counts. */
+  def transitionPairs(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .select(col("from_type"), col("to_type"))
+  }
+
+  /** Row-normalized transition matrix over a pair stream: exact counts
+    * and exact-integer probability ratios; from-type totals are a
+    * k×k-sized aggregate joined back as a broadcast. */
+  def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val c = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("graft__t"))
+    c.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("graft__t")).as("p"))
+  }
+
+  /** The BATCH SPELLING of streaming transition maintenance: fold
+    * event-time-ordered micro-batches, carrying each user's LAST event
+    * across the boundary so the pair that straddles two batches is
+    * counted exactly once — the state [[TransitionProcessor]] keeps in
+    * the state store, spelled as a one-row-per-user carry relation.
+    * With time-ordered batches, fold(batches) ≡ whole-stream
+    * [[transitionPairs]] (the n124 build∘refresh ≡ rebuild argument:
+    * within-batch pairs plus boundary pairs partition the consecutive-
+    * pair set); the n138 gate proves it against the whole-corpus
+    * oracle. Carry is O(users) — the same constant-in-volume bound as
+    * the processor's state. */
+  def transitionsBatchFold(batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    val fields = Seq("user_id", "ts", "event_id", "event_type")
+    var carry: DataFrame = null
+    var pairs: DataFrame = null
+    batches.foreach { b0 =>
+      val b = b0.select(fields.map(col): _*)
+      val aug = if (carry == null) b else b.unionByName(carry)
+      val p = transitionPairs(aug)
+      pairs = if (pairs == null) p else pairs.unionByName(p)
+      carry = aug.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("graft__last"))
+        .select(col("user_id"), col("graft__last.ts").as("ts"),
+          col("graft__last.event_id").as("event_id"),
+          col("graft__last.event_type").as("event_type"))
+    }
+    transitionMatrix(pairs)
+  }
+
+  final case class TransitionEvent(
+      user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  final case class TransitionOut(
+      user_id: Long, from_type: String, to_type: String)
+  private final case class LastEvent(
+      micros: Long, event_id: Long, event_type: String)
+
+  /** Per-user transition emitter for [[streamingTransitions]]: state is
+    * ONE row per user (its last event in (ts, event_id) order) —
+    * O(users), constant in stream length. Batch rows are folded in
+    * event-time order (the sessions/funnel discipline: arrival order
+    * within a batch is partition-dependent), so within-batch disorder
+    * cannot flip a transition; across batches the fold is exact for
+    * event-time-ordered feeds, the same contract the batch spelling
+    * ([[transitionsBatchFold]]) makes explicit. */
+  private class TransitionProcessor
+    extends StatefulProcessor[Long, TransitionEvent, TransitionOut] {
+    @transient private var st: ValueState[LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastEvent](
+        "last", Encoders.product[LastEvent], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[TransitionEvent],
+        timerValues: TimerValues): Iterator[TransitionOut] = {
+      var last = if (st.exists()) Some(st.get()) else None
+      val out = Seq.newBuilder[TransitionOut]
+      rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        last.foreach(l => out += TransitionOut(user, l.event_type, e.event_type))
+        last = Some(LastEvent(tsMicros(e.ts), e.event_id, e.event_type))
+      }
+      last.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming twin of [[transitionPairs]]: emits one row per observed
+    * transition as it happens (a changelog the downstream matrix
+    * aggregation consumes), with the cross-batch boundary pair counted
+    * exactly once via the per-user last-event state.
+    * StreamingTransitionsSpec proves stream ≡ batch on the same feed,
+    * including through a checkpointed restart. */
+  def streamingTransitions(
+      spark: SparkSession,
+      events: Dataset[TransitionEvent]): Dataset[TransitionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }
