@@ -465,6 +465,69 @@ object Similarity {
       .select(col("sid"), col("tid"), col("margin"))
   }
 
+  /** Pack the sign bits of vector components [from, until) into one
+    * BIGINT (bit j-from set iff component j > 0). Two 32-bit halves
+    * per 64-dim vector rather than one 64-bit word: bit 63 of a BIGINT
+    * is the sign bit, and the << that would set it overflows
+    * differently across engines — two halves keep every shift inside
+    * exact cross-engine territory. */
+  private def packSignBits(v: Column, from: Int, until: Int): Column =
+    aggregate(
+      sequence(lit(from), lit(until - 1)),
+      lit(0L),
+      (acc, j) => acc + when(
+        element_at(v, (j + 1).cast("int")) > 0d,
+        call_function("shiftleft", lit(1L), (j - from).cast("int")))
+        .otherwise(lit(0L)))
+
+  /** Binary-quantization retrieval: 1-bit sign codes + Hamming
+    * shortlist + exact cosine rerank — the coarsest point on the
+    * compression curve the PQ family (n104/n116) occupies: a 64-dim
+    * f32 vector (256 B) codes to 8 B of sign bits, so Hamming
+    * scanning touches 32× less data than exact scoring and runs on
+    * two XOR+popcount ops per candidate (both codegen'd integer
+    * primitives). Standard two-stage contract (Jégou-style): the
+    * Hamming top-`shortlist` is a cheap superset filter, the exact
+    * rerank restores true cosine order within it. Recall follows the
+    * sign-LSH collision bound (a Goemans-Williamson angle argument —
+    * the n5 hyperplane family with axis-aligned planes).
+    *
+    * Scale shape: codes are map-only; the query's code + vector ride
+    * ONE broadcast row; shortlist is a TakeOrdered (never a global
+    * sort); at corpus scale the shortlist carries ids only and the
+    * rerank REJOINS vectors by id (here the 64 rows carry their
+    * vectors directly — candidate-sized either way). */
+  def binaryHammingTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    def coded(df: DataFrame, id: String, vc: String) = df.select(
+      col(id), asDouble(col(vc)).as("graft__v"),
+      packSignBits(asDouble(col(vc)), 0, 32).as("graft__lo"),
+      packSignBits(asDouble(col(vc)), 32, 64).as("graft__hi"))
+    val q = coded(query, idCol, queryVecCol).select(
+      col("graft__v").as("graft__qv"), col("graft__lo").as("graft__qlo"),
+      col("graft__hi").as("graft__qhi"))
+    coded(emb, idCol, vecCol)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("graft__v"), col("graft__qv"),
+        (call_function("bit_count",
+          col("graft__lo").bitwiseXOR(col("graft__qlo"))) +
+          call_function("bit_count",
+            col("graft__hi").bitwiseXOR(col("graft__qhi"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), col("hamming"),
+        round(cosine(col("graft__v"), col("graft__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Product-quantization ADC retrieval (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split each vector
     * into `subspaces` contiguous sub-vectors, code each sub-vector as

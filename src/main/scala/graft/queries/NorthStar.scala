@@ -5946,5 +5946,45 @@ object NorthStar {
         e.filter(col("ts") < c1),
         e.filter(col("ts") >= c1 && col("ts") < c2),
         e.filter(col("ts") >= c2)))
+    },
+
+    // ----- n139: binary-quantization ANN (sign codes + Hamming) ---------
+    // The coarsest compression point of the retrieval family: 1-bit
+    // sign codes (64-dim f32 → 8 B, packed as two 32-bit halves so no
+    // shift ever touches a BIGINT sign bit), Hamming top-64 via
+    // XOR+popcount, exact cosine rerank to top-10. Every stage is
+    // exact-replayable: float sign tests, integer bit ops, and the
+    // round-6 cosine only inside the final rerank. The oracle packs,
+    // XORs and popcounts the same bits.
+    QuerySpec(
+      "n139_binary_ann",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |code AS (SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      j -> CASE WHEN v[j + 1] > 0 THEN (1::BIGINT << j)
+        |           ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64),
+        |      j -> CASE WHEN v[j + 1] > 0 THEN (1::BIGINT << (j - 32))
+        |           ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM c),
+        |q AS (SELECT lo, hi, v AS qv FROM code WHERE vec_id = 7),
+        |h AS (SELECT vec_id, v,
+        |        CAST(bit_count(xor(code.lo, (SELECT lo FROM q)))
+        |          + bit_count(xor(code.hi, (SELECT hi FROM q)))
+        |          AS BIGINT) AS hamming
+        |      FROM code WHERE vec_id <> 7),
+        |s AS (SELECT vec_id, v, hamming,
+        |        row_number() OVER (ORDER BY hamming, vec_id) AS rk
+        |      FROM h)
+        |SELECT vec_id, hamming,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+        |FROM s WHERE rk <= 64
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.binaryHammingTopK(
+        emb.filter(col("vec_id") =!= 7), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 7), "embedding",
+        shortlist = 64, k = 10)
     })
 }

@@ -106,7 +106,8 @@ object ScaleDrill {
       "n130_margin_mining", "n131_fuzzy_er", "n132_prefix_dedup",
       "n133_sorted_neighborhood", "s34_ivf_stats",
       "n134_novelty_score", "n135_audio_energy",
-      "n136_dup_triangles", "n137_event_transitions")
+      "n136_dup_triangles", "n137_event_transitions",
+      "n138_stream_transitions_parity")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
