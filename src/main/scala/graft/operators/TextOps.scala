@@ -78,6 +78,32 @@ object TextOps {
   def hexHash60(c: Column): Column =
     call_function("graft_hash60", c)
 
+  /** HTML → text extraction (the trafilatura-shaped cleaning step a
+    * web-crawl pipeline runs before any text op): drop head and
+    * script/style blocks WITH their contents, drop comments (before
+    * tag removal, so commented-out markup can't leak), strip remaining
+    * tags, unescape the five XML entities (`&amp;` LAST — single-pass
+    * semantics, so `&amp;lt;` correctly yields the literal `&lt;`),
+    * collapse whitespace, trim. One codegen'd regexp_replace chain —
+    * map-only at any scale. Gated by n140's closed-form twin: the
+    * stripper must reproduce the original text's md5 from a
+    * deterministic adversarial wrapping (tags mid-word-stream, markup
+    * inside comments, angle brackets inside script). */
+  def stripHtml(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?s)<head.*?</head>", " ")
+    val noScript = regexp_replace(
+      noHead, "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", "")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, e, r)
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Whitespace-collapsed lowercase normalization (fingerprint input).
     * DuckDB twin needs the 'g' flag: regexp_replace(lower(x),'\\s+',' ','g').
     */

@@ -94,6 +94,15 @@ object NorthStar {
     * generator emits, so the probe has real hits at every SF. */
   private val pointProbeQuery = "table scan merge part window small hash"
 
+  /** n140's adversarial HTML wrapping: head with a script whose body
+    * contains a bare `<`, a comment hiding real-looking markup, and the
+    * doc text with every 7th word bolded. The stripper must reduce all
+    * of it back to the exact original text. */
+  private val htmlPfx = "<html><head><title>doc</title>" +
+    "<script>if (a<b) { x=1; }</script></head><body>" +
+    "<!-- <p>junk</p> --><p>"
+  private val htmlSfx = "</p></body></html>"
+
   /** One unrolled power-iteration round with the overflow rescale —
     * the DuckDB twin of one [[Similarity.powerIteration]] round. */
   private def piRoundCte(i: Int): String =
@@ -5986,5 +5995,39 @@ object NorthStar {
         emb.filter(col("vec_id") =!= 7), "vec_id", "embedding",
         emb.filter(col("vec_id") === 7), "embedding",
         shortlist = 64, k = 10)
+    },
+
+    // ----- n140: HTML text extraction (closed-form strip twin) ----------
+    // The web-crawl cleaning step, gated the generator-twin way: each
+    // doc is wrapped in deterministic adversarial HTML (markup inside
+    // a comment, a bare `<` inside a script, inline tags mid-stream)
+    // and TextOps.stripHtml must recover the EXACT original text —
+    // the oracle never builds HTML, it just states the original md5
+    // and the closed-form raw length, so any ordering or regex bug in
+    // the stripper (tags before comments, script content leaking,
+    // entity double-unescape) fails the hash compare.
+    QuerySpec(
+      "n140_html_strip",
+      s"""SELECT doc_id,
+         |  CAST(length(text) + 7 * ((len(string_split(text, ' ')) + 6) // 7)
+         |    + ${htmlPfx.length + htmlSfx.length} AS BIGINT) AS n_raw,
+         |  CAST(length(text) AS BIGINT) AS n_clean,
+         |  md5(text) AS clean_md5
+         |FROM documents""".stripMargin) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      val bolded = array_join(
+        transform(ws, (w, i) =>
+          when(i % 7 === 0, concat(lit("<b>"), w, lit("</b>")))
+            .otherwise(w)),
+        " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit(htmlPfx), bolded, lit(htmlSfx)).as("graft__html"))
+        .select(col("doc_id"),
+          length(col("graft__html")).cast("long").as("n_raw"),
+          TextOps.stripHtml(col("graft__html")).as("graft__clean"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("graft__clean")).cast("long").as("n_clean"),
+          md5(col("graft__clean")).as("clean_md5"))
     })
 }
