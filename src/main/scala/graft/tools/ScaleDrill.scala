@@ -107,7 +107,8 @@ object ScaleDrill {
       "n133_sorted_neighborhood", "s34_ivf_stats",
       "n134_novelty_score", "n135_audio_energy",
       "n136_dup_triangles", "n137_event_transitions",
-      "n138_stream_transitions_parity")
+      "n138_stream_transitions_parity",
+      "n139_binary_ann", "n140_html_strip")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
