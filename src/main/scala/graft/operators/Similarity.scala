@@ -480,6 +480,50 @@ object Similarity {
         call_function("shiftleft", lit(1L), (j - from).cast("int")))
         .otherwise(lit(0L)))
 
+  /** The 1-bit sign-code relation (id, lo, hi) — 16 bytes per vector.
+    * Map-only; this is what s35 materializes as a stored layout so the
+    * Hamming scan never touches the vector table. */
+  def signCodes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      packSignBits(asDouble(col(vecCol)), 0, 32).as("lo"),
+      packSignBits(asDouble(col(vecCol)), 32, 64).as("hi"))
+
+  /** Serve a Hamming-shortlist + exact-rerank query from a STORED code
+    * relation: the scan side is (id, lo, hi) only; vectors are read
+    * for exactly ONE row (the query) plus the shortlist rerank, which
+    * rejoins the vector table by id with the shortlist broadcast. */
+  def binaryTopKFromCodes(
+      codes: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val q = signCodes(query, idCol, queryVecCol)
+      .crossJoin(query.select(asDouble(col(queryVecCol)).as("graft__qv")))
+      .select(col("lo").as("graft__qlo"), col("hi").as("graft__qhi"),
+        col("graft__qv"))
+    val short = codes
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("graft__qv"),
+        (call_function("bit_count",
+          col("lo").bitwiseXOR(col("graft__qlo"))) +
+          call_function("bit_count",
+            col("hi").bitwiseXOR(col("graft__qhi"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(shortlist)
+    emb.select(col(idCol), asDouble(col(vecCol)).as("graft__v"))
+      .join(broadcast(short), Seq(idCol))
+      .select(col(idCol), col("hamming"),
+        round(cosine(col("graft__v"), col("graft__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Binary-quantization retrieval: 1-bit sign codes + Hamming
     * shortlist + exact cosine rerank — the coarsest point on the
     * compression curve the PQ family (n104/n116) occupies: a 64-dim

@@ -6029,5 +6029,48 @@ object NorthStar {
         .select(col("doc_id"), col("n_raw"),
           length(col("graft__clean")).cast("long").as("n_clean"),
           md5(col("graft__clean")).as("clean_md5"))
+    },
+
+    // ----- s35: binary-code table as WAREHOUSE LAYOUT -------------------
+    // The s26 discipline applied to n139's sign codes: the 16-byte
+    // code relation is materialized ONCE; the serving scan reads
+    // (vec_id, lo, hi) only — 16× narrower than the vector table —
+    // and the rerank rejoins vectors by id with the shortlist
+    // broadcast. Same oracle as n139: serve-from-layout ≡ rebuild.
+    QuerySpec(
+      "s35_binary_code_layout",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |code AS (SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      j -> CASE WHEN v[j + 1] > 0 THEN (1::BIGINT << j)
+        |           ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64),
+        |      j -> CASE WHEN v[j + 1] > 0 THEN (1::BIGINT << (j - 32))
+        |           ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM c),
+        |q AS (SELECT lo, hi, v AS qv FROM code WHERE vec_id = 7),
+        |h AS (SELECT vec_id, v,
+        |        CAST(bit_count(xor(code.lo, (SELECT lo FROM q)))
+        |          + bit_count(xor(code.hi, (SELECT hi FROM q)))
+        |          AS BIGINT) AS hamming
+        |      FROM code WHERE vec_id <> 7),
+        |s AS (SELECT vec_id, v, hamming,
+        |        row_number() OVER (ORDER BY hamming, vec_id) AS rk
+        |      FROM h)
+        |SELECT vec_id, hamming,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+        |FROM s WHERE rk <= 64
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s35_bincodes"
+      val emb = t(s, d, "embeddings")
+      Similarity.signCodes(
+        emb.filter(col("vec_id") =!= 7), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(path)
+      Similarity.binaryTopKFromCodes(
+        s.read.parquet(path),
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 7), "embedding",
+        shortlist = 64, k = 10)
     })
 }

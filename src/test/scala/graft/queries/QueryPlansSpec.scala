@@ -934,6 +934,18 @@ class QueryPlansSpec extends SparkTestBase {
       s"the candidate semi-join must broadcast:\n$plan")
   }
 
+  test("s35 binary codes: the Hamming scan reads the 16-byte layout, vectors only for query + rerank") {
+    val df = q("s35_binary_code_layout")
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    val codeScans = scans.filter(_.schema.fieldNames.contains("lo"))
+    assert(codeScans.nonEmpty, "no scan over the stored code layout")
+    codeScans.foreach { sc =>
+      assert(!sc.schema.fieldNames.contains("embedding"),
+        s"code scan read vectors: ${sc.schema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("s34 ivf stats: occupancy scan reads ids only, never the vectors") {
     val df = q("s34_ivf_stats")
     df.collect()
