@@ -6072,5 +6072,109 @@ object NorthStar {
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") === 7), "embedding",
         shortlist = 64, k = 10)
+    },
+
+    // ----- n141: vocabulary coverage curve ------------------------------
+    // The tokenizer-design question n26/n33 stop short of: how many
+    // vocabulary entries cover 50/90/99% of the token stream? Exact
+    // integers throughout (cum·100 ≥ pct·total). The rank/cumsum
+    // window runs over the VOCAB relation, not the corpus — the same
+    // bounded-metadata argument as BpeTrainer's merge table; corpus-
+    // sized work is one token count with map-side partials.
+    QuerySpec(
+      "n141_vocab_coverage",
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM tk GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk,
+        |        sum(n) OVER (ORDER BY n DESC, w
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |  CAST(min(r.rk) AS BIGINT) AS k_tokens,
+        |  CAST(min_by(r.cum, r.rk) AS BIGINT) AS covered,
+        |  CAST(min(t.total) AS BIGINT) AS total
+        |FROM p CROSS JOIN t JOIN r ON r.cum * 100 >= p.pct * t.total
+        |GROUP BY p.pct""".stripMargin) { (s, d) =>
+      val counts = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("w"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("n")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rk"), col("cum"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val pcts = s.range(1).select(
+        explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+      ranked
+        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(pcts))
+        .filter(col("cum") * 100 >= col("pct") * col("total"))
+        .groupBy(col("pct"))
+        .agg(min(col("rk")).as("k_tokens"),
+          min_by(col("cum"), col("rk")).as("covered"),
+          min(col("total")).as("total"))
+        .select(col("pct"), col("k_tokens"), col("covered"), col("total"))
+    },
+
+    // ----- n142: per-source quantile normalization ----------------------
+    // Score normalization before mixing (n129's natural companion):
+    // each doc's score maps to its WITHIN-SOURCE percentile (1e6
+    // fixed point) and then to the GLOBAL score at that percentile —
+    // classic quantile normalization, all exact-integer. Per-source
+    // ranks are source-partitioned windows; the global rank relation
+    // comes from SurrogateKey.denseRowNumber (range-partitioned, no
+    // one-reducer funnel); the percentile → global-rank mapping is a
+    // hash join on the dense rank key.
+    QuerySpec(
+      "n142_quantile_normalize",
+      """WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+        |           FROM documents),
+        |ns AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+        |r AS (SELECT doc_id, source, v,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY v, doc_id) AS rk
+        |      FROM s),
+        |pr AS (SELECT r.doc_id, r.source,
+        |         CASE WHEN ns.n > 1
+        |           THEN ((rk - 1) * 1000000) // (ns.n - 1)
+        |           ELSE 0 END AS pct
+        |       FROM r JOIN ns ON ns.source = r.source),
+        |g AS (SELECT v AS gv,
+        |        row_number() OVER (ORDER BY v, doc_id) AS grk FROM s),
+        |t AS (SELECT count(*) AS n FROM s)
+        |SELECT p.doc_id, p.source, CAST(p.pct AS BIGINT) AS pct,
+        |  CAST(g.gv AS BIGINT) AS qnorm
+        |FROM pr p CROSS JOIN t
+        |JOIN g ON g.grk = 1 + (p.pct * (t.n - 1)) // 1000000"""
+        .stripMargin) { (s, d) =>
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("v"))
+      val ns = base.groupBy(col("source")).agg(count(lit(1)).as("graft__n"))
+      val rk = row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("v"), col("doc_id")))
+      val pr = base
+        .withColumn("graft__rk", rk)
+        .join(broadcast(ns), Seq("source"))
+        .withColumn("pct",
+          when(col("graft__n") > 1,
+            expr("((graft__rk - 1) * 1000000) div (graft__n - 1)"))
+            .otherwise(lit(0L)))
+      val g = SurrogateKey.denseRowNumber(
+        base.select(col("v"), col("doc_id")), "graft__grk",
+        col("v"), col("doc_id"))
+        .select(col("graft__grk"), col("v").as("graft__gv"))
+      val total = base.agg(count(lit(1)).as("graft__total"))
+      pr.crossJoin(broadcast(total))
+        .withColumn("graft__grk",
+          expr("1 + (pct * (graft__total - 1)) div 1000000"))
+        .join(g, Seq("graft__grk"))
+        .select(col("doc_id"), col("source"), col("pct"),
+          col("graft__gv").as("qnorm"))
     })
 }
