@@ -6161,9 +6161,13 @@ object NorthStar {
       val pr = base
         .withColumn("graft__rk", rk)
         .join(broadcast(ns), Seq("source"))
+        // row_number is IntegerType: the ×1e6 must happen in BIGINT or
+        // it overflows at ~2.1k rows per source (caught by the 10×
+        // drill under ANSI mode)
         .withColumn("pct",
           when(col("graft__n") > 1,
-            expr("((graft__rk - 1) * 1000000) div (graft__n - 1)"))
+            expr("((CAST(graft__rk AS BIGINT) - 1) * 1000000)" +
+              " div (graft__n - 1)"))
             .otherwise(lit(0L)))
       val g = SurrogateKey.denseRowNumber(
         base.select(col("v"), col("doc_id")), "graft__grk",

@@ -108,7 +108,9 @@ object ScaleDrill {
       "n134_novelty_score", "n135_audio_energy",
       "n136_dup_triangles", "n137_event_transitions",
       "n138_stream_transitions_parity",
-      "n139_binary_ann", "n140_html_strip")
+      "n139_binary_ann", "n140_html_strip",
+      "s35_binary_code_layout", "n141_vocab_coverage",
+      "n142_quantile_normalize")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
