@@ -546,5 +546,66 @@ object Sinks {
       s.read.parquet(path)
         .groupBy(col("event_date").cast("string").as("event_date"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- s36: CDC change-stream apply (Debezium-style landing) --------
+    // A change log with op codes and per-key sequence numbers lands on
+    // the customer snapshot: deletes (k%10=0), a double update where
+    // only the later seq may win (k%10=1), delete-then-reinsert within
+    // one batch (k%10=2 — the latest op must win, not the delete), and
+    // brand-new keys arriving as inserts (k%10=3). The applied table is
+    // WRITTEN and read back (Sinks discipline); the oracle replays
+    // compaction (row_number over seq DESC) + full-outer apply in SQL.
+    QuerySpec(
+      "s36_cdc_apply",
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                     c_acctbal AS bal FROM customer),
+        |chg AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS seq, 'D' AS op, seg, bal
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT k, 1, 'U', seg, bal + 100.0 FROM base WHERE k % 10 = 1
+        |  UNION ALL SELECT k, 2, 'U', seg, bal + 500.0 FROM base WHERE k % 10 = 1
+        |  UNION ALL SELECT k, 1, 'D', seg, bal FROM base WHERE k % 10 = 2
+        |  UNION ALL SELECT k, 2, 'I', 'REBORN', 0.0 FROM base WHERE k % 10 = 2
+        |  UNION ALL SELECT k + 1000000, 1, 'I', 'FRESH', k / 100.0
+        |  FROM base WHERE k % 10 = 3),
+        |latest AS (SELECT k, op, seg, bal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM chg) WHERE rn = 1),
+        |applied AS (
+        |  SELECT coalesce(l.k, b.k) AS k,
+        |    CASE WHEN l.op IS NOT NULL THEN l.seg ELSE b.seg END AS seg,
+        |    CASE WHEN l.op IS NOT NULL THEN l.bal ELSE b.bal END AS bal
+        |  FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+        |FROM applied GROUP BY seg""".stripMargin) { (s, d) =>
+      val snap = t(s, d, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+      val k = col("k")
+      def part(m: Int) = snap.filter(k % 10 === m)
+      val chg = Seq(
+        part(0).select(k, lit(1L).as("seq"), lit("D").as("op"),
+          col("seg"), col("bal")),
+        part(1).select(k, lit(1L).as("seq"), lit("U").as("op"),
+          col("seg"), (col("bal") + 100.0).as("bal")),
+        part(1).select(k, lit(2L).as("seq"), lit("U").as("op"),
+          col("seg"), (col("bal") + 500.0).as("bal")),
+        part(2).select(k, lit(1L).as("seq"), lit("D").as("op"),
+          col("seg"), col("bal")),
+        part(2).select(k, lit(2L).as("seq"), lit("I").as("op"),
+          lit("REBORN").as("seg"), lit(0.0).as("bal")),
+        part(3).select((k + 1000000L).as("k"), lit(1L).as("seq"),
+          lit("I").as("op"), lit("FRESH").as("seg"),
+          (k / lit(100.0)).as("bal"))
+      ).reduce(_ unionByName _)
+      val path = s"$base/s36_cdc"
+      Warehouse.overwrite(
+        Warehouse.cdcApply(snap, chg, Seq("k"), "seq", "op"), path)
+      s.read.parquet(path)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), dsum(col("bal")).as("balance"))
     })
 }

@@ -143,6 +143,51 @@ object Warehouse {
         updates.withColumn("valid_to", lit(null).cast("timestamp")))
   }
 
+  /** CDC apply: merge an ordered change log (op ∈ {I,U,D} + a per-key
+    * monotone sequence column) onto a snapshot — the Debezium-style
+    * change-stream landing every warehouse ingests. Log compaction
+    * first: ONE agg-shaped max-struct per key over the LOG (log-sized
+    * work, no window over the snapshot), so a key that saw
+    * U@3,D@5,I@9 within the batch resolves to its latest op before the
+    * snapshot is touched. Then one full-outer equi-join of the
+    * compacted log against the base: latest op D drops the key, latest
+    * I/U replaces the payload, untouched base keys pass through. New
+    * keys arrive via I (or U — upsert-tolerant, like MERGE).
+    *
+    * Scale shape: compaction shuffles only the change batch; the apply
+    * join shuffles on the key (co-located and exchange-free when the
+    * base is bucketed on the key, s10 discipline). No per-row mutation,
+    * no history window. `seqCol` must order a key's changes totally
+    * within the batch (CDC LSN/offset semantics); ties would resolve by
+    * the struct's op/payload ordering, so feed real sequence numbers.
+    */
+  def cdcApply(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    // argmax by seq: max(struct(seq, op, payload...)) — agg-shaped with
+    // map-side partials, never a per-key window over the log
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(
+        (col(seqCol) +: col(opCol) +: payload.map(col)): _*)).as("graft__c"))
+      .select(
+        keyCols.map(col) ++
+          Seq(col(s"graft__c.$opCol").as("graft__op")) ++
+          payload.map(c => col(s"graft__c.$c").as(s"graft__u_$c")): _*)
+    base
+      .join(latest, keyCols, "full_outer")
+      .filter(col("graft__op").isNull || col("graft__op") =!= "D")
+      .select(
+        keyCols.map(col) ++ payload.map(c =>
+          when(col("graft__op").isNotNull, col(s"graft__u_$c"))
+            .otherwise(col(c)).as(c)): _*)
+  }
+
   /** S9: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

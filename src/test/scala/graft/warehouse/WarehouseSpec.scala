@@ -304,4 +304,36 @@ class WarehouseSpec extends SparkTestBase {
       .collect().map(r => Option(r.getString(0))).toSet
     assert(left === Set(Some("2024-01-05 10:00"), None))
   }
+
+  test("cdcApply: latest op wins, deletes drop, inserts land, untouched pass") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10.0), // untouched
+      (2L, "b", 20.0), // deleted
+      (3L, "c", 30.0), // updated twice -> seq 2 wins
+      (4L, "d", 40.0)  // deleted then re-inserted in-batch -> insert wins
+    ).toDF("k", "seg", "bal")
+    val chg = Seq(
+      (2L, 1L, "D", "b", 20.0),
+      (3L, 1L, "U", "c", 31.0),
+      (3L, 2L, "U", "c2", 32.0),
+      (4L, 1L, "D", "d", 40.0),
+      (4L, 2L, "I", "d2", 0.0),
+      (5L, 1L, "I", "new", 50.0), // brand-new key
+      (6L, 1L, "D", "x", 0.0)     // delete of an unknown key: no-op
+    ).toDF("k", "seq", "op", "seg", "bal")
+    val out = Warehouse.cdcApply(base, chg, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, "a", 10.0), (3L, "c2", 32.0), (4L, "d2", 0.0), (5L, "new", 50.0)))
+  }
+
+  test("cdcApply compacts the log agg-shaped: no window over the change batch") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0)).toDF("k", "seg", "bal")
+    val chg = Seq((1L, 1L, "U", "b", 2.0)).toDF("k", "seq", "op", "seg", "bal")
+    val plan = Warehouse.cdcApply(base, chg, Seq("k"), "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"log compaction must be an aggregate:\n$plan")
+  }
 }
