@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, GraphMetrics, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BandIndex, BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, GraphMetrics, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -6072,6 +6072,37 @@ object NorthStar {
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") === 7), "embedding",
         shortlist = 64, k = 10)
+    },
+
+    // ----- s37: MinHash band index as WAREHOUSE LAYOUT ------------------
+    // Incremental near-dup serving (the stored-layout discipline applied
+    // to the LSH family): the corpus band postings + signatures are
+    // built ONCE; a delta batch (every 7th doc re-keyed, simulating a
+    // re-crawl) is sketched map-only and probed against the stored
+    // postings — corpus text touched only candidate-sized in the exact
+    // verify (the n132 rehydration pattern). Oracle: the exact
+    // delta×corpus shingle Jaccard at the same threshold.
+    QuerySpec(
+      "s37_band_index",
+      s"""WITH $shingleCte,
+         |dsh AS (SELECT doc_id + 1000000 AS delta_id, shingle
+         |        FROM sh WHERE doc_id % 7 = 3),
+         |dn AS (SELECT doc_id + 1000000 AS delta_id, n
+         |       FROM shn WHERE doc_id % 7 = 3),
+         |i AS (SELECT d.delta_id, sh.doc_id AS corpus_id, count(*) AS i
+         |      FROM dsh d JOIN sh USING (shingle) GROUP BY 1, 2)
+         |SELECT i.delta_id, i.corpus_id,
+         |  CAST(i AS DOUBLE) / (dn.n + shn.n - i) AS jaccard
+         |FROM i JOIN dn ON dn.delta_id = i.delta_id
+         |      JOIN shn ON shn.doc_id = i.corpus_id
+         |WHERE CAST(i AS DOUBLE) / (dn.n + shn.n - i) >= 0.8""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val path = "target/sinks/s37_band"
+        BandIndex.build(docs, "doc_id", "text", path)
+        BandIndex.probe(docs, delta, "doc_id", "text", path, threshold = 0.8)
     },
 
     // ----- n141: vocabulary coverage curve ------------------------------

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BandIndexSpec extends SparkTestBase {
+
+  private def words(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  // corpus: A and B unrelated 20-word docs, C unrelated
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, words(20, "a")),
+      (2L, words(20, "b")),
+      (3L, words(20, "c"))
+    ).toDF("doc_id", "text")
+  }
+
+  test("probe finds exact and near duplicates of indexed docs, nothing else") {
+    import spark.implicits._
+    val path = "target/test_bandindex/basic"
+    BandIndex.build(corpus, "doc_id", "text", path)
+
+    val nearB = words(19, "b") + " zzz" // last token changed: J = 17/19
+    val delta = Seq(
+      (101L, words(20, "a")), // exact dup of doc 1
+      (102L, nearB),          // near dup of doc 2
+      (103L, words(20, "x"))  // novel
+    ).toDF("doc_id", "text")
+
+    val out = BandIndex.probe(corpus, delta, "doc_id", "text", path, 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array((101L, 1L, 1.0), (102L, 2L, 17.0 / 19.0)))
+  }
+
+  test("append makes a delta visible to the NEXT probe") {
+    import spark.implicits._
+    val path = "target/test_bandindex/append"
+    BandIndex.build(corpus, "doc_id", "text", path)
+
+    val delta1 = Seq((201L, words(20, "d"))).toDF("doc_id", "text")
+    assert(BandIndex.probe(corpus, delta1, "doc_id", "text", path, 0.8)
+      .isEmpty)
+    BandIndex.append(delta1, "doc_id", "text", path)
+
+    // delta2 duplicates a delta1 doc — only findable through the append;
+    // rehydration corpus must now include delta1 (the caller's ledger)
+    val delta2 = Seq((301L, words(20, "d"))).toDF("doc_id", "text")
+    val out = BandIndex.probe(
+      corpus.unionByName(delta1), delta2, "doc_id", "text", path, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((301L, 201L, 1.0)))
+  }
+
+  test("index is self-describing: probe replays non-default build params from meta") {
+    import spark.implicits._
+    val path = "target/test_bandindex/meta"
+    // bigram shingles, 32 hashes in 8 bands — probe passes NO params
+    BandIndex.build(corpus, "doc_id", "text", path,
+      shingleWidth = 2, numHashes = 32, bands = 8)
+    val delta = Seq((401L, words(20, "a"))).toDF("doc_id", "text")
+    val out = BandIndex.probe(corpus, delta, "doc_id", "text", path, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((401L, 1L, 1.0)))
+  }
+
+  test("probe scans of the stored index read only narrow columns, never text") {
+    import spark.implicits._
+    val path = "target/test_bandindex/plan"
+    BandIndex.build(corpus, "doc_id", "text", path)
+    val delta = Seq((501L, words(20, "a"))).toDF("doc_id", "text")
+    val df = BandIndex.probe(corpus, delta, "doc_id", "text", path, 0.8)
+    df.collect()
+    // scans hide below AQE query-stage leaves — recurse through them
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    val indexScans = scans.filter(_.metadata("Location").contains("bandindex"))
+    assert(indexScans.nonEmpty, "probe must scan the stored index")
+    indexScans.foreach { s =>
+      assert(!s.metadata("ReadSchema").contains("text"),
+        s"index scan must never read text: ${s.metadata("ReadSchema")}")
+    }
+  }
+}
