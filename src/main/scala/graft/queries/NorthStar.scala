@@ -6211,5 +6211,50 @@ object NorthStar {
         .join(g, Seq("graft__grk"))
         .select(col("doc_id"), col("source"), col("pct"),
           col("graft__gv").as("qnorm"))
+    },
+
+    // ----- n143: k-anonymity generalization (privacy gate) --------------
+    // Training corpora ship with quasi-identifier metadata (lang,
+    // source, size); a release gate must ensure no QI combination
+    // isolates fewer than k docs (Sweeney 2002). One generalization
+    // round: QI-combo counts (bounded cardinality — lang×source×
+    // log2-bucket), the under-k combos' rows generalized up the
+    // hierarchy (source→'*', bucket→suppressed), then re-counted.
+    // Scale shape: ONE corpus agg + the counts BROADCAST back onto a
+    // map-only projection + one re-agg; shuffles carry QI keys, never
+    // text. Like n96's water-fill, the fixpoint's further rounds
+    // iterate this same round.
+    QuerySpec(
+      "n143_k_anonymity",
+      """WITH q AS (SELECT lang, source,
+        |             CAST(length(bin(n_chars)) AS BIGINT) AS lb
+        |           FROM documents),
+        |c AS (SELECT lang, source, lb, count(*) AS n
+        |      FROM q GROUP BY 1, 2, 3),
+        |a AS (SELECT q.lang,
+        |        CASE WHEN c.n < 5 THEN '*' ELSE q.source END AS source_out,
+        |        CASE WHEN c.n < 5 THEN NULL ELSE q.lb END AS len_bucket,
+        |        c.n < 5 AS generalized
+        |      FROM q JOIN c USING (lang, source, lb))
+        |SELECT lang, source_out, len_bucket, generalized,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      val k = 5L
+      val q = t(s, d, "documents")
+        .select(col("lang"), col("source"),
+          length(bin(col("n_chars"))).cast("long").as("lb"))
+      val counts = q.groupBy(col("lang"), col("source"), col("lb"))
+        .agg(count(lit(1)).as("graft__n"))
+      q.join(broadcast(counts), Seq("lang", "source", "lb"))
+        .withColumn("generalized", col("graft__n") < k)
+        .select(col("lang"),
+          when(col("generalized"), lit("*")).otherwise(col("source"))
+            .as("source_out"),
+          when(col("generalized"), lit(null).cast("long")).otherwise(col("lb"))
+            .as("len_bucket"),
+          col("generalized"))
+        .groupBy(col("lang"), col("source_out"), col("len_bucket"),
+          col("generalized"))
+        .agg(count(lit(1)).as("n"))
     })
 }
