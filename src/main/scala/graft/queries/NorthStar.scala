@@ -6256,5 +6256,92 @@ object NorthStar {
         .groupBy(col("lang"), col("source_out"), col("len_bucket"),
           col("generalized"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ----- n144: span-corruption pretraining pairs (T5 denoising) -------
+    // Raffel et al. 2020's denoising objective as a DATA op: ~15% of
+    // token positions mask deterministically (md5 residue of
+    // doc_id:pos — reproducible, new corpus pass ≡ same pairs),
+    // consecutive masked positions collapse into ONE numbered sentinel
+    // in the input and expand behind it in the target. The whole
+    // input/target construction is a per-row sequential fold (the n52
+    // discipline) — map-only, zero exchanges below the final gate
+    // projection; the oracle rebuilds both strings with lag/running-sum
+    // windows + ordered string_agg and must match md5-for-md5.
+    QuerySpec(
+      "n144_span_corruption",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |                generate_subscripts(string_split(text, ' '), 1) AS pos
+        |              FROM documents),
+        |m AS (SELECT doc_id, w, pos,
+        |        ((('0x' || substr(md5(doc_id || ':' || pos), 1, 15))
+        |          ::UBIGINT)::BIGINT % 100) < 15 AS mk
+        |      FROM toks),
+        |g AS (SELECT doc_id, w, pos, mk,
+        |        CASE WHEN mk AND NOT coalesce(lag(mk) OVER win, false)
+        |             THEN 1 ELSE 0 END AS st
+        |      FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |h AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos)
+        |        AS sid FROM g),
+        |inp AS (SELECT doc_id,
+        |          string_agg(CASE WHEN NOT mk THEN w
+        |                     ELSE '<extra_id_' || (sid - 1) || '>' END,
+        |                     ' ' ORDER BY pos) AS input
+        |        FROM h WHERE NOT mk OR st = 1 GROUP BY doc_id),
+        |tp AS (SELECT doc_id, 2 * pos AS ok, w AS piece FROM h WHERE mk
+        |       UNION ALL
+        |       SELECT doc_id, 2 * pos - 1,
+        |         '<extra_id_' || (sid - 1) || '>' FROM h WHERE st = 1),
+        |tgt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ok) AS target
+        |        FROM tp GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |           CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS n_masked,
+        |           CAST(sum(st) AS BIGINT) AS n_spans
+        |         FROM h GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_masked, b.n_spans,
+        |  md5(coalesce(i.input, '')) AS input_md5,
+        |  md5(coalesce(tg.target, '')) AS target_md5
+        |FROM base b LEFT JOIN inp i USING (doc_id)
+        |LEFT JOIN tgt tg USING (doc_id)""".stripMargin) { (s, d) =>
+      val fold =
+        """aggregate(
+          |  sequence(1, size(ws)),
+          |  named_struct(
+          |    'inp', cast(array() as array<string>),
+          |    'tgt', cast(array() as array<string>),
+          |    'ns', cast(0 as bigint), 'pm', false),
+          |  (a, i) -> CASE
+          |    WHEN element_at(mk, i) AND NOT a.pm THEN named_struct(
+          |      'inp', array_append(a.inp,
+          |               concat('<extra_id_', cast(a.ns as string), '>')),
+          |      'tgt', array_append(array_append(a.tgt,
+          |               concat('<extra_id_', cast(a.ns as string), '>')),
+          |               element_at(ws, i)),
+          |      'ns', a.ns + 1, 'pm', true)
+          |    WHEN element_at(mk, i) THEN named_struct(
+          |      'inp', a.inp,
+          |      'tgt', array_append(a.tgt, element_at(ws, i)),
+          |      'ns', a.ns, 'pm', true)
+          |    ELSE named_struct(
+          |      'inp', array_append(a.inp, element_at(ws, i)),
+          |      'tgt', a.tgt, 'ns', a.ns, 'pm', false)
+          |  END,
+          |  a -> named_struct('inp', array_join(a.inp, ' '),
+          |                    'tgt', array_join(a.tgt, ' '),
+          |                    'ns', a.ns))""".stripMargin
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .withColumn("mk", expr(
+          "transform(sequence(1, size(ws)), i -> " +
+            "(cast(conv(substr(md5(concat(cast(doc_id as string), ':', " +
+            "cast(i as string))), 1, 15), 16, 10) as bigint) % 100) < 15)"))
+        .withColumn("graft__r", expr(fold))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          expr("cast(size(filter(mk, x -> x)) as bigint)").as("n_masked"),
+          col("graft__r.ns").as("n_spans"),
+          md5(col("graft__r.inp")).as("input_md5"),
+          md5(col("graft__r.tgt")).as("target_md5"))
     })
 }
