@@ -74,6 +74,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
       (args: Seq[Expression]) => NearestCell(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_space_saving"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_space_saving"),
+      (args: Seq[Expression]) =>
+        SpaceSavingAgg(args(0), intLit(args(1), "capacity"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
       (args: Seq[Expression]) =>

@@ -6343,5 +6343,63 @@ object NorthStar {
           col("graft__r.ns").as("n_spans"),
           md5(col("graft__r.inp")).as("input_md5"),
           md5(col("graft__r.tgt")).as("target_md5"))
+    },
+
+    // ----- n145: Space-Saving heavy hitters with exact gate -------------
+    // The counter-based heavy-hitter sketch (graft.functions.
+    // SpaceSavingAgg — Metwally et al. 2005 + the Agarwal et al. 2013
+    // mergeable-summaries merge) over the bigram stream, n49-style: the
+    // corpus is near-uniform, so 8 deterministic heavy grams carry
+    // N0 div 32 planted mass each (scale-proportional — the same
+    // construction at every SF). Oracle = the exact over-threshold set
+    // plus literal `true`s; the Spark side must (a) surface every
+    // exact heavy hitter among its ≤ capacity candidates (presence
+    // guarantee: true > N/capacity cannot be evicted) and (b) prove
+    // est ≥ exact and est ≤ exact + N div capacity for each. Sketch
+    // state is O(capacity) and merges map-side — the corpus-sized
+    // group-by here exists only to feed the gate's exact comparison.
+    QuerySpec(
+      "n145_space_saving_topk",
+      s"""WITH $bigramCteSql,
+         |g AS (SELECT w1 || ' ' || w2 AS w FROM p),
+         |n0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g),
+         |hh AS (SELECT 'hh_' || i AS w,
+         |         unnest(generate_series(1, (SELECT c FROM n0) // 32)) AS rep
+         |       FROM generate_series(0, 7) t(i)),
+         |st AS (SELECT w FROM g UNION ALL SELECT w FROM hh),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM st GROUP BY 1)
+         |SELECT w, n_exact, true AS est_ge_exact, true AS est_within_bound
+         |FROM c WHERE n_exact > (SELECT n FROM tot) // 64""".stripMargin) {
+      (s, d) =>
+        val grams = t(s, d, "documents")
+          .select(explode(transform(
+            TextOps.bigrams(TextOps.tokens(col("text"))),
+            p => concat(p.getField("w1"), lit(" "), p.getField("w2"))))
+            .as("w"))
+        val n0 = grams.agg(count(lit(1)).as("graft__c"))
+        val planted = s.range(0, 8)
+          .select(concat(lit("hh_"), col("id")).as("w"))
+          .crossJoin(broadcast(n0))
+          .select(col("w"),
+            explode(sequence(lit(1L), expr("graft__c div 32"))).as("graft__rep"))
+          .select("w")
+        val stream = graft.operators.Materialize.shared(
+          grams.unionByName(planted))
+        val cands = stream
+          .agg(expr("graft_space_saving(w, 256)").as("graft__sk"))
+          .select(explode(col("graft__sk")).as("c"))
+          .select(col("c.w").as("w"), col("c.est").as("est"),
+            col("c.err").as("err"))
+        val tot = stream.agg(count(lit(1)).as("graft__n"))
+        stream.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(tot))
+          .filter(col("n_exact") > expr("graft__n div 64"))
+          .join(cands, Seq("w"))
+          .select(col("w"), col("n_exact"),
+            (col("est") >= col("n_exact")).as("est_ge_exact"),
+            (col("est") <= col("n_exact") + expr("graft__n div 256"))
+              .as("est_within_bound"))
     })
 }

@@ -80,4 +80,54 @@ class SketchesSpec extends SparkTestBase {
     assert(chain(ex).exists(c => Option(c.getMessage)
       .exists(_.contains("null signature element"))), s"got: $ex")
   }
+
+  test("space-saving: presence + two-sided bound on an adversarially skewed stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 50 heavy keys (600 each), 5000 light keys (1..8 each), spread over
+    // 16 partitions in an interleaved order so per-partition summaries
+    // churn; capacity 64 << 5050 distinct
+    val heavy = (0 until 50).flatMap(i => Seq.fill(600)(s"H$i"))
+    val light = (0 until 5000).flatMap(i => Seq.fill(1 + i % 8)(s"l$i"))
+    val rows = (heavy ++ light).zipWithIndex
+      .sortBy { case (_, idx) => (idx * 2654435761L) % 104729 } // deterministic interleave
+      .map(_._1)
+    val df = spark.createDataset(rows).toDF("w").repartition(16)
+    val n = rows.size.toLong
+    val cap = 64
+    val cands = df.agg(expr(s"graft_space_saving(w, $cap)").as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.w"), col("c.est")).as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // presence: every key with true > N/cap must be a candidate
+    exact.filter(_._2 > n / cap).keys.foreach { k =>
+      assert(cands.contains(k), s"heavy key $k (n=${exact(k)}) missing")
+    }
+    // two-sided bound for every candidate
+    cands.foreach { case (k, est) =>
+      val tru = exact.getOrElse(k, 0L)
+      assert(est >= tru, s"$k under-counted: est=$est true=$tru")
+      assert(est <= tru + n / cap,
+        s"$k over-counted: est=$est true=$tru bound=${tru + n / cap}")
+    }
+  }
+
+  test("space-saving: a low-cardinality stream is EXACT and never credits absent keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // distinct keys < capacity — the summary must return exact counts
+    // with zero error even though partitions merge (the ub=0 path; a
+    // min-credit merge would inflate keys missing from hot partitions)
+    val rows = (0 until 40).flatMap(i => Seq.fill(10 + i)(s"k$i"))
+    val df = spark.createDataset(rows).toDF("w").repartition(8)
+    val out = df.agg(expr("graft_space_saving(w, 64)").as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.w"), col("c.est"), col("c.err"))
+      .as[(String, Long, Long)].collect()
+    assert(out.length === 40)
+    out.foreach { case (k, est, err) =>
+      assert(est === 10L + k.drop(1).toInt && err === 0L,
+        s"$k: est=$est err=$err — low-cardinality summary must be exact")
+    }
+  }
 }
