@@ -6401,5 +6401,83 @@ object NorthStar {
             (col("est") >= col("n_exact")).as("est_ge_exact"),
             (col("est") <= col("n_exact") + expr("graft__n div 256"))
               .as("est_within_bound"))
+    },
+
+    // ----- n146: Zipf frequency-rank curve (corpus diagnostic) ----------
+    // The log-log frequency curve tokenizer/mixture design reads slope
+    // off of: vocabulary ranked by frequency, rank binned by
+    // ⌊log2 rank⌋+1 = length(bin(rk)) (the n90 integer-log trick — no
+    // libm), per-bin type count, token mass and log-frequency mass
+    // Σ length(bin(f)). Corpus work is ONE grouped count; the
+    // rank/cumsum windows run over the VOCABULARY relation (bounded —
+    // the n141/BpeTrainer metadata argument).
+    QuerySpec(
+      "n146_zipf_curve",
+      s"""WITH $bigramCteSql,
+         |c AS (SELECT w1 || ' ' || w2 AS w, count(*) AS n
+         |      FROM p GROUP BY 1),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk
+         |      FROM c)
+         |SELECT CAST(length(bin(rk)) AS BIGINT) AS rank_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(n) AS BIGINT) AS token_mass,
+         |  CAST(sum(length(bin(n))) AS BIGINT) AS log_freq_mass
+         |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      val counts = t(s, d, "documents")
+        .select(explode(transform(
+          TextOps.bigrams(TextOps.tokens(col("text"))),
+          p => concat(p.getField("w1"), lit(" "), p.getField("w2"))))
+          .as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .groupBy(length(bin(col("rk"))).cast("long").as("rank_bucket"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("n")).as("token_mass"),
+          sum(length(bin(col("n"))).cast("long")).as("log_freq_mass"))
+    },
+
+    // ----- n147: URL canonicalization dedup (crawl-frontier staple) -----
+    // Canonical-URL dedup is the first dedup pass of every web corpus:
+    // scheme/host case, default ports, fragments, tracking params and
+    // pre-query trailing slashes must all collapse. Raw URLs are
+    // synthesized adversarially from doc_id residues (the n140
+    // closed-form-twin discipline: case flips by id%2/id%3, :443 by
+    // id%5, utm params by id%2, fragment by id%4, trailing slash by
+    // id%3) and the ORACLE asserts the closed-form canonical directly —
+    // any normalization bug fails the hash compare. Map-only chain +
+    // one canonical-keyed agg; the only regexes are RE2-safe.
+    QuerySpec(
+      "n147_url_canonical",
+      """SELECT 'https://www.site' || (doc_id % 40) || '.com/p/'
+        |    || (doc_id % 7) || '?id=' || (doc_id % 5) AS url,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, "https").otherwise("HTTPS"),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, "WWW.Site").otherwise("www.site"),
+          (col("doc_id") % 40).cast("string"), lit(".com"),
+          when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+          lit("/p/"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 3 === 1, "/").otherwise(""),
+          lit("?id="), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            "&utm_source=feed&utm_campaign=x").otherwise(""),
+          when(col("doc_id") % 4 === 0, "#sec").otherwise("")).as("raw"))
+      val lowered = concat(
+        lower(regexp_extract(col("raw"), "^[a-zA-Z]+://[^/]+", 0)),
+        expr("substring(raw, length(regexp_extract(raw, '^[a-zA-Z]+://[^/]+', 0)) + 1)"))
+      raw
+        .withColumn("u", lowered)
+        .withColumn("u", regexp_replace(col("u"), "#.*$", ""))
+        .withColumn("u", regexp_replace(col("u"), "&utm_[^&#]*", ""))
+        .withColumn("u", regexp_replace(col("u"), ":443/", "/"))
+        .withColumn("u", regexp_replace(col("u"), "/\\?", "?"))
+        .groupBy(col("u").as("url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
     })
 }
