@@ -6479,5 +6479,49 @@ object NorthStar {
         .withColumn("u", regexp_replace(col("u"), "/\\?", "?"))
         .groupBy(col("u").as("url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    },
+
+    // ----- n148: per-group MAD outlier flagging (robust stats) ----------
+    // n34's z-score breaks on heavy-tailed length distributions (the
+    // outliers inflate their own σ); the robust spelling is median ±
+    // 3·MAD (Leys et al. 2013). All medians here are of INTEGERS, so
+    // every interpolated midpoint is exactly k or k+0.5 — doubled into
+    // BIGINTs (med2 = 2·median) the whole chain is exact integer
+    // arithmetic and the outlier test |x−med| > 3·MAD becomes
+    // 2·d > 3·mad2 with d = |2x − med2|. Group medians broadcast back
+    // (k langs); at corpus scale the exact median would take the n86
+    // histogram-window form (n_chars is bounded-cardinality), which
+    // this query's two-pass shape composes with directly.
+    QuerySpec(
+      "n148_mad_outliers",
+      """WITH b AS (SELECT lang, n_chars AS x FROM documents),
+        |m AS (SELECT lang, CAST(median(x) * 2 AS BIGINT) AS med2
+        |      FROM b GROUP BY 1),
+        |dd AS (SELECT b.lang, x, abs(2 * x - med2) AS d, med2
+        |       FROM b JOIN m USING (lang)),
+        |md AS (SELECT lang, med2, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(median(d) * 2 AS BIGINT) AS mad2
+        |       FROM dd GROUP BY 1, 2)
+        |SELECT md.lang, md.n, md.med2, md.mad2,
+        |  CAST(sum(CASE WHEN 2 * dd.d > 3 * md.mad2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM md JOIN dd USING (lang)
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+      val base = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("x"))
+      val med = base.groupBy(col("lang"))
+        .agg((median(col("x")) * 2).cast("long").as("med2"))
+      val dd = base.join(broadcast(med), Seq("lang"))
+        .withColumn("d", abs(col("x") * 2 - col("med2")))
+      val mad = dd.groupBy(col("lang"), col("med2"))
+        .agg(count(lit(1)).as("n"),
+          (median(col("d")) * 2).cast("long").as("mad2"))
+      dd.join(broadcast(mad.select(col("lang"), col("n"), col("mad2"))),
+          Seq("lang"))
+        .groupBy(col("lang"), col("n"), col("med2"), col("mad2"))
+        .agg(sum(when(col("d") * 2 > col("mad2") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+        .select(col("lang"), col("n"), col("med2"), col("mad2"),
+          col("n_outliers"))
     })
 }

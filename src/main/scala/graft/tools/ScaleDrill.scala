@@ -110,7 +110,13 @@ object ScaleDrill {
       "n138_stream_transitions_parity",
       "n139_binary_ann", "n140_html_strip",
       "s35_binary_code_layout", "n141_vocab_coverage",
-      "n142_quantile_normalize")
+      "n142_quantile_normalize",
+      // round-11 continuation: CDC apply, the stored band index, the
+      // privacy gate, span corruption, space-saving heavy hitters, the
+      // Zipf curve and URL canonicalization
+      "s36_cdc_apply", "s37_band_index", "n143_k_anonymity",
+      "n144_span_corruption", "n145_space_saving_topk",
+      "n146_zipf_curve", "n147_url_canonical")
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
