@@ -33,4 +33,42 @@ object GraphMetrics {
       Seq("a", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** One synchronous label-propagation round (Raghavan et al. 2007):
+    * every node adopts the most frequent label among its neighbors
+    * (ties to the smaller label), keeping its own label when it has no
+    * neighbors. `nodes` is (idCol, labelCol); `edges` (srcCol, dstCol)
+    * must already be SYMMETRIZED — the step reads src→dst only, so an
+    * undirected pair list needs both directions unioned in.
+    *
+    * Scale shape: neighbor labels are ONE equi-join of the edge list
+    * against the node labels, the vote an agg-shaped max_by over
+    * (count, label) — no per-node window, no label list materialized.
+    * Exchanges carry (id, label, count) triples. The community fixpoint
+    * iterates this under IterationCheckpoint exactly like the CC/
+    * PageRank loops.
+    */
+  def labelPropagationStep(
+      nodes: DataFrame, idCol: String, labelCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val lbl = nodes.select(col(idCol).as("graft__nid"),
+      col(labelCol).cast("long").as("graft__lbl"))
+    val votes = edges
+      .select(col(srcCol).as("graft__nid"), col(dstCol).as("graft__dst"))
+      .join(lbl, "graft__nid")
+      .groupBy(col("graft__dst"), col("graft__lbl"))
+      .agg(count(lit(1)).as("graft__cnt"))
+      // argmax by (count, smaller label): max of (cnt, -lbl) — the
+      // agg-shaped spelling, no window over the vote relation
+      .groupBy(col("graft__dst"))
+      .agg(max(struct(col("graft__cnt"), (-col("graft__lbl")).as("graft__neg")))
+        .as("graft__w"))
+      .select(col("graft__dst").as("graft__nid"),
+        (-col("graft__w.graft__neg")).as("graft__new"))
+    lbl
+      .join(votes, Seq("graft__nid"), "left")
+      .select(col("graft__nid").as(idCol),
+        col("graft__lbl").as("old_label"),
+        coalesce(col("graft__new"), col("graft__lbl")).as("new_label"))
+  }
 }

@@ -6523,5 +6523,46 @@ object NorthStar {
           .as("n_outliers"))
         .select(col("lang"), col("n"), col("med2"), col("mad2"),
           col("n_outliers"))
+    },
+
+    // ----- n149: label-propagation round (community detection) ----------
+    // The near-dup/CC family's community counterpart (Raghavan et al.
+    // 2007): over an LSH-bucket-blocked cosine graph (the n5 fixed
+    // hyperplanes — candidate generation is an EQUI-join on the bucket,
+    // never all-pairs), every node adopts its neighbors' majority label
+    // (ties to the smaller), isolated nodes keep their own. One round,
+    // agg-shaped argmax (GraphMetrics.labelPropagationStep); the
+    // fixpoint iterates under IterationCheckpoint like CC/PageRank.
+    QuerySpec(
+      "n149_label_prop",
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |             ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bkt
+         |           FROM embeddings),
+         |e AS (SELECT a.vec_id AS ia, c.vec_id AS ib
+         |      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |      WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.3),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e
+         |        UNION ALL SELECT ib, ia FROM e),
+         |nl AS (SELECT sym.dst AS id, b.label AS lbl
+         |       FROM sym JOIN b ON b.vec_id = sym.src),
+         |c2 AS (SELECT id, lbl, count(*) AS cnt FROM nl GROUP BY 1, 2),
+         |w AS (SELECT id, lbl FROM (
+         |        SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |                 ORDER BY cnt DESC, lbl) AS rn FROM c2)
+         |      WHERE rn = 1)
+         |SELECT b.vec_id, CAST(b.label AS BIGINT) AS old_label,
+         |  CAST(coalesce(w.lbl, b.label) AS BIGINT) AS new_label
+         |FROM b LEFT JOIN w ON w.id = b.vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val withBkt = emb.withColumn("graft__bkt",
+        Similarity.bucket(col("embedding").cast("array<double>"), annPlanes))
+      val pairs = Similarity.blockedNearDupPairs(
+        withBkt, "vec_id", "embedding", "graft__bkt", threshold = 0.3)
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      GraphMetrics.labelPropagationStep(
+        emb.select(col("vec_id"), col("label")), "vec_id", "label",
+        sym, "src", "dst")
     })
 }
