@@ -607,5 +607,31 @@ object Sinks {
       s.read.parquet(path)
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n"), dsum(col("bal")).as("balance"))
+    },
+
+    // ----- s38: zone-map manifest file skipping -------------------------
+    // The Delta/Iceberg file-skipping index as a first-class table: the
+    // fact lands range-clustered (8 files, disjoint key envelopes), a
+    // per-file min/max manifest is built in one narrow scan, and the
+    // range query consults the MANIFEST first — only envelope-
+    // overlapping files are handed to the scan (WarehouseSpec pins the
+    // file count). s12 showed row-group pruning INSIDE files; this is
+    // the layer above it: skipping whole files from metadata, the way a
+    // 100 TB table avoids even opening cold objects.
+    QuerySpec(
+      "s38_zonemap_scan",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 9000
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val path = s"$base/s38_zonemap"
+      t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(path)
+      val manifest = Warehouse.zoneMapManifest(s, path, "l_orderkey")
+      Warehouse.zoneMapRead(s, path, manifest, "l_orderkey", 5000L, 9000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     })
 }

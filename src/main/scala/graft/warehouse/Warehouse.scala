@@ -188,6 +188,48 @@ object Warehouse {
             .otherwise(col(c)).as(c)): _*)
   }
 
+  /** Zone-map manifest over a written parquet path: one row per FILE
+    * with the min/max of the clustering key — the file-skipping index
+    * Delta/Iceberg keep in their transaction log, materialized here as
+    * a queryable table. Built in one narrow scan (key + `_metadata
+    * .file_path`); on a range-clustered layout ([[stageSorted]]'s
+    * repartitionByRange discipline) file envelopes are disjoint, so a
+    * point/range predicate maps to a handful of files.
+    */
+  def zoneMapManifest(
+      spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .select(col(keyCol), col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+  }
+
+  /** Manifest-pruned range read: consult the zone-map FIRST (a
+    * file-count-sized metadata relation — the collect here is the same
+    * plan-time derivation as the s23 probe set), then scan only the
+    * files whose [lo, hi] envelope overlaps the predicate. The
+    * predicate is still applied after the scan — the manifest may
+    * over-approximate, never under. */
+  def zoneMapRead(
+      spark: SparkSession,
+      path: String,
+      manifest: DataFrame,
+      keyCol: String,
+      lo: Long,
+      hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = manifest
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select(col("file"))
+      .collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol).between(lo, hi))
+  }
+
   /** S9: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -336,4 +336,40 @@ class WarehouseSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"log compaction must be an aggregate:\n$plan")
   }
+
+  test("zoneMapRead scans only envelope-overlapping files; empty ranges scan none") {
+    import spark.implicits._
+    val path = "target/sinks/test_zonemap"
+    (1L to 8000L).map(i => (i, i % 5)).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(path)
+    val manifest = Warehouse.zoneMapManifest(spark, path, "k")
+    val totalFiles = manifest.count()
+    assert(totalFiles === 8L)
+
+    val pruned = Warehouse.zoneMapRead(spark, path, manifest, "k", 2000L, 2999L)
+    // correctness: same rows as the unpruned filter
+    assert(pruned.count() === 1000L)
+    // pruning: the scan's file list must be a strict subset
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(qs.plan)
+        }.flatten
+      scans(df.queryExecution.executedPlan)
+        .map(_.relation.location.inputFiles.length.toLong).sum
+    }
+    val n = scannedFiles(pruned)
+    assert(n > 0 && n <= 2, s"range spanning ~1/8 of the keys must read <=2 files, read $n")
+
+    // a range outside every envelope reads nothing and returns empty
+    assert(Warehouse.zoneMapRead(spark, path, manifest, "k", 50000L, 60000L).isEmpty)
+  }
 }
