@@ -6564,5 +6564,35 @@ object NorthStar {
       GraphMetrics.labelPropagationStep(
         emb.select(col("vec_id"), col("label")), "vec_id", "label",
         sym, "src", "dst")
+    },
+
+    // ----- n150: hashing-trick featurizer (VW/fastText input side) ------
+    // Tokens hash into 64 feature buckets (the portable 60-bit md5
+    // hash, so the oracle replays every collision exactly); per-doc
+    // sparse counts summarize as nnz / l1 mass / a bucket-weighted
+    // checksum that moves if ANY token lands in a different bucket.
+    // The hash is applied at the scan, so exchanges carry (doc_id,
+    // bucket) pairs — never tokens; two partial-agg levels, map-side
+    // combined.
+    QuerySpec(
+      "n150_feature_hash",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |h AS (SELECT doc_id,
+        |        (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT % 64 AS b
+        |      FROM tk),
+        |c AS (SELECT doc_id, b, count(*) AS cnt FROM h GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+        |  CAST(sum(cnt) AS BIGINT) AS l1,
+        |  CAST(sum((b + 1) * cnt) AS BIGINT) AS chk
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), (TextOps.hexHash60(col("w")) % 64).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"), sum(col("cnt")).as("l1"),
+          sum((col("b") + 1) * col("cnt")).as("chk"))
     })
 }
