@@ -116,7 +116,10 @@ object ScaleDrill {
       // Zipf curve and URL canonicalization
       "s36_cdc_apply", "s37_band_index", "n143_k_anonymity",
       "n144_span_corruption", "n145_space_saving_topk",
-      "n146_zipf_curve", "n147_url_canonical")
+      "n146_zipf_curve", "n147_url_canonical",
+      "n148_mad_outliers", "n149_label_prop", "n150_feature_hash")
+      // (s38_zonemap_scan reads lineitem, which the drill corpus does
+      // not scale — its file-skipping property is spec-pinned instead)
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")
