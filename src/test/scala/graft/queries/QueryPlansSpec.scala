@@ -956,4 +956,34 @@ class QueryPlansSpec extends SparkTestBase {
         s"stats scan read the vector column: ${sc.schema.fieldNames.mkString(",")}")
     }
   }
+
+  test("n144 span corruption: map-only per-row fold, zero exchanges") {
+    val plan = finalPlan(q("n144_span_corruption"))
+    assert(!plan.contains("Exchange"),
+      s"the input/target fold must not shuffle:\n$plan")
+  }
+
+  test("n143 k-anonymity: QI counts broadcast back, no corpus shuffle join") {
+    val plan = finalPlan(q("n143_k_anonymity"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the combo counts must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs here:\n$plan")
+  }
+
+  test("n149 label prop: bucket-blocked equi-join + agg votes — no cartesian, no window") {
+    val plan = finalPlan(q("n149_label_prop"))
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must be the bucket equi-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the vote argmax must stay agg-shaped:\n$plan")
+  }
+
+  test("n150 feature hash: tokens hash at the scan — no token text in exchanges") {
+    val plan = finalPlan(q("n150_feature_hash"))
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("w#") && !exchangeLines.contains("text#"),
+      s"token/doc text reached a shuffle:\n$exchangeLines")
+  }
 }
