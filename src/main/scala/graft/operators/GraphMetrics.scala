@@ -34,6 +34,54 @@ object GraphMetrics {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Degree of every endpoint in a SYMMETRIZED edge list, as
+    * (graft__nid, graft__deg) — one agg over the edges, exchanges
+    * carry (id, count) longs. Nodes with no edges do not appear;
+    * callers left-join and coalesce to 0. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("graft__nid"))
+      .groupBy(col("graft__nid"))
+      .agg(count(lit(1)).as("graft__deg"))
+
+  /** One k-core peel round (Matula & Beck 1983 / Batagelj & Zaversnik
+    * 2003's synchronous spelling): restrict the edge list to the
+    * `alive` node set, recompute degrees, and keep nodes whose degree
+    * within the surviving subgraph is >= k. Returns (idCol, deg) for
+    * the survivors. The k-core fixpoint iterates this until no node
+    * drops — under IterationCheckpoint exactly like the CC/PageRank/
+    * label-prop loops (each round strictly shrinks the node set, so
+    * termination is structural).
+    *
+    * Scale shape: two semi-joins (edge endpoints against the alive
+    * set) + one count agg — exchanges carry id/count longs only, no
+    * adjacency lists materialized, no window. `alive` is node-sized so
+    * the semi-joins shuffle-hash on the id key; never broadcast it.
+    */
+  def kCorePeelRound(
+      alive: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int): DataFrame =
+    subgraphDegrees(alive, idCol, edges, srcCol, dstCol)
+      .filter(col("deg") >= k)
+
+  /** Degrees within the subgraph induced by the `alive` node set:
+    * (idCol, deg) for every alive node that keeps at least one edge —
+    * the reporting half of [[kCorePeelRound]] (the peel is exactly
+    * `deg >= k` over this relation). Two endpoint semi-joins + one
+    * count agg; exchanges carry id/count longs only. */
+  def subgraphDegrees(
+      alive: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val ids = alive.select(col(idCol).as("graft__nid"))
+    val kept = edges
+      .select(col(srcCol).as("graft__src"), col(dstCol).as("graft__dst"))
+      .join(ids.withColumnRenamed("graft__nid", "graft__src"),
+        Seq("graft__src"), "left_semi")
+      .join(ids.withColumnRenamed("graft__nid", "graft__dst"),
+        Seq("graft__dst"), "left_semi")
+    degrees(kept, "graft__src", "graft__dst")
+      .select(col("graft__nid").as(idCol), col("graft__deg").as("deg"))
+  }
+
   /** One synchronous label-propagation round (Raghavan et al. 2007):
     * every node adopts the most frequent label among its neighbors
     * (ties to the smaller label), keeping its own label when it has no

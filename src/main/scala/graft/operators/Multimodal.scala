@@ -216,6 +216,47 @@ object Multimodal {
       .toDF("doc_id", "win", "n", "sum_sq", "is_silent")
   }
 
+  /** Strided frame sampling + per-frame statistics over a binary video
+    * column — the video-modality ingest profile: [[VideoCodec]] parses
+    * the GVID raw-frame container (real header walk, bounds-checked
+    * frame extraction) and every `stride`-th frame reports integer-
+    * exact (n_pixels, sum_luma, peak_luma). Frame striding is THE
+    * video-scale move: a training pipeline never featurizes every
+    * frame, it samples (decode cost and output rows drop by the stride
+    * factor before anything downstream runs). Same mapPartitions
+    * decode boundary as [[audioMeta]]; payload bytes never leave the
+    * executor; null/undecodable payloads emit no frames (the
+    * audioEnergyWindows convention — a frame profile of junk is the
+    * empty profile). */
+  def videoFrameStats(
+      df: DataFrame, payloadCol: String, stride: Int): DataFrame = {
+    require(stride >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val clip = if (bytes == null) None else VideoCodec.decode(bytes)
+        clip match {
+          case Some(c) =>
+            (0 until c.nFrames by stride).iterator.map { fi =>
+              val frame = c.frames(fi)
+              var sum = 0L
+              var peak = 0L
+              frame.foreach { b =>
+                val v = (b & 0xff).toLong
+                sum += v
+                if (v > peak) peak = v
+              }
+              (id, c.nFrames.toLong, fi.toLong, frame.length.toLong, sum, peak)
+            }
+          case None => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "n_frames", "frame_idx", "n_pixels",
+        "sum_luma", "peak_luma")
+  }
+
   /** Fallback for non-image payloads: keep every `factor`-th byte.
     * Deterministic and size-reducing, so the pipeline stays total over
     * mixed-media corpora; real codecs replace this per-format. */

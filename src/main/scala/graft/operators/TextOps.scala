@@ -26,6 +26,41 @@ object TextOps {
   /** Token count as BIGINT (DuckDB len() is BIGINT). */
   def nTokens(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Content-defined chunking over a token array (the LBFS/FastCDC
+    * idea at word granularity: Muthitacharoen et al. 2001): a chunk
+    * boundary falls AFTER every token whose portable 60-bit hash is
+    * ≡ 0 (mod `divisor`), so expected chunk length is `divisor` tokens
+    * and — unlike n45's fixed-width chunks — an insertion near the
+    * start of a document shifts NO boundary after the next cut point.
+    * That shift-resistance is what makes chunk hashes a block-level
+    * dedup key across edited near-duplicate documents. Returns the
+    * array of space-joined chunk strings in document order.
+    *
+    * Shape: one per-row `aggregate` fold over the token array — pure
+    * Catalyst expressions, zero exchanges; the chunk relation only
+    * shuffles AFTER chunks are hashed to longs. The accumulator keeps
+    * the open chunk as a token array (not a joined string) so empty
+    * tokens can't be confused with "no open chunk".
+    */
+  def cdcChunks(ws: Column, divisor: Int): Column = {
+    require(divisor >= 1)
+    val empty = array().cast("array<string>")
+    val folded = aggregate(
+      ws,
+      struct(empty.as("done"), empty.as("cur")),
+      (acc, w) => {
+        val cur2 = concat(acc("cur"), array(w))
+        val cut = hexHash60(w) % divisor === 0
+        struct(
+          when(cut, concat(acc("done"), array(concat_ws(" ", cur2))))
+            .otherwise(acc("done")).as("done"),
+          when(cut, empty).otherwise(cur2).as("cur"))
+      },
+      acc => when(size(acc("cur")) === 0, acc("done"))
+        .otherwise(concat(acc("done"), array(concat_ws(" ", acc("cur"))))))
+    folded
+  }
+
   /** Adjacent-token bigrams from a token array, as an array of
     * (w1, w2) structs in position order — shared by the collocation
     * (n48) and fluency (n52) queries so the pairing logic cannot

@@ -6594,5 +6594,162 @@ object NorthStar {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("nnz"), sum(col("cnt")).as("l1"),
           sum((col("b") + 1) * col("cnt")).as("chk"))
+    },
+
+    // ----- n151: content-defined chunking + block-level dedup -----------
+    // The storage-layer dedup primitive (LBFS/FastCDC, Muthitacharoen
+    // et al. 2001) at word granularity: chunk boundaries fall after
+    // hash-selected tokens, so edited near-duplicates still share
+    // every chunk past the first unshifted cut point — the
+    // shift-resistance fixed-width chunks (n45) lack. Per source:
+    // chunk count, distinct chunks, duplicate occurrences, max reuse.
+    // The fold is per-row (TextOps.cdcChunks, zero exchanges); chunks
+    // hash to 60-bit longs BEFORE the group-by, so exchanges carry
+    // (source, long) pairs — text never shuffles. At 100 TB this is
+    // two-level partial aggregation over a map-only chunker.
+    QuerySpec(
+      "n151_cdc_chunks",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |p AS (SELECT doc_id, source, ws,
+         |        unnest(generate_series(1, len(ws))) AS i
+         |      FROM t),
+         |w AS (SELECT doc_id, source, i, ws[i] AS w FROM p),
+         |b AS (SELECT doc_id, source, i, w,
+         |        CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |      FROM w),
+         |c AS (SELECT doc_id, source, i, w,
+         |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cid
+         |      FROM b),
+         |ch AS (SELECT source,
+         |         ${hex60("string_agg(w, ' ' ORDER BY i)")} AS h
+         |       FROM c GROUP BY doc_id, source, cid),
+         |g AS (SELECT source, h, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM ch GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_chunks,
+         |  CAST(max(cnt) AS BIGINT) AS max_chunk_reuse
+         |FROM g GROUP BY source""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          TextOps.cdcChunks(TextOps.tokens(col("text")), 4)
+            .as("graft__chunks"))
+        .select(col("source"), explode(col("graft__chunks")).as("graft__c"))
+        .select(col("source"), TextOps.hexHash60(col("graft__c")).as("graft__h"))
+        .groupBy(col("source"), col("graft__h"))
+        .agg(count(lit(1)).as("graft__cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("graft__cnt")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("graft__cnt") - 1).as("n_dup_chunks"),
+          max(col("graft__cnt")).as("max_chunk_reuse"))
+    },
+
+    // ----- n152: k-core peel rounds (graph density decomposition) -------
+    // The dup-graph family's density lens (n136 counts triangles; the
+    // k-core strips them down): iteratively remove nodes of degree < k
+    // and what remains is the template-family core a dedup audit
+    // should inspect first (Batagelj & Zaversnik 2003). Two
+    // synchronous peel rounds over the n149 LSH-blocked cosine graph,
+    // unrolled in the oracle exactly like n119's PageRank rounds; the
+    // fixpoint iterates GraphMetrics.kCorePeelRound under
+    // IterationCheckpoint. Exchanges carry (id, count) longs only.
+    QuerySpec(
+      "n152_kcore_peel",
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |             ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bkt
+         |           FROM embeddings),
+         |e AS (SELECT a.vec_id AS ia, c.vec_id AS ib
+         |      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |      WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.3),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e
+         |        UNION ALL SELECT ib, ia FROM e),
+         |d0 AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+         |n0 AS (SELECT b.vec_id, coalesce(d0.deg, 0) AS deg0
+         |       FROM b LEFT JOIN d0 ON d0.id = b.vec_id),
+         |a1 AS (SELECT vec_id FROM n0 WHERE deg0 >= 2),
+         |e1 AS (SELECT src, dst FROM sym
+         |       WHERE src IN (SELECT vec_id FROM a1)
+         |         AND dst IN (SELECT vec_id FROM a1)),
+         |d1 AS (SELECT src AS id, count(*) AS deg FROM e1 GROUP BY 1)
+         |SELECT n0.vec_id, CAST(n0.deg0 AS BIGINT) AS deg0,
+         |  n0.deg0 >= 2 AS in_core1,
+         |  CAST(coalesce(d1.deg, 0) AS BIGINT) AS deg1,
+         |  coalesce(d1.deg, 0) >= 2 AS in_core2
+         |FROM n0 LEFT JOIN d1 ON d1.id = n0.vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val withBkt = emb.withColumn("graft__bkt",
+        Similarity.bucket(col("embedding").cast("array<double>"), annPlanes))
+      val pairs = Similarity.blockedNearDupPairs(
+        withBkt, "vec_id", "embedding", "graft__bkt", threshold = 0.3)
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val nodes = emb.select(col("vec_id"))
+      val deg0 = GraphMetrics.degrees(sym, "src", "dst")
+        .withColumnRenamed("graft__nid", "vec_id")
+        .withColumnRenamed("graft__deg", "deg0")
+      val n0 = nodes.join(deg0, Seq("vec_id"), "left")
+        .withColumn("deg0", coalesce(col("deg0"), lit(0L)))
+      val r1 = n0.filter(col("deg0") >= 2).select(col("vec_id"))
+      // subgraphDegrees is the reporting half of kCorePeelRound: the
+      // peel itself is `deg >= 2` over this relation (in_core2 below).
+      val d1 = GraphMetrics.subgraphDegrees(r1, "vec_id", sym, "src", "dst")
+        .withColumnRenamed("deg", "deg1")
+      n0.join(d1, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("deg0"),
+          (col("deg0") >= 2).as("in_core1"),
+          coalesce(col("deg1"), lit(0L)).as("deg1"),
+          (coalesce(col("deg1"), lit(0L)) >= 2).as("in_core2"))
+    },
+
+    // ----- n153: video frame sampling (real container decode) -----------
+    // The multimodal family's third axis (n17/n126/n128 image, n109/
+    // n135 audio): per-doc synthetic clips — luminance a deterministic
+    // function of (doc_id, frame, pixel) — ENCODED to real GVID
+    // container bytes and DECODED back through VideoCodec's genuine
+    // header walk, then every 2nd frame profiled with integer-exact
+    // (n_pixels, sum_luma, peak_luma). Frame striding is the video-
+    // scale move: decode cost and output rows drop by the stride
+    // factor before anything downstream runs. The oracle never parses
+    // GVID: it computes the same stats closed-form from the generator
+    // formula, so any encode/decode disagreement (header offset,
+    // frame-length arithmetic, endianness) surfaces as a value
+    // mismatch. Decode runs in mapPartitions; payload bytes never
+    // leave the executor.
+    QuerySpec(
+      "n153_video_frames",
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 AS h,
+        |             4 + doc_id % 4 AS f
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, f,
+        |         unnest(generate_series(0, f - 1, 2)) AS fi
+        |       FROM p),
+        |px AS (SELECT doc_id, w, h, f, fi,
+        |         unnest(generate_series(0, w * h - 1)) AS pp
+        |       FROM fr),
+        |v AS (SELECT doc_id, f, fi, w * h AS np,
+        |        (doc_id * 31 + fi * 101 + pp * 7) % 256 AS x
+        |      FROM px)
+        |SELECT doc_id, CAST(f AS BIGINT) AS n_frames,
+        |  CAST(fi AS BIGINT) AS frame_idx, CAST(np AS BIGINT) AS n_pixels,
+        |  CAST(sum(x) AS BIGINT) AS sum_luma,
+        |  CAST(max(x) AS BIGINT) AS peak_luma
+        |FROM v GROUP BY doc_id, f, fi, np""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val vids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 8).toInt
+          val h = 8
+          val f = (4 + id % 4).toInt
+          val frames = Array.tabulate(f)(fi =>
+            Array.tabulate(w * h)(pp =>
+              ((id * 31L + fi.toLong * 101L + pp.toLong * 7L) % 256L).toByte))
+          (id, graft.operators.VideoCodec.encode(w, h, frames))
+        }).toDF("doc_id", "payload")
+      Multimodal.videoFrameStats(vids, "payload", stride = 2)
     })
 }

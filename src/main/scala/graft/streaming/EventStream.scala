@@ -47,6 +47,51 @@ object EventStream {
       stream: DataFrame, tsCol: String, width: String, watermark: String): DataFrame =
     tumblingAgg(stream.withWatermark(tsCol, watermark), tsCol, width)
 
+  /** Batch spelling of watermark late-data ACCOUNTING — the admission
+    * rule [[streamingTumblingAgg]]'s watermark applies, replayed over a
+    * deterministic arrival schedule so the drop counts are auditable
+    * (a feed owner must know how much data the watermark discards, not
+    * just what survived). `batchCol` assigns each event its arrival
+    * micro-batch; the watermark a row faces is the one PUBLISHED
+    * BEFORE its batch ran: max event time over all earlier batches
+    * minus `delayMs` (Spark publishes the advanced watermark at batch
+    * END — rows of the batch that raised the max are never victims of
+    * it). A row is dropped iff its window END is at or below that
+    * watermark — the aggregation-state eviction rule, NOT a raw
+    * `ts < wm` test: a late row belonging to a still-open window is
+    * admitted. Millisecond arithmetic throughout (Spark tracks
+    * watermarks in ms; event-time micros floor).
+    *
+    * Scale shape: the only window function runs over the BATCH-INDEX
+    * relation (one row per micro-batch — thousands, not billions);
+    * per-batch watermarks broadcast back onto the event stream, and
+    * the per-window counts are one two-level agg. Exchanges carry
+    * (batch, ms) and (window, count) longs.
+    */
+  def lateAccountingBatch(
+      events: DataFrame, tsCol: String, batchCol: String,
+      delayMs: Long, width: String): DataFrame = {
+    val bm = events
+      .groupBy(col(batchCol).as("graft__b"))
+      .agg(max(expr(s"unix_micros($tsCol) div 1000")).as("graft__bmax"))
+    val wm = bm
+      .withColumn("graft__wm",
+        max(col("graft__bmax")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("graft__b"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+          - delayMs)
+      .select(col("graft__b"), col("graft__wm"))
+    events
+      .join(broadcast(wm), col(batchCol) === col("graft__b"))
+      .withColumn("graft__w", window(col(tsCol), width))
+      .withColumn("graft__late",
+        col("graft__wm").isNotNull &&
+          expr("unix_micros(graft__w.end) div 1000") <= col("graft__wm"))
+      .groupBy(col("graft__w.start").as("window_start"))
+      .agg(sum(when(col("graft__late"), 0L).otherwise(1L)).as("n_admitted"),
+        sum(when(col("graft__late"), 1L).otherwise(0L)).as("n_late"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the n1 batch hash
     * dedup. `dropDuplicatesWithinWatermark` keeps a seen-key entry only
     * until the watermark passes its event time, so state is bounded by

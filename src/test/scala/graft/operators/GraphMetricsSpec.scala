@@ -48,4 +48,43 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(byId(2L) === 9L)   // 2's only neighbor is 1 (label 9)
     assert(out.map(r => r._1 -> r._2).toMap === nodes.as[(Long, Long)].collect().toMap)
   }
+
+  private def sym(undirected: Seq[(Long, Long)]) =
+    (undirected ++ undirected.map(e => (e._2, e._1))).toDF("src", "dst")
+
+  test("kCorePeelRound: pendant path peels off the triangle core over two rounds") {
+    // Path a(1)-b(2)-c(3) plus triangle c(3)-d(4)-e(5)-c:
+    // degrees a=1 b=2 c=3 d=2 e=2. Round 1 (k=2) drops a;
+    // in {b,c,d,e} node b keeps only edge b-c -> deg 1, drops in round 2;
+    // the 2-core is exactly the triangle {c,d,e}.
+    val edges = sym(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 3L -> 5L, 4L -> 5L))
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val r1 = GraphMetrics.kCorePeelRound(all, "id", edges, "src", "dst", 2)
+    assert(r1.as[(Long, Long)].collect().toMap === Map(
+      2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    // Synchronous semantics: degrees are computed BEFORE this round's
+    // victims drop, so 3 still counts its edge to the doomed 2 here.
+    val r2 = GraphMetrics.kCorePeelRound(
+      r1.select("id"), "id", edges, "src", "dst", 2)
+    assert(r2.as[(Long, Long)].collect().toMap === Map(
+      3L -> 3L, 4L -> 2L, 5L -> 2L))
+    // With 2 gone the triangle settles to all-degree-2 ...
+    val r3 = GraphMetrics.kCorePeelRound(
+      r2.select("id"), "id", edges, "src", "dst", 2)
+    assert(r3.as[(Long, Long)].collect().toMap === Map(
+      3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // ... and a further round is the fixpoint.
+    val r4 = GraphMetrics.kCorePeelRound(
+      r3.select("id"), "id", edges, "src", "dst", 2)
+    assert(r4.as[(Long, Long)].collect().toMap ===
+      r3.as[(Long, Long)].collect().toMap)
+  }
+
+  test("subgraphDegrees reports sub-k degrees the peel then filters") {
+    val edges = sym(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 3L -> 5L, 4L -> 5L))
+    val alive = Seq(2L, 3L, 4L, 5L).toDF("id") // round-1 survivors
+    val d = GraphMetrics.subgraphDegrees(alive, "id", edges, "src", "dst")
+    assert(d.as[(Long, Long)].collect().toMap === Map(
+      2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L)) // 2's deg 1 visible here
+  }
 }

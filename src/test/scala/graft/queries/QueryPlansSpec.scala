@@ -979,6 +979,29 @@ class QueryPlansSpec extends SparkTestBase {
       s"the vote argmax must stay agg-shaped:\n$plan")
   }
 
+  test("n151 cdc chunks: per-row fold, chunk text hashed to longs before any exchange") {
+    val plan = finalPlan(q("n151_cdc_chunks"))
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("graft__c#") &&
+      !exchangeLines.contains("text#") && !exchangeLines.contains("graft__chunks#"),
+      s"chunk/doc text reached a shuffle:\n$exchangeLines")
+  }
+
+  test("n152 kcore peel: semi-join restriction + count aggs — no window, no cartesian") {
+    val plan = finalPlan(q("n152_kcore_peel"))
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must be the bucket equi-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"degrees must stay agg-shaped:\n$plan")
+  }
+
+  test("n153 video frames: decode stays in mapPartitions — no exchange before the stats rows") {
+    val plan = finalPlan(q("n153_video_frames"))
+    assert(!plan.contains("Exchange"),
+      s"frame stats are per-row; nothing here should shuffle:\n$plan")
+  }
+
   test("n150 feature hash: tokens hash at the scan — no token text in exchanges") {
     val plan = finalPlan(q("n150_feature_hash"))
     val exchangeLines = plan.linesIterator
