@@ -6751,5 +6751,160 @@ object NorthStar {
           (id, graft.operators.VideoCodec.encode(w, h, frames))
         }).toDF("doc_id", "payload")
       Multimodal.videoFrameStats(vids, "payload", stride = 2)
+    },
+
+    // ----- n154: fill-in-the-middle transformation (FIM) ----------------
+    // The span-corruption family's code-model sibling (Bavarian et al.
+    // 2022): a hash-selected half of the corpus is split at two
+    // md5-residue cut points into prefix/middle/suffix and re-emitted
+    // in PSM sentinel order; the rest passes through. Everything is a
+    // per-row token-array slice — map-only, zero exchanges (plan-
+    // pinned); the oracle rebuilds the PSM string with list slicing
+    // and matches md5-for-md5, the n144 discipline.
+    QuerySpec(
+      "n154_fim_split",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |             len(string_split(text, ' ')) AS n, text
+         |           FROM documents),
+         |sel AS (SELECT doc_id, ws, n, text,
+         |          ${hex60("'fim:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+         |            AS do_fim,
+         |          ${hex60("'fim_u:' || CAST(doc_id AS VARCHAR)")} % (n + 1)
+         |            AS u,
+         |          ${hex60("'fim_v:' || CAST(doc_id AS VARCHAR)")} % (n + 1)
+         |            AS v
+         |        FROM t),
+         |cut AS (SELECT doc_id, ws, n, text, do_fim,
+         |          least(u, v) AS a, greatest(u, v) AS b
+         |        FROM sel)
+         |SELECT doc_id,
+         |  CASE WHEN do_fim THEN 'fim' ELSE 'plain' END AS mode,
+         |  CAST(CASE WHEN do_fim THEN a ELSE 0 END AS BIGINT) AS n_prefix,
+         |  CAST(CASE WHEN do_fim THEN b - a ELSE 0 END AS BIGINT) AS n_middle,
+         |  CAST(CASE WHEN do_fim THEN n - b ELSE 0 END AS BIGINT) AS n_suffix,
+         |  CASE WHEN do_fim THEN md5(array_to_string(
+         |      ['<PRE>'] || ws[1:a] || ['<SUF>'] || ws[b+1:n] ||
+         |      ['<MID>'] || ws[a+1:b], ' '))
+         |    ELSE md5(text) END AS psm_md5
+         |FROM cut""".stripMargin) { (s, d) =>
+      val t0 = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(col("text")).as("graft__ws"))
+        .withColumn("graft__n", size(col("graft__ws")))
+        .withColumn("graft__fim",
+          TextOps.hexHash60(concat(lit("fim:"), col("doc_id").cast("string")))
+            % 2 === 0)
+        .withColumn("graft__u",
+          (TextOps.hexHash60(concat(lit("fim_u:"), col("doc_id").cast("string")))
+            % (col("graft__n") + 1)).cast("int"))
+        .withColumn("graft__v",
+          (TextOps.hexHash60(concat(lit("fim_v:"), col("doc_id").cast("string")))
+            % (col("graft__n") + 1)).cast("int"))
+        .withColumn("graft__a", least(col("graft__u"), col("graft__v")))
+        .withColumn("graft__b", greatest(col("graft__u"), col("graft__v")))
+      val psm = array_join(
+        concat(
+          array(lit("<PRE>")), slice(col("graft__ws"), lit(1), col("graft__a")),
+          array(lit("<SUF>")),
+          slice(col("graft__ws"), col("graft__b") + 1,
+            col("graft__n") - col("graft__b")),
+          array(lit("<MID>")),
+          slice(col("graft__ws"), col("graft__a") + 1,
+            col("graft__b") - col("graft__a"))), " ")
+      t0.select(col("doc_id"),
+        when(col("graft__fim"), "fim").otherwise("plain").as("mode"),
+        when(col("graft__fim"), col("graft__a").cast("long")).otherwise(0L)
+          .as("n_prefix"),
+        when(col("graft__fim"), (col("graft__b") - col("graft__a")).cast("long"))
+          .otherwise(0L).as("n_middle"),
+        when(col("graft__fim"), (col("graft__n") - col("graft__b")).cast("long"))
+          .otherwise(0L).as("n_suffix"),
+        when(col("graft__fim"), md5(psm)).otherwise(md5(col("text")))
+          .as("psm_md5"))
+    },
+
+    // ----- n155: chat-turn flattening (SFT conversation prep) -----------
+    // Instruction-tuning data lands as conversation JSON; the prep
+    // pipeline parses turns, checks the role protocol and sizes the
+    // content. Per doc a deterministic conversation is BUILT, serialized
+    // with to_json, and re-parsed with from_json (schema'd
+    // array<struct> — Spark's real JSON machinery, the n7 axis); the
+    // oracle computes every stat closed-form from the generator and
+    // never parses JSON, so any serialize/parse disagreement (quoting,
+    // field order, null handling) surfaces as a value mismatch.
+    QuerySpec(
+      "n155_chat_turns",
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+        |i AS (SELECT doc_id, k, unnest(generate_series(0, k - 1)) AS i
+        |      FROM p),
+        |c AS (SELECT doc_id, k, i,
+        |        len('m' || CAST(doc_id AS VARCHAR) || '_' ||
+        |            CAST(i AS VARCHAR)) AS clen
+        |      FROM i)
+        |SELECT doc_id, CAST(k AS BIGINT) AS n_turns,
+        |  CAST(sum(clen) AS BIGINT) AS total_chars,
+        |  substr(repeat('ua', CAST(k AS INT)), 1, CAST(k AS INT)) AS role_sig
+        |FROM c GROUP BY doc_id, k""".stripMargin) { (s, d) =>
+      val conv = t(s, d, "documents")
+        .select(col("doc_id"), (lit(2) + col("doc_id") % 3).cast("int").as("graft__k"))
+        .withColumn("graft__turns", expr(
+          """transform(sequence(0, graft__k - 1), i -> named_struct(
+            |  'role', CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+            |  'content', concat('m', CAST(doc_id AS STRING), '_',
+            |                    CAST(i AS STRING))))""".stripMargin))
+        .withColumn("graft__json", to_json(col("graft__turns")))
+      // the real parse: schema'd from_json over the serialized turns
+      val parsed = conv.select(col("doc_id"),
+        from_json(col("graft__json"),
+          org.apache.spark.sql.types.DataTypes.createArrayType(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "role STRING, content STRING"))).as("graft__t"))
+      parsed.select(col("doc_id"),
+        size(col("graft__t")).cast("long").as("n_turns"),
+        expr("aggregate(graft__t, 0L, (acc, t) -> acc + length(t.content))")
+          .as("total_chars"),
+        expr("array_join(transform(graft__t, t -> substring(t.role, 1, 1)), '')")
+          .as("role_sig"))
+    },
+
+    // ----- n156: watermark late-data accounting (stream admission) ------
+    // What the n14/n71/n74 parity family is missing: HOW MUCH the
+    // watermark throws away. A deterministic arrival schedule (batches
+    // of 500 by event_id; a planted 10% of events straggle one batch
+    // late) replays the published-watermark admission rule — a row is
+    // dropped iff its window END is at or below the watermark its
+    // batch faces (aggregation-state eviction, not raw ts-lateness).
+    // EventStreamSpec proves the real watermarked stream drops
+    // bit-identically on a boundary fixture (window end == watermark).
+    QuerySpec(
+      "n156_stream_late_parity",
+      s"""WITH a AS (SELECT ts, event_id // 500 +
+         |             CASE WHEN ${hex60("'late:' || CAST(event_id AS VARCHAR)")}
+         |                    % 10 = 0 THEN 1 ELSE 0 END AS b
+         |           FROM events),
+         |bm AS (SELECT b, max(epoch_us(ts)) // 1000 AS bmax
+         |       FROM a GROUP BY 1),
+         |w AS (SELECT b, max(bmax) OVER (ORDER BY b
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          - 3600000 AS wm
+         |      FROM bm),
+         |t2 AS (SELECT a.ts, w.wm,
+         |         time_bucket(INTERVAL 6 HOUR, CAST(a.ts AS TIMESTAMP)) AS ws
+         |       FROM a JOIN w USING (b))
+         |SELECT ws AS window_start,
+         |  CAST(sum(CASE WHEN wm IS NOT NULL AND
+         |    epoch_us(ws + INTERVAL 6 HOUR) // 1000 <= wm
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN wm IS NOT NULL AND
+         |    epoch_us(ws + INTERVAL 6 HOUR) // 1000 <= wm
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         |FROM t2 GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .withColumn("graft__ab", expr("event_id div 500") +
+          when(TextOps.hexHash60(
+            concat(lit("late:"), col("event_id").cast("string"))) % 10 === 0,
+            1L).otherwise(0L))
+      EventStream.lateAccountingBatch(ev, "ts", "graft__ab",
+        delayMs = 3600000L, width = "6 hours")
     })
 }

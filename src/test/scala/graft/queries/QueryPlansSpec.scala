@@ -1002,6 +1002,26 @@ class QueryPlansSpec extends SparkTestBase {
       s"frame stats are per-row; nothing here should shuffle:\n$plan")
   }
 
+  test("n154 fim split: per-row slice/rejoin, zero exchanges") {
+    val plan = finalPlan(q("n154_fim_split"))
+    assert(!plan.contains("Exchange"),
+      s"the PSM construction must not shuffle:\n$plan")
+  }
+
+  test("n155 chat turns: per-row serialize/parse, zero exchanges") {
+    val plan = finalPlan(q("n155_chat_turns"))
+    assert(!plan.contains("Exchange"),
+      s"the JSON round-trip must not shuffle:\n$plan")
+  }
+
+  test("n156 late accounting: per-batch watermarks broadcast back, no event-stream shuffle join") {
+    val plan = finalPlan(q("n156_stream_late_parity"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the batch-watermark relation must broadcast onto the events:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no event-sized shuffle join belongs here:\n$plan")
+  }
+
   test("n150 feature hash: tokens hash at the scan — no token text in exchanges") {
     val plan = finalPlan(q("n150_feature_hash"))
     val exchangeLines = plan.linesIterator

@@ -52,6 +52,58 @@ class EventStreamSpec extends SparkTestBase {
       ("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
   }
 
+  test("lateAccountingBatch ≡ real watermarked stream drops, including the window-end==watermark boundary") {
+    import spark.implicits._
+    // 10s windows, 5s delay. Batch maxima publish watermarks 7 and 20;
+    // batch 2 then carries: a row for a long-closed window (00:08, end
+    // 10 <= 20), THE boundary row (00:15, end 20 == wm 20), and a row
+    // late in event time but in a still-open window (00:21, end 30).
+    // Batch 1's 00:05 is raw-late vs wm 7 but its window end 10 > 7 —
+    // admitted: the rule is state eviction, not raw ts-lateness.
+    val batches = Seq(
+      Seq("00:00", "00:07", "00:12"),
+      Seq("00:05", "00:13", "00:25"),
+      Seq("00:08", "00:15", "00:21", "00:30"))
+      .map(_.map(s => ts(s"2024-01-01 00:$s")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = EventStream.streamingTumblingAgg(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "10 seconds",
+      "5 seconds")
+    val q = stream.writeStream.format("memory")
+      .queryName("late_acct_test").outputMode("append").start()
+    batches.foreach { b =>
+      mem.addData(b.map(t => (t, "e", 0.0)): _*)
+      q.processAllAvailable()
+    }
+    mem.addData((ts("2024-01-01 01:00:00"), "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("late_acct_test")
+      .filter(col("event_type") === "e")
+      .select(col("window_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+
+    val twin = EventStream.lateAccountingBatch(
+      batches.zipWithIndex
+        .flatMap { case (b, i) => b.map(t => (t, i.toLong)) }
+        .toDF("ts", "b"),
+      "ts", "b", delayMs = 5000L, width = "10 seconds")
+      .select(col("window_start").cast("string"), col("n_admitted"),
+        col("n_late"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    assert(twin === Map(
+      "2024-01-01 00:00:00" -> (3L, 1L), // 00:08 late (end 10 <= 20)
+      "2024-01-01 00:00:10" -> (2L, 1L), // 00:15 late (end 20 == wm 20)
+      "2024-01-01 00:00:20" -> (2L, 0L), // 00:21 admitted (end 30 > 20)
+      "2024-01-01 00:00:30" -> (1L, 0L)))
+    assert(streamed === twin.view.mapValues(_._1).toMap,
+      "real stream admission diverged from the batch twin")
+  }
+
   test("file-source streaming: readStream over the events parquet matches batch") {
     val sfDir = "/root/testdata/sf0.001"
     val batchEvents = graft.sources.Tables(spark, sfDir, "events")
