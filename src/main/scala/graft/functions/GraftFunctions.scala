@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_cosine(vecA, vecB)                         → double
   *   graft_dot(vecA, vecB)                            → double
   *   graft_nearest_cell(vec, centroidMatrix)          → int
+  *   graft_kmv(hash, k)                               → array<bigint>
   *   graft_cms(hash31, depth, width)                  → array<bigint>
   *   graft_bloom(hash31, numBits, numHashes)          → array<bigint>
   *   graft_bloom_contains(words, key, numBits, numHashes) → boolean
@@ -78,6 +79,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_space_saving"),
       (args: Seq[Expression]) =>
         SpaceSavingAgg(args(0), intLit(args(1), "capacity"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (args: Seq[Expression]) =>
+        KmvAgg(args(0), intLit(args(1), "k"))))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),

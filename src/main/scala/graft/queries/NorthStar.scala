@@ -6906,5 +6906,278 @@ object NorthStar {
             1L).otherwise(0L))
       EventStream.lateAccountingBatch(ev, "ts", "graft__ab",
         delayMs = 3600000L, width = "6 hours")
+    },
+
+    // ----- n157: KMV bottom-k distinct-overlap sketch --------------------
+    // Cross-source overlap ("how much of source B is already in A?") at
+    // 100 TB can't afford exact distinct sets; HLL can't intersect. The
+    // KMV/theta-sketch answer (Bar-Yossef et al. 2002, Beyer et al.
+    // 2007): keep the k smallest distinct hashes per side (a NEW
+    // mergeable TypedImperativeAggregate, graft_kmv), then estimate
+    // union/intersection from the k smallest of the sketch UNION — the
+    // values themselves survive aggregation, so set algebra works after
+    // the fact. The sketch is a pure function of the distinct hash set
+    // (no randomness), so the oracle replays it closed-form (ORDER
+    // BY/LIMIT k) and both the sketch AND every derived estimate are
+    // bit-identical cross-engine. The exact Jaccard rides along as a
+    // proof column from one hash-level agg. Scale shape: two bounded
+    // sketch aggs (k longs of state, map-side partials) + one
+    // hash-keyed agg; everything after is 1-row broadcast algebra.
+    // DV estimator spelled (2^60 div kth)·(k−1) — floor-div first so
+    // the product stays in BIGINT range on both engines.
+    QuerySpec(
+      "n157_kmv_overlap",
+      s"""WITH w AS (SELECT CAST(doc_id % 2 AS INT) AS side,
+         |             unnest(string_split(text, ' ')) AS w
+         |           FROM documents),
+         |h AS (SELECT DISTINCT side, ${hex60("'kmv:' || w")} AS h FROM w),
+         |ska AS (SELECT list(h ORDER BY h) AS sk FROM
+         |         (SELECT h FROM h WHERE side = 0 ORDER BY h LIMIT 64)),
+         |skb AS (SELECT list(h ORDER BY h) AS sk FROM
+         |         (SELECT h FROM h WHERE side = 1 ORDER BY h LIMIT 64)),
+         |ex AS (SELECT
+         |    CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shared,
+         |    CAST(count(*) AS BIGINT) AS n_union
+         |  FROM (SELECT h, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ia,
+         |               max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS ib
+         |        FROM h GROUP BY h)),
+         |u AS (SELECT a.sk AS ska, b.sk AS skb,
+         |        list_sort(list_distinct(a.sk || b.sk)) AS un
+         |      FROM ska a, skb b),
+         |kc AS (SELECT ska, skb, un[1:64] AS kl,
+         |         CAST(least(len(un), 64) AS BIGINT) AS kk FROM u)
+         |SELECT CAST(64 AS BIGINT) AS k,
+         |  CAST(len(ska) AS BIGINT) AS n_a,
+         |  CAST(len(skb) AS BIGINT) AS n_b,
+         |  ska[len(ska)] AS kth_a,
+         |  skb[len(skb)] AS kth_b,
+         |  CAST((1152921504606846976 // ska[len(ska)]) * (len(ska) - 1)
+         |    AS BIGINT) AS dv_a,
+         |  CAST((1152921504606846976 // skb[len(skb)]) * (len(skb) - 1)
+         |    AS BIGINT) AS dv_b,
+         |  kk,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb))
+         |    AS BIGINT) AS shared_k,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb)) AS BIGINT)
+         |    / kk AS j_est,
+         |  ex.n_shared, ex.n_union,
+         |  ex.n_shared / ex.n_union AS j_exact
+         |FROM kc, ex""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select((col("doc_id") % 2).cast("int").as("graft__side"),
+          explode(TextOps.tokens(col("text"))).as("graft__w"))
+        .select(col("graft__side"),
+          TextOps.hexHash60(concat(lit("kmv:"), col("graft__w")))
+            .as("graft__h"))
+      val sk = toks.groupBy(col("graft__side"))
+        .agg(expr("graft_kmv(graft__h, 64)").as("graft__sk"))
+      val a = sk.filter(col("graft__side") === 0)
+        .select(col("graft__sk").as("graft__ska"))
+      val b = sk.filter(col("graft__side") === 1)
+        .select(col("graft__sk").as("graft__skb"))
+      val ex = toks.groupBy(col("graft__h"))
+        .agg(max(when(col("graft__side") === 0, 1).otherwise(0)).as("graft__ia"),
+          max(when(col("graft__side") === 1, 1).otherwise(0)).as("graft__ib"))
+        .agg(
+          sum(when(col("graft__ia") === 1 && col("graft__ib") === 1, 1L)
+            .otherwise(0L)).as("n_shared"),
+          count(lit(1)).as("n_union"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(ex))
+        .withColumn("graft__un",
+          array_sort(array_distinct(concat(col("graft__ska"), col("graft__skb")))))
+        .withColumn("kk", least(size(col("graft__un")), lit(64)).cast("long"))
+        .withColumn("graft__kl", slice(col("graft__un"), 1, 64))
+        .withColumn("shared_k",
+          size(array_intersect(array_intersect(col("graft__kl"), col("graft__ska")),
+            col("graft__skb"))).cast("long"))
+        .select(
+          lit(64L).as("k"),
+          size(col("graft__ska")).cast("long").as("n_a"),
+          size(col("graft__skb")).cast("long").as("n_b"),
+          element_at(col("graft__ska"), size(col("graft__ska"))).as("kth_a"),
+          element_at(col("graft__skb"), size(col("graft__skb"))).as("kth_b"),
+          expr("(1152921504606846976L div element_at(graft__ska, size(graft__ska)))" +
+            " * cast(size(graft__ska) - 1 as bigint)").as("dv_a"),
+          expr("(1152921504606846976L div element_at(graft__skb, size(graft__skb)))" +
+            " * cast(size(graft__skb) - 1 as bigint)").as("dv_b"),
+          col("kk"),
+          col("shared_k"),
+          (col("shared_k") / col("kk")).as("j_est"),
+          col("n_shared"), col("n_union"),
+          (col("n_shared") / col("n_union")).as("j_exact"))
+    },
+
+    // ----- n158: grid-blocked radius join (spatial self-join) -----------
+    // The reference's stations carry latitude/longitude
+    // (create_tables.sql:28, etl.py:64-72) — "which stations sit within
+    // R of each other" is the bikeshare-native spatial question. The
+    // scalable spelling is grid blocking: snap points to R-sized cells,
+    // expand ONE side to its 3×3 cell neighborhood (bounded 9×), and
+    // equi-join on the cell key — every true pair shares a neighborhood
+    // cell, so the exact d² ≤ R² verify sees only co-located
+    // candidates; nothing is all-pairs (cell occupancy is density-
+    // bounded, the same argument as the LSH band join). Coordinates are
+    // deterministic integer microdegrees from md5 residues and the
+    // metric is planar squared distance — exact BIGINT end to end, no
+    // trig, no float boundary risk at the R² threshold. Each unordered
+    // pair appears exactly once: the expanded side hits the partner's
+    // unique home cell via one (dx,dy), and id_a < id_b kills the
+    // mirror.
+    QuerySpec(
+      "n158_radius_join",
+      s"""WITH p AS (SELECT c_custkey AS key,
+         |    ${hex60("'px:' || CAST(c_custkey AS VARCHAR)")} % 600000 AS x,
+         |    ${hex60("'py:' || CAST(c_custkey AS VARCHAR)")} % 500000 AS y
+         |  FROM customer),
+         |e AS (SELECT key, x, y, x // 10000 + dx.g AS cx, y // 10000 + dy.g AS cy
+         |      FROM p, generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)),
+         |c AS (SELECT key, x, y, x // 10000 AS cx, y // 10000 AS cy FROM p)
+         |SELECT e.key AS id_a, c.key AS id_b,
+         |  CAST((e.x - c.x) * (e.x - c.x) + (e.y - c.y) * (e.y - c.y)
+         |    AS BIGINT) AS d2
+         |FROM e JOIN c ON e.cx = c.cx AND e.cy = c.cy AND e.key < c.key
+         |WHERE (e.x - c.x) * (e.x - c.x) + (e.y - c.y) * (e.y - c.y)
+         |  <= 100000000""".stripMargin) { (s, d) =>
+      val pts = t(s, d, "customer").select(
+        col("c_custkey").as("key"),
+        (TextOps.hexHash60(concat(lit("px:"), col("c_custkey").cast("string")))
+          % 600000).as("x"),
+        (TextOps.hexHash60(concat(lit("py:"), col("c_custkey").cast("string")))
+          % 500000).as("y"))
+      val cells = pts
+        .withColumn("cx", expr("x div 10000"))
+        .withColumn("cy", expr("y div 10000"))
+      val expanded = cells
+        .select(col("key").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+          explode(expr(
+            "transform(sequence(0, 8), i -> " +
+              "struct(cx + i div 3 - 1 AS cx, cy + i % 3 - 1 AS cy))"))
+            .as("graft__c"))
+        .select(col("id_a"), col("xa"), col("ya"),
+          col("graft__c.cx").as("cx"), col("graft__c.cy").as("cy"))
+      expanded
+        .join(cells.select(col("key").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("d2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("d2") <= 100000000L)
+        .select(col("id_a"), col("id_b"), col("d2"))
+    },
+
+    // ----- n159: exact AUC via the Mann-Whitney rank statistic ----------
+    // The quality-classifier chain (n80/n84/n113) reports threshold
+    // metrics; ranking quality needs the threshold-free AUC. The
+    // all-pairs definition (P[s⁺ > s⁻] + ½P[tie]) is quadratic and the
+    // naive rank spelling needs a corpus-wide sort — but grouping by
+    // SCORE collapses both: per score-group (pos_s, neg_s), doubled
+    // wins = Σ pos_s·(2·cum_neg_below + neg_s), and the cumulative
+    // window runs over the score GRID (≤ 50 rows — the n86/n146
+    // vocab-sized-window argument), never the corpus. Everything is
+    // BIGINT; the final AUC is one exact-integer division, so the
+    // gate compares it bit-for-bit. Labels/scores are deterministic
+    // plants: label from an md5 residue, score a label-shifted char
+    // bucket so the planted AUC is meaningfully > 0.5.
+    QuerySpec(
+      "n159_auc_exact",
+      s"""WITH b AS (SELECT
+         |    CASE WHEN ${hex60("'y:' || CAST(doc_id AS VARCHAR)")} % 3 = 0
+         |      THEN 1 ELSE 0 END AS y,
+         |    n_chars % 41 +
+         |    CASE WHEN ${hex60("'y:' || CAST(doc_id AS VARCHAR)")} % 3 = 0
+         |      THEN 9 ELSE 0 END AS sc
+         |  FROM documents),
+         |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS pos,
+         |        CAST(sum(1 - y) AS BIGINT) AS neg
+         |      FROM b GROUP BY sc),
+         |c AS (SELECT sc, pos, neg,
+         |        CAST(coalesce(sum(neg) OVER (ORDER BY sc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cneg
+         |      FROM g)
+         |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos * (2 * cneg + neg)) AS BIGINT) AS num2,
+         |  CAST(sum(pos * (2 * cneg + neg)) AS BIGINT) /
+         |    (2 * CAST(sum(pos) AS BIGINT) * CAST(sum(neg) AS BIGINT)) AS auc
+         |FROM c""".stripMargin) { (s, d) =>
+      val y = when(TextOps.hexHash60(
+        concat(lit("y:"), col("doc_id").cast("string"))) % 3 === 0, 1L)
+        .otherwise(0L)
+      val base = t(s, d, "documents")
+        .select(y.as("graft__y"),
+          (col("n_chars") % 41 + when(y === 1, 9L).otherwise(0L)).as("graft__sc"))
+      val g = base.groupBy(col("graft__sc"))
+        .agg(sum(col("graft__y")).as("graft__pos"),
+          sum(lit(1L) - col("graft__y")).as("graft__neg"))
+      val c = g.withColumn("graft__cneg",
+        coalesce(sum(col("graft__neg")).over(
+          Window.orderBy(col("graft__sc"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      c.agg(
+        sum(col("graft__pos")).as("n_pos"),
+        sum(col("graft__neg")).as("n_neg"),
+        sum(col("graft__pos") * (col("graft__cneg") * 2 + col("graft__neg")))
+          .as("num2"))
+        .select(col("n_pos"), col("n_neg"), col("num2"),
+          (col("num2") / (col("n_pos") * col("n_neg") * 2)).as("auc"))
+    },
+
+    // ----- n160: domain-suffix blocklist filter (crawl hygiene) ---------
+    // Every web corpus applies a domain blocklist, and the match rule is
+    // SUFFIX-at-label-boundary ("site7.com" must block
+    // "cdn.site7.com" but never "notsite7.com"). The scalable spelling
+    // is NOT a LIKE-join (a non-equi broadcast nested loop over the
+    // corpus): explode each host into its ≤4 label suffixes and
+    // equi-join the broadcast blocklist — candidate volume is
+    // labels-bounded, the join is hashable, and the corpus side stays
+    // map-only. Hosts are synthesized from doc_id residues (the n147
+    // generator discipline) with a cdn. subdomain axis so boundary
+    // semantics are actually exercised; the oracle replays the same
+    // explode/join closed-form.
+    QuerySpec(
+      "n160_domain_blocklist",
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END || 'site' ||
+        |    CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS host
+        |  FROM documents),
+        |hosts AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+        |          FROM d GROUP BY 1),
+        |bl AS (SELECT * FROM (VALUES ('site7.com'), ('site13.org'),
+        |         ('cdn.site2.com'), ('site4.com'), ('site21.org'))
+        |       b(entry)),
+        |sfx AS (SELECT host,
+        |          array_to_string(labels[i:n], '.') AS suffix
+        |        FROM (SELECT host, string_split(host, '.') AS labels,
+        |                len(string_split(host, '.')) AS n,
+        |                unnest(generate_series(1,
+        |                  len(string_split(host, '.')))) AS i
+        |              FROM hosts)),
+        |m AS (SELECT s.host, min(b.entry) AS rule
+        |      FROM sfx s JOIN bl b ON s.suffix = b.entry GROUP BY 1)
+        |SELECT h.host, h.n_docs, m.rule IS NOT NULL AS blocked, m.rule
+        |FROM hosts h LEFT JOIN m USING (host)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val hosts = t(s, d, "documents")
+        .select(concat(
+          when(col("doc_id") % 3 === 0, "cdn.").otherwise(""),
+          lit("site"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 2 === 0, ".com").otherwise(".org")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+      val bl = Seq("site7.com", "site13.org", "cdn.site2.com", "site4.com",
+        "site21.org").toDF("entry")
+      val sfx = hosts.select(col("host"),
+        explode(expr(
+          "transform(sequence(1, size(split(host, '[.]'))), i -> " +
+            "array_join(slice(split(host, '[.]'), i, " +
+            "size(split(host, '[.]')) - i + 1), '.'))")).as("suffix"))
+      val m = sfx.join(broadcast(bl), col("suffix") === col("entry"))
+        .groupBy(col("host")).agg(min(col("entry")).as("rule"))
+      hosts.join(m, Seq("host"), "left")
+        .select(col("host"), col("n_docs"),
+          col("rule").isNotNull.as("blocked"), col("rule"))
     })
 }

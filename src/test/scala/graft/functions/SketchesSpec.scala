@@ -130,4 +130,41 @@ class SketchesSpec extends SparkTestBase {
         s"$k: est=$est err=$err — low-cardinality summary must be exact")
     }
   }
+
+  test("kmv: closed form, partition invariance, and size law") {
+    import spark.implicits._
+    // values with duplicates and a skewed spread; the sketch must equal
+    // the k smallest DISTINCT values no matter how partitions split
+    val vals: Seq[Long] =
+      (0 until 3000).map(i => ((i * 2654435761L) % 997L) * 1000003L) ++
+        (0 until 500).map(_.toLong) // a dense low block, duplicated below
+    val rows = vals ++ vals.take(700) // duplicates
+    val expected = rows.distinct.sorted.take(64)
+    Seq(1, 7, 32).foreach { parts =>
+      val got = spark.createDataset(rows).toDF("h").repartition(parts)
+        .agg(expr("graft_kmv(h, 64)").as("sk"))
+        .select(col("sk")).as[Seq[Long]].head()
+      assert(got === expected,
+        s"kmv sketch diverged at $parts partitions")
+    }
+    // size law: fewer distincts than k → the sketch IS the distinct set
+    val small = Seq(5L, 1L, 5L, 9L, 1L)
+    val gotSmall = spark.createDataset(small).toDF("h")
+      .agg(expr("graft_kmv(h, 64)").as("sk"))
+      .select(col("sk")).as[Seq[Long]].head()
+    assert(gotSmall === Seq(1L, 5L, 9L))
+  }
+
+  test("kmv: mergeability — sketch of a union == trimmed union of sketches") {
+    import spark.implicits._
+    val a = (0 until 900).map(i => ((i * 48271L) % 7919L) * 11L)
+    val b = (0 until 900).map(i => ((i * 16807L) % 7919L) * 13L)
+    def kmv(xs: Seq[Long]): Seq[Long] =
+      spark.createDataset(xs).toDF("h")
+        .agg(expr("graft_kmv(h, 64)").as("sk"))
+        .select(col("sk")).as[Seq[Long]].head()
+    val merged = (kmv(a) ++ kmv(b)).distinct.sorted.take(64)
+    assert(kmv(a ++ b) === merged,
+      "bottom-k of a union must equal the trimmed union of bottom-k's")
+  }
 }

@@ -1022,6 +1022,33 @@ class QueryPlansSpec extends SparkTestBase {
       s"no event-sized shuffle join belongs here:\n$plan")
   }
 
+  test("n157 kmv overlap: partial sketch aggs, broadcast 1-row algebra, no text in exchanges") {
+    val plan = finalPlan(q("n157_kmv_overlap"))
+    assert(plan.contains("partial_graft_kmv"),
+      s"the kmv sketch must map-side combine:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row sketch/exact legs must broadcast:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("graft__w"),
+      s"raw tokens must never enter an exchange:\n$exchangeLines")
+  }
+
+  test("n158 radius join: cell-key equi-join, never a cartesian/nested-loop") {
+    val plan = finalPlan(q("n158_radius_join"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the radius join must block on cell keys:\n$plan")
+  }
+
+  test("n160 blocklist: suffix explode equi-joins the broadcast list") {
+    val plan = finalPlan(q("n160_domain_blocklist"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the blocklist must broadcast onto the suffix stream:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"suffix matching must be an equi-join, not a LIKE nested loop:\n$plan")
+  }
+
   test("n150 feature hash: tokens hash at the scan — no token text in exchanges") {
     val plan = finalPlan(q("n150_feature_hash"))
     val exchangeLines = plan.linesIterator
