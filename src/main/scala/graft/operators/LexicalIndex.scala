@@ -99,9 +99,27 @@ object LexicalIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** The stored posting relation (doc_id, ns, dl, shingle, tf, bucket). */
-  def postings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/postings")
+  private def tombstonePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/tombstones")
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = tombstonePath(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The stored posting relation (doc_id, ns, dl, shingle, tf, bucket),
+    * minus tombstoned documents when a forget-set is pending — every
+    * probe routes through here, so a [[tombstone]] call is visible on
+    * all serving paths immediately, before [[compact]] rewrites
+    * anything. The anti-join side is the forget-set id list (16 bytes a
+    * row, broadcast); the posting stream itself is untouched. */
+  def postings(spark: SparkSession, path: String): DataFrame = {
+    val post = spark.read.parquet(s"$path/postings")
+    if (!hasTombstones(spark, path)) post
+    else post.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")),
+      Seq("doc_id"), "left_anti")
+  }
 
   /** The LOGICAL document-frequency table: refresh appends delta df
     * generations LSM-style (never rewrites the stored table), so the
@@ -112,6 +130,9 @@ object LexicalIndex {
     spark.read.parquet(s"$path/lexicon")
       .groupBy(col("bucket"), col("shingle"))
       .agg(sum(col("df")).as("df"))
+      // a shingle whose documents were ALL tombstoned folds to df = 0
+      // (negative generations) — it has left the vocabulary
+      .filter(col("df") > 0)
 
   /** The LOGICAL meta row (n_docs, n_tokens, buckets, shingle_n):
     * counters sum across generations; the layout constants are
@@ -173,6 +194,7 @@ object LexicalIndex {
       .filter(col("shingle").isin(qsh: _*))
       .groupBy(col("bucket"), col("shingle"))
       .agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0) // fully-tombstoned shingles fold to 0
     val qw = lex.crossJoin(broadcast(metaRow(spark, path)))
       .select(col("shingle"),
         round(lit(1000000.0) *
@@ -233,6 +255,46 @@ object LexicalIndex {
       .write.mode("append").parquet(s"$path/meta")
   }
 
+  /** Right-to-be-forgotten deletes, LSM-style: the forget-set becomes a
+    * tombstone id list (anti-joined on every postings read), a NEGATIVE
+    * lexicon generation (the delta's df partials, negated — recomputed
+    * map-only from the forget docs' text, exactly the [[refresh]]
+    * machinery run in reverse), and a negative meta generation, so idf
+    * weights and BM25 normalization reflect the shrunk corpus from the
+    * next probe on. Nothing stored is rewritten — a delete does
+    * forget-set-sized work only; [[compact]] later drops the tombstoned
+    * postings physically and clears the list.
+    *
+    * Contract: the forget-set must be (a subset of) documents actually
+    * in the index — GDPR deletes name content you hold. Re-ingesting a
+    * deleted id requires a [[compact]] first (while its tombstone is
+    * pending, the anti-join would hide the re-ingested postings while
+    * the lexicon counted them). */
+  def tombstone(
+      forgetDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = forgetDocs.sparkSession
+    val m = metaRow(spark, path)
+      .select(col("shingle_n"), col("buckets")).head()
+    val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
+    forgetDocs.select(col(idCol).as("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    postingProjection(forgetDocs, idCol, textCol, n, buckets)
+      .groupBy(col("bucket"), col("shingle"))
+      .agg((-count(lit(1))).as("df"))
+      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/lexicon")
+    forgetDocs
+      .agg((-count(lit(1))).as("n_docs"),
+        (-sum(size(split(col(textCol), " ")).cast("long"))).as("n_tokens"))
+      .withColumn("buckets", lit(buckets.toLong))
+      .withColumn("shingle_n", lit(n.toLong))
+      .write.mode("append").parquet(s"$path/meta")
+  }
+
   /** Fold accumulated generations back to one — the compaction half
     * of the LSM contract (run when the generation/file count starts to
     * matter; probes are correct either way). Lexicon and meta fold
@@ -261,6 +323,13 @@ object LexicalIndex {
       metaRow(spark, path))
     meta.write.mode("overwrite").parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
+    // tombstoned postings are now physically gone (the postings()
+    // rewrite above folded the anti-join) and the lexicon/meta folds
+    // absorbed the negative generations — clear the forget-set
+    if (hasTombstones(spark, path)) {
+      val p = tombstonePath(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 
   /** Index-health report: per-bucket posting/vocabulary/document

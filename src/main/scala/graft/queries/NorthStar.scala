@@ -5133,6 +5133,42 @@ object NorthStar {
       LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
+    // ----- s40: right-to-be-forgotten deletes in the lexical index ------
+    // The serving layout's GDPR path: a forget-set (doc_id % 10 = 7)
+    // becomes a tombstone id list + NEGATIVE lexicon/meta generations
+    // (the refresh machinery run in reverse — forget-set-sized work,
+    // nothing stored rewritten), and every probe answers as if the
+    // docs never existed: postings anti-join the broadcast tombstones,
+    // df and N fold the negative generations. The oracle rebuilds the
+    // serving answer from scratch over the REMAINING corpus — delete ≡
+    // rebuild, proven on the answer itself (the s30 discipline,
+    // mirrored). LexicalIndexSpec additionally proves compact()
+    // physically drops the tombstoned postings and serves identically.
+    QuerySpec(
+      "s40_lexical_forget",
+      s"""WITH RECURSIVE ${shingleCte.replace("FROM documents",
+             "FROM documents WHERE doc_id % 10 <> 7")},
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |       WHERE doc_id % 10 <> 7),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s40_lex"
+      val docs = t(s, d, "documents")
+      LexicalIndex.build(docs, "doc_id", "text", path, n = 3)
+      LexicalIndex.tombstone(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+      LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
     // ----- n121: hybrid retrieval served ENTIRELY from stored indexes ---
     // The n111 RRF fusion with both legs on their warehouse layouts —
     // the serving stack the s23/s26/s28 layouts exist for: the lexical

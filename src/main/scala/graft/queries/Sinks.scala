@@ -633,5 +633,39 @@ object Sinks {
       Warehouse.zoneMapRead(s, path, manifest, "l_orderkey", 5000L, 9000L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // ----- s39: per-file Bloom manifest (needle lookup, unclustered key) --
+    // s38's zone maps only prune on the CLUSTERING key — a point probe
+    // on any other high-cardinality column overlaps every file's
+    // envelope and reads the whole table. The Bloom manifest is the
+    // layer for that case (Parquet's bloom_filter / Delta file stats):
+    // orders land date-clustered, the probe is a single o_orderkey
+    // needle, and the per-file Blooms prune to the one file holding it
+    // (+ rare false positives, re-verified by the pushed exact filter —
+    // WarehouseSpec pins the file count and the no-false-negative law).
+    // The probed key is plan-time metadata (max orderkey — the s23/s25
+    // one-row .head() derivation), so the oracle can name the same row.
+    QuerySpec(
+      "s39_bloom_manifest",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)"""
+        .stripMargin) { (s, d) =>
+      val path = s"$base/s39_bloom"
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+      orders
+        .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(path)
+      val manifest =
+        Warehouse.bloomManifest(s, path, "o_orderkey", 262144, 7)
+      val key = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Warehouse.bloomPointRead(s, path, manifest, "o_orderkey", key, 262144, 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").as("total"))
     })
 }

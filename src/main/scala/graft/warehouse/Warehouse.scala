@@ -230,6 +230,49 @@ object Warehouse {
     base.filter(col(keyCol).between(lo, hi))
   }
 
+  /** Per-file Bloom manifest — file skipping for POINT probes on a key
+    * the layout is NOT clustered by. Zone maps (s38) need disjoint
+    * per-file envelopes, which only the clustering key has; every other
+    * high-cardinality column spans the full value range in every file,
+    * so its zone map prunes nothing. A per-file Bloom filter over that
+    * column (the Parquet bloom_filter / Delta file-stats idea) still
+    * prunes to ~1 file for a needle lookup: built in one narrow scan
+    * (key + `_metadata.file_path`), one bounded [[graft.functions
+    * .BloomFilterAgg]] per file, false positives re-verified by the
+    * pushed predicate after the scan — never false negatives. */
+  def bloomManifest(
+      spark: SparkSession, path: String, keyCol: String,
+      numBits: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .select(col(keyCol), col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(expr(s"graft_bloom($keyCol, $numBits, $numHashes)").as("bloom"))
+  }
+
+  /** Manifest-pruned point read: probe every file's Bloom (a file-count
+    * relation — the same plan-time metadata derivation as [[zoneMapRead]]),
+    * scan only might-contain files, re-verify exactly. */
+  def bloomPointRead(
+      spark: SparkSession,
+      path: String,
+      manifest: DataFrame,
+      keyCol: String,
+      key: Long,
+      numBits: Int,
+      numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = manifest
+      .filter(expr(s"graft_bloom_contains(bloom, ${key}L, $numBits, $numHashes)"))
+      .select(col("file"))
+      .collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol) === key)
+  }
+
   /** S9: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -130,4 +130,60 @@ class LexicalIndexSpec extends SparkTestBase {
     // doc4 "b c" = 2e6
     assert(got === Map(1L -> 8000000L, 2L -> 2000000L, 4L -> 2000000L))
   }
+
+  test("tombstone == rebuild on the remaining corpus; compact drops rows physically") {
+    val del = "target/test_lexidx/forget"
+    val rem = "target/test_lexidx/remain"
+    LexicalIndex.build(corpus, "doc_id", "text", del, n = 2, buckets = 4)
+    LexicalIndex.tombstone(
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", del)
+    LexicalIndex.build(
+      corpus.filter(col("doc_id") =!= 1), "doc_id", "text", rem,
+      n = 2, buckets = 4)
+    def posts(p: String) = LexicalIndex.postings(spark, p)
+      .select("doc_id", "ns", "dl", "shingle", "tf", "bucket")
+      .collect().map(_.toSeq).toSet
+    def lexi(p: String) = LexicalIndex.lexicon(spark, p)
+      .select("shingle", "df").collect().map(_.toSeq).toSet
+    def meta(p: String) = LexicalIndex.metaRow(spark, p)
+      .select("n_docs", "n_tokens").collect().map(_.toSeq).toSet
+    assert(posts(del) === posts(rem))
+    assert(lexi(del) === lexi(rem))
+    assert(meta(del) === meta(rem))
+    // "c a" existed only in doc 1 — its df folded to 0 and it must have
+    // left the logical vocabulary
+    assert(!lexi(del).exists(_.head == "c a"))
+    // the PHYSICAL postings still hold doc 1's rows until compaction
+    val physBefore = spark.read.parquet(s"$del/postings").count()
+    LexicalIndex.compact(spark, del)
+    val physAfter = spark.read.parquet(s"$del/postings").count()
+    assert(physAfter < physBefore,
+      "compact must drop the tombstoned postings physically")
+    assert(!new java.io.File(s"$del/tombstones").exists(),
+      "compact must clear the forget-set")
+    assert(posts(del) === posts(rem))
+    assert(lexi(del) === lexi(rem))
+    assert(meta(del) === meta(rem))
+  }
+
+  test("tombstoned serving answers match the rebuilt index's answers") {
+    val del = "target/test_lexidx/forget_serve"
+    val rem = "target/test_lexidx/remain_serve"
+    LexicalIndex.build(corpus, "doc_id", "text", del, n = 2, buckets = 4)
+    LexicalIndex.tombstone(
+      corpus.filter(col("doc_id") === 2), "doc_id", "text", del)
+    LexicalIndex.build(
+      corpus.filter(col("doc_id") =!= 2), "doc_id", "text", rem,
+      n = 2, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(LexicalIndex.moreLikeThis(spark, del, 1L, 10)) ===
+      rows(LexicalIndex.moreLikeThis(spark, rem, 1L, 10)))
+    assert(rows(LexicalIndex.lexicalTopK(spark, del, 1L, 10)) ===
+      rows(LexicalIndex.lexicalTopK(spark, rem, 1L, 10)))
+    assert(rows(LexicalIndex.bm25TopK(spark, del, 1L, 10)) ===
+      rows(LexicalIndex.bm25TopK(spark, rem, 1L, 10)))
+    assert(rows(LexicalIndex.pointProbe(spark, del, "a b x", 10)) ===
+      rows(LexicalIndex.pointProbe(spark, rem, "a b x", 10)))
+  }
 }

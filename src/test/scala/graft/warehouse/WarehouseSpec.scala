@@ -372,4 +372,46 @@ class WarehouseSpec extends SparkTestBase {
     // a range outside every envelope reads nothing and returns empty
     assert(Warehouse.zoneMapRead(spark, path, manifest, "k", 50000L, 60000L).isEmpty)
   }
+
+  test("bloomPointRead prunes to ~1 file on an UNCLUSTERED key; no false negatives") {
+    import spark.implicits._
+    val path = "target/sinks/test_bloommanifest"
+    // cluster by a scrambled column so the probe key k scatters across
+    // files — the zone map on k would overlap every envelope and prune
+    // nothing; this is exactly the case the bloom manifest exists for
+    (1L to 8000L).map(i => (i, (i * 2654435761L) % 8000L)).toDF("k", "c")
+      .repartitionByRange(8, col("c"))
+      .sortWithinPartitions("c")
+      .write.mode("overwrite").parquet(path)
+    val manifest = Warehouse.bloomManifest(spark, path, "k", 65536, 7)
+    assert(manifest.count() === 8L)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(qs.plan)
+        }.flatten
+      scans(df.queryExecution.executedPlan)
+        .map(_.relation.location.inputFiles.length.toLong).sum
+    }
+
+    // no false negatives: every probed key comes back, from few files
+    Seq(1L, 999L, 4242L, 8000L).foreach { key =>
+      val got = Warehouse.bloomPointRead(spark, path, manifest, "k", key,
+        65536, 7)
+      assert(got.select("k").as[Long].collect().toSeq === Seq(key))
+      val n = scannedFiles(got)
+      assert(n >= 1 && n <= 2,
+        s"needle $key must read ~1 of 8 files (+rare FP), read $n")
+    }
+    // an absent key reads at most FP files and returns nothing
+    assert(Warehouse.bloomPointRead(spark, path, manifest, "k", 123456L,
+      65536, 7).isEmpty)
+  }
 }
