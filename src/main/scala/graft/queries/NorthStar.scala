@@ -2846,6 +2846,37 @@ object NorthStar {
         .select(col("view_id"), col("purchase_id"))
     },
 
+    // ----- n162: stream-stream LEFT OUTER interval join, batch parity ---
+    // n73 certifies the inner join; attribution needs the OUTER form —
+    // unconverted views emit with a null purchase side, and in
+    // streaming that null row appears only when the right watermark
+    // passes view_ts + 30m (state eviction IS the null trigger —
+    // EventStreamSpec proves the real watermarked stream emits the
+    // same null-padded rows, including a view whose match never
+    // arrives). Gating the shared batch body certifies the join
+    // semantics; null purchase ids survive the hash compare on both
+    // engines.
+    QuerySpec(
+      "n162_stream_outer_parity",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP)
+        |       + INTERVAL 30 MINUTE""".stripMargin) { (s, d) =>
+      val events = t(s, d, "events")
+      EventStream.intervalJoinOuter(
+        events.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id")),
+        events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id")),
+        "user_id", "view_ts", "purchase_ts", "30 minutes")
+        .select(col("view_id"), col("purchase_id"))
+    },
+
     // ----- n74: streaming TTL horizon, batch parity ---------------------
     // The LAST ungated streaming behavior (VERDICT r08 §missing #1):
     // StreamingNearDup's TTL bounds bucket memory to a dedup horizon —
@@ -7215,5 +7246,68 @@ object NorthStar {
       hosts.join(m, Seq("host"), "left")
         .select(col("host"), col("n_docs"),
           col("rule").isNotNull.as("blocked"), col("rule"))
+    },
+
+    // ----- n161: boilerplate prefix detection (template stripping) ------
+    // Same-template pages share a navigation/header prefix that must be
+    // stripped before dedup or quality scoring (the RefinedWeb/CCNet
+    // boilerplate pass). The naive group LCP is all-pairs or a
+    // sequential fold; the distributed form uses the classic order
+    // statistic: the longest common prefix of a SET equals
+    // LCP(lexicographic min, lexicographic max) — so the whole corpus
+    // reduces with ONE agg-shaped min/max per template group (map-side
+    // combinable, exchanges carry 2 strings per group) and the
+    // character scan runs once per GROUP, not per doc. Every doc in
+    // the group shares ≥ the group LCP by construction, so
+    // chars_removed = lcp·n_docs is exact. Boilerplate is planted per
+    // host group from doc_id residues; the oracle replays min/max and
+    // the same position scan.
+    QuerySpec(
+      "n161_boilerplate_lcp",
+      """WITH d AS (SELECT doc_id % 7 AS g,
+        |    'site ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    ' nav menu home about | ' || text AS t
+        |  FROM documents),
+        |m AS (SELECT g, min(t) AS a, max(t) AS b,
+        |        CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM d GROUP BY g),
+        |pos AS (SELECT g, a, b,
+        |          unnest(generate_series(1, least(len(a), len(b)))) AS i
+        |        FROM m),
+        |mis AS (SELECT g, min(i) - 1 AS lcp FROM pos
+        |        WHERE substr(a, i, 1) <> substr(b, i, 1) GROUP BY g),
+        |l AS (SELECT m.g, a, n_docs,
+        |        CAST(coalesce(mis.lcp, least(len(a), len(b))) AS BIGINT) AS lcp
+        |      FROM m LEFT JOIN mis ON m.g = mis.g)
+        |SELECT CAST(g AS BIGINT) AS host_group, n_docs, lcp AS lcp_len,
+        |  md5(substr(a, 1, CAST(lcp AS INT))) AS boilerplate_md5,
+        |  lcp * n_docs AS chars_removed
+        |FROM l""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select((col("doc_id") % 7).as("graft__g"),
+          concat(lit("site "), (col("doc_id") % 7).cast("string"),
+            lit(" nav menu home about | "), col("text")).as("graft__t"))
+      val m = docs.groupBy(col("graft__g"))
+        .agg(min(col("graft__t")).as("graft__a"),
+          max(col("graft__t")).as("graft__b"),
+          count(lit(1)).as("n_docs"))
+      m.withColumn("graft__lcp", expr(
+        """coalesce(
+          |  array_position(
+          |    transform(sequence(1, least(length(graft__a), length(graft__b))),
+          |      i -> substring(graft__a, i, 1) = substring(graft__b, i, 1)),
+          |    false) - 1,
+          |  least(length(graft__a), length(graft__b)))""".stripMargin))
+        .withColumn("graft__lcp",
+          when(col("graft__lcp") === -1,
+            least(length(col("graft__a")), length(col("graft__b")))
+              .cast("long"))
+            .otherwise(col("graft__lcp")))
+        .select(col("graft__g").cast("long").as("host_group"),
+          col("n_docs"),
+          col("graft__lcp").as("lcp_len"),
+          md5(expr("substring(graft__a, 1, cast(graft__lcp as int))"))
+            .as("boilerplate_md5"),
+          (col("graft__lcp") * col("n_docs")).as("chars_removed"))
     })
 }

@@ -168,6 +168,49 @@ object EventStream {
       right.withWatermark(rightTs, watermark),
       key, leftTs, rightTs, within)
 
+  /** Left-outer variant of [[intervalJoin]]: every left row emits —
+    * with nulls on the right when no match exists in
+    * [leftTs, leftTs + within]. Conversion attribution needs exactly
+    * this: an unconverted view is DATA (the negative class), not
+    * absence. Same scalable spelling as the inner form (keyed equi-join
+    * with the time bound as a predicate). */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      within: String): DataFrame =
+    left.join(
+      right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "left_outer")
+      .drop(right(key))
+
+  /** Streaming wiring for [[intervalJoinOuter]]. In streaming, the
+    * null-padded row for an unmatched left event emits when the RIGHT
+    * watermark passes leftTs + within — only then can no match still
+    * arrive, so state eviction IS the null trigger; both watermarks
+    * plus the two-sided bound in the condition are what make that
+    * eviction derivable (the same retention argument as the inner
+    * form, with the outer row as its observable). EventStreamSpec
+    * proves batch ≡ stream including a left row whose match never
+    * arrives. */
+  def streamingIntervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermark: String): DataFrame =
+    intervalJoinOuter(
+      left.withWatermark(leftTs, watermark),
+      right.withWatermark(rightTs, watermark),
+      key, leftTs, rightTs, within)
+
   /** foreachBatch body for an idempotent key-merge sink — the standard
     * exactly-once recipe for sinks without transactions: every
     * micro-batch MERGEs into the target by key (latest per `order`

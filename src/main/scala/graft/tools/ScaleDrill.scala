@@ -117,9 +117,18 @@ object ScaleDrill {
       "s36_cdc_apply", "s37_band_index", "n143_k_anonymity",
       "n144_span_corruption", "n145_space_saving_topk",
       "n146_zipf_curve", "n147_url_canonical",
-      "n148_mad_outliers", "n149_label_prop", "n150_feature_hash")
-      // (s38_zonemap_scan reads lineitem, which the drill corpus does
-      // not scale — its file-skipping property is spec-pinned instead)
+      "n148_mad_outliers", "n149_label_prop", "n150_feature_hash",
+      // round-11 continuation, third wave: chunking/graph/codec ops,
+      // seq2seq prep, the stream-admission twin, the KMV sketch, the
+      // spatial blocking join (pairs grow with density² — workload),
+      // ranking eval, crawl hygiene, and the forget-set delete path
+      "n151_cdc_chunks", "n152_kcore_peel", "n153_video_frames",
+      "n154_fim_split", "n155_chat_turns", "n156_stream_late_parity",
+      "n157_kmv_overlap", "n158_radius_join", "n159_auc_exact",
+      "n160_domain_blocklist", "s40_lexical_forget")
+      // (s38_zonemap_scan and s39_bloom_manifest read lineitem/orders,
+      // which the drill corpus does not scale — their file-skipping
+      // properties are spec-pinned instead)
       .filter(q => only.forall(_.contains(q)))
 
     val spark = Sessions.local(appName = "graft-scale-drill")

@@ -264,6 +264,50 @@ class EventStreamSpec extends SparkTestBase {
     assert(shape(spark.table("ij_test")) === batch)
   }
 
+  test("intervalJoinOuter: unmatched left rows emit null-padded, stream ≡ batch") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"), // matched by b1
+      (1L, ts("2024-01-01 11:00:00"), "c2"), // b2 is outside 30m → null
+      (3L, ts("2024-01-01 10:30:00"), "c4")) // user never buys → null
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "b1"),
+      (1L, ts("2024-01-01 11:45:00"), "b2"))
+
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("click_id") =!= "flush")
+        .select("click_id", "buy_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+
+    val expected = Set(
+      ("c1", Some("b1")), ("c2", None), ("c4", None))
+    assert(shape(EventStream.intervalJoinOuter(
+      clicks.toDF("user_id", "click_ts", "click_id"),
+      buys.toDF("user_id", "buy_ts", "buy_id"),
+      "user_id", "click_ts", "buy_ts", "30 minutes")) === expected)
+
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.streamingIntervalJoinOuter(
+      memL.toDF().toDF("user_id", "click_ts", "click_id"),
+      memR.toDF().toDF("user_id", "buy_ts", "buy_id"),
+      "user_id", "click_ts", "buy_ts", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("ijo_test")
+      .outputMode("append").start()
+    memL.addData(clicks: _*)
+    memR.addData(buys: _*)
+    q.processAllAvailable()
+    // outer rows only emit once the watermark proves no match can
+    // arrive — advance it past every click's 30m bound with a flush
+    memL.addData((99L, ts("2024-01-02 00:00:00"), "flush"))
+    memR.addData((99L, ts("2024-01-02 00:00:00"), "flush"))
+    q.processAllAvailable()
+    q.stop()
+    assert(shape(spark.table("ijo_test")) === expected,
+      "watermarked outer join must emit the null-padded rows after eviction")
+  }
+
   test("file-backed e2e: JSONL streams → interval join → upsert sink ≡ batch") {
     import spark.implicits._
     // the full production wiring on the real file-source API (not
