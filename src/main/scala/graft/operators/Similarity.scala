@@ -780,4 +780,70 @@ object Similarity {
     }
     y
   }
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): retrieve a
+    * candidate pool by relevance, then greedily pick results that
+    * balance relevance against similarity to what is already picked —
+    * mmr = λ·rel − (1−λ)·max_{p∈picked} sim(c, p), here λ = 0.7 on a
+    * ×10 integer grid (7·rel − 3·maxSim) over the engine's round-6
+    * 1e6-quantized cosines (the n130 discipline) so every round's
+    * argmax is exact-integer and the oracle unrolls the whole greedy.
+    * The first pick is pure relevance (empty picked set ⇒ maxSim = 0).
+    *
+    * Scale shape: the corpus-sized work is ONE broadcast-query scan +
+    * TakeOrdered into the candidate pool; everything after — the
+    * pairwise similarity table and the greedy rounds — runs on k-row
+    * bounded metadata (the BpeTrainer bounded-state argument), with
+    * the pool cached once via Materialize.shared. Greedy selection is
+    * inherently sequential in k; keeping it as k tiny plan rounds
+    * (not a driver loop over collected rows) leaves every argmax
+    * distributed and ties broken identically cross-engine. */
+  def mmrRerank(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      kCandidates: Int,
+      kPicks: Int): DataFrame = {
+    require(kPicks >= 1 && kCandidates >= kPicks,
+      "need kCandidates >= kPicks >= 1")
+    val qv = query.select(asDouble(col(queryVecCol)).as("graft__qv"))
+    val cand = Materialize.shared(
+      vecs
+        .crossJoin(broadcast(qv))
+        .select(col(idCol).as("graft__id"),
+          asDouble(col(vecCol)).as("graft__v"),
+          round(round(cosine(asDouble(col(vecCol)), col("graft__qv")), 6) *
+            1000000d).cast("long").as("rel"))
+        .orderBy(col("rel").desc, col("graft__id"))
+        .limit(kCandidates))
+    val pairs = Materialize.shared(
+      cand.select(col("graft__id").as("graft__ia"), col("graft__v").as("graft__va"))
+        .crossJoin(broadcast(
+          cand.select(col("graft__id").as("graft__ib"),
+            col("graft__v").as("graft__vb"))))
+        .filter(col("graft__ia") =!= col("graft__ib"))
+        .select(col("graft__ia"), col("graft__ib"),
+          round(round(cosine(col("graft__va"), col("graft__vb")), 6) *
+            1000000d).cast("long").as("graft__s")))
+    var picked = cand
+      .orderBy(col("rel").desc, col("graft__id")).limit(1)
+      .select(lit(1L).as("rank"), col("graft__id"), col("rel"),
+        (col("rel") * 7).as("mmr"))
+    for (i <- 2 to kPicks) {
+      val pickedIds = picked.select(col("graft__id").as("graft__ib"))
+      val scored = cand
+        .join(picked.select(col("graft__id")), Seq("graft__id"), "left_anti")
+        .join(pairs.join(broadcast(pickedIds), Seq("graft__ib"))
+          .groupBy(col("graft__ia").as("graft__id"))
+          .agg(max(col("graft__s")).as("graft__ms")), Seq("graft__id"))
+        .select(lit(i.toLong).as("rank"), col("graft__id"), col("rel"),
+          (col("rel") * 7 - col("graft__ms") * 3).as("mmr"))
+      picked = picked.unionByName(
+        scored.orderBy(col("mmr").desc, col("graft__id")).limit(1))
+    }
+    picked.select(col("rank"), col("graft__id").as("doc_id"),
+      col("rel"), col("mmr"))
+  }
 }

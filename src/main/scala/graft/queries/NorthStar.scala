@@ -150,6 +150,21 @@ object NorthStar {
   private def hex60(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::UBIGINT)::BIGINT"
 
+  /** One unrolled MMR greedy round for the n163 oracle: score the
+    * not-yet-picked candidates against picks p1..p(i-1), take the
+    * integer-argmax. */
+  private def mmrRoundCte(i: Int): String = {
+    val pickedUnion = (1 until i).map(j => s"SELECT id FROM p$j")
+      .mkString(" UNION ")
+    s"""r$i AS (SELECT c.id, c.rel, 7 * c.rel - 3 * max(pw.s) AS mmr
+       |      FROM c0 c JOIN pw ON pw.ia = c.id
+       |      WHERE pw.ib IN ($pickedUnion)
+       |        AND c.id NOT IN ($pickedUnion)
+       |      GROUP BY 1, 2),
+       |p$i AS (SELECT id, rel, mmr FROM r$i ORDER BY mmr DESC, id LIMIT 1)"""
+      .stripMargin
+  }
+
   /** n104's shared PQ codebook: 16 deterministic ±1 centroids per
     * 16-dim subspace (the same hyperplane generator as the IVF/LSH
     * family — constants both engines can replay). */
@@ -7309,5 +7324,49 @@ object NorthStar {
           md5(expr("substring(graft__a, 1, cast(graft__lcp as int))"))
             .as("boilerplate_md5"),
           (col("graft__lcp") * col("n_docs")).as("chars_removed"))
+    },
+
+    // ----- n163: MMR diversity re-rank (serving quality) -----------------
+    // Top-k by raw cosine returns near-duplicates of each other; the
+    // serving fix is Maximal Marginal Relevance (Carbonell & Goldstein
+    // 1998): greedily pick results balancing relevance against
+    // similarity to what is already picked. Exact-integer MMR over the
+    // n130 quantized-cosine grid (λ = 0.7 as 7·rel − 3·maxSim), so the
+    // oracle unrolls all four greedy rounds — every argmax is an
+    // integer comparison with id tie-breaks, no float-order risk.
+    // Corpus work is one broadcast-query scan + TakeOrdered into the
+    // 12-candidate pool; the greedy runs on bounded k-row metadata.
+    QuerySpec(
+      "n163_mmr_rerank",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 5),
+         |c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |        CAST(round(round(list_cosine_similarity(
+         |          CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+         |          * 1000000) AS BIGINT) AS rel
+         |      FROM embeddings WHERE vec_id <> 5
+         |      ORDER BY rel DESC, vec_id LIMIT 12),
+         |pw AS (SELECT a.id AS ia, b.id AS ib,
+         |        CAST(round(round(list_cosine_similarity(a.v, b.v), 6)
+         |          * 1000000) AS BIGINT) AS s
+         |      FROM c0 a CROSS JOIN c0 b WHERE a.id <> b.id),
+         |p1 AS (SELECT id, rel, 7 * rel AS mmr FROM c0
+         |       ORDER BY rel DESC, id LIMIT 1),
+         |${mmrRoundCte(2)},
+         |${mmrRoundCte(3)},
+         |${mmrRoundCte(4)}
+         |SELECT CAST(1 AS BIGINT) AS rank, id AS doc_id, rel,
+         |  CAST(mmr AS BIGINT) AS mmr FROM p1
+         |UNION ALL SELECT CAST(2 AS BIGINT), id, rel, CAST(mmr AS BIGINT)
+         |  FROM p2
+         |UNION ALL SELECT CAST(3 AS BIGINT), id, rel, CAST(mmr AS BIGINT)
+         |  FROM p3
+         |UNION ALL SELECT CAST(4 AS BIGINT), id, rel, CAST(mmr AS BIGINT)
+         |  FROM p4""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrRerank(
+        emb.filter(col("vec_id") =!= 5), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 5), "embedding",
+        kCandidates = 12, kPicks = 4)
     })
 }

@@ -282,4 +282,26 @@ class SimilaritySpec extends SparkTestBase {
       math.abs(y(2L)) > 2 * math.abs(y(4L)),
       s"three rounds must concentrate mass on the dominant axis: $y")
   }
+
+  test("mmrRerank diversifies where pure relevance would pick the near-dup") {
+    import spark.implicits._
+    // q = x-axis; a and b are the same direction (b a hair off, rel
+    // ties at the 1e6 grid, id breaks to a); c is less relevant but
+    // ORTHOGONAL to a. Pure top-2 by relevance = (a, b); MMR at λ=0.7
+    // must pick c second: score_b = 7·8e5 − 3·1e6 = 2.6e6 <
+    // score_c = 7·6e5 − 3·0 = 4.2e6.
+    val vecs = Seq(
+      (1L, Seq(0.8, 0.6, 0.0)),
+      (2L, Seq(0.8, 0.6, 0.0001)),
+      (3L, Seq(0.6, -0.8, 0.0))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(
+      vecs, "vec_id", "embedding", q, "embedding",
+      kCandidates = 3, kPicks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((1L, 1L), (2L, 3L)),
+      s"expected picks a then c, got ${got.toSeq}")
+    assert(got(0)._3 === 7L * 800000L && got(1)._3 === 4200000L)
+  }
 }
