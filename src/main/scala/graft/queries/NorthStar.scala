@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.SketchAggregates
-import graft.operators.{BandIndex, BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, GraphMetrics, ImportanceWeights, KMeans, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
+import graft.operators.{BandIndex, BpeTrainer, Containment, CrossDupSpans, Decontaminate, DedupClusters, DomainReweight, EntityResolution, GraphMetrics, ImportanceWeights, KMeans, KmvLayout, LexicalIndex, Multimodal, MinHashNearDup, PrefixDedup, Sessionize, ShardBalance, SimHash, Similarity, SnapshotDiff, SurrogateKey, TextOps, TopK}
 import graft.streaming.{EventStream, StreamingNearDup}
 
 /** North-star LLM-data-pipeline operators (SURVEY.md §7.4 + builder
@@ -7368,5 +7368,48 @@ object NorthStar {
         emb.filter(col("vec_id") =!= 5), "vec_id", "embedding",
         emb.filter(col("vec_id") === 5), "embedding",
         kCandidates = 12, kPicks = 4)
+    },
+
+    // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
+    // The stored-layout discipline (s23/s26/s28/s37) applied to the
+    // sketch family: cross-source overlap questions should not
+    // re-tokenize the corpus per ask. Bottom-k sketches are k longs per
+    // group, pure functions of the distinct hash set, and MERGEABLE —
+    // so refresh is exact, not approximate-on-approximate: the delta is
+    // sketched alone and appended as an LSM generation, and the read
+    // fold re-sketches k·gens stored longs per group. The full 20×20/2
+    // overlap matrix is served from sketches only; the oracle computes
+    // every sketch and estimate closed-form from the FULL corpus — so
+    // the gate proves refresh ≡ rebuild through the served answer (the
+    // s30/s40 discipline).
+    QuerySpec(
+      "s41_sketch_layout",
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |           FROM documents),
+         |h AS (SELECT DISTINCT source, ${hex60("'kmvl:' || w")} AS h FROM w),
+         |r AS (SELECT source, h, row_number() OVER (
+         |        PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r
+         |       WHERE rn <= 64 GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        a.sk AS ska, b.sk AS skb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |c AS (SELECT source_a, source_b, ska, skb,
+         |        list_sort(list_distinct(ska || skb)) AS un FROM p),
+         |k2 AS (SELECT source_a, source_b, ska, skb, un[1:64] AS kl,
+         |        CAST(least(len(un), 64) AS BIGINT) AS kk FROM c)
+         |SELECT source_a, source_b, kk,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb))
+         |    AS BIGINT) AS shared_k,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb)) AS BIGINT)
+         |    / kk AS j_est
+         |FROM k2""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s41_kmv"
+      val docs = t(s, d, "documents")
+      KmvLayout.build(
+        docs.filter(col("doc_id") % 10 =!= 0), "source", "text", path)
+      KmvLayout.refresh(
+        docs.filter(col("doc_id") % 10 === 0), "source", "text", path)
+      KmvLayout.overlapMatrix(s, path)
     })
 }

@@ -125,7 +125,9 @@ object ScaleDrill {
       "n151_cdc_chunks", "n152_kcore_peel", "n153_video_frames",
       "n154_fim_split", "n155_chat_turns", "n156_stream_late_parity",
       "n157_kmv_overlap", "n158_radius_join", "n159_auc_exact",
-      "n160_domain_blocklist", "s40_lexical_forget")
+      "n160_domain_blocklist", "s40_lexical_forget",
+      "n161_boilerplate_lcp", "n162_stream_outer_parity",
+      "n163_mmr_rerank")
       // (s38_zonemap_scan and s39_bloom_manifest read lineitem/orders,
       // which the drill corpus does not scale — their file-skipping
       // properties are spec-pinned instead)

@@ -167,4 +167,27 @@ class SketchesSpec extends SparkTestBase {
     assert(kmv(a ++ b) === merged,
       "bottom-k of a union must equal the trimmed union of bottom-k's")
   }
+
+  test("KmvLayout: build + refresh folds to the same sketches as a full build") {
+    import spark.implicits._
+    import graft.operators.KmvLayout
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"g${i % 3}", s"w${i % 90} w${(i * 7) % 130} w${(i * 11) % 50}")
+    }.toDF("doc_id", "g", "text")
+    val inc = "target/test_kmvlayout/inc"
+    val full = "target/test_kmvlayout/full"
+    KmvLayout.build(docs.filter(col("doc_id") % 5 =!= 0), "g", "text", inc, k = 32)
+    KmvLayout.refresh(docs.filter(col("doc_id") % 5 === 0), "g", "text", inc)
+    KmvLayout.build(docs, "g", "text", full, k = 32)
+    def sk(p: String) = KmvLayout.sketches(spark, p)
+      .select(col("group"), col("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sk(inc) === sk(full),
+      "LSM generations must fold to the exact full-build sketches")
+    // the physical layout really is generational before the fold
+    assert(spark.read.parquet(s"$inc/sketches").count() === 6L) // 3 groups × 2 gens
+    def mat(p: String) = KmvLayout.overlapMatrix(spark, p)
+      .collect().map(_.toSeq).toSet
+    assert(mat(inc) === mat(full))
+  }
 }
