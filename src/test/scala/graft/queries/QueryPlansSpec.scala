@@ -1049,6 +1049,26 @@ class QueryPlansSpec extends SparkTestBase {
       s"suffix matching must be an equi-join, not a LIKE nested loop:\n$plan")
   }
 
+  test("n163 mmr: candidate pool via TakeOrdered; greedy rounds broadcast") {
+    val plan = finalPlan(q("n163_mmr_rerank"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the candidate pool must be a top-k cut, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"every greedy-round join is k-row metadata and must broadcast:\n$plan")
+  }
+
+  test("s41 sketch layout: the served matrix reads ONLY the stored sketches") {
+    val df = q("s41_sketch_layout")
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      val loc = sc.relation.location.rootPaths.mkString(",")
+      assert(loc.contains("s41_kmv"),
+        s"serve plan must scan the stored layout only, found: $loc")
+    }
+  }
+
   test("n150 feature hash: tokens hash at the scan — no token text in exchanges") {
     val plan = finalPlan(q("n150_feature_hash"))
     val exchangeLines = plan.linesIterator
