@@ -119,4 +119,48 @@ object GraphMetrics {
         col("graft__lbl").as("old_label"),
         coalesce(col("graft__new"), col("graft__lbl")).as("new_label"))
   }
+
+  /** Multi-round label propagation under IterationCheckpoint — the
+    * n79/n83/n67/n119 trainer discipline applied to [[labelPropagationStep]]:
+    * the edge list is persisted ONCE, each round is one edge⋈label join
+    * plus the agg-shaped majority vote (no per-node window), and the
+    * label lineage is truncated every `checkpointEvery` rounds with the
+    * superseded blocks released eagerly, so any round count runs at
+    * edge-sized marginal cost. Votes and labels are exact integers —
+    * checkpoint cadence cannot change values, and a fixed round count
+    * is the standard LPA termination (Raghavan et al. 2007 note the
+    * raw fixpoint can oscillate; synchronous rounds with a smaller-
+    * label tie-break are deterministic, which the oracle unrolls).
+    * Output: (idCol, old_label = the initial label, new_label = the
+    * label after `rounds` synchronous rounds). */
+  def labelPropagationTrain(
+      nodes: DataFrame, idCol: String, labelCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val sc = nodes.sparkSession.sparkContext
+    val e = Materialize.shared(edges.select(
+      col(srcCol).as("graft__src"), col(dstCol).as("graft__dst")))
+    val init = Materialize.shared(nodes.select(
+      col(idCol).as("graft__id"), col(labelCol).cast("long").as("graft__l0")))
+    var lbl = init.select(col("graft__id"), col("graft__l0").as("graft__l"))
+    var held: scala.collection.Set[Int] = Set.empty
+    for (r <- 1 to rounds) {
+      lbl = labelPropagationStep(
+        lbl.select(col("graft__id"), col("graft__l")), "graft__id", "graft__l",
+        e, "graft__src", "graft__dst")
+        .select(col("graft__id"), col("new_label").as("graft__l"))
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds) {
+        val (ck, ids, _) = IterationCheckpoint.localCounted(lbl)
+        IterationCheckpoint.release(sc, held)
+        lbl = ck
+        held = ids
+      }
+    }
+    init.join(lbl, Seq("graft__id"))
+      .select(col("graft__id").as(idCol),
+        col("graft__l0").as("old_label"),
+        col("graft__l").as("new_label"))
+  }
 }

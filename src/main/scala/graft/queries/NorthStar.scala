@@ -7370,6 +7370,60 @@ object NorthStar {
         kCandidates = 12, kPicks = 4)
     },
 
+    // ----- n164: multi-round label propagation (the trainer loop) -------
+    // n149 gates ONE synchronous round; the repo's own standard (n67
+    // BPE, n79 k-means, n83 logreg, n119 PageRank) is that every
+    // iterative operator also ships its gated TRAINING LOOP. Two
+    // synchronous rounds under IterationCheckpoint over the same
+    // LSH-blocked cosine graph — edge list persisted once, each round
+    // one edge⋈label join + the agg-shaped majority vote, labels exact
+    // integers so checkpoint cadence cannot change values. The oracle
+    // unrolls both rounds (votes over initial labels, then votes over
+    // round-1 labels), including the isolated-node carry at each round.
+    QuerySpec(
+      "n164_label_prop_train",
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |             ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bkt
+         |           FROM embeddings),
+         |e AS (SELECT a.vec_id AS ia, c.vec_id AS ib
+         |      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |      WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.3),
+         |sym AS (SELECT ia AS src, ib AS dst FROM e
+         |        UNION ALL SELECT ib, ia FROM e),
+         |nl1 AS (SELECT sym.dst AS id, b.label AS lbl
+         |        FROM sym JOIN b ON b.vec_id = sym.src),
+         |c1 AS (SELECT id, lbl, count(*) AS cnt FROM nl1 GROUP BY 1, 2),
+         |w1 AS (SELECT id, lbl FROM (
+         |         SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |                  ORDER BY cnt DESC, lbl) AS rn FROM c1)
+         |       WHERE rn = 1),
+         |l1 AS (SELECT b.vec_id AS id,
+         |         CAST(coalesce(w1.lbl, b.label) AS BIGINT) AS lbl
+         |       FROM b LEFT JOIN w1 ON w1.id = b.vec_id),
+         |nl2 AS (SELECT sym.dst AS id, l1.lbl
+         |        FROM sym JOIN l1 ON l1.id = sym.src),
+         |c2 AS (SELECT id, lbl, count(*) AS cnt FROM nl2 GROUP BY 1, 2),
+         |w2 AS (SELECT id, lbl FROM (
+         |         SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |                  ORDER BY cnt DESC, lbl) AS rn FROM c2)
+         |       WHERE rn = 1)
+         |SELECT b.vec_id, CAST(b.label AS BIGINT) AS old_label,
+         |  CAST(coalesce(w2.lbl, l1.lbl) AS BIGINT) AS new_label
+         |FROM b JOIN l1 ON l1.id = b.vec_id
+         |LEFT JOIN w2 ON w2.id = b.vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val withBkt = emb.withColumn("graft__bkt",
+        Similarity.bucket(col("embedding").cast("array<double>"), annPlanes))
+      val pairs = Similarity.blockedNearDupPairs(
+        withBkt, "vec_id", "embedding", "graft__bkt", threshold = 0.3)
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      GraphMetrics.labelPropagationTrain(
+        emb.select(col("vec_id"), col("label")), "vec_id", "label",
+        sym, "src", "dst", rounds = 2)
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not

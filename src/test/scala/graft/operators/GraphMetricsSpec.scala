@@ -52,6 +52,39 @@ class GraphMetricsSpec extends SparkTestBase {
   private def sym(undirected: Seq[(Long, Long)]) =
     (undirected ++ undirected.map(e => (e._2, e._1))).toDF("src", "dst")
 
+  test("labelPropagationTrain: train(1) == step; hand-computed 2 rounds; checkpoint-invariant") {
+    import spark.implicits._
+    // Same fixture as the step test. Round 1: 1→5, 2→9, 3→9, 4→9,
+    // 5→1, 6→2, 7→2, 8→4 (each node votes over INITIAL labels).
+    // Round 2 over the round-1 labels:
+    //   1's neighbors {2,3,4} all carry 9 → 1→9
+    //   2,3,4's only neighbor 1 carries 5 → 5
+    //   5's neighbors {6,7} both carry 2 → 2; 6,7's neighbor 5 carries 1
+    //   8 isolated → 4
+    val nodes = Seq((1L, 9L), (2L, 5L), (3L, 5L), (4L, 7L),
+      (5L, 2L), (6L, 1L), (7L, 3L), (8L, 4L)).toDF("id", "label")
+    val edges = sym(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 5L -> 6L, 5L -> 7L))
+    def run(rounds: Int, ckpt: Int) = GraphMetrics
+      .labelPropagationTrain(nodes, "id", "label", edges, "src", "dst",
+        rounds, checkpointEvery = ckpt)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val one = run(1, 2)
+    val step = GraphMetrics.labelPropagationStep(
+      nodes, "id", "label", edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(one === step, "train(1) must equal a single step")
+    val two = run(2, 2)
+    assert(two === Map(1L -> 9L, 2L -> 5L, 3L -> 5L, 4L -> 5L,
+      5L -> 2L, 6L -> 1L, 7L -> 1L, 8L -> 4L))
+    assert(run(2, 1) === two && run(2, 0) === two,
+      "checkpoint cadence must not change exact-integer labels")
+    // old_label column carries the INITIAL label through the rounds
+    val olds = GraphMetrics
+      .labelPropagationTrain(nodes, "id", "label", edges, "src", "dst", 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(olds === nodes.as[(Long, Long)].collect().toMap)
+  }
+
   test("kCorePeelRound: pendant path peels off the triangle core over two rounds") {
     // Path a(1)-b(2)-c(3) plus triangle c(3)-d(4)-e(5)-c:
     // degrees a=1 b=2 c=3 d=2 e=2. Round 1 (k=2) drops a;
