@@ -7424,6 +7424,55 @@ object NorthStar {
         sym, "src", "dst", rounds = 2)
     },
 
+    // ----- n165: sharded/streaming KMV parity certificate ----------------
+    // The n120 recipe applied to the bottom-k sketch: a distributed or
+    // streaming distinct-counter maintains PER-SHARD sketches and
+    // merges them — and for KMV the merge law is EXACT (bottom-k of a
+    // union ≡ trimmed union of bottom-k's), so the certificate is
+    // bit-for-bit sketch equality, stronger than the CMS's cell-sum
+    // linearity. Proof columns: shard-fold ≡ one-pass global sketch,
+    // and the size law |sketch| = min(k, distinct); the k-th minimum
+    // and the DV estimate replay closed-form in the oracle.
+    QuerySpec(
+      "n165_stream_kmv_parity",
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+         |           FROM documents),
+         |h AS (SELECT DISTINCT ${hex60("'skmv:' || w")} AS h FROM w),
+         |s AS (SELECT h FROM h ORDER BY h LIMIT 64),
+         |agg AS (SELECT max(h) AS kth, CAST(count(*) AS BIGINT) AS ksz
+         |        FROM s),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM h)
+         |SELECT CAST(64 AS BIGINT) AS k, nd.nd AS n_distinct,
+         |  agg.kth AS kth_min,
+         |  CAST((1152921504606846976 // agg.kth) * (agg.ksz - 1)
+         |    AS BIGINT) AS dv_est,
+         |  true AS shard_parity, true AS size_law_ok
+         |FROM agg, nd""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("graft__w"))
+        .select(TextOps.hexHash60(concat(lit("skmv:"), col("graft__w")))
+          .as("graft__h"))
+        .transform(graft.operators.Materialize.shared)
+      val folded = toks
+        .withColumn("graft__b", pmod(col("graft__h"), lit(8L)))
+        .groupBy(col("graft__b"))
+        .agg(expr("graft_kmv(graft__h, 64)").as("graft__sk"))
+        .select(explode(col("graft__sk")).as("graft__h2"))
+        .agg(expr("graft_kmv(graft__h2, 64)").as("graft__folded"))
+      val one = toks.agg(
+        expr("graft_kmv(graft__h, 64)").as("graft__one"),
+        count_distinct(col("graft__h")).as("n_distinct"))
+      one.crossJoin(broadcast(folded)).select(
+        lit(64L).as("k"),
+        col("n_distinct"),
+        element_at(col("graft__one"), size(col("graft__one"))).as("kth_min"),
+        expr("(1152921504606846976L div element_at(graft__one, size(graft__one)))" +
+          " * cast(size(graft__one) - 1 as bigint)").as("dv_est"),
+        (col("graft__folded") === col("graft__one")).as("shard_parity"),
+        (size(col("graft__one")).cast("long") ===
+          least(col("n_distinct"), lit(64L))).as("size_law_ok"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
