@@ -127,7 +127,8 @@ object ScaleDrill {
       "n157_kmv_overlap", "n158_radius_join", "n159_auc_exact",
       "n160_domain_blocklist", "s40_lexical_forget",
       "n161_boilerplate_lcp", "n162_stream_outer_parity",
-      "n163_mmr_rerank", "s41_sketch_layout", "n164_label_prop_train")
+      "n163_mmr_rerank", "s41_sketch_layout", "n164_label_prop_train",
+      "n165_stream_kmv_parity")
       // (s38_zonemap_scan and s39_bloom_manifest read lineitem/orders,
       // which the drill corpus does not scale — their file-skipping
       // properties are spec-pinned instead)
