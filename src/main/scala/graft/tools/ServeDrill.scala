@@ -85,6 +85,28 @@ object ServeDrill {
         emb.filter(col("vec_id") =!= 5).join(broadcast(shortlist), Seq("vec_id")),
         "vec_id", "embedding", query, "embedding", k = 10)
     }
+
+    // ---- round-11 third-wave layouts: delete path + sketch matrix ----
+    timed("TOMBSTONE forget-set (s40)") {
+      LexicalIndex.tombstone(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", lexPath)
+    }
+    probe("lexicalTopK post-delete (s40)") {
+      LexicalIndex.lexicalTopK(spark, lexPath, queryDocId = 3L, k = 10)
+    }
+    timed("COMPACT after delete") {
+      LexicalIndex.compact(spark, lexPath)
+    }
+    probe("lexicalTopK post-compact") {
+      LexicalIndex.lexicalTopK(spark, lexPath, queryDocId = 3L, k = 10)
+    }
+    val kmvPath = "target/serve_drill/kmv"
+    timed("BUILD kmv sketch layout (s41)") {
+      graft.operators.KmvLayout.build(docs, "source", "text", kmvPath)
+    }
+    probe("overlap matrix (s41 serve)") {
+      graft.operators.KmvLayout.overlapMatrix(spark, kmvPath)
+    }
     spark.stop()
   }
 }
