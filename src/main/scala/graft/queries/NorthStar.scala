@@ -7473,6 +7473,105 @@ object NorthStar {
           least(col("n_distinct"), lit(64L))).as("size_law_ok"))
     },
 
+    // ----- n166: per-source training influence (data valuation) ---------
+    // Which source moves the model most? The leave-one-out answer
+    // normally costs K retrainings; at the gradient-step level it is
+    // ONE corpus pass, because the n76 quantized gradient is EXACTLY
+    // additive over any partition of the rows: per-row terms floor to
+    // the 1e-9 BIGINT grid BEFORE summing, so g_total = Σ_s g_s holds
+    // bit-for-bit and the leave-source-out step is algebra on the
+    // per-source partials — w_loo = w0 − lr·(g_total − g_s)/(n − n_s).
+    // The influence (w_loo − w_full per feature) is the one-step
+    // influence-function surrogate a curation pipeline ranks sources
+    // by (the DoReMi/DSIR adjacent question, answered from gradients
+    // instead of losses). Scale shape: one map-only featurization +
+    // one source-keyed agg; totals broadcast back onto the k-source
+    // relation.
+    QuerySpec(
+      "n166_source_influence",
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS y,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.01 AS x1,
+        |    CAST(n_chars AS DOUBLE) * 0.001 AS x2
+        |  FROM documents),
+        |z AS (SELECT source, y, x1, x2,
+        |        0.1 - 0.05 * x1 + 0.02 * x2 AS z FROM f),
+        |r AS (SELECT source, x1, x2,
+        |        (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS res FROM z),
+        |q AS (SELECT source,
+        |        CAST(floor(res * 1000000000.0) AS BIGINT) AS gq0,
+        |        CAST(floor((res * x1) * 1000000000.0) AS BIGINT) AS gq1,
+        |        CAST(floor((res * x2) * 1000000000.0) AS BIGINT) AS gq2
+        |      FROM r),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
+        |          CAST(sum(gq0) AS BIGINT) AS s0,
+        |          CAST(sum(gq1) AS BIGINT) AS s1,
+        |          CAST(sum(gq2) AS BIGINT) AS s2
+        |        FROM q GROUP BY source),
+        |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+        |          CAST(sum(s0) AS BIGINT) AS g0,
+        |          CAST(sum(s1) AS BIGINT) AS g1,
+        |          CAST(sum(s2) AS BIGINT) AS g2 FROM per),
+        |j AS (SELECT per.*, tot.n, tot.g0, tot.g1, tot.g2 FROM per, tot)
+        |SELECT source, feature, ns, gs,
+        |  (w0 - 0.1 * ((CAST(gt - gs AS DOUBLE) / 1000000000.0)
+        |               / CAST(n - ns AS DOUBLE))) -
+        |  (w0 - 0.1 * ((CAST(gt AS DOUBLE) / 1000000000.0)
+        |               / CAST(n AS DOUBLE))) AS influence
+        |FROM (
+        |  SELECT source, ns, n, CAST(0 AS BIGINT) AS feature,
+        |         s0 AS gs, g0 AS gt, 0.1 AS w0 FROM j
+        |  UNION ALL
+        |  SELECT source, ns, n, CAST(1 AS BIGINT), s1, g1, -0.05 FROM j
+        |  UNION ALL
+        |  SELECT source, ns, n, CAST(2 AS BIGINT), s2, g2, 0.02 FROM j
+        |)""".stripMargin) { (s, d) =>
+      val f = t(s, d, "documents").select(
+        col("source"),
+        when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"),
+        (TextOps.nTokens(col("text")).cast("double") * lit(0.01))
+          .as("graft__x1"),
+        (col("n_chars").cast("double") * lit(0.001)).as("graft__x2"))
+      val r = f
+        .withColumn("graft__z",
+          lit(0.1) - lit(0.05) * col("graft__x1") +
+            lit(0.02) * col("graft__x2"))
+        .select(col("source"), col("graft__x1"), col("graft__x2"),
+          ((lit(0.5) + col("graft__z") /
+            (lit(2.0) * (lit(1.0) + abs(col("graft__z"))))) - col("y"))
+            .as("graft__res"))
+      val per = r.groupBy(col("source")).agg(
+        count(lit(1)).as("ns"),
+        sum(floor(col("graft__res") * lit(1000000000.0)).cast("long"))
+          .as("graft__s0"),
+        sum(floor((col("graft__res") * col("graft__x1")) *
+          lit(1000000000.0)).cast("long")).as("graft__s1"),
+        sum(floor((col("graft__res") * col("graft__x2")) *
+          lit(1000000000.0)).cast("long")).as("graft__s2"))
+      val tot = per.agg(
+        sum(col("ns")).as("graft__n"),
+        sum(col("graft__s0")).as("graft__g0"),
+        sum(col("graft__s1")).as("graft__g1"),
+        sum(col("graft__s2")).as("graft__g2"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("ns"),
+          expr("stack(3, " +
+            "0L, graft__s0, graft__g0, 0.1D, " +
+            "1L, graft__s1, graft__g1, -0.05D, " +
+            "2L, graft__s2, graft__g2, 0.02D)")
+            .as(Seq("feature", "gs", "gt", "graft__w0")),
+          col("graft__n").as("graft__nn"))
+        .select(col("source"), col("feature"), col("ns"), col("gs"),
+          ((col("graft__w0") - lit(0.1) *
+            (((col("gt") - col("gs")).cast("double") / lit(1000000000.0)) /
+              (col("graft__nn") - col("ns")).cast("double"))) -
+            (col("graft__w0") - lit(0.1) *
+              ((col("gt").cast("double") / lit(1000000000.0)) /
+                col("graft__nn").cast("double")))).as("influence"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
