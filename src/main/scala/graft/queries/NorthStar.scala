@@ -7572,6 +7572,71 @@ object NorthStar {
                 col("graft__nn").cast("double")))).as("influence"))
     },
 
+    // ----- n167: bot-regularity detection (event hygiene) ----------------
+    // Web-corpus event feeds carry automation, and the classic tell is
+    // inter-arrival REGULARITY: a scraper fires on a timer, a human
+    // doesn't. Per user, whole-second gaps between consecutive events
+    // (the cookbook floor-diff), then the exact-integer dispersion
+    // disp2 = n·Σg² − (Σg)² and the CV test cv ≤ 0.1 as
+    // 100·disp2 ≤ (Σg)² — no floats anywhere. Σg telescopes to the
+    // user's time span, so products stay far inside BIGINT. Three
+    // metronomic bot users are PLANTED (the n46/s36 discipline) so the
+    // flag's true path is exercised at every SF; the per-user window
+    // hash-partitions on user_id (no global funnel) and the report is
+    // one user-keyed agg filtered to active users.
+    QuerySpec(
+      "n167_bot_regularity",
+      """WITH plant AS (
+        |  SELECT 900001 + b AS user_id,
+        |    CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+        |      + (i * 60 + b * 7) * INTERVAL 1 SECOND AS ts,
+        |    CAST(-(b * 100 + i) - 1 AS BIGINT) AS event_id
+        |  FROM generate_series(0, 2) t1(b), generate_series(0, 29) t2(i)),
+        |allv AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |         FROM events
+        |         UNION ALL SELECT user_id, ts, event_id FROM plant),
+        |g AS (SELECT user_id,
+        |        date_diff('second', lag(ts) OVER w, ts) AS gap
+        |      FROM allv
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(count(gap) AS BIGINT) AS n_gaps,
+        |        CAST(sum(gap) AS BIGINT) AS span_s,
+        |        CAST(sum(gap * gap) AS BIGINT) AS sum_g2
+        |      FROM g GROUP BY 1)
+        |SELECT user_id, n_events, span_s,
+        |  CAST(n_gaps * sum_g2 - span_s * span_s AS BIGINT) AS disp2,
+        |  100 * (n_gaps * sum_g2 - span_s * span_s)
+        |    <= span_s * span_s AS is_bot
+        |FROM a WHERE n_gaps >= 20""".stripMargin) { (s, d) =>
+      val bots = s.range(3).select(col("id").as("graft__b"))
+        .crossJoin(s.range(30).select(col("id").as("graft__i")))
+        .select((lit(900001L) + col("graft__b")).as("user_id"),
+          expr("timestampadd(SECOND, cast(graft__i * 60 + graft__b * 7 as int), " +
+            "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+          (-(col("graft__b") * 100 + col("graft__i")) - 1).as("event_id"))
+      val allv = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .unionByName(bots)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val g = allv.select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("graft__gap"))
+      g.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("graft__gap")).as("graft__ng"),
+          sum(col("graft__gap")).as("span_s"),
+          sum(col("graft__gap") * col("graft__gap")).as("graft__g2"))
+        .filter(col("graft__ng") >= 20)
+        .select(col("user_id"), col("n_events"), col("span_s"),
+          (col("graft__ng") * col("graft__g2") - col("span_s") * col("span_s"))
+            .as("disp2"),
+          (lit(100L) * (col("graft__ng") * col("graft__g2") -
+            col("span_s") * col("span_s")) <=
+            col("span_s") * col("span_s")).as("is_bot"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
