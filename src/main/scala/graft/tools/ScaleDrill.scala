@@ -128,7 +128,8 @@ object ScaleDrill {
       "n160_domain_blocklist", "s40_lexical_forget",
       "n161_boilerplate_lcp", "n162_stream_outer_parity",
       "n163_mmr_rerank", "s41_sketch_layout", "n164_label_prop_train",
-      "n165_stream_kmv_parity", "n166_source_influence")
+      "n165_stream_kmv_parity", "n166_source_influence",
+      "n167_bot_regularity")
       // (s38_zonemap_scan and s39_bloom_manifest read lineitem/orders,
       // which the drill corpus does not scale — their file-skipping
       // properties are spec-pinned instead)
