@@ -7637,6 +7637,44 @@ object NorthStar {
             col("span_s") * col("span_s")).as("is_bot"))
     },
 
+    // ----- n168: streaming regularity maintenance, batch parity ----------
+    // The n167 bot signal as a STREAM: per-user state is one 16-byte
+    // (micros, event_id) stamp — O(users), constant in stream length —
+    // and each arriving event emits its gap exactly once, including
+    // across micro-batch boundaries via the carried stamp. This query
+    // gates the batch-fold spelling (three event-time-ordered cuts of
+    // the feed, each folded with the carry — the n138 recipe); the
+    // oracle computes the report over the WHOLE feed, so fold ≡ whole
+    // is proven on the answer. EventStreamSpec drives the real
+    // transformWithState processor to the identical gap multiset,
+    // within-batch disorder included.
+    QuerySpec(
+      "n168_stream_regularity_parity",
+      """WITH g AS (SELECT user_id,
+        |        date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+        |                  CAST(ts AS TIMESTAMP)) AS gap
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(count(gap) AS BIGINT) AS n_gaps,
+        |        CAST(sum(gap) AS BIGINT) AS span_s,
+        |        CAST(sum(gap * gap) AS BIGINT) AS sum_g2
+        |      FROM g GROUP BY 1)
+        |SELECT user_id, n_events, span_s,
+        |  CAST(n_gaps * sum_g2 - span_s * span_s AS BIGINT) AS disp2,
+        |  100 * (n_gaps * sum_g2 - span_s * span_s)
+        |    <= span_s * span_s AS is_bot
+        |FROM a WHERE n_gaps >= 20""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val c1 = to_timestamp(lit("2024-01-11 00:00:00"))
+      val c2 = to_timestamp(lit("2024-01-21 00:00:00"))
+      EventStream.regularityBatchFold(Seq(
+        ev.filter(col("ts") < c1),
+        ev.filter(col("ts") >= c1 && col("ts") < c2),
+        ev.filter(col("ts") >= c2)), minGaps = 20L)
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not

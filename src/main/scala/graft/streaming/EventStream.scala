@@ -664,4 +664,121 @@ object EventStream {
       .transformWithState(
         new TransitionProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- inter-arrival regularity (the n167 bot signal), streaming ----
+
+  /** Whole-second inter-arrival gaps per user — the batch spelling:
+    * per-user lag window in (ts, event_id) order, gap =
+    * floor-seconds(ts) − floor-seconds(prev ts) (the unix_timestamp /
+    * date_diff('second') cookbook identity). One row per consecutive
+    * pair; first events emit nothing. */
+  def gapRows(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+  }
+
+  /** The regularity report over a gap relation + the raw event counts:
+    * exact-integer dispersion disp2 = n·Σg² − (Σg)² and the CV≤0.1
+    * test as 100·disp2 ≤ (Σg)² (see n167). */
+  def regularityReport(
+      events: DataFrame, gaps: DataFrame, minGaps: Long): DataFrame = {
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("graft__ng"),
+        sum(col("gap_s")).as("span_s"),
+        sum(col("gap_s") * col("gap_s")).as("graft__g2"))
+      .filter(col("graft__ng") >= minGaps)
+      .join(counts, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("span_s"),
+        (col("graft__ng") * col("graft__g2") - col("span_s") * col("span_s"))
+          .as("disp2"),
+        (lit(100L) * (col("graft__ng") * col("graft__g2") -
+          col("span_s") * col("span_s")) <=
+          col("span_s") * col("span_s")).as("is_bot"))
+  }
+
+  /** Batch-fold spelling of the streaming gap maintenance: per batch,
+    * gaps are computed over the batch PLUS each user's carried last
+    * event, so the cross-batch boundary gap is emitted exactly once —
+    * the carry row itself contributes only as a lag predecessor (its
+    * own gap was emitted by the batch that saw it). Exact for
+    * event-time-ordered batch cuts (the transitionsBatchFold
+    * contract); EventStreamSpec proves the real transformWithState
+    * stream emits the identical gap multiset. */
+  def regularityBatchFold(
+      batches: Seq[DataFrame], minGaps: Long): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    val fields = Seq("user_id", "ts", "event_id")
+    var carry: DataFrame = null
+    var gaps: DataFrame = null
+    batches.foreach { b0 =>
+      val b = b0.select(fields.map(col): _*)
+      val aug = if (carry == null) b else b.unionByName(carry)
+      val g = gapRows(aug)
+      gaps = if (gaps == null) g else gaps.unionByName(g)
+      carry = aug.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("graft__last"))
+        .select(col("user_id"), col("graft__last.ts").as("ts"),
+          col("graft__last.event_id").as("event_id"))
+    }
+    val all = batches.map(_.select(fields.map(col): _*)).reduce(_ unionByName _)
+    regularityReport(all, gaps, minGaps)
+  }
+
+  final case class StampedEvent(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class GapOut(user_id: Long, gap_s: Long)
+  private final case class LastStamp(micros: Long, event_id: Long)
+
+  /** Per-user gap emitter — the streaming twin of [[gapRows]]: state is
+    * ONE (micros, event_id) stamp per user (16 bytes — O(users),
+    * constant in stream length); batch rows fold in (ts, event_id)
+    * order so within-batch arrival disorder cannot flip a gap, and the
+    * cross-batch boundary gap is emitted exactly once from the carried
+    * stamp. Gap arithmetic floors each timestamp to seconds BEFORE
+    * subtracting, mirroring the batch unix_timestamp spelling
+    * bit-for-bit. */
+  private class RegularityProcessor
+    extends StatefulProcessor[Long, StampedEvent, GapOut] {
+    @transient private var st: ValueState[LastStamp] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastStamp](
+        "stamp", Encoders.product[LastStamp], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[StampedEvent],
+        timerValues: TimerValues): Iterator[GapOut] = {
+      var last = if (st.exists()) Some(st.get()) else None
+      val out = Seq.newBuilder[GapOut]
+      rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val m = tsMicros(e.ts)
+        last.foreach { l =>
+          out += GapOut(user,
+            Math.floorDiv(m, 1000000L) - Math.floorDiv(l.micros, 1000000L))
+        }
+        last = Some(LastStamp(m, e.event_id))
+      }
+      last.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming twin of [[gapRows]] — a changelog of observed gaps the
+    * downstream regularity aggregation consumes. */
+  def streamingGaps(
+      spark: SparkSession,
+      events: Dataset[StampedEvent]): Dataset[GapOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RegularityProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

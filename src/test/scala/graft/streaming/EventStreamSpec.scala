@@ -308,6 +308,51 @@ class EventStreamSpec extends SparkTestBase {
       "watermarked outer join must emit the null-padded rows after eviction")
   }
 
+  test("streamingGaps ≡ gapRows, incl. batch boundaries and within-batch disorder") {
+    import spark.implicits._
+    // user 1 spans all three batches (boundary gaps); user 2's batch-2
+    // rows arrive OUT of event-time order within the batch; user 3 has
+    // a single event (no gaps)
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L),
+        (2L, ts("2024-01-01 10:00:30"), 2L)),
+      Seq((1L, ts("2024-01-01 10:01:00"), 3L),
+        (2L, ts("2024-01-01 10:03:00"), 5L), // disorder: later event first
+        (2L, ts("2024-01-01 10:02:00"), 4L),
+        (3L, ts("2024-01-01 10:00:10"), 6L)),
+      Seq((1L, ts("2024-01-01 10:05:00"), 7L)))
+
+    val whole = batches.flatten.toDF("user_id", "ts", "event_id")
+    val expected = EventStream.gapRows(whole)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(expected === Seq((1L, 60L), (1L, 240L), (2L, 90L), (2L, 60L)).sorted)
+
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBStateStore {
+      val mem = MemoryStream[(Long, Timestamp, Long)]
+      val q = EventStream.streamingGaps(spark,
+        mem.toDF().toDF("user_id", "ts", "event_id")
+          .as[EventStream.StampedEvent])
+        .writeStream.format("memory").queryName("gaps_test")
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    val streamed = spark.table("gaps_test")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed === expected,
+      "stream gap multiset diverged from the batch spelling")
+
+    // the fold spelling agrees with the whole-feed report
+    val foldRep = EventStream.regularityBatchFold(
+      batches.map(_.toDF("user_id", "ts", "event_id")), minGaps = 1L)
+      .collect().map(_.toSeq).toSet
+    val wholeRep = EventStream.regularityReport(
+      whole, EventStream.gapRows(whole), minGaps = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(foldRep === wholeRep)
+  }
+
   test("file-backed e2e: JSONL streams → interval join → upsert sink ≡ batch") {
     import spark.implicits._
     // the full production wiring on the real file-source API (not
