@@ -7675,6 +7675,65 @@ object NorthStar {
         ev.filter(col("ts") >= c2)), minGaps = 20L)
     },
 
+    // ----- s42: content-addressed chunk store (dedup storage layout) ----
+    // n151 measures chunk-level duplication; this is the LAYOUT that
+    // cashes it in (the LBFS/venti content-addressed store): distinct
+    // chunks stored ONCE keyed by their 60-bit hash, per-doc manifests
+    // of (pos, chunk_h) — 16 bytes per chunk occurrence — and any doc
+    // reconstructs from the store by a manifest⋈store join + ordered
+    // rejoin. The gate is the storage layout's whole contract:
+    // RECONSTRUCTION IS LOSSLESS, proven md5-for-md5 against the
+    // original text (the oracle hashes `documents.text` directly and
+    // replays the chunk count; our side round-trips through the two
+    // STORED tables). Cut points are content-defined, so shared runs
+    // between near-duplicate docs share store rows — the dedup ratio
+    // n151 reports is the bytes this layout saves. Reconstruction
+    // necessarily shuffles chunk text (it is the rebuild op); the
+    // write path hashes chunks before its exchanges.
+    QuerySpec(
+      "s42_chunk_store",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |      FROM t),
+         |w AS (SELECT doc_id, i, ws[i] AS w FROM p),
+         |b AS (SELECT doc_id, i, w,
+         |        CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |      FROM w),
+         |c AS (SELECT doc_id, i, w,
+         |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cid
+         |      FROM b),
+         |cnt AS (SELECT doc_id, CAST(count(DISTINCT cid) AS BIGINT)
+         |          AS n_chunks
+         |        FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, cnt.n_chunks, md5(d.text) AS text_md5
+         |FROM documents d JOIN cnt USING (doc_id)""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s42_chunks"
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.cdcChunks(TextOps.tokens(col("text")), 4))
+            .as(Seq("graft__pos", "graft__chunk")))
+        .select(col("doc_id"), col("graft__pos"), col("graft__chunk"),
+          TextOps.hexHash60(col("graft__chunk")).as("graft__h"))
+        .transform(graft.operators.Materialize.shared)
+      chunks.groupBy(col("graft__h"))
+        .agg(min(col("graft__chunk")).as("graft__chunk"))
+        .write.mode("overwrite").parquet(s"$path/store")
+      chunks.select(col("doc_id"), col("graft__pos"), col("graft__h"))
+        .write.mode("overwrite").parquet(s"$path/manifest")
+      s.read.parquet(s"$path/manifest")
+        .join(s.read.parquet(s"$path/store"), Seq("graft__h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("graft__pos"), col("graft__chunk")))),
+              x => x.getField("graft__chunk")), " ")).as("text_md5"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
