@@ -7734,6 +7734,92 @@ object NorthStar {
               x => x.getField("graft__chunk")), " ")).as("text_md5"))
     },
 
+    // ----- n169: chunk-level delta transfer (the CAS payoff) -------------
+    // Why content-defined cuts (n151/s42) instead of fixed windows: an
+    // EDIT should invalidate only the chunks it reseals, so syncing an
+    // edited corpus against the store transfers a handful of chunks
+    // per doc, not the doc (the rsync/LBFS argument). Every doc gets a
+    // deterministic one-token edit (position from an md5 residue); v2
+    // is re-chunked and joined against the v1 corpus-wide store hash
+    // set — reused occurrences cost nothing, new chunks are the upload.
+    // The cut pattern around the edit legitimately shifts (the edited
+    // token's hash changes its cut bit) and both engines replay that
+    // resealing identically. Exchanges carry (doc, hash) longs; the
+    // store side is a distinct-hash relation, never chunk text.
+    QuerySpec(
+      "n169_chunk_delta",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |ed AS (SELECT doc_id, ws,
+         |         1 + ${hex60("'edit:' || CAST(doc_id AS VARCHAR)")}
+         |           % len(ws) AS p
+         |       FROM t),
+         |p2 AS (SELECT doc_id, ws, p,
+         |         unnest(generate_series(1, len(ws))) AS i FROM ed),
+         |w2 AS (SELECT doc_id, i,
+         |         CASE WHEN i = p THEN ws[i] || '_X' ELSE ws[i] END AS w
+         |       FROM p2),
+         |b2 AS (SELECT doc_id, i, w,
+         |         CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |       FROM w2),
+         |c2 AS (SELECT doc_id, i, w,
+         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cid
+         |       FROM b2),
+         |ch2 AS (SELECT doc_id,
+         |          ${hex60("string_agg(w, ' ' ORDER BY i)")} AS h
+         |        FROM c2 GROUP BY doc_id, cid),
+         |p1 AS (SELECT doc_id, ws,
+         |         unnest(generate_series(1, len(ws))) AS i FROM t),
+         |w1 AS (SELECT doc_id, i, ws[i] AS w FROM p1),
+         |b1 AS (SELECT doc_id, i, w,
+         |         CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |       FROM w1),
+         |c1 AS (SELECT doc_id, i, w,
+         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cid
+         |       FROM b1),
+         |store AS (SELECT DISTINCT
+         |            ${hex60("string_agg(w, ' ' ORDER BY i)")} AS h
+         |          FROM c1 GROUP BY doc_id, cid),
+         |sset AS (SELECT DISTINCT h FROM store)
+         |SELECT ch2.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN sset.h IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_reused,
+         |  CAST(sum(CASE WHEN sset.h IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_new
+         |FROM ch2 LEFT JOIN sset USING (h)
+         |GROUP BY ch2.doc_id""".stripMargin) { (s, d) =>
+      val t0 = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .transform(graft.operators.Materialize.shared)
+      val v2 = t0
+        .withColumn("graft__p",
+          (TextOps.hexHash60(concat(lit("edit:"), col("doc_id").cast("string")))
+            % size(col("graft__ws")) + 1).cast("int"))
+        .select(col("doc_id"), expr(
+          "transform(graft__ws, (w, i) -> " +
+            "CASE WHEN i + 1 = graft__p THEN concat(w, '_X') ELSE w END)")
+          .as("graft__ws2"))
+      val ch2 = v2
+        .select(col("doc_id"),
+          explode(TextOps.cdcChunks(col("graft__ws2"), 4)).as("graft__c"))
+        .select(col("doc_id"), TextOps.hexHash60(col("graft__c")).as("graft__h"))
+      val store = t0
+        .select(explode(TextOps.cdcChunks(col("graft__ws"), 4)).as("graft__c"))
+        .select(TextOps.hexHash60(col("graft__c")).as("graft__h"))
+        .distinct()
+        .withColumn("graft__in", lit(1L))
+      ch2.join(store, Seq("graft__h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("graft__in").isNotNull, 1L).otherwise(0L))
+            .as("n_reused"),
+          sum(when(col("graft__in").isNull, 1L).otherwise(0L)).as("n_new"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
