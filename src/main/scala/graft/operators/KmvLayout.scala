@@ -46,6 +46,7 @@ object KmvLayout {
     tokenHashes(docs, groupCol, textCol, salt)
       .groupBy(col("group"))
       .agg(expr(s"graft_kmv(graft__h, $k)").as("sk"))
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$path/sketches")
     spark.range(1)
       .select(lit(k.toLong).as("k"), lit(salt).as("hash_salt"))
@@ -54,25 +55,37 @@ object KmvLayout {
 
   /** Delta refresh: sketch the delta ONLY and append its generation
     * rows — delta-sized work; the mergeability law makes the folded
-    * read exact. */
+    * read exact. Each refresh stamps the next generation number
+    * (plan-time max over the file-count-sized sketch relation), which
+    * is what [[sketches]]' `asOf` reads snapshot on. */
   def refresh(
       delta: DataFrame, groupCol: String, textCol: String,
       path: String): Unit = {
     val spark = delta.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, salt) = (m.getAs[Long]("k").toInt, m.getAs[String]("hash_salt"))
+    val nextGen = spark.read.parquet(s"$path/sketches")
+      .agg(max(col("gen"))).head().getLong(0) + 1L
     tokenHashes(delta, groupCol, textCol, salt)
       .groupBy(col("group"))
       .agg(expr(s"graft_kmv(graft__h, $k)").as("sk"))
+      .withColumn("gen", lit(nextGen))
       .write.mode("append").parquet(s"$path/sketches")
   }
 
   /** The folded logical sketch relation: one row per group, generations
     * merged by re-sketching the union of stored sketch values (exact by
-    * mergeability; input is k·generations longs per group). */
-  def sketches(spark: SparkSession, path: String): DataFrame = {
+    * mergeability; input is k·generations longs per group). `asOf`
+    * gives SNAPSHOT ISOLATION for free — LSM generations are immutable
+    * appends, so "the index as of generation g" is a filter, not a
+    * restore: asOf(Some(0)) reads exactly the original build no matter
+    * how many refreshes landed since (gated by s43). */
+  def sketches(
+      spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Long]("k").toInt
-    spark.read.parquet(s"$path/sketches")
+    val base = spark.read.parquet(s"$path/sketches")
+    asOf.fold(base)(g => base.filter(col("gen") <= g))
       .select(col("group"), explode(col("sk")).as("graft__h"))
       .groupBy(col("group"))
       .agg(expr(s"graft_kmv(graft__h, $k)").as("sk"))
@@ -82,9 +95,11 @@ object KmvLayout {
     * entirely from the stored sketches — the n157 combined-k estimator
     * as exact-integer algebra over a broadcast groups-sized self-join.
     */
-  def overlapMatrix(spark: SparkSession, path: String): DataFrame = {
+  def overlapMatrix(
+      spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Long]("k").toInt
-    val sk = sketches(spark, path)
+    val sk = sketches(spark, path, asOf)
     sk.select(col("group").as("source_a"), col("sk").as("graft__ska"))
       .join(broadcast(
         sk.select(col("group").as("source_b"), col("sk").as("graft__skb"))),

@@ -7820,6 +7820,46 @@ object NorthStar {
           sum(when(col("graft__in").isNull, 1L).otherwise(0L)).as("n_new"))
     },
 
+    // ----- s43: time-travel reads on the LSM sketch layout ---------------
+    // Snapshot isolation falls out of the generation discipline for
+    // free: LSM generations are immutable appends stamped with a
+    // generation number, so "the index AS OF generation g" is a filter
+    // on the read fold, not a restore — a report pinned to a snapshot
+    // keeps answering identically while refreshes land. The gate: after
+    // a refresh, overlapMatrix(asOf = 0) must equal the from-scratch
+    // answer over the ORIGINAL corpus (the oracle computes exactly
+    // that); s41 already proves the un-pinned read sees the union.
+    QuerySpec(
+      "s43_sketch_time_travel",
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |           FROM documents WHERE doc_id % 10 <> 0),
+         |h AS (SELECT DISTINCT source, ${hex60("'kmvl:' || w")} AS h FROM w),
+         |r AS (SELECT source, h, row_number() OVER (
+         |        PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r
+         |       WHERE rn <= 64 GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        a.sk AS ska, b.sk AS skb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |c AS (SELECT source_a, source_b, ska, skb,
+         |        list_sort(list_distinct(ska || skb)) AS un FROM p),
+         |k2 AS (SELECT source_a, source_b, ska, skb, un[1:64] AS kl,
+         |        CAST(least(len(un), 64) AS BIGINT) AS kk FROM c)
+         |SELECT source_a, source_b, kk,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb))
+         |    AS BIGINT) AS shared_k,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb)) AS BIGINT)
+         |    / kk AS j_est
+         |FROM k2""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s43_kmv"
+      val docs = t(s, d, "documents")
+      KmvLayout.build(
+        docs.filter(col("doc_id") % 10 =!= 0), "source", "text", path)
+      KmvLayout.refresh(
+        docs.filter(col("doc_id") % 10 === 0), "source", "text", path)
+      KmvLayout.overlapMatrix(s, path, asOf = Some(0L))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not

@@ -189,5 +189,15 @@ class SketchesSpec extends SparkTestBase {
     def mat(p: String) = KmvLayout.overlapMatrix(spark, p)
       .collect().map(_.toSeq).toSet
     assert(mat(inc) === mat(full))
+    // time travel: asOf(0) reads exactly the pre-refresh build, while
+    // the un-pinned read folds the delta generation in
+    val base = "target/test_kmvlayout/base"
+    KmvLayout.build(docs.filter(col("doc_id") % 5 =!= 0), "g", "text", base,
+      k = 32)
+    def skAsOf(p: String, g: Option[Long]) = KmvLayout.sketches(spark, p, g)
+      .select(col("group"), col("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(skAsOf(inc, Some(0L)) === skAsOf(base, None))
+    assert(skAsOf(inc, Some(1L)) === sk(full))
   }
 }
