@@ -7860,6 +7860,117 @@ object NorthStar {
       KmvLayout.overlapMatrix(s, path, asOf = Some(0L))
     },
 
+    // ----- n170: epoch quota apportionment (largest remainder) ----------
+    // A training run assigns an integer number of samples per source
+    // that must sum EXACTLY to the budget — floor-rounding proportional
+    // shares loses slots and naive rounding overshoots. The largest-
+    // remainder method (Hamilton apportionment): floor every share,
+    // then give the leftover slots to the largest remainders, ties by
+    // source. All BIGINT (products ≤ budget·tokens ≪ 2⁶³); the
+    // remainder ranking runs over the SOURCE relation (k rows — the
+    // n96/n129 planner discipline); the corpus pass is one token
+    // count. Complements n96 (water-fill under caps) and n81
+    // (temperature rates): this is the exact integer allocator that
+    // turns rates into a sample plan.
+    QuerySpec(
+      "n170_epoch_quota",
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS ctot FROM c),
+        |q AS (SELECT source, toks,
+        |        (1000000 * toks) // ctot AS fl,
+        |        (1000000 * toks) % ctot AS rem
+        |      FROM c, tot),
+        |l AS (SELECT CAST(1000000 - sum(fl) AS BIGINT) AS lft FROM q),
+        |r AS (SELECT source, toks, fl,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM q)
+        |SELECT source, toks,
+        |  CAST(fl + CASE WHEN rk <= (SELECT lft FROM l) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM r""".stripMargin) { (s, d) =>
+      val c = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextOps.nTokens(col("text")).cast("long")).as("toks"))
+      val tot = c.agg(sum(col("toks")).as("graft__ctot"))
+      val q = c.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"),
+          expr("(1000000L * toks) div graft__ctot").as("graft__fl"),
+          ((lit(1000000L) * col("toks")) % col("graft__ctot")).as("graft__rem"))
+      val lft = q.agg((lit(1000000L) - sum(col("graft__fl"))).as("graft__lft"))
+      q.withColumn("graft__rk",
+        row_number().over(
+          Window.orderBy(col("graft__rem").desc, col("source"))))
+        .crossJoin(broadcast(lft))
+        .select(col("source"), col("toks"),
+          (col("graft__fl") +
+            when(col("graft__rk") <= col("graft__lft"), 1L).otherwise(0L))
+            .as("quota"))
+    },
+
+    // ----- n171: data-contract validation suite (dbt-test shape) --------
+    // The a1/a2 probes generalized into the standard contract pack a
+    // warehouse runs before publishing a table: not-null, key
+    // uniqueness, accepted values, range, and referential integrity —
+    // each a typed rule with a checked/violation count and a verdict,
+    // all evaluated over ONE table scan's worth of aggregates plus one
+    // anti-join for the foreign key (dim side broadcast). The range
+    // rule is deliberately sized to FAIL on real data (top-of-book
+    // order totals exceed it), so the report exercises both verdicts
+    // without planting.
+    QuerySpec(
+      "n171_data_contract",
+      """WITH u AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS badenum,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 200000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS badrange
+        |  FROM orders),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS orphans
+        |       FROM orders o LEFT JOIN customer c
+        |         ON o.o_custkey = c.c_custkey
+        |       WHERE c.c_custkey IS NULL)
+        |SELECT 'not_null(o_custkey)' AS rule, n AS n_checked,
+        |  nulls AS n_violations, nulls = 0 AS passed FROM u
+        |UNION ALL SELECT 'unique(o_orderkey)', n, dup, dup = 0 FROM u
+        |UNION ALL SELECT 'accepted_values(o_orderstatus)', n, badenum,
+        |  badenum = 0 FROM u
+        |UNION ALL SELECT 'range(o_totalprice in (0, 200000])', n, badrange,
+        |  badrange = 0 FROM u
+        |UNION ALL SELECT 'fk(o_custkey -> customer)', n, orphans,
+        |  orphans = 0 FROM u, fk""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val u = orders.agg(
+        count(lit(1)).as("graft__n"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("graft__dup"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("graft__nulls"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("graft__badenum"),
+        sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > 200000,
+          1L).otherwise(0L)).as("graft__badrange"))
+      val fk = orders
+        .join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("graft__orphans"))
+      u.crossJoin(broadcast(fk))
+        .select(expr(
+          """stack(5,
+            |  'not_null(o_custkey)', graft__nulls,
+            |  'unique(o_orderkey)', graft__dup,
+            |  'accepted_values(o_orderstatus)', graft__badenum,
+            |  'range(o_totalprice in (0, 200000])', graft__badrange,
+            |  'fk(o_custkey -> customer)', graft__orphans)"""
+            .stripMargin).as(Seq("rule", "n_violations")),
+          col("graft__n").as("n_checked"))
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("passed"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
