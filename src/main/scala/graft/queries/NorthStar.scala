@@ -7971,6 +7971,61 @@ object NorthStar {
           (col("n_violations") === 0).as("passed"))
     },
 
+    // ----- n172: histogram earth-mover distance (distribution drift) ----
+    // n89 compares token MASSES; a curation gate also needs a
+    // DISTRIBUTION distance that sees shape ("everything got 10%
+    // longer" moves no single bucket much but shifts the whole mass).
+    // For 1-D histograms EMD has a closed form — the L1 distance of
+    // cumulative sums — and it stays EXACT in integers by
+    // cross-scaling instead of normalizing: per bucket,
+    // d = |cum_a·n_b − cum_b·n_a|, and EMD = Σd / (n_a·n_b) is one
+    // exact rational at the end. The histogram relation is bounded
+    // (length div 10 buckets — the n90 axis), so the cumulative window
+    // is bucket-sized; corpus work is one grouped count per side.
+    QuerySpec(
+      "n172_histogram_emd",
+      """WITH b AS (SELECT CAST(doc_id % 2 AS INT) AS side,
+        |    len(string_split(text, ' ')) // 10 AS bucket
+        |  FROM documents),
+        |h AS (SELECT bucket,
+        |        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ca,
+        |        CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cb
+        |      FROM b GROUP BY bucket),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |c AS (SELECT bucket, ca, cb,
+        |        CAST(sum(ca) OVER (ORDER BY bucket) AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (ORDER BY bucket) AS BIGINT) AS cumb
+        |      FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets, t.na, t.nb,
+        |  CAST(sum(abs(cuma * t.nb - cumb * t.na)) AS BIGINT) AS emd_scaled,
+        |  CAST(sum(abs(cuma * t.nb - cumb * t.na)) AS BIGINT)
+        |    / (t.na * t.nb) AS emd
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin) { (s, d) =>
+      val h = t(s, d, "documents")
+        .select((col("doc_id") % 2).cast("int").as("graft__side"),
+          expr("size(split(text, ' ')) div 10").as("graft__bucket"))
+        .groupBy(col("graft__bucket"))
+        .agg(sum(when(col("graft__side") === 0, 1L).otherwise(0L)).as("graft__ca"),
+          sum(when(col("graft__side") === 1, 1L).otherwise(0L)).as("graft__cb"))
+      val tot = h.agg(sum(col("graft__ca")).as("na"),
+        sum(col("graft__cb")).as("nb"))
+      val c = h
+        .withColumn("graft__cuma",
+          sum(col("graft__ca")).over(Window.orderBy(col("graft__bucket"))))
+        .withColumn("graft__cumb",
+          sum(col("graft__cb")).over(Window.orderBy(col("graft__bucket"))))
+        .crossJoin(broadcast(tot))
+      c.groupBy(col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(abs(col("graft__cuma") * col("nb") -
+            col("graft__cumb") * col("na"))).as("emd_scaled"))
+        .select(col("n_buckets"), col("na"), col("nb"), col("emd_scaled"),
+          (col("emd_scaled") / (col("na") * col("nb"))).as("emd"))
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not
