@@ -118,6 +118,11 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         ShingleTfs(args(0), intLit(args(1), "n"))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (args: Seq[Expression]) =>
+        CdcChunks(args(0), intLit(args(1), "divisor"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalize(args(0))))

@@ -36,13 +36,24 @@ object TextOps {
     * dedup key across edited near-duplicate documents. Returns the
     * array of space-joined chunk strings in document order.
     *
-    * Shape: one per-row `aggregate` fold over the token array — pure
-    * Catalyst expressions, zero exchanges; the chunk relation only
-    * shuffles AFTER chunks are hashed to longs. The accumulator keeps
-    * the open chunk as a token array (not a joined string) so empty
-    * tokens can't be confused with "no open chunk".
+    * Shape: one per-row fused codegen loop (the native
+    * [[graft.functions.CdcChunks]] expression — the aggregate-HOF fold
+    * it replaced was CodegenFallback and profiled as the chunk
+    * family's wall; bit-parity property-tested in EngineLawsProps) —
+    * zero exchanges; the chunk relation only shuffles AFTER chunks are
+    * hashed to longs.
     */
   def cdcChunks(ws: Column, divisor: Int): Column = {
+    require(divisor >= 1)
+    call_function("graft_cdc_chunks", ws, lit(divisor))
+  }
+
+  /** The aggregate-HOF spelling [[cdcChunks]] fused away — kept as the
+    * independent reference the parity property tests against (the
+    * shinglesFromTokensHof discipline). The accumulator keeps the open
+    * chunk as a token array (not a joined string) so empty tokens
+    * can't be confused with "no open chunk". */
+  private[graft] def cdcChunksHof(ws: Column, divisor: Int): Column = {
     require(divisor >= 1)
     val empty = array().cast("array<string>")
     val folded = aggregate(

@@ -271,6 +271,31 @@ object EngineLawsProps extends Properties("EngineLaws") {
     }
   }
 
+  property("fused graft_cdc_chunks == aggregate-HOF fold spelling") = {
+    // the fused chunker replaced the CodegenFallback aggregate fold on
+    // the n151/s42/n169 map side — cut placement (AFTER the selected
+    // token), the skip-null concat_ws join, empty tokens (which can
+    // themselves cut), the trailing-chunk flush and the empty-input
+    // guard must all match bit-for-bit
+    val textGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.const("a"),
+      Gen.const("a  b   c d"), // empty tokens from repeated spaces
+      Gen.const("héllo wörld ✓ héllo wörld ✓ tail"),
+      Gen.listOfN(24,
+        Gen.oneOf("a", "bb", "", "ccc", "w1", "w2")).map(_.mkString(" ")),
+      Gen.listOf(Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(6, textGen), Gen.choose(1, 5)) { (xs, div) =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+        .withColumn("ws", TextOps.tokens(col("t")))
+      val got = df.select(col("i"), TextOps.cdcChunks(col("ws"), div).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("i"), TextOps.cdcChunksHof(col("ws"), div).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      got == want
+    }
+  }
+
   property("fused graft_pos_fps == conv/substring/md5 HOF spelling") = {
     // the fused positional-fingerprint expression replaced the
     // three-strings-per-gram SQL chain on the CrossDupSpans /
