@@ -8026,6 +8026,49 @@ object NorthStar {
           (col("emd_scaled") / (col("na") * col("nb"))).as("emd"))
     },
 
+    // ----- n173: bucket-cap admission parity (the LAST exemption) --------
+    // StreamingNearDup's maxPerBucket path was the one remaining
+    // oracle-exempt behavior ("the oracle has no capacity notion") —
+    // but the EXEMPT part was never the cap rule, it was the
+    // engine-local xxhash band keys no oracle can replay. The
+    // processor is key-agnostic, so this gate drives its batch-fold
+    // spelling (capAdmissionFold — fresh arrivals pair against stored
+    // occupants + earlier same-batch arrivals, then at most
+    // (cap − stored) admit per bucket, the rest emit `saturated`)
+    // with PORTABLE keys over doc-id-ordered batch cuts. Under those
+    // cuts the operational state telescopes to a declarative rule the
+    // oracle states with ONE window: a doc is stored iff its global
+    // doc-order rank in its bucket ≤ cap; a cross-batch pair emits iff
+    // the earlier doc is stored; same-batch pairs always emit.
+    // StreamingNearDupSpec proves the REAL transformWithState
+    // processor emits the identical event multiset on the same cuts.
+    QuerySpec(
+      "n173_stream_cap_parity",
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |d AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS bucket,
+        |        CASE WHEN doc_id < m // 3 THEN 0
+        |             WHEN doc_id < (2 * m) // 3 THEN 1 ELSE 2 END AS bt
+        |      FROM documents, mx),
+        |r AS (SELECT doc_id, bucket, bt,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+        |          AS rk
+        |      FROM d)
+        |SELECT 'pair' AS kind, a.doc_id AS id_a, b.doc_id AS id_b, a.bucket
+        |FROM r a JOIN r b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE a.bt = b.bt OR a.rk <= 5
+        |UNION ALL
+        |SELECT 'saturated', doc_id, CAST(5 AS BIGINT), bucket
+        |FROM r WHERE rk > 5""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 50).cast("string").as("bucket"))
+      val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+      StreamingNearDup.capAdmissionFold(Seq(
+        docs.filter(col("doc_id") < m / 3),
+        docs.filter(col("doc_id") >= m / 3 && col("doc_id") < 2 * m / 3),
+        docs.filter(col("doc_id") >= 2 * m / 3))
+        .map(_.select(col("bucket"), col("doc_id"))), cap = 5)
+    },
+
     // ----- s41: KMV sketches as warehouse layout (stored overlap index) --
     // The stored-layout discipline (s23/s26/s28/s37) applied to the
     // sketch family: cross-source overlap questions should not

@@ -212,16 +212,101 @@ object StreamingNearDup {
       ttl: Option[java.time.Duration] = None): Dataset[BucketEvent] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bucketEvents(
+      bandKeys(docs.toDF(), "doc_id", "text", shingleWidth, numHashes, bands)
+        .as[BandKeyRow],
+      maxPerBucket, ttl)
+  }
+
+  /** The bucket-memory stage alone, over an already-keyed feed — the
+    * processor is key-agnostic, which is what lets the n173 parity
+    * gate drive it with PORTABLE keys the DuckDB oracle can replay
+    * (the real sketch path keys with engine-local xxhash, which no
+    * oracle sees — the reason the cap path was oracle-exempt until
+    * this seam existed). */
+  def bucketEvents(
+      keys: Dataset[BandKeyRow],
+      maxPerBucket: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[BucketEvent] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
     val processor = new BucketProcessor(
       maxPerBucket, ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    bandKeys(docs.toDF(), "doc_id", "text", shingleWidth, numHashes, bands)
-      .as[BandKeyRow]
+    keys
       .groupByKey(_.bucket)
       .transformWithState(
         processor,
         // TTL state requires a clock; otherwise stay time-mode-free
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Batch-fold spelling of [[bucketEvents]]' admission/cap semantics
+    * (the n138/n168 fold recipe): per batch, the distinct (bucket, doc)
+    * hitters not already stored are the FRESH arrivals in doc-id order;
+    * every fresh doc pairs against the bucket's stored occupants AND
+    * every earlier fresh arrival in the same batch (same-batch pairs
+    * ignore the cap — the processor emits before it trims), then at
+    * most (cap − stored) fresh docs are admitted per bucket and the
+    * rest emit `saturated` events (id_b = the cap, mirroring
+    * BucketEvent). State threads between batches as the stored
+    * (bucket, doc_id) relation. For doc-id-ordered batch cuts the
+    * stored set after any prefix of batches is exactly the first
+    * min(cap, hitters) docs per bucket in doc-id order — the
+    * declarative rule the n173 oracle states with one window.
+    * StreamingNearDupSpec proves the REAL processor emits the
+    * identical event multiset on the same cuts. */
+  def capAdmissionFold(
+      batches: Seq[DataFrame], cap: Int): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    var stored: DataFrame = null
+    var events: DataFrame = null
+    batches.foreach { b0 =>
+      val hit = b0.select(col("bucket"), col("doc_id")).distinct()
+      val fresh =
+        if (stored == null) hit
+        else hit.join(stored, Seq("bucket", "doc_id"), "left_anti")
+      val cross =
+        if (stored == null) null
+        else fresh.select(col("bucket"), col("doc_id").as("graft__n"))
+          .join(stored.select(col("bucket"), col("doc_id").as("graft__p")),
+            Seq("bucket"))
+          .select(lit("pair").as("kind"),
+            least(col("graft__p"), col("graft__n")).as("id_a"),
+            greatest(col("graft__p"), col("graft__n")).as("id_b"),
+            col("bucket"))
+      val same = fresh.select(col("bucket"), col("doc_id").as("graft__a"))
+        .join(fresh.select(col("bucket"), col("doc_id").as("graft__b")),
+          Seq("bucket"))
+        .filter(col("graft__a") < col("graft__b"))
+        .select(lit("pair").as("kind"), col("graft__a").as("id_a"),
+          col("graft__b").as("id_b"), col("bucket"))
+      val storedCnt =
+        if (stored == null) null
+        else stored.groupBy(col("bucket")).agg(count(lit(1)).as("graft__cnt"))
+      val ranked0 = fresh.withColumn("graft__rk",
+        row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      val ranked =
+        (if (storedCnt == null) ranked0.withColumn("graft__cnt", lit(0L))
+         else ranked0.join(broadcast(storedCnt), Seq("bucket"), "left")
+           .withColumn("graft__cnt", coalesce(col("graft__cnt"), lit(0L))))
+          .withColumn("graft__room", lit(cap.toLong) - col("graft__cnt"))
+      val admitted = ranked.filter(col("graft__rk") <= col("graft__room"))
+        .select(col("bucket"), col("doc_id"))
+      val sat = ranked.filter(col("graft__rk") > col("graft__room"))
+        .select(lit("saturated").as("kind"), col("doc_id").as("id_a"),
+          lit(cap.toLong).as("id_b"), col("bucket"))
+      val batchEvents = Seq(Option(cross), Some(same), Some(sat))
+        .flatten.reduce(_ unionByName _)
+      events = if (events == null) batchEvents
+        else events.unionByName(batchEvents)
+      stored = if (stored == null) admitted else stored.unionByName(admitted)
+      stored = graft.operators.Materialize.shared(stored)
+    }
+    events
   }
 
   /** Candidate pairs only — the original surface, now a filter over

@@ -303,4 +303,53 @@ class StreamingNearDupSpec extends SparkTestBase {
       assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
     }
   }
+
+  test("cap admission: real processor ≡ capAdmissionFold across batch boundaries") {
+    import spark.implicits._
+    // one hot bucket "h" saturating a cap of 3 across batches, one cold
+    // bucket "c" that never fills; doc-id-ordered cuts (the fold's
+    // contract). Expected by hand at cap 3:
+    //  batch 1: h gets 1,2 (both admitted; pair 1-2), c gets 10
+    //  batch 2: h gets 3,4 — pairs vs stored {1,2} and 3-4; room 1 →
+    //           3 admitted, 4 SATURATED
+    //  batch 3: h gets 5 — pairs vs stored {1,2,3} ONLY (4 was never
+    //           stored: 4-5 must NOT emit); 5 saturated. c gets 11 →
+    //           pair 10-11, admitted.
+    val batches = Seq(
+      Seq(("h", 1L), ("h", 2L), ("c", 10L)),
+      Seq(("h", 3L), ("h", 4L)),
+      Seq(("h", 5L), ("c", 11L)))
+    val expected = Set(
+      ("pair", 1L, 2L, "h"), ("pair", 1L, 3L, "h"), ("pair", 2L, 3L, "h"),
+      ("pair", 1L, 4L, "h"), ("pair", 2L, 4L, "h"), ("pair", 3L, 4L, "h"),
+      ("saturated", 4L, 3L, "h"),
+      ("pair", 1L, 5L, "h"), ("pair", 2L, 5L, "h"), ("pair", 3L, 5L, "h"),
+      ("saturated", 5L, 3L, "h"),
+      ("pair", 10L, 11L, "c"))
+
+    val folded = StreamingNearDup.capAdmissionFold(
+      batches.map(_.toDF("bucket", "doc_id")), cap = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(folded === expected, "fold diverged from the hand-computed events")
+
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBStateStore {
+      val mem = MemoryStream[StreamingNearDup.BandKeyRow]
+      val q = StreamingNearDup.bucketEvents(mem.toDS(), maxPerBucket = 3)
+        .writeStream.format("memory")
+        .queryName("cap_parity").outputMode("append").start()
+      batches.foreach { b =>
+        mem.addData(b.map { case (bk, id) =>
+          StreamingNearDup.BandKeyRow(bk, id) }: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    val streamed = spark.table("cap_parity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed === expected,
+      "real processor diverged from the batch fold")
+  }
 }
