@@ -130,7 +130,7 @@ object ScaleDrill {
       "n163_mmr_rerank", "s41_sketch_layout", "n164_label_prop_train",
       "n165_stream_kmv_parity", "n166_source_influence",
       "n167_bot_regularity", "n168_stream_regularity_parity", "s42_chunk_store", "n169_chunk_delta", "s43_sketch_time_travel",
-      "n170_epoch_quota", "n172_histogram_emd")
+      "n170_epoch_quota", "n172_histogram_emd", "n173_stream_cap_parity")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)
