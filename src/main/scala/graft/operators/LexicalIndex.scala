@@ -77,6 +77,14 @@ object LexicalIndex {
       n: Int = 3,
       buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
+    // a rebuild starts a fresh index life: pending tombstones from the
+    // previous life must not survive it — they would silently exclude
+    // rebuilt postings while the fresh lexicon/meta still count them
+    // (and the idempotent tombstone() would skip re-deleting those ids)
+    if (hasTombstones(spark, path)) {
+      val p = tombstonePath(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
     postingProjection(docs, idCol, textCol, n, buckets)
       .repartition(col("bucket"))
       .sortWithinPartitions(col("shingle"))
@@ -279,20 +287,36 @@ object LexicalIndex {
     val m = metaRow(spark, path)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
-    forgetDocs.select(col(idCol).as("doc_id"))
+    // idempotent under retries: a doc already tombstoned contributes
+    // nothing — a re-delivered delete request (the normal failure mode
+    // of a retried forget job) must not subtract its df/meta twice.
+    // The filtered set is CHECKPOINTED before the tombstone append:
+    // the anti-join reads the tombstone dir, and a lazy re-execution
+    // after the append below would see its own ids and filter
+    // everything (the self-read-after-write hazard compact() guards
+    // against the same way).
+    val filtered =
+      if (!hasTombstones(spark, path)) forgetDocs
+      else forgetDocs.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .withColumnRenamed("doc_id", idCol)),
+        Seq(idCol), "left_anti")
+    val (forget, ids, _) = IterationCheckpoint.localCounted(filtered)
+    forget.select(col(idCol).as("doc_id"))
       .write.mode("append").parquet(s"$path/tombstones")
-    postingProjection(forgetDocs, idCol, textCol, n, buckets)
+    postingProjection(forget, idCol, textCol, n, buckets)
       .groupBy(col("bucket"), col("shingle"))
       .agg((-count(lit(1))).as("df"))
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/lexicon")
-    forgetDocs
+    forget
       .agg((-count(lit(1))).as("n_docs"),
         (-sum(size(split(col(textCol), " ")).cast("long"))).as("n_tokens"))
       .withColumn("buckets", lit(buckets.toLong))
       .withColumn("shingle_n", lit(n.toLong))
       .write.mode("append").parquet(s"$path/meta")
+    IterationCheckpoint.release(spark.sparkContext, ids)
   }
 
   /** Fold accumulated generations back to one — the compaction half

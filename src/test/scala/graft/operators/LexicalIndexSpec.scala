@@ -166,6 +166,29 @@ class LexicalIndexSpec extends SparkTestBase {
     assert(meta(del) === meta(rem))
   }
 
+  test("tombstone is idempotent: a re-delivered delete subtracts nothing twice") {
+    val once = "target/test_lexidx/forget_once"
+    val twice = "target/test_lexidx/forget_twice"
+    Seq(once, twice).foreach { p =>
+      LexicalIndex.build(corpus, "doc_id", "text", p, n = 2, buckets = 4)
+      LexicalIndex.tombstone(
+        corpus.filter(col("doc_id") === 1), "doc_id", "text", p)
+    }
+    // the retry: same forget-set again (plus an already-deleted overlap)
+    LexicalIndex.tombstone(
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", twice)
+    def lexi(p: String) = LexicalIndex.lexicon(spark, p)
+      .select("shingle", "df").collect().map(_.toSeq).toSet
+    def meta(p: String) = LexicalIndex.metaRow(spark, p)
+      .select("n_docs", "n_tokens").collect().map(_.toSeq).toSet
+    assert(lexi(twice) === lexi(once),
+      "a double delete must not subtract df twice")
+    assert(meta(twice) === meta(once),
+      "a double delete must not shrink meta twice")
+    // and the tombstone list holds the id once
+    assert(spark.read.parquet(s"$twice/tombstones").count() === 1L)
+  }
+
   test("tombstoned serving answers match the rebuilt index's answers") {
     val del = "target/test_lexidx/forget_serve"
     val rem = "target/test_lexidx/remain_serve"
