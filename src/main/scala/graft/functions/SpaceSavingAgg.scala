@@ -30,15 +30,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *    bug class this field exists for: a low-cardinality partition's
   *    huge minimum must not leak into other keys' credits), else its
   *    current minimum counter;
-  *  - est(k) ≤ true(k) + N/capacity — per-partition the classic SS
-  *    bound (per-key inflation ≤ min ≤ N_i/capacity, exact summaries
-  *    contribute 0), and the merge credits telescope to the same
-  *    N/capacity total;
-  *  - presence: any key with true(k) > N/capacity survives — merge
-  *    truncation keeps 3·capacity entries, the 3C-th largest estimate
-  *    is ≤ 2N/3C < N/C, and a dropped key's estimate folds into the
-  *    merged `ub`, so a key estimated above N/C can never fall below
-  *    the cut or vanish unaccounted.
+  *  - est(k) ≤ true(k) + O(N/capacity) — per-partition the classic SS
+  *    bound is exact (per-key inflation ≤ min ≤ N_i/capacity, exact
+  *    summaries contribute 0) and one merge level's credits telescope
+  *    to the same N/capacity total; DEEP multi-level merge trees can
+  *    additionally fold truncation-dropped estimates (counted mass +
+  *    accumulated credits) into `ub`, so the constant grows with tree
+  *    depth — O(N/capacity) with a small constant at Spark's two-level
+  *    partial/final shape, which is what the n145 gate and
+  *    SketchesSpec's adversarial high-partition split check;
+  *  - presence: any key with true(k) > N/capacity survives the fold —
+  *    merge truncation keeps 3·capacity entries, the 3C-th largest
+  *    estimate is ≤ 2N/3C < N/C, and a dropped key's estimate folds
+  *    into the merged `ub`, so a key estimated above N/C can never
+  *    fall below the truncation cut or vanish unaccounted; the final
+  *    eval cut keeps the top `capacity` by estimate, and a heavy key's
+  *    estimate (≥ true > N/C) sits above that cut in the two-level
+  *    shape (law-tested, not a worst-case theorem — a pathological
+  *    merge tree could crowd the top-C with credit-inflated keys).
   *
   * Scale shape: the buffer is a bounded map (≤ 3·capacity entries ≈
   * tens of KB), partial aggregation applies (map-side summaries merge
@@ -153,8 +162,16 @@ case class SpaceSavingAgg(
   }
 
   override def eval(buf: SpaceSavingBuffer): Any = {
+    // the summary CONTRACT is "at most `capacity` candidate keys";
+    // internally merges carry up to 3·capacity entries (the truncation
+    // head-room that keeps the presence guarantee through the fold),
+    // but the emitted candidate set cuts back to the top `capacity` by
+    // (est, key) — everything below the cut is below the presence
+    // threshold (SketchesSpec's adversarial high-partition split
+    // asserts planted heavies survive the cut with their bounds)
     val rows = buf.entries.toSeq
       .sortBy { case (k, e) => (-e(0), k) }
+      .take(capacity)
       .map { case (k, e) =>
         new GenericInternalRow(
           Array[Any](UTF8String.fromString(k), e(0), e(1)))

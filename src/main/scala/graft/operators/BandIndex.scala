@@ -15,15 +15,32 @@ import org.apache.spark.sql.functions._
   * index stores what the corpus side of the band join and the sketch
   * prefilter need, computed once at build:
   *
-  *  - `postings/` (band_val, doc_id) partitioned by `band` — the LSH
-  *    bucket membership relation. The delta probe joins it on
+  *  - `postings/` (band_val, doc_id) partitioned by (`gen`, `band`) —
+  *    the LSH bucket membership relation. The delta probe joins it on
   *    (band, band_val); partition dirs keep each band's postings
-  *    co-located, rows sorted by band_val for row-group pruning.
-  *  - `sigs/` (doc_id, sig) — the k-minima signatures backing the
-  *    estimate prefilter, joined candidate-sized only.
+  *    co-located, rows sorted by band_val for row-group pruning. `gen`
+  *    is the LSM generation key: "base" for the build, the caller's
+  *    batch id for every [[append]] (see the idempotency contract).
+  *  - `sigs/` (doc_id, sig) partitioned by `gen` — the k-minima
+  *    signatures backing the estimate prefilter, joined candidate-sized
+  *    only.
   *  - `meta/` one row (num_hashes, bands, shingle_n) — the index is
   *    self-describing (the round-11 LexicalIndex lesson: a disagreeing
   *    caller parameter must not be possible).
+  *  - `tombstones/` (doc_id) partitioned by delete batch — the forget
+  *    set (the s40 GDPR discipline applied to the LSH layout): every
+  *    [[postings]]/[[signatures]] read anti-joins the broadcast id
+  *    list, so a delete is visible on all probe paths immediately;
+  *    [[compact]] drops the rows physically and clears the list.
+  *
+  * IDEMPOTENT maintenance under at-least-once delivery (the
+  * foreachBatch retry contract, shared via [[LsmLayout]]): [[append]]
+  * and [[tombstone]] key their writes by the caller's batch id with
+  * dynamic partition overwrite — a retried batch replaces its own
+  * generation instead of appending a duplicate that would multiply
+  * rows through the sig join and emit duplicated probe results — and
+  * leave an `_applied` marker so a clean retry no-ops (gated by n175:
+  * append-with-retry ≡ rebuild through the probe answer).
   *
   * The probe never reads corpus TEXT except in the final exact-verify
   * stage, and there only candidate-sized: the candidate corpus ids are
@@ -36,10 +53,14 @@ import org.apache.spark.sql.functions._
   * one partitioned write); per-batch probe cost is delta-sized sketching
   * + a join against the pruned posting partitions + candidate-sized
   * verify. Appending the delta's own postings afterwards (so the next
-  * batch sees it) is `append`, delta-sized, LSM-free because postings
-  * are immutable facts.
+  * batch sees it) is generation-keyed, delta-sized, merge-free because
+  * postings are immutable facts. A delete does forget-set-sized work
+  * (one id-list write — postings/sigs are per-doc, so no stored value
+  * needs recomputing, unlike the lexical index's df fold).
   */
 object BandIndex {
+
+  private val BaseGen = "base"
 
   /** Sketch the corpus ONCE and write the postings/sigs/meta layout. */
   def build(
@@ -51,15 +72,23 @@ object BandIndex {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    // a rebuild starts a fresh index life (the LexicalIndex.build
+    // discipline): stale tombstones would hide rebuilt docs, stale
+    // markers would skip the first append reusing an old batch id
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    LsmLayout.clearApplied(spark, path)
     val sk = sketch(docs, idCol, textCol, shingleWidth, numHashes, bands)
     sk.select(col("doc_id"), col("sig"))
-      .write.mode("overwrite").parquet(s"$path/sigs")
+      .withColumn("gen", lit(BaseGen))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/sigs")
     sk.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+      .withColumn("gen", lit(BaseGen))
       .repartition(col("band"))
       .sortWithinPartitions(col("band_val"))
-      .write.mode("overwrite").partitionBy("band")
+      .write.mode("overwrite").partitionBy("gen", "band")
       .parquet(s"$path/postings")
-    docs.sparkSession.range(1)
+    spark.range(1)
       .select(lit(numHashes.toLong).as("num_hashes"),
         lit(bands.toLong).as("bands"),
         lit(shingleWidth.toLong).as("shingle_n"))
@@ -67,23 +96,100 @@ object BandIndex {
   }
 
   /** Index the delta batch too (the next batch must see this one):
-    * postings/sigs are immutable append-only facts — delta-sized
-    * appends, no merge, no read-side fold. */
+    * postings/sigs are immutable per-doc facts — delta-sized writes, no
+    * merge, no read-side fold. Keyed by `batchId` and written with
+    * dynamic overwrite + an applied marker, so an at-least-once retry
+    * replaces-or-skips instead of duplicating the generation (which
+    * would multiply probe rows through the signature join). */
   def append(
       delta: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit = {
+      path: String,
+      batchId: String): Unit = {
     val spark = delta.sparkSession
+    LsmLayout.requireValidBatchId(batchId)
+    if (LsmLayout.isApplied(spark, path, batchId)) return
     val (numHashes, bands, shingleWidth) = metaOf(spark, path)
     val sk = sketch(delta, idCol, textCol, shingleWidth, numHashes, bands)
     sk.select(col("doc_id"), col("sig"))
-      .write.mode("append").parquet(s"$path/sigs")
+      .withColumn("gen", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/sigs")
     sk.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+      .withColumn("gen", lit(batchId))
       .repartition(col("band"))
       .sortWithinPartitions(col("band_val"))
-      .write.mode("append").partitionBy("band")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "band")
       .parquet(s"$path/postings")
+    LsmLayout.markApplied(spark, path, batchId)
+  }
+
+  /** Right-to-be-forgotten deletes (the s40 discipline applied to the
+    * LSH layout): the forget-set becomes a tombstone id list that every
+    * [[postings]]/[[signatures]] read anti-joins — forget-set-sized
+    * work, nothing stored rewritten; band postings and signatures are
+    * PER-DOC facts, so unlike the lexical index there is no df-style
+    * aggregate to correct. [[compact]] later drops the rows physically.
+    * Idempotent at both levels (ids already tombstoned are filtered
+    * out; the batch partition overwrites itself under retry; a
+    * committed batch no-ops on its marker). */
+  def tombstone(
+      forgetIds: DataFrame,
+      idCol: String,
+      path: String,
+      batchId: String): Unit = {
+    val spark = forgetIds.sparkSession
+    LsmLayout.requireValidBatchId(batchId)
+    val gen = s"ts-$batchId"
+    if (LsmLayout.isApplied(spark, path, gen)) return
+    val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
+    val fresh =
+      if (!hasTombstones(spark, path)) ids
+      else ids.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
+    if (nForget > 0L)
+      forget
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/tombstones")
+    LsmLayout.markApplied(spark, path, gen)
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
+  }
+
+  /** Fold the layout back to one generation and drop tombstoned rows
+    * physically (the LSM compaction half): postings rewritten once per
+    * band with the anti-join folded in, signatures likewise, the
+    * forget-set cleared. Applied markers are KEPT (a late retry of a
+    * pre-compact batch must still no-op). Frames are checkpointed
+    * before each overwrite (a parquet path cannot be overwritten while
+    * a live plan reads it). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (post, postIds, _) = IterationCheckpoint.localCounted(
+      postings(spark, path))
+    post
+      .withColumn("gen", lit(BaseGen))
+      .repartition(col("band")).sortWithinPartitions(col("band_val"))
+      .write.mode("overwrite").partitionBy("gen", "band")
+      .parquet(s"$path/postings")
+    IterationCheckpoint.release(spark.sparkContext, postIds)
+    val (sigs, sigIds, _) = IterationCheckpoint.localCounted(
+      signatures(spark, path))
+    sigs
+      .withColumn("gen", lit(BaseGen))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/sigs")
+    IterationCheckpoint.release(spark.sparkContext, sigIds)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
   }
 
   /** Delta-vs-corpus near-dup pairs served from the stored index:
@@ -93,6 +199,12 @@ object BandIndex {
     * the [[MinHashNearDup]] probabilistic contract; false positives are
     * removed by the exact verify). `corpus` is the indexed relation the
     * candidate TEXT rehydrates from; only candidate ids touch it.
+    *
+    * Cache note: the delta sketch relation is persisted via
+    * Materialize.shared (it feeds the band join, the prefilter and the
+    * verify); the blocks are released by the runner sweep
+    * ([[Materialize]]'s release contract) once the returned frame is
+    * consumed.
     */
   def probe(
       corpus: DataFrame,
@@ -135,7 +247,7 @@ object BandIndex {
     val minMatches = math.floor((threshold - sigMargin) * numHashes).toLong
     val plausible = candidates
       .join(dsk.select(col("delta_id"), col("sig").as("sig_d")), "delta_id")
-      .join(spark.read.parquet(s"$path/sigs")
+      .join(signatures(spark, path)
         .select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")),
         "corpus_id")
       .withColumn("est",
@@ -165,9 +277,32 @@ object BandIndex {
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
 
-  /** The stored band-membership relation (band, band_val, doc_id). */
-  def postings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/postings")
+  /** The stored band-membership relation (band, band_val, doc_id),
+    * minus tombstoned documents when a forget-set is pending — every
+    * probe routes through here, so a [[tombstone]] is visible on all
+    * serving paths before [[compact]] rewrites anything. */
+  def postings(spark: SparkSession, path: String): DataFrame = {
+    val post = spark.read.parquet(s"$path/postings").drop("gen")
+    if (!hasTombstones(spark, path)) post
+    else post.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The stored signature relation (doc_id, sig), tombstones applied —
+    * the prefilter's corpus side. */
+  def signatures(spark: SparkSession, path: String): DataFrame = {
+    val sigs = spark.read.parquet(s"$path/sigs").drop("gen")
+    if (!hasTombstones(spark, path)) sigs
+    else sigs.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    LsmLayout.dirExists(spark, s"$path/tombstones")
 
   private def metaOf(spark: SparkSession, path: String): (Int, Int, Int) = {
     // one row of layout constants — plan-time metadata, like the s23

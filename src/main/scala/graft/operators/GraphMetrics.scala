@@ -37,8 +37,15 @@ object GraphMetrics {
   /** Degree of every endpoint in a SYMMETRIZED edge list, as
     * (graft__nid, graft__deg) — one agg over the edges, exchanges
     * carry (id, count) longs. Nodes with no edges do not appear;
-    * callers left-join and coalesce to 0. */
-  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    * callers left-join and coalesce to 0.
+    *
+    * Takes ONLY the source column: on a symmetrized list every
+    * endpoint appears as a source, so counting src occurrences IS the
+    * degree — and the single-column signature makes the symmetrized-
+    * input contract visible at the call site (a two-column signature
+    * that silently ignored the destination invited wrong degrees on
+    * unsymmetrized edge lists). Symmetrize first for directed input. */
+  def degrees(edges: DataFrame, srcCol: String): DataFrame =
     edges.select(col(srcCol).as("graft__nid"))
       .groupBy(col("graft__nid"))
       .agg(count(lit(1)).as("graft__deg"))
@@ -78,7 +85,7 @@ object GraphMetrics {
         Seq("graft__src"), "left_semi")
       .join(ids.withColumnRenamed("graft__nid", "graft__dst"),
         Seq("graft__dst"), "left_semi")
-    degrees(kept, "graft__src", "graft__dst")
+    degrees(kept, "graft__src")
       .select(col("graft__nid").as(idCol), col("graft__deg").as("deg"))
   }
 

@@ -7,84 +7,199 @@ import org.apache.spark.sql.functions._
   * (s23/s26/s28/s37) applied to the sketch family. Cross-source
   * distinct-overlap questions ("how much of source B is already in
   * A?", the n157 estimator) should not re-shingle the corpus per ask:
-  * the bottom-k sketches are tiny (k longs per group), a pure function
-  * of each group's distinct hash set, and MERGEABLE — so they are an
-  * ideal stored index, and incremental maintenance is exact, not
-  * approximate-on-approximate: bottom-k(A ⊎ Δ) == trim_k(bottom-k(A) ∪
-  * bottom-k(Δ)) (the KmvAgg mergeability law), so refresh appends a
-  * delta-generation row per group (LSM — nothing rewritten) and the
-  * read path folds generations by RE-SKETCHING the union of stored
-  * sketch values: k·gens longs per group, never corpus data.
+  * the bottom-k sketches are tiny (k longs per unit), pure functions
+  * of each unit's distinct hash set, and MERGEABLE — bottom-k(A ⊎ B)
+  * == trim_k(bottom-k(A) ∪ bottom-k(B)) (the KmvAgg mergeability law)
+  * — so they are an ideal stored index with EXACT incremental
+  * maintenance, never approximate-on-approximate.
+  *
+  * Granularity: one stored sketch per (group, doc) — not per group.
+  * Mergeability makes the group sketch a fold over its docs' sketches,
+  * and the per-doc rows are what make DELETES exact: a forgotten doc's
+  * contribution is its own row, so tombstone-at-serve (anti-join the
+  * forget ids before the fold) answers exactly as a rebuild over the
+  * remaining corpus — a group-level sketch could never subtract a doc
+  * (bottom-k is not invertible). The price is the fold at read time
+  * (k longs per doc, one map-side-partial aggregate over a narrow
+  * relation — ~0.5 KB/doc at k = 64); a serve-heavy deployment can
+  * layer a folded per-group cache rebuilt at [[compact]] at the cost
+  * of delete latency — not stored here because the uncached fold is
+  * the one that stays correct under every maintenance interleaving.
   *
   * Layout under `path`:
-  *  - `sketches/` (group, sk: array<bigint>) — one row per group per
-  *    generation;
+  *  - `sketches/` (group, doc_id, sk: array<bigint>, gen: bigint)
+  *    partitioned by `batch` — one row per doc per maintenance batch;
+  *    `gen` is the monotone generation number [[sketches]]' `asOf`
+  *    snapshot reads filter on, `batch` the idempotency key;
   *  - `meta/` one row (k, hash_salt) — self-describing (the
   *    LexicalIndex lesson): a disagreeing caller k would silently
-  *    produce valid-looking but non-comparable sketches.
+  *    produce valid-looking but non-comparable sketches;
+  *  - `tombstones/` (doc_id) partitioned by delete batch — the forget
+  *    set every read anti-joins (GDPR deletes apply to ALL reads,
+  *    including time-travel snapshots).
+  *
+  * IDEMPOTENT maintenance under at-least-once delivery (shared via
+  * [[LsmLayout]]): [[refresh]]/[[tombstone]] key their writes by the
+  * caller's batch id with dynamic partition overwrite + an applied
+  * marker; the generation number is derived EXCLUDING the batch's own
+  * partition, so a retry after a partial first attempt re-stamps the
+  * same gen. Single-writer maintenance loop assumed (foreachBatch).
   *
   * Serving reads fold generations and answer overlap matrices entirely
   * from the stored layout: the folded relation is groups-sized, the
   * pair join is a broadcast self-join, and every estimate is the n157
   * exact-integer algebra — bit-identical to a from-scratch closed-form
-  * replay (oracle-gated, s41).
+  * replay (oracle-gated: s41 refresh ≡ rebuild, s43 time travel,
+  * s45 forget ≡ rebuild-on-remaining).
   */
 object KmvLayout {
 
+  private val BaseBatch = "base"
+
   private def tokenHashes(
-      docs: DataFrame, groupCol: String, textCol: String,
+      docs: DataFrame, groupCol: String, idCol: String, textCol: String,
       salt: String): DataFrame =
-    docs.select(col(groupCol).as("group"),
+    docs.select(col(groupCol).as("group"), col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("graft__w"))
-      .select(col("group"),
+      .select(col("group"), col("doc_id"),
         TextOps.hexHash60(concat(lit(salt), col("graft__w"))).as("graft__h"))
 
+  private def docSketches(
+      docs: DataFrame, groupCol: String, idCol: String, textCol: String,
+      salt: String, k: Int): DataFrame =
+    tokenHashes(docs, groupCol, idCol, textCol, salt)
+      .groupBy(col("group"), col("doc_id"))
+      .agg(expr(s"graft_kmv(graft__h, $k)").as("sk"))
+
   def build(
-      docs: DataFrame, groupCol: String, textCol: String,
+      docs: DataFrame, groupCol: String, idCol: String, textCol: String,
       path: String, k: Int = 64, salt: String = "kmvl:"): Unit = {
     val spark = docs.sparkSession
-    tokenHashes(docs, groupCol, textCol, salt)
-      .groupBy(col("group"))
-      .agg(expr(s"graft_kmv(graft__h, $k)").as("sk"))
+    // a rebuild starts a fresh index life (the LexicalIndex discipline)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    LsmLayout.clearApplied(spark, path)
+    docSketches(docs, groupCol, idCol, textCol, salt, k)
       .withColumn("gen", lit(0L))
-      .write.mode("overwrite").parquet(s"$path/sketches")
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$path/sketches")
     spark.range(1)
       .select(lit(k.toLong).as("k"), lit(salt).as("hash_salt"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Delta refresh: sketch the delta ONLY and append its generation
-    * rows — delta-sized work; the mergeability law makes the folded
-    * read exact. Each refresh stamps the next generation number
-    * (plan-time max over the file-count-sized sketch relation), which
-    * is what [[sketches]]' `asOf` reads snapshot on. */
+  /** Delta refresh: sketch the delta ONLY (per doc) and write its
+    * generation — delta-sized work; the mergeability law makes the
+    * folded read exact. The generation number is the max over OTHER
+    * batches + 1, so an at-least-once retry re-stamps the same gen and
+    * the dynamic overwrite replaces rather than duplicates; a
+    * committed batch no-ops on its marker. */
   def refresh(
-      delta: DataFrame, groupCol: String, textCol: String,
-      path: String): Unit = {
+      delta: DataFrame, groupCol: String, idCol: String, textCol: String,
+      path: String, batchId: String): Unit = {
     val spark = delta.sparkSession
+    LsmLayout.requireValidBatchId(batchId)
+    if (LsmLayout.isApplied(spark, path, batchId)) return
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, salt) = (m.getAs[Long]("k").toInt, m.getAs[String]("hash_salt"))
+    // exclude the batch's own (possibly partial) partition so a retry
+    // derives the SAME generation number as the failed first attempt
     val nextGen = spark.read.parquet(s"$path/sketches")
+      .filter(col("batch") =!= batchId)
       .agg(max(col("gen"))).head().getLong(0) + 1L
-    tokenHashes(delta, groupCol, textCol, salt)
-      .groupBy(col("group"))
-      .agg(expr(s"graft_kmv(graft__h, $k)").as("sk"))
+    docSketches(delta, groupCol, idCol, textCol, salt, k)
       .withColumn("gen", lit(nextGen))
-      .write.mode("append").parquet(s"$path/sketches")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/sketches")
+    LsmLayout.markApplied(spark, path, batchId)
   }
 
-  /** The folded logical sketch relation: one row per group, generations
-    * merged by re-sketching the union of stored sketch values (exact by
-    * mergeability; input is k·generations longs per group). `asOf`
-    * gives SNAPSHOT ISOLATION for free — LSM generations are immutable
-    * appends, so "the index as of generation g" is a filter, not a
-    * restore: asOf(Some(0)) reads exactly the original build no matter
-    * how many refreshes landed since (gated by s43). */
+  /** Right-to-be-forgotten deletes (the s40 discipline applied to the
+    * sketch layout): the forget-set becomes a tombstone id list that
+    * every [[sketches]] read anti-joins BEFORE the group fold —
+    * forget-set-sized work, nothing stored rewritten, and the served
+    * answer equals a rebuild over the remaining corpus EXACTLY because
+    * the stored granularity is per-doc (mergeability re-folds the
+    * survivors; a group whose docs are all forgotten leaves the
+    * matrix). [[compact]] later drops the rows physically. Idempotent
+    * at both levels (already-tombstoned ids filtered; batch partition
+    * overwrites itself; committed batch no-ops on its marker). */
+  def tombstone(
+      forgetIds: DataFrame, idCol: String,
+      path: String, batchId: String): Unit = {
+    val spark = forgetIds.sparkSession
+    LsmLayout.requireValidBatchId(batchId)
+    val gen = s"ts-$batchId"
+    if (LsmLayout.isApplied(spark, path, gen)) return
+    val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
+    val fresh =
+      if (!hasTombstones(spark, path)) ids
+      else ids.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
+    if (nForget > 0L)
+      forget
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/tombstones")
+    LsmLayout.markApplied(spark, path, gen)
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
+  }
+
+  /** Physically drop tombstoned rows and fold the per-doc rows into
+    * one generation directory (file-count hygiene; the per-doc
+    * granularity is KEPT — it is the deletability index). Collapses
+    * time-travel history: after a compact, `asOf` pins address the
+    * post-compact state only (the LexicalIndex compact contract).
+    * Applied markers are kept so late retries of folded batches
+    * still no-op. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (rows, ckIds, _) = IterationCheckpoint.localCounted(
+      docRows(spark, path).select(col("group"), col("doc_id"), col("sk")))
+    rows
+      .withColumn("gen", lit(0L))
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$path/sketches")
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
+  }
+
+  /** The stored per-doc sketch rows, tombstones applied. */
+  private def docRows(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/sketches")
+    if (!hasTombstones(spark, path)) base
+    else base.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    LsmLayout.dirExists(spark, s"$path/tombstones")
+
+  /** The folded logical sketch relation: one row per group, the
+    * surviving per-doc sketches merged by re-sketching the union of
+    * stored sketch values (exact by mergeability; input is k longs per
+    * doc, one map-side-partial aggregate). `asOf` gives SNAPSHOT
+    * ISOLATION for free — generations are immutable appends, so "the
+    * index as of generation g" is a filter, not a restore: asOf(Some(0))
+    * reads exactly the original build no matter how many refreshes
+    * landed since (gated by s43). Tombstones apply to every snapshot —
+    * a GDPR delete reaches time-travel reads too. */
   def sketches(
       spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Long]("k").toInt
-    val base = spark.read.parquet(s"$path/sketches")
+    val base = docRows(spark, path)
     asOf.fold(base)(g => base.filter(col("gen") <= g))
       .select(col("group"), explode(col("sk")).as("graft__h"))
       .groupBy(col("group"))

@@ -77,35 +77,42 @@ object LexicalIndex {
       n: Int = 3,
       buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
-    // a rebuild starts a fresh index life: pending tombstones from the
-    // previous life must not survive it — they would silently exclude
-    // rebuilt postings while the fresh lexicon/meta still count them
-    // (and the idempotent tombstone() would skip re-deleting those ids)
-    if (hasTombstones(spark, path)) {
-      val p = tombstonePath(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
+    // a rebuild starts a fresh index life: pending tombstones and
+    // applied-batch markers from the previous life must not survive it
+    // — stale tombstones would silently exclude rebuilt postings while
+    // the fresh lexicon/meta still count them, and stale markers would
+    // skip the first refresh that reuses a batch id from the old life
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    LsmLayout.clearApplied(spark, path)
     postingProjection(docs, idCol, textCol, n, buckets)
+      .withColumn("gen", lit(BaseGen))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("gen", "bucket")
       .parquet(s"$path/postings")
     // document frequency from the STORED postings — one groupBy over
     // the narrow index, no second pass over text
     spark.read.parquet(s"$path/postings")
       .groupBy(col("bucket"), col("shingle"))
       .agg(count(lit(1)).as("df"))
+      .withColumn("gen", lit(BaseGen))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("gen", "bucket")
       .parquet(s"$path/lexicon")
     docs
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
       .withColumn("buckets", lit(buckets.toLong))
       .withColumn("shingle_n", lit(n.toLong))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .withColumn("gen", lit(BaseGen))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/meta")
   }
+
+  /** The generation name the one-shot [[build]] writes. Incremental
+    * writers key their generations by CALLER-SUPPLIED batch id —
+    * the idempotency contract (see [[refresh]]). */
+  private val BaseGen = "base"
 
   private def tombstonePath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -115,6 +122,26 @@ object LexicalIndex {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  // the applied-batch markers + batch-id hygiene live in [[LsmLayout]]
+  // (shared with BandIndex/KmvLayout so the idempotency contract cannot
+  // drift between the stored layouts)
+  private[graft] def isApplied(
+      spark: SparkSession, path: String, gen: String): Boolean =
+    LsmLayout.isApplied(spark, path, gen)
+
+  private def markApplied(
+      spark: SparkSession, path: String, gen: String): Unit =
+    LsmLayout.markApplied(spark, path, gen)
+
+  private def requireValidBatchId(batchId: String): Unit =
+    LsmLayout.requireValidBatchId(batchId)
+
+  /** The committed generation directories of the stored lexicon — what
+    * the auto-compaction policy counts. */
+  private[graft] def generationCount(
+      spark: SparkSession, path: String): Int =
+    LsmLayout.generationCount(spark, s"$path/lexicon")
+
   /** The stored posting relation (doc_id, ns, dl, shingle, tf, bucket),
     * minus tombstoned documents when a forget-set is pending — every
     * probe routes through here, so a [[tombstone]] call is visible on
@@ -122,10 +149,11 @@ object LexicalIndex {
     * anything. The anti-join side is the forget-set id list (16 bytes a
     * row, broadcast); the posting stream itself is untouched. */
   def postings(spark: SparkSession, path: String): DataFrame = {
-    val post = spark.read.parquet(s"$path/postings")
+    val post = spark.read.parquet(s"$path/postings").drop("gen")
     if (!hasTombstones(spark, path)) post
     else post.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")),
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
   }
 
@@ -230,37 +258,75 @@ object LexicalIndex {
     * Merge associativity (append ∪ sum) means any batch decomposition
     * serves identically — oracle-proven (s30 single delta, n124
     * multi-delta: the serving answer from the refreshed index equals
-    * the from-scratch rebuild over the union corpus). */
+    * the from-scratch rebuild over the union corpus).
+    *
+    * IDEMPOTENT under at-least-once delivery (the foreachBatch retry
+    * contract — a failed micro-batch is re-run with the SAME batch id):
+    * every generation is keyed by the caller's `batchId` and written
+    * with dynamic partition overwrite, so a retry — whether the first
+    * attempt crashed mid-write or fully committed — REPLACES its own
+    * gen partitions instead of appending a duplicate that would
+    * silently inflate df/postings/meta. A fully-committed batch also
+    * leaves an `_applied/<batchId>` marker (written after the last
+    * write), so a clean retry skips all three writes outright. Gated:
+    * n174 (refresh-with-retry ≡ rebuild through the served answer) and
+    * StreamingIndexSpec's batch-replay invariance.
+    *
+    * `compactAfterGenerations` (0 = off) is the auto-compaction policy
+    * for continuous ingest: when the committed lexicon generation count
+    * exceeds the threshold after this refresh, [[compact]] folds the
+    * LSM back to one generation inside the same maintenance call —
+    * bounding the generation/file count a serve-side read folds, with
+    * answer invariance by the compact contract (gated by s46). */
   def refresh(
       delta: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit = {
+      path: String,
+      batchId: String,
+      compactAfterGenerations: Int = 0): Unit = {
     val spark = delta.sparkSession
-    // the layout owns its shingle width and bucket count — caller-
-    // supplied values that disagreed with the build would scatter the
-    // delta into wrong directories or mix gram widths, silently
-    // corrupting every probe
-    val m = metaRow(spark, path)
-      .select(col("shingle_n"), col("buckets")).head()
-    val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
-    val dposts = postingProjection(delta, idCol, textCol, n, buckets)
-      .transform(Materialize.shared)
-    dposts
-      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    dposts.groupBy(col("bucket"), col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/lexicon")
-    delta
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
-      .withColumn("buckets", lit(buckets.toLong))
-      .withColumn("shingle_n", lit(n.toLong))
-      .write.mode("append").parquet(s"$path/meta")
+    requireValidBatchId(batchId)
+    if (!isApplied(spark, path, batchId)) {
+      // the layout owns its shingle width and bucket count — caller-
+      // supplied values that disagreed with the build would scatter the
+      // delta into wrong directories or mix gram widths, silently
+      // corrupting every probe
+      val m = metaRow(spark, path)
+        .select(col("shingle_n"), col("buckets")).head()
+      val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
+      val dposts = postingProjection(delta, idCol, textCol, n, buckets)
+        .withColumn("gen", lit(batchId))
+        .transform(Materialize.shared)
+      dposts
+        .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "bucket")
+        .parquet(s"$path/postings")
+      dposts.groupBy(col("bucket"), col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("gen", lit(batchId))
+        .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "bucket")
+        .parquet(s"$path/lexicon")
+      delta
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+        .withColumn("buckets", lit(buckets.toLong))
+        .withColumn("shingle_n", lit(n.toLong))
+        .withColumn("gen", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/meta")
+      markApplied(spark, path, batchId)
+    }
+    if (compactAfterGenerations > 0 &&
+      generationCount(spark, path) > compactAfterGenerations)
+      compact(spark, path)
   }
 
   /** Right-to-be-forgotten deletes, LSM-style: the forget-set becomes a
@@ -277,45 +343,77 @@ object LexicalIndex {
     * in the index — GDPR deletes name content you hold. Re-ingesting a
     * deleted id requires a [[compact]] first (while its tombstone is
     * pending, the anti-join would hide the re-ingested postings while
-    * the lexicon counted them). */
+    * the lexicon counted them).
+    *
+    * IDEMPOTENT at two levels (the [[refresh]] discipline): (a) across
+    * DISTINCT delete batches, ids already tombstoned by an earlier
+    * batch are filtered out, so a logically re-delivered delete never
+    * subtracts df/meta twice; (b) within ONE batch under retry, the
+    * negative generation is keyed `ts-<batchId>` and the id list lands
+    * in its own `batch=<batchId>` partition, both written with dynamic
+    * overwrite — a retried partial attempt replaces its own partitions
+    * — and a fully-committed batch leaves an `_applied/ts-<batchId>`
+    * marker that makes the retry a no-op. The cross-batch filter reads
+    * the tombstone list EXCLUDING this batch's partition, so a lazy
+    * re-execution after this batch's own append cannot see its own ids
+    * (the self-read-after-write hazard the pre-generational spelling
+    * guarded with an eager checkpoint; the checkpoint is kept so the
+    * filtered set materializes once for the three writes). */
   def tombstone(
       forgetDocs: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit = {
+      path: String,
+      batchId: String): Unit = {
     val spark = forgetDocs.sparkSession
+    requireValidBatchId(batchId)
+    val gen = s"ts-$batchId"
+    if (isApplied(spark, path, gen)) return
     val m = metaRow(spark, path)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
-    // idempotent under retries: a doc already tombstoned contributes
-    // nothing — a re-delivered delete request (the normal failure mode
-    // of a retried forget job) must not subtract its df/meta twice.
-    // The filtered set is CHECKPOINTED before the tombstone append:
-    // the anti-join reads the tombstone dir, and a lazy re-execution
-    // after the append below would see its own ids and filter
-    // everything (the self-read-after-write hazard compact() guards
-    // against the same way).
     val filtered =
       if (!hasTombstones(spark, path)) forgetDocs
       else forgetDocs.join(
         broadcast(spark.read.parquet(s"$path/tombstones")
-          .withColumnRenamed("doc_id", idCol)),
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id").as(idCol))),
         Seq(idCol), "left_anti")
-    val (forget, ids, _) = IterationCheckpoint.localCounted(filtered)
+    val (forget, ids, nForget) = IterationCheckpoint.localCounted(filtered)
+    if (nForget == 0L) {
+      // everything in this batch was already tombstoned by an earlier
+      // one — commit the no-op (an empty parquet write would leave a
+      // schemaless directory that breaks the tombstone read)
+      markApplied(spark, path, gen)
+      IterationCheckpoint.release(spark.sparkContext, ids)
+      return
+    }
     forget.select(col(idCol).as("doc_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
     postingProjection(forget, idCol, textCol, n, buckets)
       .groupBy(col("bucket"), col("shingle"))
       .agg((-count(lit(1))).as("df"))
+      .withColumn("gen", lit(gen))
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("append").partitionBy("bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "bucket")
       .parquet(s"$path/lexicon")
     forget
       .agg((-count(lit(1))).as("n_docs"),
         (-sum(size(split(col(textCol), " ")).cast("long"))).as("n_tokens"))
       .withColumn("buckets", lit(buckets.toLong))
       .withColumn("shingle_n", lit(n.toLong))
-      .write.mode("append").parquet(s"$path/meta")
+      .withColumn("gen", lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/meta")
+    markApplied(spark, path, gen)
     IterationCheckpoint.release(spark.sparkContext, ids)
   }
 
@@ -332,28 +430,32 @@ object LexicalIndex {
     val (post, postIds, _) = IterationCheckpoint.localCounted(
       postings(spark, path))
     post
+      .withColumn("gen", lit(BaseGen))
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("gen", "bucket")
       .parquet(s"$path/postings")
     IterationCheckpoint.release(spark.sparkContext, postIds)
     val (lex, lexIds, _) = IterationCheckpoint.localCounted(
       lexicon(spark, path))
     lex
+      .withColumn("gen", lit(BaseGen))
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("gen", "bucket")
       .parquet(s"$path/lexicon")
     IterationCheckpoint.release(spark.sparkContext, lexIds)
     val (meta, metaIds, _) = IterationCheckpoint.localCounted(
       metaRow(spark, path))
-    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta
+      .withColumn("gen", lit(BaseGen))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
     // tombstoned postings are now physically gone (the postings()
     // rewrite above folded the anti-join) and the lexicon/meta folds
-    // absorbed the negative generations — clear the forget-set
-    if (hasTombstones(spark, path)) {
-      val p = tombstonePath(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
+    // absorbed the negative generations — clear the forget-set. The
+    // `_applied` markers are KEPT: they record which batches landed in
+    // this index life, and a late retry of a pre-compact batch must
+    // still no-op (its data survives inside the folded generation).
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
   }
 
   /** Index-health report: per-bucket posting/vocabulary/document

@@ -827,11 +827,25 @@ object Similarity {
         .select(col("graft__ia"), col("graft__ib"),
           round(round(cosine(col("graft__va"), col("graft__vb")), 6) *
             1000000d).cast("long").as("graft__s")))
+    val sc = vecs.sparkSession.sparkContext
     var picked = cand
       .orderBy(col("rel").desc, col("graft__id")).limit(1)
       .select(lit(1L).as("rank"), col("graft__id"), col("rel"),
         (col("rel") * 7).as("mmr"))
+    var held: scala.collection.Set[Int] = Set.empty
     for (i <- 2 to kPicks) {
+      // materialize the previous round's picks before referencing them
+      // three times below (anti-join, max-sim agg, union): `scored`
+      // otherwise embeds the whole recursive plan per reference, so
+      // plan size and re-evaluation grow ~3^kPicks — the k-row relation
+      // is bounded metadata, flattening it each round keeps every
+      // round's plan one join deep (the labelPropagationTrain
+      // checkpoint/release discipline; the final round's blocks are
+      // swept by the runner's releaseAll)
+      val (flat, ids, _) = IterationCheckpoint.localCounted(picked)
+      IterationCheckpoint.release(sc, held)
+      held = ids
+      picked = flat
       val pickedIds = picked.select(col("graft__id").as("graft__ib"))
       val scored = cand
         .join(picked.select(col("graft__id")), Seq("graft__id"), "left_anti")

@@ -5175,7 +5175,8 @@ object NorthStar {
       LexicalIndex.build(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", path, n = 3)
       LexicalIndex.refresh(
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path)
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", path,
+        batchId = "b1")
       LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
@@ -5211,7 +5212,8 @@ object NorthStar {
       val docs = t(s, d, "documents")
       LexicalIndex.build(docs, "doc_id", "text", path, n = 3)
       LexicalIndex.tombstone(
-        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path,
+        batchId = "d1")
       LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
@@ -5605,9 +5607,11 @@ object NorthStar {
         LexicalIndex.build(
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path, n = 3)
         LexicalIndex.refresh(
-          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path,
+          batchId = "b1")
         LexicalIndex.refresh(
-          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path)
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path,
+          batchId = "b2")
         LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
@@ -6771,7 +6775,7 @@ object NorthStar {
         .unionByName(
           pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val nodes = emb.select(col("vec_id"))
-      val deg0 = GraphMetrics.degrees(sym, "src", "dst")
+      val deg0 = GraphMetrics.degrees(sym, "src")
         .withColumnRenamed("graft__nid", "vec_id")
         .withColumnRenamed("graft__deg", "deg0")
       val n0 = nodes.join(deg0, Seq("vec_id"), "left")
@@ -7711,27 +7715,56 @@ object NorthStar {
          |SELECT d.doc_id, cnt.n_chunks, md5(d.text) AS text_md5
          |FROM documents d JOIN cnt USING (doc_id)""".stripMargin) { (s, d) =>
       val path = "target/sinks/s42_chunks"
-      val chunks = t(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(TextOps.cdcChunks(TextOps.tokens(col("text")), 4))
-            .as(Seq("graft__pos", "graft__chunk")))
-        .select(col("doc_id"), col("graft__pos"), col("graft__chunk"),
-          TextOps.hexHash60(col("graft__chunk")).as("graft__h"))
-        .transform(graft.operators.Materialize.shared)
-      chunks.groupBy(col("graft__h"))
-        .agg(min(col("graft__chunk")).as("graft__chunk"))
-        .write.mode("overwrite").parquet(s"$path/store")
-      chunks.select(col("doc_id"), col("graft__pos"), col("graft__h"))
-        .write.mode("overwrite").parquet(s"$path/manifest")
-      s.read.parquet(s"$path/manifest")
-        .join(s.read.parquet(s"$path/store"), Seq("graft__h"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(
-                struct(col("graft__pos"), col("graft__chunk")))),
-              x => x.getField("graft__chunk")), " ")).as("text_md5"))
+      graft.operators.ChunkStore.build(
+        t(s, d, "documents"), "doc_id", "text", path, maskBits = 4)
+      graft.operators.ChunkStore.reconstruct(s, path)
+    },
+
+    // ----- s47: chunk-store incremental refresh under retry -------------
+    // The s42 layout under CONTINUOUS ingest: build on half the corpus,
+    // refresh with the other half — the delta's manifests append and
+    // ONLY content-new chunks join the store (edit-sized growth, the
+    // n169 claim as a maintained layout) — with the b1 batch retried
+    // clean AND replayed marker-less (the n174/n175 fault injection; a
+    // duplicated store generation would duplicate every reconstruction
+    // row through the manifest⋈store join). The oracle reconstructs
+    // every doc from the raw text — refresh∘retry ≡ one-shot build,
+    // proven on the lossless-reconstruction contract itself.
+    QuerySpec(
+      "s47_chunk_refresh",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |      FROM t),
+         |w AS (SELECT doc_id, i, ws[i] AS w FROM p),
+         |b AS (SELECT doc_id, i, w,
+         |        CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |      FROM w),
+         |c AS (SELECT doc_id, i, w,
+         |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cid
+         |      FROM b),
+         |cnt AS (SELECT doc_id, CAST(count(DISTINCT cid) AS BIGINT)
+         |          AS n_chunks
+         |        FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, cnt.n_chunks, md5(d.text) AS text_md5
+         |FROM documents d JOIN cnt USING (doc_id)""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s47_chunks"
+      val docs = t(s, d, "documents")
+      val delta = docs.filter(col("doc_id") % 2 === 1)
+      graft.operators.ChunkStore.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+        maskBits = 4)
+      graft.operators.ChunkStore.refresh(
+        delta, "doc_id", "text", path, batchId = "b1")
+      // clean retry, then a marker-less partial-failure replay
+      graft.operators.ChunkStore.refresh(
+        delta, "doc_id", "text", path, batchId = "b1")
+      new java.io.File(s"$path/_applied/b1").delete()
+      graft.operators.ChunkStore.refresh(
+        delta, "doc_id", "text", path, batchId = "b1")
+      graft.operators.ChunkStore.reconstruct(s, path)
     },
 
     // ----- n169: chunk-level delta transfer (the CAS payoff) -------------
@@ -7854,9 +7887,11 @@ object NorthStar {
       val path = "target/sinks/s43_kmv"
       val docs = t(s, d, "documents")
       KmvLayout.build(
-        docs.filter(col("doc_id") % 10 =!= 0), "source", "text", path)
+        docs.filter(col("doc_id") % 10 =!= 0), "source", "doc_id", "text",
+        path)
       KmvLayout.refresh(
-        docs.filter(col("doc_id") % 10 === 0), "source", "text", path)
+        docs.filter(col("doc_id") % 10 === 0), "source", "doc_id", "text",
+        path, batchId = "b1")
       KmvLayout.overlapMatrix(s, path, asOf = Some(0L))
     },
 
@@ -8106,9 +8141,227 @@ object NorthStar {
       val path = "target/sinks/s41_kmv"
       val docs = t(s, d, "documents")
       KmvLayout.build(
-        docs.filter(col("doc_id") % 10 =!= 0), "source", "text", path)
+        docs.filter(col("doc_id") % 10 =!= 0), "source", "doc_id", "text",
+        path)
       KmvLayout.refresh(
-        docs.filter(col("doc_id") % 10 === 0), "source", "text", path)
+        docs.filter(col("doc_id") % 10 === 0), "source", "doc_id", "text",
+        path, batchId = "b1")
       KmvLayout.overlapMatrix(s, path)
+    },
+
+    // ----- s44: right-to-be-forgotten deletes in the BAND index ---------
+    // The s40 GDPR discipline applied to the LSH layout: a forget-set
+    // (doc_id % 5 = 1) becomes a tombstone id list that every probe
+    // path (band postings AND the signature prefilter) anti-joins —
+    // forget-set-sized work, nothing stored rewritten; postings/sigs
+    // are per-doc facts, so no stored aggregate needs correcting.
+    // The oracle computes the delta×corpus exact Jaccard over the
+    // REMAINING corpus — delete ≡ rebuild, proven on the probe answer
+    // (BandIndexSpec additionally proves compact() drops the rows
+    // physically and serves identically).
+    QuerySpec(
+      "s44_band_forget",
+      s"""WITH $shingleCte,
+         |csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 1),
+         |cn AS (SELECT doc_id, n FROM shn WHERE doc_id % 5 <> 1),
+         |dsh AS (SELECT doc_id + 1000000 AS delta_id, shingle
+         |        FROM sh WHERE doc_id % 7 = 3),
+         |dn AS (SELECT doc_id + 1000000 AS delta_id, n
+         |       FROM shn WHERE doc_id % 7 = 3),
+         |i AS (SELECT d.delta_id, csh.doc_id AS corpus_id, count(*) AS i
+         |      FROM dsh d JOIN csh USING (shingle) GROUP BY 1, 2)
+         |SELECT i.delta_id, i.corpus_id,
+         |  CAST(i AS DOUBLE) / (dn.n + cn.n - i) AS jaccard
+         |FROM i JOIN dn ON dn.delta_id = i.delta_id
+         |      JOIN cn ON cn.doc_id = i.corpus_id
+         |WHERE CAST(i AS DOUBLE) / (dn.n + cn.n - i) >= 0.8""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val path = "target/sinks/s44_band"
+        BandIndex.build(docs, "doc_id", "text", path)
+        BandIndex.tombstone(
+          docs.filter(col("doc_id") % 5 === 1).select("doc_id"),
+          "doc_id", path, batchId = "d1")
+        BandIndex.probe(
+          docs.filter(col("doc_id") % 5 =!= 1), delta,
+          "doc_id", "text", path, threshold = 0.8)
+    },
+
+    // ----- s45: right-to-be-forgotten deletes in the KMV sketch layout --
+    // Sketches are not subtractive — what makes this delete EXACT is
+    // the layout's per-doc granularity: a forgotten doc's contribution
+    // is its own stored row, anti-joined at serve before the group
+    // fold, so the served overlap matrix equals a from-scratch rebuild
+    // over the remaining corpus (which is exactly what the oracle
+    // computes closed-form). The forget-set (doc_id % 7 = 2) spans
+    // both the build batch and the b1 refresh generation.
+    QuerySpec(
+      "s45_kmv_forget",
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+         |           FROM documents WHERE doc_id % 7 <> 2),
+         |h AS (SELECT DISTINCT source, ${hex60("'kmvl:' || w")} AS h FROM w),
+         |r AS (SELECT source, h, row_number() OVER (
+         |        PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk FROM r
+         |       WHERE rn <= 64 GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        a.sk AS ska, b.sk AS skb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |c AS (SELECT source_a, source_b, ska, skb,
+         |        list_sort(list_distinct(ska || skb)) AS un FROM p),
+         |k2 AS (SELECT source_a, source_b, ska, skb, un[1:64] AS kl,
+         |        CAST(least(len(un), 64) AS BIGINT) AS kk FROM c)
+         |SELECT source_a, source_b, kk,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb))
+         |    AS BIGINT) AS shared_k,
+         |  CAST(len(list_intersect(list_intersect(kl, ska), skb)) AS BIGINT)
+         |    / kk AS j_est
+         |FROM k2""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s45_kmv"
+      val docs = t(s, d, "documents")
+      KmvLayout.build(
+        docs.filter(col("doc_id") % 10 =!= 0), "source", "doc_id", "text",
+        path)
+      KmvLayout.refresh(
+        docs.filter(col("doc_id") % 10 === 0), "source", "doc_id", "text",
+        path, batchId = "b1")
+      KmvLayout.tombstone(
+        docs.filter(col("doc_id") % 7 === 2).select("doc_id"),
+        "doc_id", path, batchId = "d1")
+      KmvLayout.overlapMatrix(s, path)
+    },
+
+    // ----- s46: auto-compaction policy under continuous ingest ----------
+    // The LSM contract needs a BOUND on generation growth: with
+    // compactAfterGenerations = 2, the third refresh sees 3 committed
+    // lexicon generations and folds them back to one INSIDE the same
+    // maintenance call — so a continuous ingest loop never accumulates
+    // unbounded generations for the read fold. The policy firing
+    // mid-sequence is part of the gate (the require below pins the
+    // post-loop generation count to the post-compact shape), and the
+    // oracle proves answer invariance: the served idf ranking equals
+    // the from-scratch rebuild over the union corpus.
+    QuerySpec(
+      "s46_lexical_autocompact",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/s46_lex"
+        val docs = t(s, d, "documents")
+        LexicalIndex.build(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path, n = 3)
+        Seq(1L, 2L, 3L).foreach { r =>
+          LexicalIndex.refresh(
+            docs.filter(col("doc_id") % 4 === r), "doc_id", "text", path,
+            batchId = s"b$r", compactAfterGenerations = 2)
+        }
+        // the policy must have fired at b2 (3 gens > 2 → fold to 1),
+        // leaving base+b3 = 2 generations after the loop
+        require(LexicalIndex.generationCount(s, path) == 2,
+          "auto-compaction did not fire mid-sequence")
+        LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
+    // ----- n174: lexical refresh under at-least-once retry --------------
+    // foreachBatch re-delivers a failed micro-batch with the SAME batch
+    // id — the failure mode that silently inflated df/postings before
+    // generations were batch-keyed. The maintenance loop here replays
+    // batch b1 twice: once as a clean retry (the applied marker
+    // short-circuits) and once as a partial-failure replay (marker
+    // removed, so the generation-keyed dynamic overwrite must REPLACE
+    // the generation). The oracle computes the serving answer over the
+    // union corpus from scratch — refresh∘retry∘replay∘refresh ≡
+    // rebuild, proven on the served answer (the n124 discipline under
+    // fault injection).
+    QuerySpec(
+      "n174_refresh_retry",
+      s"""WITH RECURSIVE $shingleCte,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/n174_lex"
+        val docs = t(s, d, "documents")
+        val b1 = docs.filter(col("doc_id") % 3 === 1)
+        LexicalIndex.build(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path, n = 3)
+        LexicalIndex.refresh(b1, "doc_id", "text", path, batchId = "b1")
+        // clean retry: the marker short-circuits
+        LexicalIndex.refresh(b1, "doc_id", "text", path, batchId = "b1")
+        // partial-failure replay: marker lost, generation must overwrite
+        new java.io.File(s"$path/_applied/b1").delete()
+        LexicalIndex.refresh(b1, "doc_id", "text", path, batchId = "b1")
+        LexicalIndex.refresh(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path,
+          batchId = "b2")
+        LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
+    // ----- n175: band-index append under at-least-once retry ------------
+    // The same fault injection for the LSH layout: append batch b1 is
+    // retried clean AND replayed marker-less; a duplicated signature
+    // generation would multiply probe rows through the sig join, so
+    // the oracle (exact delta×index Jaccard over corpus ∪ delta1,
+    // computed from scratch) catches any duplication in rows, not just
+    // values.
+    QuerySpec(
+      "n175_band_append_retry",
+      s"""WITH $shingleCte,
+         |ish AS (SELECT doc_id, shingle FROM sh
+         |        UNION ALL
+         |        SELECT doc_id + 1000000, shingle FROM sh
+         |        WHERE doc_id % 7 = 3),
+         |inn AS (SELECT doc_id, n FROM shn
+         |        UNION ALL
+         |        SELECT doc_id + 1000000, n FROM shn WHERE doc_id % 7 = 3),
+         |dsh AS (SELECT doc_id + 2000000 AS delta_id, shingle
+         |        FROM sh WHERE doc_id % 7 = 5),
+         |dn AS (SELECT doc_id + 2000000 AS delta_id, n
+         |       FROM shn WHERE doc_id % 7 = 5),
+         |i AS (SELECT d.delta_id, ish.doc_id AS corpus_id, count(*) AS i
+         |      FROM dsh d JOIN ish USING (shingle) GROUP BY 1, 2)
+         |SELECT i.delta_id, i.corpus_id,
+         |  CAST(i AS DOUBLE) / (dn.n + inn.n - i) AS jaccard
+         |FROM i JOIN dn ON dn.delta_id = i.delta_id
+         |      JOIN inn ON inn.doc_id = i.corpus_id
+         |WHERE CAST(i AS DOUBLE) / (dn.n + inn.n - i) >= 0.8""".stripMargin) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        val delta1 = docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val delta2 = docs.filter(col("doc_id") % 7 === 5)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+        val path = "target/sinks/n175_band"
+        BandIndex.build(docs, "doc_id", "text", path)
+        BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
+        // clean retry, then a marker-less partial-failure replay
+        BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
+        new java.io.File(s"$path/_applied/b1").delete()
+        BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
+        BandIndex.probe(
+          docs.unionByName(delta1), delta2,
+          "doc_id", "text", path, threshold = 0.8)
     })
 }

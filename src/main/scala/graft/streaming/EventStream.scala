@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import graft.operators.IterationCheckpoint
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -429,8 +430,9 @@ object EventStream {
       user_id: Long,
       first_view: Option[Timestamp],
       first_purchase: Option[Timestamp])
-  /** micros since epoch, -1 = unset. */
-  private final case class FunnelState(view: Long, conv: Long)
+  /** micros since epoch, -1 = unset. Public for the same
+    * Janino-accessibility reason as [[LastEvent]]. */
+  final case class FunnelState(view: Long, conv: Long)
 
   private def tsMicros(t: Timestamp): Long =
     (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
@@ -615,7 +617,12 @@ object EventStream {
       user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
   final case class TransitionOut(
       user_id: Long, from_type: String, to_type: String)
-  private final case class LastEvent(
+  // state case classes are PUBLIC on purpose: `private` nested classes
+  // are inaccessible to the Janino-generated (de)serializer projections
+  // of Encoders.product, so every state read/write falls back to the
+  // interpreter (WARN UnsafeProjection ... "No applicable
+  // constructor/method found" / "Private member cannot be accessed")
+  final case class LastEvent(
       micros: Long, event_id: Long, event_type: String)
 
   /** Per-user transition emitter for [[streamingTransitions]]: state is
@@ -682,17 +689,25 @@ object EventStream {
       .filter(col("gap_s").isNotNull)
   }
 
-  /** The regularity report over a gap relation + the raw event counts:
-    * exact-integer dispersion disp2 = n·Σg² − (Σg)² and the CV≤0.1
-    * test as 100·disp2 ≤ (Σg)² (see n167). */
-  def regularityReport(
-      events: DataFrame, gaps: DataFrame, minGaps: Long): DataFrame = {
-    val counts = events.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+  /** Per-user gap partials (graft__ng, span_s, graft__g2) — the
+    * MERGEABLE summary the regularity test needs: counts and exact
+    * integer sums add across any partition of the gap multiset, which
+    * is what lets [[regularityBatchFold]] carry users-sized state
+    * instead of the raw gap stream. */
+  private def gapPartials(gaps: DataFrame): DataFrame =
     gaps.groupBy(col("user_id"))
       .agg(count(lit(1)).as("graft__ng"),
         sum(col("gap_s")).as("span_s"),
         sum(col("gap_s") * col("gap_s")).as("graft__g2"))
+
+  /** The report over already-folded per-user partials + event counts:
+    * exact-integer dispersion disp2 = n·Σg² − (Σg)² and the CV≤0.1
+    * test as 100·disp2 ≤ (Σg)² (see n167). */
+  private def reportFromPartials(
+      events: DataFrame, partials: DataFrame, minGaps: Long): DataFrame = {
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    partials
       .filter(col("graft__ng") >= minGaps)
       .join(counts, Seq("user_id"))
       .select(col("user_id"), col("n_events"), col("span_s"),
@@ -703,6 +718,13 @@ object EventStream {
           col("span_s") * col("span_s")).as("is_bot"))
   }
 
+  /** The regularity report over a gap relation + the raw event counts:
+    * exact-integer dispersion disp2 = n·Σg² − (Σg)² and the CV≤0.1
+    * test as 100·disp2 ≤ (Σg)² (see n167). */
+  def regularityReport(
+      events: DataFrame, gaps: DataFrame, minGaps: Long): DataFrame =
+    reportFromPartials(events, gapPartials(gaps), minGaps)
+
   /** Batch-fold spelling of the streaming gap maintenance: per batch,
     * gaps are computed over the batch PLUS each user's carried last
     * event, so the cross-batch boundary gap is emitted exactly once —
@@ -710,30 +732,64 @@ object EventStream {
     * own gap was emitted by the batch that saw it). Exact for
     * event-time-ordered batch cuts (the transitionsBatchFold
     * contract); EventStreamSpec proves the real transformWithState
-    * stream emits the identical gap multiset. */
+    * stream emits the identical gap multiset.
+    *
+    * State discipline: the fold carries (a) the per-user last stamp and
+    * (b) per-user gap PARTIALS (count / Σg / Σg² — mergeable exact
+    * integers, so folding per batch ≡ aggregating the whole gap
+    * stream), both users-sized, both checkpointed each round with the
+    * superseded blocks released (the labelPropagationTrain
+    * checkpoint/release discipline). Without it, each round's carry is
+    * a lazy plan over every prior round, so evaluation cost is O(n²)
+    * in batch count and lineage grows unboundedly. */
   def regularityBatchFold(
       batches: Seq[DataFrame], minGaps: Long): DataFrame = {
     require(batches.nonEmpty, "need at least one batch")
+    val sc = batches.head.sparkSession.sparkContext
     val fields = Seq("user_id", "ts", "event_id")
     var carry: DataFrame = null
-    var gaps: DataFrame = null
-    batches.foreach { b0 =>
+    var partials: DataFrame = null
+    var held: scala.collection.Set[Int] = Set.empty
+    batches.zipWithIndex.foreach { case (b0, i) =>
+      val last = i == batches.length - 1
       val b = b0.select(fields.map(col): _*)
       val aug = if (carry == null) b else b.unionByName(carry)
-      val g = gapRows(aug)
-      gaps = if (gaps == null) g else gaps.unionByName(g)
-      carry = aug.groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"))).as("graft__last"))
-        .select(col("user_id"), col("graft__last.ts").as("ts"),
-          col("graft__last.event_id").as("event_id"))
+      val gp = gapPartials(gapRows(aug))
+      val next = if (partials == null) gp
+        else partials.unionByName(gp)
+          .groupBy(col("user_id"))
+          .agg(sum(col("graft__ng")).as("graft__ng"),
+            sum(col("span_s")).as("span_s"),
+            sum(col("graft__g2")).as("graft__g2"))
+      // the final round's partials stay lazy (consumed once by the
+      // report below); intermediate rounds checkpoint both state
+      // relations and release the previous round's blocks — everything
+      // the released blocks fed (this round's partials and carry) is
+      // materialized first, so nothing live can need a recompute
+      if (last) {
+        partials = next
+        carry = null
+      } else {
+        val (pCk, pIds, _) = IterationCheckpoint.localCounted(next)
+        val (cCk, cIds, _) = IterationCheckpoint.localCounted(
+          aug.groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"))).as("graft__last"))
+            .select(col("user_id"), col("graft__last.ts").as("ts"),
+              col("graft__last.event_id").as("event_id")))
+        IterationCheckpoint.release(sc, held)
+        held = pIds ++ cIds
+        partials = pCk
+        carry = cCk
+      }
     }
     val all = batches.map(_.select(fields.map(col): _*)).reduce(_ unionByName _)
-    regularityReport(all, gaps, minGaps)
+    reportFromPartials(all, partials, minGaps)
   }
 
   final case class StampedEvent(user_id: Long, ts: Timestamp, event_id: Long)
   final case class GapOut(user_id: Long, gap_s: Long)
-  private final case class LastStamp(micros: Long, event_id: Long)
+  // public for the same Janino-accessibility reason as [[LastEvent]]
+  final case class LastStamp(micros: Long, event_id: Long)
 
   /** Per-user gap emitter — the streaming twin of [[gapRows]]: state is
     * ONE (micros, event_id) stamp per user (16 bytes — O(users),

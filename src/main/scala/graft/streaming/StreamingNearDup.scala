@@ -261,9 +261,12 @@ object StreamingNearDup {
     require(batches.nonEmpty, "need at least one batch")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    val sc = batches.head.sparkSession.sparkContext
     var stored: DataFrame = null
     var events: DataFrame = null
-    batches.foreach { b0 =>
+    var held: scala.collection.Set[Int] = Set.empty
+    batches.zipWithIndex.foreach { case (b0, bi) =>
+      val isLast = bi == batches.length - 1
       val hit = b0.select(col("bucket"), col("doc_id")).distinct()
       val fresh =
         if (stored == null) hit
@@ -301,10 +304,29 @@ object StreamingNearDup {
           lit(cap.toLong).as("id_b"), col("bucket"))
       val batchEvents = Seq(Option(cross), Some(same), Some(sat))
         .flatten.reduce(_ unionByName _)
-      events = if (events == null) batchEvents
+      val nextEvents = if (events == null) batchEvents
         else events.unionByName(batchEvents)
-      stored = if (stored == null) admitted else stored.unionByName(admitted)
-      stored = graft.operators.Materialize.shared(stored)
+      if (isLast) {
+        // the final round's events stay lazy (consumed once by the
+        // caller) and the post-batch stored set is never read
+        events = nextEvents
+      } else {
+        // checkpoint both carried relations, then release the previous
+        // round's blocks (the labelPropagationTrain discipline):
+        // everything the released blocks fed — this round's events and
+        // stored — is materialized first, so nothing live recomputes;
+        // a per-round persist without release would accumulate one
+        // cached generation per micro-batch for the session's life
+        val (eCk, eIds, _) = graft.operators.IterationCheckpoint
+          .localCounted(nextEvents)
+        val (sCk, sIds, _) = graft.operators.IterationCheckpoint
+          .localCounted(
+            if (stored == null) admitted else stored.unionByName(admitted))
+        graft.operators.IterationCheckpoint.release(sc, held)
+        held = eIds ++ sIds
+        events = eCk
+        stored = sCk
+      }
     }
     events
   }

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.operators.{BandIndex, ChunkStore, KmvLayout, LexicalIndex}
+import graft.sources.Tables
+
+/** Build-vs-delta separation drill for the stored-index maintenance
+  * family (dev tool; run: `sbt "runMain graft.tools.MaintenanceDrill
+  * [sfDir] [copies]"`).
+  *
+  * The LSM layouts claim "refresh is delta-sized": a maintenance batch
+  * costs what the DELTA costs, independent of how large the already-
+  * indexed corpus is. The 10× ScaleDrill arms time whole oracle queries
+  * (build + refresh + serve fused, by oracle self-containment), which
+  * cannot see that separation — this drill builds each index TWICE
+  * (1× corpus and `copies`× corpus, same ScaleCorpus construction) and
+  * times the three phases apart, refreshing with the SAME 1× delta on
+  * both. The claim holds iff the refresh column is ~flat across the
+  * two corpus arms while the build column grows ~linearly; the serve
+  * column shows what the index buys (probe cost vs corpus growth).
+  *
+  * Layouts drilled: the lexical index (s28/s30), the band index
+  * (s37), the KMV sketch layout (s41), and the content-addressed
+  * chunk store (s42/s47).
+  */
+object MaintenanceDrill {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 100
+
+    val spark = Sessions.local(appName = "graft-maintenance-drill")
+    spark.sparkContext.setLogLevel("WARN")
+    val scaledDir = ScaleCorpus.build(spark, sfDir, copies)
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      dt
+    }
+    def timedCount(df: => org.apache.spark.sql.DataFrame): Double =
+      timed { df.write.format("noop").mode("overwrite").save() }
+
+    val docs1 = Tables(spark, sfDir, "documents")
+    // the delta: the 1× corpus re-keyed out of both id spaces (scaled
+    // ids are doc_id·copies + copy < ~1e7)
+    val delta = docs1.withColumn("doc_id", col("doc_id") + 1000000000L)
+    // the probe batch for the band index: a DIFFERENT re-keying so the
+    // probe is never confused with indexed content
+    val probeBatch = docs1
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+
+    case class Row3(
+        layout: String, arm: String,
+        build: Double, refresh: Double, serve: Double)
+    val out = Seq.newBuilder[Row3]
+
+    def drill(arm: String, dir: String): Unit = {
+      val docs = Tables(spark, dir, "documents")
+      val tag = s"target/maint_drill/$arm"
+
+      // lexical index: build / refresh(1× delta) / one serve probe
+      val lex = s"$tag/lex"
+      val bLex = timed(LexicalIndex.build(docs, "doc_id", "text", lex, n = 3))
+      val rLex = timed(LexicalIndex.refresh(
+        delta, "doc_id", "text", lex, batchId = "d1"))
+      val sLex = timedCount(
+        LexicalIndex.lexicalTopK(spark, lex, queryDocId = 3L, k = 10))
+      out += Row3("lexical(s28/s30)", arm, bLex, rLex, sLex)
+
+      // band index: build / append(1× delta) / probe(1× batch)
+      val band = s"$tag/band"
+      val bBand = timed(BandIndex.build(docs, "doc_id", "text", band))
+      val rBand = timed(BandIndex.append(
+        delta, "doc_id", "text", band, batchId = "d1"))
+      val sBand = timedCount(BandIndex.probe(
+        docs.unionByName(delta), probeBatch, "doc_id", "text", band,
+        threshold = 0.8))
+      out += Row3("band(s37)", arm, bBand, rBand, sBand)
+
+      // KMV sketch layout: build / refresh(1× delta) / overlap matrix
+      val kmv = s"$tag/kmv"
+      val bKmv = timed(KmvLayout.build(
+        docs, "source", "doc_id", "text", kmv))
+      val rKmv = timed(KmvLayout.refresh(
+        delta, "source", "doc_id", "text", kmv, batchId = "d1"))
+      val sKmv = timedCount(KmvLayout.overlapMatrix(spark, kmv))
+      out += Row3("kmv(s41)", arm, bKmv, rKmv, sKmv)
+
+      // chunk store: build / refresh(1× delta) / generation stats
+      // (reconstruction is the corpus-sized rebuild op by contract —
+      // the maintenance claim is about the WRITE path)
+      val cs = s"$tag/chunks"
+      val bCs = timed(ChunkStore.build(docs, "doc_id", "text", cs))
+      val rCs = timed(ChunkStore.refresh(
+        delta, "doc_id", "text", cs, batchId = "d1"))
+      val sCs = timedCount(ChunkStore.generationStats(spark, cs))
+      out += Row3("chunkstore(s42)", arm, bCs, rCs, sCs)
+    }
+
+    // warmup on the 1× arm (codegen/JIT), then measure both arms
+    drill("warmup", sfDir)
+    out.clear()
+    drill("1x", sfDir)
+    drill(s"${copies}x", scaledDir)
+
+    out.result().groupBy(_.layout).toSeq.sortBy(_._1).foreach {
+      case (layout, rows) =>
+        rows.sortBy(_.arm).foreach { r =>
+          println(f"[maint] ${r.layout}%-18s ${r.arm}%-5s " +
+            f"build ${r.build}%7.2fs  refresh(1x delta) ${r.refresh}%6.2fs  " +
+            f"serve ${r.serve}%6.2fs")
+        }
+    }
+    spark.stop()
+  }
+}

@@ -89,7 +89,8 @@ object ServeDrill {
     // ---- round-11 third-wave layouts: delete path + sketch matrix ----
     timed("TOMBSTONE forget-set (s40)") {
       LexicalIndex.tombstone(
-        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", lexPath)
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", lexPath,
+        batchId = "d1")
     }
     probe("lexicalTopK post-delete (s40)") {
       LexicalIndex.lexicalTopK(spark, lexPath, queryDocId = 3L, k = 10)
@@ -102,7 +103,8 @@ object ServeDrill {
     }
     val kmvPath = "target/serve_drill/kmv"
     timed("BUILD kmv sketch layout (s41)") {
-      graft.operators.KmvLayout.build(docs, "source", "text", kmvPath)
+      graft.operators.KmvLayout.build(
+        docs, "source", "doc_id", "text", kmvPath)
     }
     probe("overlap matrix (s41 serve)") {
       graft.operators.KmvLayout.overlapMatrix(spark, kmvPath)

@@ -112,6 +112,43 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("space-saving: adversarial high-partition split — heavies survive the capacity eval cut with bounds") {
+    import org.apache.spark.sql.functions._
+    // 32 partitions (deep partial/final merge fan-in), capacity 32,
+    // 8 planted heavies each just over N/capacity, and a large light
+    // tail shaped so every partition evicts (maximal credit churn) —
+    // the regime where merge credits could crowd a barely-heavy key
+    // out of the top-capacity eval cut if the cut were unsafe
+    val heavy = (0 until 8).flatMap(i => Seq.fill(700)(s"HH$i"))
+    val light = (0 until 4000).flatMap(i => Seq.fill(1 + i % 5)(s"t$i"))
+    val rows = (heavy ++ light).zipWithIndex
+      .sortBy { case (_, idx) => (idx * 1103515245L) % 99991 }
+      .map(_._1)
+    val df = spark.createDataset(rows).toDF("w").repartition(32)
+    val n = rows.size.toLong
+    val cap = 32
+    val cands = df.agg(expr(s"graft_space_saving(w, $cap)").as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.w"), col("c.est")).as[(String, Long)].collect()
+    // the eval contract: AT MOST capacity candidates
+    assert(cands.length <= cap,
+      s"summary must emit <= $cap candidates, emitted ${cands.length}")
+    val cmap = cands.toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.filter(_._2 > n / cap).keys.foreach { k =>
+      assert(cmap.contains(k),
+        s"heavy key $k (n=${exact(k)}, thr=${n / cap}) fell out of the eval cut")
+    }
+    // one-sided exactness + the O(N/cap) over-estimate band (constant 2
+    // covers the two-level partial/final merge shape)
+    cmap.foreach { case (k, est) =>
+      val tru = exact.getOrElse(k, 0L)
+      assert(est >= tru, s"$k under-counted: est=$est true=$tru")
+      assert(est <= tru + 2 * n / cap,
+        s"$k over-counted: est=$est true=$tru bound=${tru + 2 * n / cap}")
+    }
+  }
+
   test("space-saving: a low-cardinality stream is EXACT and never credits absent keys") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -176,28 +213,89 @@ class SketchesSpec extends SparkTestBase {
     }.toDF("doc_id", "g", "text")
     val inc = "target/test_kmvlayout/inc"
     val full = "target/test_kmvlayout/full"
-    KmvLayout.build(docs.filter(col("doc_id") % 5 =!= 0), "g", "text", inc, k = 32)
-    KmvLayout.refresh(docs.filter(col("doc_id") % 5 === 0), "g", "text", inc)
-    KmvLayout.build(docs, "g", "text", full, k = 32)
+    KmvLayout.build(
+      docs.filter(col("doc_id") % 5 =!= 0), "g", "doc_id", "text", inc,
+      k = 32)
+    KmvLayout.refresh(
+      docs.filter(col("doc_id") % 5 === 0), "g", "doc_id", "text", inc,
+      batchId = "b1")
+    KmvLayout.build(docs, "g", "doc_id", "text", full, k = 32)
     def sk(p: String) = KmvLayout.sketches(spark, p)
       .select(col("group"), col("sk"))
       .as[(String, Seq[Long])].collect().toMap
     assert(sk(inc) === sk(full),
       "LSM generations must fold to the exact full-build sketches")
-    // the physical layout really is generational before the fold
-    assert(spark.read.parquet(s"$inc/sketches").count() === 6L) // 3 groups × 2 gens
+    // the physical layout really is per-doc and generational before the
+    // fold: one row per doc, split across the build and delta batches
+    assert(spark.read.parquet(s"$inc/sketches").count() === 400L)
+    assert(spark.read.parquet(s"$inc/sketches")
+      .filter(col("batch") === "b1").count() === 80L)
     def mat(p: String) = KmvLayout.overlapMatrix(spark, p)
       .collect().map(_.toSeq).toSet
     assert(mat(inc) === mat(full))
     // time travel: asOf(0) reads exactly the pre-refresh build, while
     // the un-pinned read folds the delta generation in
     val base = "target/test_kmvlayout/base"
-    KmvLayout.build(docs.filter(col("doc_id") % 5 =!= 0), "g", "text", base,
+    KmvLayout.build(
+      docs.filter(col("doc_id") % 5 =!= 0), "g", "doc_id", "text", base,
       k = 32)
     def skAsOf(p: String, g: Option[Long]) = KmvLayout.sketches(spark, p, g)
       .select(col("group"), col("sk"))
       .as[(String, Seq[Long])].collect().toMap
     assert(skAsOf(inc, Some(0L)) === skAsOf(base, None))
     assert(skAsOf(inc, Some(1L)) === sk(full))
+  }
+
+  test("KmvLayout: refresh retry is idempotent; forget == rebuild on the remaining corpus") {
+    import spark.implicits._
+    import graft.operators.KmvLayout
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"g${i % 3}", s"w${i % 90} w${(i * 7) % 130} w${(i * 11) % 50}")
+    }.toDF("doc_id", "g", "text")
+    val p = "target/test_kmvlayout/retry"
+    KmvLayout.build(
+      docs.filter(col("doc_id") % 5 =!= 0), "g", "doc_id", "text", p, k = 32)
+    KmvLayout.refresh(
+      docs.filter(col("doc_id") % 5 === 0), "g", "doc_id", "text", p,
+      batchId = "b1")
+    def sk(q: String) = KmvLayout.sketches(spark, q)
+      .select(col("group"), col("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    val before = sk(p)
+    val physBefore = spark.read.parquet(s"$p/sketches").count()
+    // clean retry no-ops on the marker; a marker-less replay (partial
+    // first attempt) must overwrite its own batch partition and
+    // re-stamp the SAME generation number
+    KmvLayout.refresh(
+      docs.filter(col("doc_id") % 5 === 0), "g", "doc_id", "text", p,
+      batchId = "b1")
+    new java.io.File(s"$p/_applied/b1").delete()
+    KmvLayout.refresh(
+      docs.filter(col("doc_id") % 5 === 0), "g", "doc_id", "text", p,
+      batchId = "b1")
+    assert(spark.read.parquet(s"$p/sketches").count() === physBefore)
+    assert(spark.read.parquet(s"$p/sketches").agg(max(col("gen")))
+      .head().getLong(0) === 1L, "a replayed batch must re-stamp its gen")
+    assert(sk(p) === before)
+
+    // forget: drop every doc of one group plus a slice of another —
+    // the served matrix must equal a from-scratch build on the rest
+    val forget = docs.filter(col("g") === "g0" ||
+      (col("g") === "g1" && col("doc_id") < 100))
+    KmvLayout.tombstone(forget.select("doc_id"), "doc_id", p, batchId = "d1")
+    val rem = "target/test_kmvlayout/remain"
+    KmvLayout.build(
+      docs.join(forget.select("doc_id"), Seq("doc_id"), "left_anti"),
+      "g", "doc_id", "text", rem, k = 32)
+    assert(sk(p) === sk(rem), "forget must equal rebuild-on-remaining")
+    assert(!sk(p).contains("g0"), "a fully-forgotten group must vanish")
+    def mat(q: String) = KmvLayout.overlapMatrix(spark, q)
+      .collect().map(_.toSeq).toSet
+    assert(mat(p) === mat(rem))
+    // compact drops the rows physically and keeps serving identically
+    KmvLayout.compact(spark, p)
+    assert(!new java.io.File(s"$p/tombstones").exists())
+    assert(sk(p) === sk(rem))
+    assert(mat(p) === mat(rem))
   }
 }

@@ -44,7 +44,7 @@ class BandIndexSpec extends SparkTestBase {
     val delta1 = Seq((201L, words(20, "d"))).toDF("doc_id", "text")
     assert(BandIndex.probe(corpus, delta1, "doc_id", "text", path, 0.8)
       .isEmpty)
-    BandIndex.append(delta1, "doc_id", "text", path)
+    BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
 
     // delta2 duplicates a delta1 doc — only findable through the append;
     // rehydration corpus must now include delta1 (the caller's ledger)
@@ -53,6 +53,70 @@ class BandIndexSpec extends SparkTestBase {
       corpus.unionByName(delta1), delta2, "doc_id", "text", path, 0.8)
       .as[(Long, Long, Double)].collect()
     assert(out === Array((301L, 201L, 1.0)))
+  }
+
+  test("append is idempotent under at-least-once retry; a duplicate generation would duplicate probe rows") {
+    import spark.implicits._
+    val path = "target/test_bandindex/retry"
+    BandIndex.build(corpus, "doc_id", "text", path)
+    val delta1 = Seq((201L, words(20, "d"))).toDF("doc_id", "text")
+    BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
+    val physPost = spark.read.parquet(s"$path/postings").count()
+    val physSigs = spark.read.parquet(s"$path/sigs").count()
+    // clean retry: marker short-circuits
+    BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
+    assert(spark.read.parquet(s"$path/postings").count() === physPost)
+    assert(spark.read.parquet(s"$path/sigs").count() === physSigs)
+    // partial-failure retry: marker lost, generation must OVERWRITE
+    new java.io.File(s"$path/_applied/b1").delete()
+    BandIndex.append(delta1, "doc_id", "text", path, batchId = "b1")
+    assert(spark.read.parquet(s"$path/postings").count() === physPost,
+      "a replayed batch must replace its generation, not append")
+    assert(spark.read.parquet(s"$path/sigs").count() === physSigs)
+    // and the probe answer is the single-application answer (a
+    // duplicated sig generation would emit duplicated result rows)
+    val delta2 = Seq((301L, words(20, "d"))).toDF("doc_id", "text")
+    val out = BandIndex.probe(
+      corpus.unionByName(delta1), delta2, "doc_id", "text", path, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((301L, 201L, 1.0)))
+  }
+
+  test("tombstone hides docs from every probe path; compact drops them physically; delete == rebuild") {
+    import spark.implicits._
+    val del = "target/test_bandindex/forget"
+    val rem = "target/test_bandindex/remain"
+    val delta = Seq(
+      (101L, words(20, "a")), // dup of doc 1 (to be forgotten)
+      (102L, words(20, "b"))  // dup of doc 2 (stays)
+    ).toDF("doc_id", "text")
+    BandIndex.build(corpus, "doc_id", "text", del)
+    BandIndex.tombstone(
+      corpus.filter(col("doc_id") === 1).select("doc_id"), "doc_id", del,
+      batchId = "d1")
+    BandIndex.build(
+      corpus.filter(col("doc_id") =!= 1), "doc_id", "text", rem)
+    def probeAll(p: String) = BandIndex.probe(
+      corpus.filter(col("doc_id") =!= 1), delta, "doc_id", "text", p, 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(probeAll(del) === Seq((102L, 2L, 1.0)),
+      "a tombstoned doc must stop matching immediately")
+    assert(probeAll(del) === probeAll(rem), "delete must equal rebuild")
+    // re-delivered delete (new batch id) and same-batch retry: no-ops
+    BandIndex.tombstone(
+      corpus.filter(col("doc_id") === 1).select("doc_id"), "doc_id", del,
+      batchId = "d2")
+    BandIndex.tombstone(
+      corpus.filter(col("doc_id") === 1).select("doc_id"), "doc_id", del,
+      batchId = "d1")
+    assert(spark.read.parquet(s"$del/tombstones").count() === 1L)
+    // compact: physical drop + cleared forget-set + identical serving
+    val physBefore = spark.read.parquet(s"$del/postings").count()
+    BandIndex.compact(spark, del)
+    assert(spark.read.parquet(s"$del/postings").count() < physBefore,
+      "compact must drop tombstoned postings physically")
+    assert(!new java.io.File(s"$del/tombstones").exists())
+    assert(probeAll(del) === probeAll(rem))
   }
 
   test("index is self-describing: probe replays non-default build params from meta") {

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The content-addressed chunk store as a maintained layout: lossless
+  * reconstruction (the s42/s47 oracles gate it end-to-end against
+  * DuckDB), edit-sized store growth, and at-least-once idempotency. */
+class ChunkStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = (0 until 60).map { i =>
+    // overlapping token runs so content-defined chunks are SHARED
+    // across docs — the dedup the store exists for
+    (i.toLong, (i until i + 30).map(j => s"w${j % 40}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("build + refresh reconstructs losslessly and equals the one-shot build") {
+    val inc = "target/test_chunkstore/inc"
+    val full = "target/test_chunkstore/full"
+    ChunkStore.build(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", inc)
+    ChunkStore.refresh(
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", inc,
+      batchId = "b1")
+    ChunkStore.build(corpus, "doc_id", "text", full)
+    def rec(p: String) = ChunkStore.reconstruct(spark, p)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rec(inc) === rec(full))
+    // lossless against the raw text
+    val direct = corpus
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    rec(inc).foreach { case (id, _, m) => assert(m === direct(id)) }
+    // the delta generation carries ONLY content-new chunks: every b1
+    // store row's hash is absent from base (the anti-join contract)
+    val base = spark.read.parquet(s"$inc/store")
+      .filter(col("gen") === "base").select("chunk_h")
+    val b1 = spark.read.parquet(s"$inc/store")
+      .filter(col("gen") === "b1").select("chunk_h")
+    assert(b1.join(base, Seq("chunk_h"), "left_semi").count() === 0L,
+      "refresh must never re-store a chunk the store already holds")
+  }
+
+  test("refresh is idempotent under clean retry and marker-less replay") {
+    val p = "target/test_chunkstore/retry"
+    val delta = corpus.filter(col("doc_id") % 2 === 1)
+    ChunkStore.build(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+    ChunkStore.refresh(delta, "doc_id", "text", p, batchId = "b1")
+    val store = spark.read.parquet(s"$p/store").count()
+    val manifest = spark.read.parquet(s"$p/manifest").count()
+    ChunkStore.refresh(delta, "doc_id", "text", p, batchId = "b1")
+    assert(spark.read.parquet(s"$p/store").count() === store)
+    assert(spark.read.parquet(s"$p/manifest").count() === manifest)
+    new java.io.File(s"$p/_applied/b1").delete()
+    ChunkStore.refresh(delta, "doc_id", "text", p, batchId = "b1")
+    assert(spark.read.parquet(s"$p/store").count() === store,
+      "a replayed batch must replace its generation, not append")
+    assert(spark.read.parquet(s"$p/manifest").count() === manifest)
+  }
+}

@@ -50,7 +50,7 @@ class LexicalIndexSpec extends SparkTestBase {
     val base = corpus.filter(col("doc_id") <= 2)
     val delta = corpus.filter(col("doc_id") > 2)
     LexicalIndex.build(base, "doc_id", "text", inc, n = 2, buckets = 4)
-    LexicalIndex.refresh(delta, "doc_id", "text", inc)
+    LexicalIndex.refresh(delta, "doc_id", "text", inc, batchId = "b1")
     LexicalIndex.build(corpus, "doc_id", "text", full, n = 2, buckets = 4)
     def posts(p: String) = LexicalIndex.postings(spark, p)
       .select("doc_id", "ns", "dl", "shingle", "tf", "bucket")
@@ -136,7 +136,8 @@ class LexicalIndexSpec extends SparkTestBase {
     val rem = "target/test_lexidx/remain"
     LexicalIndex.build(corpus, "doc_id", "text", del, n = 2, buckets = 4)
     LexicalIndex.tombstone(
-      corpus.filter(col("doc_id") === 1), "doc_id", "text", del)
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", del,
+      batchId = "d1")
     LexicalIndex.build(
       corpus.filter(col("doc_id") =!= 1), "doc_id", "text", rem,
       n = 2, buckets = 4)
@@ -172,11 +173,19 @@ class LexicalIndexSpec extends SparkTestBase {
     Seq(once, twice).foreach { p =>
       LexicalIndex.build(corpus, "doc_id", "text", p, n = 2, buckets = 4)
       LexicalIndex.tombstone(
-        corpus.filter(col("doc_id") === 1), "doc_id", "text", p)
+        corpus.filter(col("doc_id") === 1), "doc_id", "text", p,
+        batchId = "d1")
     }
-    // the retry: same forget-set again (plus an already-deleted overlap)
+    // a logically duplicate delete arriving as a NEW batch: the
+    // cross-batch id filter must subtract nothing twice
     LexicalIndex.tombstone(
-      corpus.filter(col("doc_id") === 1), "doc_id", "text", twice)
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", twice,
+      batchId = "d2")
+    // and a same-batch retry (at-least-once re-delivery) must no-op
+    // on the applied marker
+    LexicalIndex.tombstone(
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", twice,
+      batchId = "d1")
     def lexi(p: String) = LexicalIndex.lexicon(spark, p)
       .select("shingle", "df").collect().map(_.toSeq).toSet
     def meta(p: String) = LexicalIndex.metaRow(spark, p)
@@ -189,12 +198,84 @@ class LexicalIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$twice/tombstones").count() === 1L)
   }
 
+  test("refresh is idempotent under at-least-once retry: re-applied batch changes nothing") {
+    val inc = "target/test_lexidx/retry_inc"
+    val full = "target/test_lexidx/retry_full"
+    val base = corpus.filter(col("doc_id") <= 2)
+    val delta = corpus.filter(col("doc_id") > 2)
+    LexicalIndex.build(base, "doc_id", "text", inc, n = 2, buckets = 4)
+    LexicalIndex.refresh(delta, "doc_id", "text", inc, batchId = "b1")
+    def state() = (
+      LexicalIndex.postings(spark, inc)
+        .select("doc_id", "ns", "dl", "shingle", "tf", "bucket")
+        .collect().map(_.toSeq).toSet,
+      LexicalIndex.lexicon(spark, inc)
+        .select("shingle", "df").collect().map(_.toSeq).toSet,
+      LexicalIndex.metaRow(spark, inc)
+        .select("n_docs", "n_tokens").collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$inc/postings").count(), // PHYSICAL rows too
+      spark.read.parquet(s"$inc/meta").count())
+    val before = state()
+    // the foreachBatch retry: the SAME batch id re-delivered
+    LexicalIndex.refresh(delta, "doc_id", "text", inc, batchId = "b1")
+    assert(state() === before,
+      "a retried batch must not duplicate a generation")
+    // even a PARTIAL first attempt heals: simulate by deleting the
+    // applied marker (so the retry re-runs) — the generation-keyed
+    // dynamic overwrite must replace, not append
+    val marker = new java.io.File(s"$inc/_applied/b1")
+    assert(marker.exists(), "refresh must record the applied batch")
+    marker.delete()
+    LexicalIndex.refresh(delta, "doc_id", "text", inc, batchId = "b1")
+    assert(state() === before,
+      "a replayed batch without its marker must overwrite its own generation")
+    // and the logical relations still equal a from-scratch rebuild
+    LexicalIndex.build(corpus, "doc_id", "text", full, n = 2, buckets = 4)
+    assert(LexicalIndex.lexicon(spark, inc)
+      .select("shingle", "df").collect().map(_.toSeq).toSet ===
+      LexicalIndex.lexicon(spark, full)
+        .select("shingle", "df").collect().map(_.toSeq).toSet)
+  }
+
+  test("auto-compaction: the policy fires inside refresh and preserves the logical relations") {
+    val p = "target/test_lexidx/autocompact"
+    LexicalIndex.build(
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", p,
+      n = 2, buckets = 4)
+    // three single-doc refreshes with a threshold of 2 generations:
+    // the third refresh pushes the count to 3 > 2 and must compact
+    Seq(2L, 3L, 4L).foreach { id =>
+      LexicalIndex.refresh(
+        corpus.filter(col("doc_id") === id), "doc_id", "text", p,
+        batchId = s"b$id", compactAfterGenerations = 2)
+    }
+    assert(LexicalIndex.generationCount(spark, p) === 1,
+      "the policy must have folded the generations back to one")
+    val full = "target/test_lexidx/autocompact_full"
+    LexicalIndex.build(corpus, "doc_id", "text", full, n = 2, buckets = 4)
+    def lexi(q: String) = LexicalIndex.lexicon(spark, q)
+      .select("shingle", "df").collect().map(_.toSeq).toSet
+    def meta(q: String) = LexicalIndex.metaRow(spark, q)
+      .select("n_docs", "n_tokens").collect().map(_.toSeq).toSet
+    assert(lexi(p) === lexi(full))
+    assert(meta(p) === meta(full))
+    // a batch retried AFTER the compact that folded it must still no-op
+    // (the markers survive compaction)
+    val before = spark.read.parquet(s"$p/postings").count()
+    LexicalIndex.refresh(
+      corpus.filter(col("doc_id") === 2), "doc_id", "text", p,
+      batchId = "b2", compactAfterGenerations = 2)
+    assert(spark.read.parquet(s"$p/postings").count() === before,
+      "a post-compact retry of a folded batch must not re-append")
+  }
+
   test("tombstoned serving answers match the rebuilt index's answers") {
     val del = "target/test_lexidx/forget_serve"
     val rem = "target/test_lexidx/remain_serve"
     LexicalIndex.build(corpus, "doc_id", "text", del, n = 2, buckets = 4)
     LexicalIndex.tombstone(
-      corpus.filter(col("doc_id") === 2), "doc_id", "text", del)
+      corpus.filter(col("doc_id") === 2), "doc_id", "text", del,
+      batchId = "d1")
     LexicalIndex.build(
       corpus.filter(col("doc_id") =!= 2), "doc_id", "text", rem,
       n = 2, buckets = 4)

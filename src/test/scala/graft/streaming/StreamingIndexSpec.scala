@@ -35,7 +35,11 @@ class StreamingIndexSpec extends SparkTestBase {
           LexicalIndex.build(batch, "doc_id", "text", streamed, n = 2,
             buckets = 4)
         else
-          LexicalIndex.refresh(batch, "doc_id", "text", streamed)
+          // the micro-batch id IS the generation key — foreachBatch
+          // re-delivers a failed batch with the SAME id, which the
+          // refresh idempotency contract turns into a no-op/overwrite
+          LexicalIndex.refresh(batch, "doc_id", "text", streamed,
+            batchId = s"mb-$id")
       }
       .option("checkpointLocation", "target/test_streamidx/ckpt")
       .start()
@@ -62,5 +66,17 @@ class StreamingIndexSpec extends SparkTestBase {
     val metaB = LexicalIndex.metaRow(spark, oneShot)
       .select("n_docs", "n_tokens").collect().head
     assert(metaS === metaB)
+
+    // at-least-once replay: re-deliver batch 1 (same batch id, as a
+    // retried foreachBatch would) — the served answers must be
+    // invariant, i.e. no duplicated generation inflates df/postings
+    val before = serve(streamed)
+    val physBefore = spark.read.parquet(s"$streamed/postings").count()
+    LexicalIndex.refresh(b2.toDF("doc_id", "text"), "doc_id", "text",
+      streamed, batchId = "mb-1")
+    assert(serve(streamed) === before,
+      "a replayed micro-batch must not change any served answer")
+    assert(spark.read.parquet(s"$streamed/postings").count() === physBefore,
+      "a replayed micro-batch must not append physical rows")
   }
 }

@@ -340,10 +340,17 @@ class WarehouseSpec extends SparkTestBase {
   test("zoneMapRead scans only envelope-overlapping files; empty ranges scan none") {
     import spark.implicits._
     val path = "target/sinks/test_zonemap"
-    (1L to 8000L).map(i => (i, i % 5)).toDF("k", "v")
-      .repartitionByRange(8, col("k"))
-      .sortWithinPartitions("k")
-      .write.mode("overwrite").parquet(path)
+    // write the 8 files deterministically — repartitionByRange samples
+    // its boundaries with a suite-order-dependent seed, so the file
+    // count/extent pin below would depend on which tests ran before
+    // this one; 8 explicit 1,000-key slices make the pin exact by
+    // construction (slice i holds keys i·1000+1 .. (i+1)·1000)
+    (0 until 8).foreach { i =>
+      (i * 1000L + 1 to (i + 1) * 1000L).map(k => (k, k % 5)).toDF("k", "v")
+        .coalesce(1)
+        .sortWithinPartitions("k")
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+    }
     val manifest = Warehouse.zoneMapManifest(spark, path, "k")
     val totalFiles = manifest.count()
     assert(totalFiles === 8L)
