@@ -106,27 +106,37 @@ object BandIndex {
       idCol: String,
       textCol: String,
       path: String,
-      batchId: String): Unit = {
+      batchId: String,
+      compactAfterGenerations: Int = 0): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
-    if (LsmLayout.isApplied(spark, path, batchId)) return
-    val (numHashes, bands, shingleWidth) = metaOf(spark, path)
-    val sk = sketch(delta, idCol, textCol, shingleWidth, numHashes, bands)
-    sk.select(col("doc_id"), col("sig"))
-      .withColumn("gen", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/sigs")
-    sk.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
-      .withColumn("gen", lit(batchId))
-      .repartition(col("band"))
-      .sortWithinPartitions(col("band_val"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "band")
-      .parquet(s"$path/postings")
-    LsmLayout.markApplied(spark, path, batchId)
+    if (!LsmLayout.isApplied(spark, path, batchId)) {
+      val (numHashes, bands, shingleWidth) = metaOf(spark, path)
+      val sk = sketch(delta, idCol, textCol, shingleWidth, numHashes, bands)
+      sk.select(col("doc_id"), col("sig"))
+        .withColumn("gen", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/sigs")
+      sk.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+        .withColumn("gen", lit(batchId))
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band_val"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "band")
+        .parquet(s"$path/postings")
+      LsmLayout.markApplied(spark, path, batchId)
+    }
+    // file-count hygiene under continuous ingest (the s46 policy):
+    // postings/sigs need no read-side fold — generations only multiply
+    // the files/dirs a probe lists — so the bound is about scan
+    // metadata, not answer shape
+    if (compactAfterGenerations > 0 &&
+      LsmLayout.generationCount(spark, s"$path/sigs") >
+        compactAfterGenerations)
+      compact(spark, path)
   }
 
   /** Right-to-be-forgotten deletes (the s40 discipline applied to the

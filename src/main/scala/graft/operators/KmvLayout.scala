@@ -96,25 +96,34 @@ object KmvLayout {
     * committed batch no-ops on its marker. */
   def refresh(
       delta: DataFrame, groupCol: String, idCol: String, textCol: String,
-      path: String, batchId: String): Unit = {
+      path: String, batchId: String,
+      compactAfterGenerations: Int = 0): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
-    if (LsmLayout.isApplied(spark, path, batchId)) return
-    val m = spark.read.parquet(s"$path/meta").head()
-    val (k, salt) = (m.getAs[Long]("k").toInt, m.getAs[String]("hash_salt"))
-    // exclude the batch's own (possibly partial) partition so a retry
-    // derives the SAME generation number as the failed first attempt
-    val nextGen = spark.read.parquet(s"$path/sketches")
-      .filter(col("batch") =!= batchId)
-      .agg(max(col("gen"))).head().getLong(0) + 1L
-    docSketches(delta, groupCol, idCol, textCol, salt, k)
-      .withColumn("gen", lit(nextGen))
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
-      .parquet(s"$path/sketches")
-    LsmLayout.markApplied(spark, path, batchId)
+    if (!LsmLayout.isApplied(spark, path, batchId)) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val (k, salt) = (m.getAs[Long]("k").toInt, m.getAs[String]("hash_salt"))
+      // exclude the batch's own (possibly partial) partition so a retry
+      // derives the SAME generation number as the failed first attempt
+      val nextGen = spark.read.parquet(s"$path/sketches")
+        .filter(col("batch") =!= batchId)
+        .agg(max(col("gen"))).head().getLong(0) + 1L
+      docSketches(delta, groupCol, idCol, textCol, salt, k)
+        .withColumn("gen", lit(nextGen))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/sketches")
+      LsmLayout.markApplied(spark, path, batchId)
+    }
+    // file-count hygiene (the s46 policy); collapses time-travel
+    // history by the compact contract, so a deployment that pins
+    // snapshots sizes the threshold to its retention window
+    if (compactAfterGenerations > 0 &&
+      LsmLayout.generationCount(spark, s"$path/sketches", "batch=") >
+        compactAfterGenerations)
+      compact(spark, path)
   }
 
   /** Right-to-be-forgotten deletes (the s40 discipline applied to the

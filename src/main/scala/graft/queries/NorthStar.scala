@@ -8319,6 +8319,58 @@ object NorthStar {
         LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
+    // ----- n176: full maintenance interleaving (ingest+delete+compact) --
+    // The lifecycle a deployed index actually lives: build → refresh →
+    // a GDPR delete landing BETWEEN ingest batches → another refresh
+    // whose auto-compaction policy fires with the tombstones still
+    // pending (folding them physically mid-loop) → serve. Every
+    // generation mechanism composes in one run: positive generations,
+    // the negative tombstone generation, the anti-join window between
+    // delete and compact, and the fold-under-pending-tombstones path
+    // of compact itself. The oracle rebuilds the serving answer from
+    // scratch over (union corpus − forget-set) — any mis-ordering or
+    // double-count anywhere in the interleaving shifts a BIGINT score.
+    QuerySpec(
+      "n176_maintenance_interleave",
+      s"""WITH RECURSIVE ${shingleCte.replace("FROM documents",
+             "FROM documents WHERE NOT (doc_id % 3 <> 2 AND doc_id % 5 = 4)")},
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |       WHERE NOT (doc_id % 3 <> 2 AND doc_id % 5 = 4)),
+         |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |       FROM sh GROUP BY 1),
+         |qw AS (SELECT sh.shingle,
+         |         CAST(round(1000000.0 * (CAST(n AS DOUBLE)
+         |           / CAST(df AS DOUBLE))) AS BIGINT) AS w
+         |       FROM sh JOIN df USING (shingle) CROSS JOIN nd
+         |       WHERE sh.doc_id = 3)
+         |SELECT sh.doc_id, CAST(sum(w) AS BIGINT) AS score
+         |FROM sh JOIN qw USING (shingle)
+         |WHERE sh.doc_id <> 3
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/n176_lex"
+        val docs = t(s, d, "documents")
+        LexicalIndex.build(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path, n = 3)
+        LexicalIndex.refresh(
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path,
+          batchId = "b1")
+        // the delete names only ALREADY-INDEXED docs (the tombstone
+        // contract); the %3 == 2 third is still unseen at this point
+        LexicalIndex.tombstone(
+          docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 4),
+          "doc_id", "text", path, batchId = "d1")
+        // generations now: base + b1 + ts-d1 = 3; this refresh makes 4,
+        // which trips the threshold and compacts WITH the tombstones
+        // pending — the physical-drop-mid-loop path
+        LexicalIndex.refresh(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path,
+          batchId = "b2", compactAfterGenerations = 3)
+        require(LexicalIndex.generationCount(s, path) == 1,
+          "the policy must have compacted the full interleaving")
+        LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
+    },
+
     // ----- n175: band-index append under at-least-once retry ------------
     // The same fault injection for the LSH layout: append batch b1 is
     // retried clean AND replayed marker-less; a duplicated signature

@@ -130,7 +130,14 @@ object ScaleDrill {
       "n163_mmr_rerank", "s41_sketch_layout", "n164_label_prop_train",
       "n165_stream_kmv_parity", "n166_source_influence",
       "n167_bot_regularity", "n168_stream_regularity_parity", "s42_chunk_store", "n169_chunk_delta", "s43_sketch_time_travel",
-      "n170_epoch_quota", "n172_histogram_emd", "n173_stream_cap_parity")
+      "n170_epoch_quota", "n172_histogram_emd", "n173_stream_cap_parity",
+      // round-12 additions: the forget/retry/auto-compaction gates of
+      // the stored-layout maintenance family and the chunk-store
+      // refresh (the MaintenanceDrill covers the 100×-corpus /
+      // 1×-delta separation these fused oracle runs cannot see)
+      "s44_band_forget", "s45_kmv_forget", "s46_lexical_autocompact",
+      "s47_chunk_refresh", "n174_refresh_retry", "n175_band_append_retry",
+      "n176_maintenance_interleave")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)

@@ -298,4 +298,28 @@ class SketchesSpec extends SparkTestBase {
     assert(sk(p) === sk(rem))
     assert(mat(p) === mat(rem))
   }
+
+  test("KmvLayout: refresh auto-compaction folds batches and preserves the fold") {
+    import spark.implicits._
+    import graft.operators.{KmvLayout, LsmLayout}
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"g${i % 3}", s"w${i % 70} w${(i * 7) % 110}")
+    }.toDF("doc_id", "g", "text")
+    val p = "target/test_kmvlayout/autocompact"
+    val full = "target/test_kmvlayout/autocompact_full"
+    KmvLayout.build(
+      docs.filter(col("doc_id") % 4 === 0), "g", "doc_id", "text", p, k = 32)
+    Seq(1L, 2L, 3L).foreach { r =>
+      KmvLayout.refresh(
+        docs.filter(col("doc_id") % 4 === r), "g", "doc_id", "text", p,
+        batchId = s"b$r", compactAfterGenerations = 2)
+    }
+    // b2 made 3 batches > 2 → compacted to 1; b3 appended → 2
+    assert(LsmLayout.generationCount(spark, s"$p/sketches", "batch=") === 2)
+    KmvLayout.build(docs, "g", "doc_id", "text", full, k = 32)
+    def sk(q: String) = KmvLayout.sketches(spark, q)
+      .select(col("group"), col("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sk(p) === sk(full))
+  }
 }

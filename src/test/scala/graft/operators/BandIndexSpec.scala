@@ -119,6 +119,27 @@ class BandIndexSpec extends SparkTestBase {
     assert(probeAll(del) === probeAll(rem))
   }
 
+  test("append auto-compaction folds generations and preserves probe answers") {
+    import spark.implicits._
+    val path = "target/test_bandindex/autocompact"
+    BandIndex.build(corpus, "doc_id", "text", path)
+    val deltas = Seq(
+      (201L, words(20, "d")), (202L, words(20, "e")), (203L, words(20, "f")))
+    deltas.zipWithIndex.foreach { case ((id, text), i) =>
+      BandIndex.append(Seq((id, text)).toDF("doc_id", "text"),
+        "doc_id", "text", path, batchId = s"a$i",
+        compactAfterGenerations = 2)
+    }
+    // a1 made 3 gens > 2 → compacted to 1; a2 appended → 2
+    assert(LsmLayout.generationCount(spark, s"$path/sigs") === 2)
+    val indexed = corpus.unionByName(deltas.toDF("doc_id", "text"))
+    val probe = Seq((301L, words(20, "e"))).toDF("doc_id", "text")
+    val out = BandIndex.probe(indexed, probe, "doc_id", "text", path, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((301L, 202L, 1.0)),
+      "a doc folded by the mid-loop compact must still be probeable")
+  }
+
   test("index is self-describing: probe replays non-default build params from meta") {
     import spark.implicits._
     val path = "target/test_bandindex/meta"
