@@ -304,4 +304,26 @@ class SimilaritySpec extends SparkTestBase {
       s"expected picks a then c, got ${got.toSeq}")
     assert(got(0)._3 === 7L * 800000L && got(1)._3 === 4200000L)
   }
+
+  test("mmrRerank stays flat-plan at larger k (the 3^k recursive-plan regression)") {
+    import spark.implicits._
+    // before the per-round materialization, each greedy round embedded
+    // the previous `picked` plan three times, so analysis/evaluation
+    // grew ~3^kPicks and k = 12 effectively hung; with the k-row picks
+    // checkpointed per round this completes in seconds and returns the
+    // full ranking
+    val vecs = (1 to 24).map { i =>
+      val a = i * 0.26
+      (i.toLong, Seq(math.cos(a), math.sin(a), math.cos(2 * a) * 0.5))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(
+      vecs, "vec_id", "embedding", q, "embedding",
+      kCandidates = 24, kPicks = 12).collect()
+    assert(got.length === 12)
+    assert(got.map(_.getLong(0)).sorted.toSeq === (1L to 12L),
+      "ranks must be 1..k exactly once")
+    assert(got.map(_.getLong(1)).distinct.length === 12,
+      "picks must be distinct docs")
+  }
 }

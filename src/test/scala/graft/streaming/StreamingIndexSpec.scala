@@ -79,4 +79,51 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$streamed/postings").count() === physBefore,
       "a replayed micro-batch must not append physical rows")
   }
+
+  test("foreachBatch band-index maintenance: streamed build+appends == one-shot, replay-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/test_streamband"))
+    val streamed = "target/test_streamband/streamed"
+    val oneShot = "target/test_streamband/oneshot"
+    def words(n: Int, tag: String): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val b1 = Seq((1L, words(20, "a")), (2L, words(20, "b")))
+    val b2 = Seq((3L, words(20, "c")))
+    val b3 = Seq((4L, words(19, "b") + " zzz")) // near-dup of doc 2
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L)
+          graft.operators.BandIndex.build(batch, "doc_id", "text", streamed)
+        else
+          graft.operators.BandIndex.append(batch, "doc_id", "text",
+            streamed, batchId = s"mb-$id")
+      }
+      .option("checkpointLocation", "target/test_streamband/ckpt")
+      .start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    import spark.implicits._
+    val corpus = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    graft.operators.BandIndex.build(corpus, "doc_id", "text", oneShot)
+    val probe = Seq((101L, words(20, "b"))).toDF("doc_id", "text")
+    def probed(p: String) = graft.operators.BandIndex
+      .probe(corpus, probe, "doc_id", "text", p, 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = probed(oneShot)
+    assert(probed(streamed) === expected,
+      "the streamed index must probe like the one-shot build")
+    assert(expected.map(t => (t._1, t._2)) === Seq((101L, 2L), (101L, 4L)),
+      "the probe must hit doc 2 exactly and doc 4 at J = 17/19")
+    // re-deliver micro-batch 2 — answers and physical rows invariant
+    val phys = spark.read.parquet(s"$streamed/postings").count()
+    graft.operators.BandIndex.append(b2.toDF("doc_id", "text"),
+      "doc_id", "text", streamed, batchId = "mb-1")
+    assert(probed(streamed) === expected)
+    assert(spark.read.parquet(s"$streamed/postings").count() === phys)
+  }
 }
