@@ -1277,27 +1277,91 @@ object NorthStar {
       val path = "target/sinks/s23_ivf"
       val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
       val emb = t(s, d, "embeddings")
-      emb
-        .select(col("vec_id"), col("embedding"),
-          Similarity.nearestCell(Similarity.asDouble(col("embedding")), cents)
-            .as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      graft.operators.IvfLayout.build(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", path, cents)
       val qv = emb.filter(col("vec_id") === 2)
         .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
-      // same argmin, same tie-break (lower index), same left-to-right
-      // double fold as Similarity.nearestCell — bit-identical cells
-      val probes = cents.zipWithIndex.map { case (c, i) =>
-        (c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum, i)
-      }.sorted.take(2).map(_._2)
-      s.read.parquet(path)
-        .filter(col("cell").isin(probes: _*))
-        .filter(col("vec_id") =!= 2)
-        .select(col("vec_id"),
-          round(Similarity.cosine(
-            Similarity.asDouble(col("embedding")),
-            array(qv.map(lit): _*)), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(15)
+      graft.operators.IvfLayout.topK(
+        s, path, qv, nprobe = 2, k = 15, excludeId = Some(2L))
+    },
+
+    // ----- s48: IVF layout incremental refresh under retry --------------
+    // The ANN side of the maintenance story (the s30/n174 discipline
+    // applied to the s23 layout): build on 90% of the vectors, refresh
+    // with the rest — assigned by the STORED centroids, written as a
+    // batch-keyed generation — with the batch retried clean AND
+    // replayed marker-less. A duplicated generation would duplicate
+    // candidate rows straight into the top-k; the oracle computes the
+    // probe answer over the FULL vector set from scratch, so
+    // refresh∘retry∘replay ≡ rebuild through the served ranking.
+    QuerySpec(
+      "s48_ivf_refresh",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 2),
+         |p AS (SELECT list_transform(${ivfRankSql("qv")}, s -> s.i)[1:2] AS ps
+         |      FROM q),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings)
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+         |FROM c
+         |WHERE list_contains((SELECT ps FROM p), cell) AND vec_id <> 2
+         |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s48_ivf"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      graft.operators.IvfLayout.build(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        path, cents)
+      graft.operators.IvfLayout.refresh(
+        delta, "vec_id", "embedding", path, batchId = "b1")
+      // clean retry, then a marker-less partial-failure replay
+      graft.operators.IvfLayout.refresh(
+        delta, "vec_id", "embedding", path, batchId = "b1")
+      new java.io.File(s"$path/_applied/b1").delete()
+      graft.operators.IvfLayout.refresh(
+        delta, "vec_id", "embedding", path, batchId = "b1")
+      val qv = emb.filter(col("vec_id") === 2)
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+      graft.operators.IvfLayout.topK(
+        s, path, qv, nprobe = 2, k = 15, excludeId = Some(2L))
+    },
+
+    // ----- s49: right-to-be-forgotten deletes in the IVF layout ---------
+    // The s40/s44/s45 forget discipline on the ANN side: the forget-set
+    // (vec_id % 5 = 1) is an id list anti-joined on every read — the
+    // probe answers as if the vectors never existed, before any
+    // physical rewrite (IvfLayoutSpec proves compact drops them and
+    // serves identically). Oracle: the probe ranking over the
+    // remaining vectors — delete ≡ rebuild through the served answer.
+    QuerySpec(
+      "s49_ivf_forget",
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 2),
+         |p AS (SELECT list_transform(${ivfRankSql("qv")}, s -> s.i)[1:2] AS ps
+         |      FROM q),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings WHERE vec_id % 5 <> 1)
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+         |FROM c
+         |WHERE list_contains((SELECT ps FROM p), cell) AND vec_id <> 2
+         |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s49_ivf"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.IvfLayout.build(emb, "vec_id", "embedding", path, cents)
+      graft.operators.IvfLayout.tombstone(
+        emb.filter(col("vec_id") % 5 === 1).select("vec_id"),
+        "vec_id", path, batchId = "d1")
+      val qv = emb.filter(col("vec_id") === 2)
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+      graft.operators.IvfLayout.topK(
+        s, path, qv, nprobe = 2, k = 15, excludeId = Some(2L))
     },
 
     // ----- n38: sequence packing (docs → fixed-token-budget packs) ------
