@@ -287,6 +287,110 @@ object BandIndex {
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Driver-side twin of `graft_minhash_sig` for a LITERAL query text
+    * (the s31 probe-set argument: a serving path receives the query as
+    * a literal, so its sketch is plan-time arithmetic, not a data
+    * scan). Same xxhash64(seed 42) & 0x7fffffff input hash, same
+    * (a·h + b) mod P fold, same Long.MaxValue empty minima —
+    * bit-parity with the engine expression is law-tested in
+    * BandIndexSpec. */
+  private[graft] def literalSignature(
+      shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val a = graft.functions.SketchAggregates.coefA(numHashes)
+    val b = graft.functions.SketchAggregates.coefB(numHashes)
+    val m = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L) &
+        0x7fffffffL
+      var j = 0
+      while (j < numHashes) {
+        val x = (a(j) * h + b(j)) % graft.functions.SketchAggregates.P
+        if (x < m(j)) m(j) = x
+        j += 1
+      }
+    }
+    m
+  }
+
+  /** Driver-side twin of `graft_minhash_band_mix` (same FNV-1a offset
+    * basis/prime, same band-major slice order). */
+  private[graft] def literalBands(sig: Array[Long], bands: Int): Array[Long] = {
+    require(sig.length % bands == 0, "bands must divide signature length")
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var acc = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rows) {
+        acc = (acc ^ sig(b * rows + r)) * 0x100000001b3L
+        r += 1
+      }
+      acc
+    }
+  }
+
+  /** Single-document serving probe: "is THIS text a near-dup of
+    * anything indexed?" — the s31 point-probe discipline applied to
+    * the LSH layout. The query is sketched DRIVER-SIDE (plan-time
+    * constants), so the probe plan is: one postings scan with the
+    * 16 (band = b AND band_val = v) equalities PUSHED to the parquet
+    * reader (the band partition dirs bound the scan, the band_val
+    * sort gives row-group min/max pruning within each band — this is
+    * the scan shape the sorted layout exists for), then a
+    * candidate-sized signature prefilter against a LITERAL sig array,
+    * then the exact candidate-sized text verify. Nothing corpus-sized
+    * is computed at serve time; returns (doc_id, jaccard) ≥ threshold.
+    */
+  def pointProbe(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      queryText: String,
+      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val (numHashes, bands, shingleWidth) = metaOf(spark, path)
+    val qsh = LexicalIndex.literalShingles(queryText, shingleWidth)
+    require(qsh.nonEmpty,
+      s"query shorter than the shingle width: $queryText")
+    val sig = literalSignature(qsh, numHashes)
+    val bvals = literalBands(sig, bands)
+    // one equality pair per band — an OR-of-ANDs the reader prunes with
+    val bandPred = bvals.zipWithIndex.map { case (v, b) =>
+      col("band") === b && col("band_val") === v
+    }.reduce(_ || _)
+    val candidates = postings(spark, path)
+      .filter(bandPred)
+      .select(col("doc_id"))
+      .distinct()
+    val sigMargin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val minMatches = math.floor((threshold - sigMargin) * numHashes).toLong
+    val sigLit = array(sig.map(lit): _*)
+    val plausible = signatures(spark, path)
+      .join(broadcast(candidates), Seq("doc_id"))
+      .withColumn("graft__est",
+        size(filter(zip_with(col("sig"), sigLit, (x, y) => x === y),
+          v => v)))
+      .filter(col("graft__est") >= minMatches)
+      .select(col("doc_id"))
+    val qshLit = array(qsh.map(lit): _*)
+    corpus
+      .join(broadcast(plausible.withColumnRenamed("doc_id", "graft__cand")),
+        col(idCol) === col("graft__cand"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        TextOps.shinglesFromTokens(
+          TextOps.tokens(col(textCol)), shingleWidth).as("graft__sh"))
+      .withColumn("graft__i",
+        size(array_intersect(col("graft__sh"), qshLit)).cast("long"))
+      .withColumn("jaccard",
+        col("graft__i").cast("double") /
+          (size(col("graft__sh")).cast("long") + lit(qsh.length.toLong) -
+            col("graft__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+  }
+
   /** The stored band-membership relation (band, band_val, doc_id),
     * minus tombstoned documents when a forget-set is pending — every
     * probe routes through here, so a [[tombstone]] is visible on all

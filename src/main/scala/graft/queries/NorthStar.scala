@@ -6255,6 +6255,47 @@ object NorthStar {
         BandIndex.probe(docs, delta, "doc_id", "text", path, threshold = 0.8)
     },
 
+    // ----- s50: single-document point probe on the band index -----------
+    // The s31 serving discipline applied to the LSH layout: "is THIS
+    // text a near-dup of anything indexed?" answered for an ARBITRARY
+    // literal query. The query is sketched DRIVER-SIDE (bit-parity
+    // twins of graft_minhash_sig / graft_minhash_band_mix — law-tested)
+    // so the probe plan is one postings scan with 16 pushed
+    // (band, band_val) equalities (row-group pruning on the band_val
+    // sort), a candidate-sized literal-sig prefilter, and the exact
+    // candidate-sized verify. The query here is doc 45's text with one
+    // appended token — doc 45 sits in a planted near-dup family, so
+    // the probe must surface the doc ITSELF and its family members;
+    // the oracle computes the exact Jaccard of that query against
+    // every doc (the s37 probabilistic contract covers the LSH leg).
+    QuerySpec(
+      "s50_band_point_probe",
+      s"""WITH $shingleCte,
+         |qd AS (SELECT text || ' zzz' AS t FROM documents WHERE doc_id = 45),
+         |qt AS (SELECT unnest(string_split(t, ' ')) AS w,
+         |              generate_subscripts(string_split(t, ' '), 1) AS pos
+         |       FROM qd),
+         |qsh AS (SELECT DISTINCT
+         |          w || ' ' || lead(w, 1) OVER win || ' ' ||
+         |            lead(w, 2) OVER win AS shingle
+         |        FROM qt WINDOW win AS (ORDER BY pos)
+         |        QUALIFY shingle IS NOT NULL),
+         |qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qsh),
+         |i AS (SELECT sh.doc_id, count(*) AS i
+         |      FROM sh JOIN qsh USING (shingle) GROUP BY 1)
+         |SELECT i.doc_id,
+         |  CAST(i AS DOUBLE) / ((SELECT n FROM qn) + shn.n - i) AS jaccard
+         |FROM i JOIN shn ON shn.doc_id = i.doc_id
+         |WHERE CAST(i AS DOUBLE) / ((SELECT n FROM qn) + shn.n - i) >= 0.8
+         |ORDER BY jaccard DESC, i.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val path = "target/sinks/s50_band"
+      BandIndex.build(docs, "doc_id", "text", path)
+      val qt = docs.filter(col("doc_id") === 45)
+        .select(col("text")).head().getString(0) + " zzz"
+      BandIndex.pointProbe(docs, "doc_id", "text", path, qt, threshold = 0.8)
+    },
+
     // ----- n141: vocabulary coverage curve ------------------------------
     // The tokenizer-design question n26/n33 stop short of: how many
     // vocabulary entries cover 50/90/99% of the token stream? Exact

@@ -137,7 +137,8 @@ object ScaleDrill {
       // 1×-delta separation these fused oracle runs cannot see)
       "s44_band_forget", "s45_kmv_forget", "s46_lexical_autocompact",
       "s47_chunk_refresh", "n174_refresh_retry", "n175_band_append_retry",
-      "n176_maintenance_interleave", "s48_ivf_refresh", "s49_ivf_forget")
+      "n176_maintenance_interleave", "s48_ivf_refresh", "s49_ivf_forget",
+      "s50_band_point_probe")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)

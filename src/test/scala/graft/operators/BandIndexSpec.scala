@@ -152,6 +152,66 @@ class BandIndexSpec extends SparkTestBase {
     assert(out === Array((401L, 1L, 1.0)))
   }
 
+  test("literalSignature/literalBands match the engine expressions bit-for-bit") {
+    import spark.implicits._
+    val texts = Seq(words(20, "a"), words(7, "x"), "one two three four",
+      "héllo wörld ✓ tail five six")
+    val engine = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select(col("i"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col("t")), 3).as("sh"))
+      .select(col("i"), expr("graft_minhash_sig(sh, 64)").as("sig"))
+      .withColumn("bh", expr("graft_minhash_band_mix(sig, 16)"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2))))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val qsh = LexicalIndex.literalShingles(t, 3)
+      val sig = BandIndex.literalSignature(qsh, 64)
+      val bh = BandIndex.literalBands(sig, 16)
+      assert(sig.toSeq === engine(i)._1, s"sig diverged for: '$t'")
+      assert(bh.toSeq === engine(i)._2, s"bands diverged for: '$t'")
+    }
+  }
+
+  test("pointProbe finds the near-dup of a literal query; pushes band_val equalities; respects tombstones") {
+    import spark.implicits._
+    val path = "target/test_bandindex/pointprobe"
+    BandIndex.build(corpus, "doc_id", "text", path)
+    // query = doc 2's text + one token → J = 17/19 against doc 2
+    val qt = words(20, "b") + " zzz"
+    val df = BandIndex.pointProbe(corpus, "doc_id", "text", path, qt, 0.8)
+    val out = df.as[(Long, Double)].collect()
+    // query has 19 distinct shingles (18 pure-b + 1 ending in zzz),
+    // doc 2 has 18, all shared → J = 18 / (19 + 18 − 18) = 18/19
+    assert(out.toSeq === Seq((2L, 18.0 / 19.0)),
+      "the probe must find doc 2 at J = 18/19")
+    // plan: the (band, band_val) equalities reach the parquet reader
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+      }.flatten
+    val postScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("pointprobe/postings"))
+    assert(postScans.nonEmpty, "probe must scan the stored postings")
+    postScans.foreach { sc =>
+      assert(sc.metadata("PushedFilters").contains("EqualTo(band_val"),
+        s"band_val equalities not pushed: ${sc.metadata("PushedFilters")}")
+      assert(!sc.metadata("ReadSchema").contains("text"))
+    }
+    // a tombstoned doc stops matching immediately
+    BandIndex.tombstone(
+      corpus.filter(col("doc_id") === 2).select("doc_id"), "doc_id", path,
+      batchId = "d1")
+    assert(BandIndex.pointProbe(corpus, "doc_id", "text", path, qt, 0.8)
+      .isEmpty)
+  }
+
   test("probe scans of the stored index read only narrow columns, never text") {
     import spark.implicits._
     val path = "target/test_bandindex/plan"
