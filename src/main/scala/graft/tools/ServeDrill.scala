@@ -109,6 +109,49 @@ object ServeDrill {
     probe("overlap matrix (s41 serve)") {
       graft.operators.KmvLayout.overlapMatrix(spark, kmvPath)
     }
+
+    // ---- round-12 layouts: band point probe, maintained IVF ----
+    val bandPath = "target/serve_drill/band"
+    timed("BUILD band index (s37)") {
+      graft.operators.BandIndex.build(docs, "doc_id", "text", bandPath)
+    }
+    val qText = docs.filter(col("doc_id") === 45)
+      .select(col("text")).head().getString(0) + " zzz"
+    probe("band pointProbe (s50 serve)") {
+      graft.operators.BandIndex.pointProbe(
+        docs, "doc_id", "text", bandPath, qText, threshold = 0.8)
+    }
+    timed("TOMBSTONE band forget-set (s44)") {
+      graft.operators.BandIndex.tombstone(
+        docs.filter(col("doc_id") % 10 === 7).select("doc_id"),
+        "doc_id", bandPath, batchId = "d1")
+    }
+    probe("band pointProbe post-delete") {
+      graft.operators.BandIndex.pointProbe(
+        docs, "doc_id", "text", bandPath, qText, threshold = 0.8)
+    }
+    val ivfPath = "target/serve_drill/ivf"
+    timed("BUILD ivf layout (s23)") {
+      graft.operators.IvfLayout.build(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", ivfPath, cents)
+    }
+    val qv5 = emb.filter(col("vec_id") === 5)
+      .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+    probe("ivf topK (s23 serve)") {
+      graft.operators.IvfLayout.topK(
+        spark, ivfPath, qv5, nprobe = 2, k = 15, excludeId = Some(5L))
+    }
+    timed("REFRESH ivf 1-row delta (s48)") {
+      graft.operators.IvfLayout.refresh(
+        emb.filter(col("vec_id") === 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", ivfPath, batchId = "d1")
+    }
+    probe("ivf topK post-refresh") {
+      graft.operators.IvfLayout.topK(
+        spark, ivfPath, qv5, nprobe = 2, k = 15, excludeId = Some(5L))
+    }
     spark.stop()
   }
 }
