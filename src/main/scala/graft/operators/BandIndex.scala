@@ -222,7 +222,14 @@ object BandIndex {
       idCol: String,
       textCol: String,
       path: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      excludeGen: Option[String] = None): DataFrame = {
+    // excludeGen: skip one stored generation on the index side —
+    // the ingest-then-append maintenance loop (ClusterRegistry) probes
+    // BEFORE appending the delta's own generation, and a RETRY of that
+    // loop must not see the partial generation a crashed first attempt
+    // left behind (the delta would probe against itself and the
+    // output would stop being deterministic under replay)
     val spark = delta.sparkSession
     val (numHashes, bands, shingleWidth) = metaOf(spark, path)
 
@@ -246,7 +253,7 @@ object BandIndex {
     // touches the index's corpus-sized relation, and it reads two longs
     // + an id per row
     val candidates = deltaBands
-      .join(postings(spark, path),
+      .join(postingsScoped(spark, path, excludeGen),
         Seq("band", "band_val"))
       .select(col("delta_id"), col("doc_id").as("corpus_id"))
       .distinct()
@@ -257,7 +264,7 @@ object BandIndex {
     val minMatches = math.floor((threshold - sigMargin) * numHashes).toLong
     val plausible = candidates
       .join(dsk.select(col("delta_id"), col("sig").as("sig_d")), "delta_id")
-      .join(signatures(spark, path)
+      .join(signaturesScoped(spark, path, excludeGen)
         .select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")),
         "corpus_id")
       .withColumn("est",
@@ -395,8 +402,15 @@ object BandIndex {
     * minus tombstoned documents when a forget-set is pending — every
     * probe routes through here, so a [[tombstone]] is visible on all
     * serving paths before [[compact]] rewrites anything. */
-  def postings(spark: SparkSession, path: String): DataFrame = {
-    val post = spark.read.parquet(s"$path/postings").drop("gen")
+  def postings(spark: SparkSession, path: String): DataFrame =
+    postingsScoped(spark, path, None)
+
+  private def postingsScoped(
+      spark: SparkSession, path: String,
+      excludeGen: Option[String]): DataFrame = {
+    val base = spark.read.parquet(s"$path/postings")
+    val post = excludeGen.fold(base)(g => base.filter(col("gen") =!= g))
+      .drop("gen")
     if (!hasTombstones(spark, path)) post
     else post.join(
       broadcast(spark.read.parquet(s"$path/tombstones")
@@ -406,8 +420,15 @@ object BandIndex {
 
   /** The stored signature relation (doc_id, sig), tombstones applied —
     * the prefilter's corpus side. */
-  def signatures(spark: SparkSession, path: String): DataFrame = {
-    val sigs = spark.read.parquet(s"$path/sigs").drop("gen")
+  def signatures(spark: SparkSession, path: String): DataFrame =
+    signaturesScoped(spark, path, None)
+
+  private def signaturesScoped(
+      spark: SparkSession, path: String,
+      excludeGen: Option[String]): DataFrame = {
+    val base = spark.read.parquet(s"$path/sigs")
+    val sigs = excludeGen.fold(base)(g => base.filter(col("gen") =!= g))
+      .drop("gen")
     if (!hasTombstones(spark, path)) sigs
     else sigs.join(
       broadcast(spark.read.parquet(s"$path/tombstones")

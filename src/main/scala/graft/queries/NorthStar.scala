@@ -8476,6 +8476,53 @@ object NorthStar {
         LexicalIndex.lexicalTopK(s, path, queryDocId = 3L, k = 10)
     },
 
+    // ----- n177: incremental dedup clusters with stable ids -------------
+    // The production question the band index's pairs feed: cluster
+    // assignments must stay EQUAL to a from-scratch batch clustering
+    // over the union corpus as batches arrive, with ids stable under
+    // growth (id = min member doc id — it only changes by genuine
+    // merge). ClusterRegistry builds on two thirds of the corpus, then
+    // ingests the last third — delta-sized: probe pairs collapse the
+    // corpus side to its CLUSTER id, CC runs over the (delta + touched
+    // clusters) graph, and merges APPEND re-mapping rows bounded by
+    // the absorbed clusters. The ingest is retried clean and replayed
+    // marker-less (the n174/n175 fault injection; the probe excludes
+    // the batch's own band generation so the replay is deterministic).
+    // Oracle: the n30 recursive transitive closure over the FULL
+    // corpus's exact-Jaccard pairs, singletons = own id.
+    QuerySpec(
+      "n177_cluster_registry",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/n177_registry"
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 2)
+        val delta = docs.filter(col("doc_id") % 3 === 2)
+        graft.operators.ClusterRegistry.build(
+          corpus, "doc_id", "text", path, threshold = 0.8)
+        graft.operators.ClusterRegistry.ingest(
+          corpus, delta, "doc_id", "text", path, batchId = "b1")
+        // clean retry, then a marker-less partial-failure replay
+        graft.operators.ClusterRegistry.ingest(
+          corpus, delta, "doc_id", "text", path, batchId = "b1")
+        new java.io.File(s"$path/_applied/b1").delete()
+        graft.operators.ClusterRegistry.ingest(
+          corpus, delta, "doc_id", "text", path, batchId = "b1")
+        graft.operators.ClusterRegistry.assignments(s, path)
+    },
+
     // ----- n175: band-index append under at-least-once retry ------------
     // The same fault injection for the LSH layout: append batch b1 is
     // retried clean AND replayed marker-less; a duplicated signature

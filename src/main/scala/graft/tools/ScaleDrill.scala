@@ -138,7 +138,7 @@ object ScaleDrill {
       "s44_band_forget", "s45_kmv_forget", "s46_lexical_autocompact",
       "s47_chunk_refresh", "n174_refresh_retry", "n175_band_append_retry",
       "n176_maintenance_interleave", "s48_ivf_refresh", "s49_ivf_forget",
-      "s50_band_point_probe")
+      "s50_band_point_probe", "n177_cluster_registry")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)
