@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
-import graft.operators.{BandIndex, ChunkStore, KmvLayout, LexicalIndex}
+import graft.operators.{BandIndex, ChunkStore, ClusterRegistry, KmvLayout, LexicalIndex}
 import graft.sources.Tables
 
 /** Build-vs-delta separation drill for the stored-index maintenance
@@ -104,6 +104,24 @@ object MaintenanceDrill {
         delta, "doc_id", "text", cs, batchId = "d1"))
       val sCs = timedCount(ChunkStore.generationStats(spark, cs))
       out += Row3("chunkstore(s42)", arm, bCs, rCs, sCs)
+
+      // cluster registry: build (batch clustering — the one-time cost
+      // ingest amortizes) / ingest(1× delta) / assignment fold; plus a
+      // SMALL-delta arm (1% of the 1× corpus) — the micro-batch shape
+      // a streaming ingest actually runs, isolating the delta term
+      // from the corpus-sized-but-narrow band join + assignment fold
+      val cr = s"$tag/registry"
+      val bCr = timed(ClusterRegistry.build(docs, "doc_id", "text", cr))
+      val rCr = timed(ClusterRegistry.ingest(
+        docs, delta, "doc_id", "text", cr, batchId = "d1"))
+      val sCr = timedCount(ClusterRegistry.assignments(spark, cr))
+      out += Row3("registry(n177)", arm, bCr, rCr, sCr)
+      val small = docs1.filter(col("doc_id") % 100 === 3)
+        .withColumn("doc_id", col("doc_id") + 3000000000L)
+      val rSmall = timed(ClusterRegistry.ingest(
+        docs, small, "doc_id", "text", cr, batchId = "d2"))
+      println(f"[maint] registry small-delta (1%%) $arm%-5s " +
+        f"ingest $rSmall%6.2fs")
     }
 
     // warmup on the 1× arm (codegen/JIT), then measure both arms
