@@ -168,7 +168,15 @@ case class SpaceSavingAgg(
     // but the emitted candidate set cuts back to the top `capacity` by
     // (est, key) — everything below the cut is below the presence
     // threshold (SketchesSpec's adversarial high-partition split
-    // asserts planted heavies survive the cut with their bounds)
+    // asserts planted heavies survive the cut with their bounds).
+    // SCOPE of that guarantee: the presence-through-the-cut argument is
+    // proved for Spark's TWO-LEVEL partial/final merge tree (the only
+    // shape this Catalyst aggregate ever runs under — law-tested at
+    // that shape); a deeper merge tree could in principle inflate a
+    // light key's error credit past a barely-heavy key's estimate and
+    // crowd it out of the final cut. Consumers that re-merge emitted
+    // summaries OUTSIDE Spark's aggregation (none today; n145 consumes
+    // eval output directly) must keep all 3·capacity entries instead.
     val rows = buf.entries.toSeq
       .sortBy { case (k, e) => (-e(0), k) }
       .take(capacity)

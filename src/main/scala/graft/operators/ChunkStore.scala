@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   *    the logical store is the plain union (no fold needed: a hash
   *    appears in exactly one generation under the single-writer
   *    contract);
-  *  - `manifest/` (doc_id, pos, chunk_h) partitioned by `gen`;
+  *  - `manifest/` (doc_id, pos, chunk_h, seq) partitioned by `gen` —
+  *    `seq` is the monotone generation NUMBER (derived from directory
+  *    metadata, retry-stable); [[reconstruct]] folds each doc to its
+  *    LATEST manifest, so re-ingesting an EDITED doc under its
+  *    existing doc_id is last-writer-wins (the edited-doc sync
+  *    workflow n169 measures) instead of silently merging two manifest
+  *    versions into one garbled reconstruction;
   *  - `meta/` one row (mask_bits) — self-describing (the LexicalIndex
   *    lesson: cut points from a disagreeing mask would produce valid-
   *    looking manifests whose chunks never match the store).
@@ -68,6 +74,7 @@ object ChunkStore {
       .withColumn("gen", lit(BaseGen))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/store")
     rows.select(col("doc_id"), col("pos"), col("chunk_h"))
+      .withColumn("seq", lit(0L))
       .withColumn("gen", lit(BaseGen))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/manifest")
     spark.range(1)
@@ -81,15 +88,31 @@ object ChunkStore {
     * that makes storage growth edit-sized. Idempotent per the
     * [[LsmLayout]] contract; the anti-join excludes the batch's own
     * generation so a partial-failure replay recomputes the identical
-    * new-chunk set. */
+    * new-chunk set.
+    *
+    * Doc-id semantics: NEW ids simply append; an EXISTING id (an
+    * edited doc re-synced under its identity) writes a new seq-stamped
+    * manifest that SUPERSEDES the old one at [[reconstruct]]
+    * (last-writer-wins). The superseded manifest's chunks stay in the
+    * store — content-addressed rows are shared by design; physical
+    * reclamation is a refcount sweep at a future compact, per the
+    * class doc. */
   def refresh(
       delta: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: String): Unit = {
+      path: String, batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (LsmLayout.isApplied(spark, path, batchId)) return
     val maskBits = spark.read.parquet(s"$path/meta")
       .head().getAs[Long]("mask_bits").toInt
+    // the manifest sequence number: committed-generation COUNT from
+    // directory metadata, excluding this batch's own (possibly
+    // partial) dir — monotone across batches (generations are never
+    // removed), identical under retry, no data read
+    val seq = LsmLayout
+      .generationNames(spark, s"$path/manifest")
+      .count(_ != batchId).toLong
     val rows = Materialize.shared(chunkRows(delta, idCol, textCol, maskBits))
     val cand = rows.groupBy(col("chunk_h"))
       .agg(min(col("chunk")).as("chunk"))
@@ -104,27 +127,46 @@ object ChunkStore {
       .select(col("chunk_h"))
       .join(broadcast(cand.select(col("chunk_h"))),
         Seq("chunk_h"), "left_semi")
-    cand
-      .join(broadcast(present), Seq("chunk_h"), "left_anti")
+    // eager-checkpoint the (delta-bounded) new-chunk set BEFORE the
+    // overwrite: its plan reads the same store path the write targets
+    // (the read-while-overwrite hazard every compact() checkpoints
+    // against) — own-partition exclusion plus dynamic-overwrite
+    // staging happens to make the self-read safe today, but the
+    // checkpoint removes the hazard class outright at delta cost
+    val (newChunks, ckIds, _) = IterationCheckpoint.localCounted(
+      cand.join(broadcast(present), Seq("chunk_h"), "left_anti"))
+    newChunks
       .withColumn("gen", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("gen")
       .parquet(s"$path/store")
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
     rows.select(col("doc_id"), col("pos"), col("chunk_h"))
+      .withColumn("seq", lit(seq))
       .withColumn("gen", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("gen")
       .parquet(s"$path/manifest")
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.markApplied(spark, path, batchId)
   }
 
-  /** Lossless reconstruction from the two stored tables: one
-    * manifest⋈store join + ordered rejoin per doc — (doc_id, n_chunks,
-    * text_md5), the s42 serving shape. */
-  def reconstruct(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/manifest").drop("gen")
+  /** Lossless reconstruction from the two stored tables: fold each doc
+    * to its LATEST manifest (one partitioned window over the narrow
+    * manifest — superseded versions of re-ingested docs drop here),
+    * then one manifest⋈store join + ordered rejoin per doc — (doc_id,
+    * n_chunks, text_md5), the s42 serving shape. */
+  def reconstruct(spark: SparkSession, path: String): DataFrame = {
+    val man = spark.read.parquet(s"$path/manifest").drop("gen")
+    val latest = man
+      .withColumn("graft__mx",
+        max(col("seq")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("seq") === col("graft__mx"))
+      .select(col("doc_id"), col("pos"), col("chunk_h"))
+    latest
       .join(spark.read.parquet(s"$path/store").drop("gen"), Seq("chunk_h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -132,6 +174,7 @@ object ChunkStore {
           transform(
             array_sort(collect_list(struct(col("pos"), col("chunk")))),
             x => x.getField("chunk")), " ")).as("text_md5"))
+  }
 
   /** Store-growth report: chunks and bytes per generation — what the
     * n169 chunk-delta claim is measured with. Metadata-sized output. */

@@ -168,10 +168,18 @@ object IvfLayout {
     * [[Similarity.nearestCell]] (bit-identical cells; law-tested). */
   private[graft] def probeCellsOf(
       spark: SparkSession, path: String,
-      query: Seq[Double], nprobe: Int): Seq[Int] =
-    centroidsOf(spark, path).zipWithIndex.map { case (c, i) =>
+      query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val cents = centroidsOf(spark, path)
+    // a wrong-dimension query would silently zip-truncate into a
+    // plausible-looking but wrong cell set (and a wrong cosine in
+    // topK's literal) — fail loudly instead
+    cents.headOption.foreach(c0 => require(query.length == c0.length,
+      s"query dimension ${query.length} != stored centroid dimension " +
+        s"${c0.length} at $path"))
+    cents.zipWithIndex.map { case (c, i) =>
       (c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum, i)
     }.sorted.take(nprobe).map(_._2)
+  }
 
   /** Cosine top-k served from the stored layout: the probe-cell set is
     * driver-side arithmetic on the nlist-row centroid table (the query

@@ -118,8 +118,12 @@ object MaintenanceDrill {
       out += Row3("registry(n177)", arm, bCr, rCr, sCr)
       val small = docs1.filter(col("doc_id") % 100 === 3)
         .withColumn("doc_id", col("doc_id") + 3000000000L)
+      // the corpus LEDGER must include every previously ingested batch
+      // (d1 here) — ingest rehydrates candidate text from it, so a
+      // stale ledger silently drops small-vs-d1 verify candidates
       val rSmall = timed(ClusterRegistry.ingest(
-        docs, small, "doc_id", "text", cr, batchId = "d2"))
+        docs.unionByName(delta), small, "doc_id", "text", cr,
+        batchId = "d2"))
       println(f"[maint] registry small-delta (1%%) $arm%-5s " +
         f"ingest $rSmall%6.2fs")
     }

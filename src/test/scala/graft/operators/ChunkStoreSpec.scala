@@ -43,6 +43,30 @@ class ChunkStoreSpec extends SparkTestBase {
       "refresh must never re-store a chunk the store already holds")
   }
 
+  test("re-ingesting an edited doc under its existing id is last-writer-wins") {
+    val p = "target/test_chunkstore/edit"
+    ChunkStore.build(corpus, "doc_id", "text", p)
+    // doc 7 edited (one token changed) and re-synced under the SAME id —
+    // the n169 edited-corpus workflow; doc 61 is a plain new doc
+    val edited = "w7 EDITED " + (9 until 37).map(j => s"w${j % 40}").mkString(" ")
+    val delta = Seq((7L, edited), (61L, "zz1 zz2 zz3")).toDF("doc_id", "text")
+    ChunkStore.refresh(delta, "doc_id", "text", p, batchId = "b1")
+    val rec = ChunkStore.reconstruct(spark, p)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val expect = corpus.filter(col("doc_id") =!= 7)
+      .unionByName(delta)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(rec === expect,
+      "reconstruct must serve the EDITED doc 7, not a merged garble")
+    // and the supersede survives a marker-less replay of the edit batch
+    new java.io.File(s"$p/_applied/b1").delete()
+    ChunkStore.refresh(delta, "doc_id", "text", p, batchId = "b1")
+    val rec2 = ChunkStore.reconstruct(spark, p)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(rec2 === expect)
+  }
+
   test("refresh is idempotent under clean retry and marker-less replay") {
     val p = "target/test_chunkstore/retry"
     val delta = corpus.filter(col("doc_id") % 2 === 1)

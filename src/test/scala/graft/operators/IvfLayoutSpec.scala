@@ -27,6 +27,15 @@ class IvfLayoutSpec extends SparkTestBase {
   private def queryVec: Seq[Double] =
     (0 until dim).map(j => math.cos(j * 0.21))
 
+  test("a wrong-dimension query fails loudly instead of zip-truncating") {
+    val p = "target/test_ivflayout/dimcheck"
+    IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
+    val e = intercept[IllegalArgumentException] {
+      IvfLayout.topK(spark, p, queryVec.take(dim - 2), nprobe = 2, k = 5)
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
   test("refresh == rebuild; retry and marker-less replay are no-ops") {
     val inc = "target/test_ivflayout/inc"
     val full = "target/test_ivflayout/full"
