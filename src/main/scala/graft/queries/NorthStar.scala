@@ -6299,10 +6299,19 @@ object NorthStar {
     // ----- n141: vocabulary coverage curve ------------------------------
     // The tokenizer-design question n26/n33 stop short of: how many
     // vocabulary entries cover 50/90/99% of the token stream? Exact
-    // integers throughout (cum·100 ≥ pct·total). The rank/cumsum
-    // window runs over the VOCAB relation, not the corpus — the same
-    // bounded-metadata argument as BpeTrainer's merge table; corpus-
-    // sized work is one token count with map-side partials.
+    // integers throughout (cum·100 ≥ pct·total). Scale shape (the
+    // n86/n90 histogram discipline): the type vocabulary GROWS with the
+    // corpus (Heaps' law), so no window may run over it — types are
+    // first grouped BY COUNT VALUE n (one vocab-sized agg with map-side
+    // partials), and the rank/cumulative window runs over the DISTINCT
+    // COUNT VALUES only: ≤ O(√total-tokens) rows by the partition-
+    // number bound (Σ of d distinct counts ≥ 1+2+…+d = d(d+1)/2), tiny
+    // in practice under Zipf. Within a count group ranks are contiguous
+    // and each rank adds the same n, so the minimal covering rank is
+    // closed-form integer arithmetic off the group's cumulative
+    // prefix: j = ⌈(pct·total − 100·prev_mass) / (100·n)⌉. Plan-pinned
+    // (QueryPlansSpec): the only window consumes the histogram
+    // aggregate, never a corpus-derived relation.
     QuerySpec(
       "n141_vocab_coverage",
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w
@@ -6323,24 +6332,33 @@ object NorthStar {
       val counts = t(s, d, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      val ord = Window.orderBy(col("n").desc, col("w"))
-      val ranked = counts
-        .withColumn("rk", row_number().over(ord))
-        .withColumn("cum", sum(col("n")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("rk"), col("cum"))
-      val total = counts.agg(sum(col("n")).as("total"))
+      val hist = counts.groupBy(col("n"))
+        .agg(count(lit(1)).as("graft__types"))
+      val ord = Window.orderBy(col("n").desc)
+      val h = hist
+        .withColumn("graft__cumt", sum(col("graft__types")).over(ord))
+        .withColumn("graft__cumm",
+          sum(col("graft__types") * col("n")).over(ord))
+        .withColumn("graft__pt", col("graft__cumt") - col("graft__types"))
+        .withColumn("graft__pm",
+          col("graft__cumm") - col("graft__types") * col("n"))
+      val total = hist.agg(sum(col("graft__types") * col("n")).as("total"))
       val pcts = s.range(1).select(
         explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
-      ranked
-        .crossJoin(broadcast(total))
+      h.crossJoin(broadcast(total))
         .crossJoin(broadcast(pcts))
-        .filter(col("cum") * 100 >= col("pct") * col("total"))
-        .groupBy(col("pct"))
-        .agg(min(col("rk")).as("k_tokens"),
-          min_by(col("cum"), col("rk")).as("covered"),
-          min(col("total")).as("total"))
-        .select(col("pct"), col("k_tokens"), col("covered"), col("total"))
+        // exactly one bracketing count group per pct: the first (in
+        // n-descending rank order) whose cumulative mass crosses the
+        // threshold
+        .filter(col("graft__cumm") * 100 >= col("pct") * col("total") &&
+          col("graft__pm") * 100 < col("pct") * col("total"))
+        .withColumn("graft__j",
+          expr("(pct * total - 100 * graft__pm + 100 * n - 1)" +
+            " div (100 * n)"))
+        .select(col("pct"),
+          (col("graft__pt") + col("graft__j")).as("k_tokens"),
+          (col("graft__pm") + col("graft__j") * col("n")).as("covered"),
+          col("total"))
     },
 
     // ----- n142: per-source quantile normalization ----------------------
@@ -6599,9 +6617,17 @@ object NorthStar {
     // off of: vocabulary ranked by frequency, rank binned by
     // ⌊log2 rank⌋+1 = length(bin(rk)) (the n90 integer-log trick — no
     // libm), per-bin type count, token mass and log-frequency mass
-    // Σ length(bin(f)). Corpus work is ONE grouped count; the
-    // rank/cumsum windows run over the VOCABULARY relation (bounded —
-    // the n141/BpeTrainer metadata argument).
+    // Σ length(bin(f)). Scale shape (the n141/n86 histogram
+    // discipline — the bigram type vocabulary grows even faster than
+    // the unigram one, so no window may run over it): types group BY
+    // COUNT VALUE first; the cumulative-rank window runs over the
+    // DISTINCT COUNT VALUES (≤ O(√total) rows); within a count group
+    // ranks are CONTIGUOUS [lo, hi], a run that overlaps ≤ 64 rank
+    // buckets, so each group explodes into its bucket overlaps
+    // (|[lo,hi] ∩ [2^(b−1), 2^b−1]| ranks per bucket b) and the curve
+    // is one tiny grouped agg over those overlap rows — every per-type
+    // quantity (n, length(bin(n))) is constant within a group, so the
+    // overlap COUNT carries all of it. Plan-pinned like n141.
     QuerySpec(
       "n146_zipf_curve",
       s"""WITH $bigramCteSql,
@@ -6620,13 +6646,28 @@ object NorthStar {
           p => concat(p.getField("w1"), lit(" "), p.getField("w2"))))
           .as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      counts
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("n").desc, col("w"))))
-        .groupBy(length(bin(col("rk"))).cast("long").as("rank_bucket"))
-        .agg(count(lit(1)).as("n_types"),
-          sum(col("n")).as("token_mass"),
-          sum(length(bin(col("n"))).cast("long")).as("log_freq_mass"))
+      val hist = counts.groupBy(col("n"))
+        .agg(count(lit(1)).as("graft__types"))
+      val h = hist
+        .withColumn("graft__cumt",
+          sum(col("graft__types")).over(Window.orderBy(col("n").desc)))
+        .withColumn("graft__lo",
+          col("graft__cumt") - col("graft__types") + 1)
+        // the group's contiguous rank run [lo, cumt] spans the buckets
+        // length(bin(lo)) .. length(bin(cumt)) — ≤ 64 rows per group
+        .withColumn("graft__b",
+          explode(sequence(length(bin(col("graft__lo"))),
+            length(bin(col("graft__cumt"))))))
+        .withColumn("graft__bl",
+          expr("shiftleft(CAST(1 AS BIGINT), graft__b - 1)"))
+        .withColumn("graft__ov",
+          least(col("graft__cumt"), col("graft__bl") * 2 - 1) -
+            greatest(col("graft__lo"), col("graft__bl")) + 1)
+      h.groupBy(col("graft__b").cast("long").as("rank_bucket"))
+        .agg(sum(col("graft__ov")).as("n_types"),
+          sum(col("graft__ov") * col("n")).as("token_mass"),
+          sum(col("graft__ov") * length(bin(col("n"))).cast("long"))
+            .as("log_freq_mass"))
     },
 
     // ----- n147: URL canonicalization dedup (crawl-frontier staple) -----

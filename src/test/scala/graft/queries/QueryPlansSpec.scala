@@ -1069,6 +1069,44 @@ class QueryPlansSpec extends SparkTestBase {
     }
   }
 
+  test("n141 vocab coverage: no window over a corpus-derived relation — histogram only") {
+    val plan = finalPlan(q("n141_vocab_coverage"))
+    // the type vocabulary grows with the corpus (Heaps' law): every
+    // window must consume the count-histogram AGGREGATE's output
+    // column, never the per-type relation — a global rank window over
+    // types is the one-reducer funnel this shape exists to kill
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, s"no window:\n$plan")
+    winLines.foreach { l =>
+      assert(l.contains("windowspecdefinition(n#"),
+        s"window must order over the DISTINCT COUNT VALUES (the " +
+          s"histogram key), not the per-type relation:\n$l")
+      assert(!l.contains("w#"),
+        s"window references the per-type relation:\n$l")
+    }
+    assert(winLines.exists(_.contains("graft__types#")),
+      s"window must consume the histogram aggregate's output:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"no per-type ranking window belongs in this plan:\n$plan")
+  }
+
+  test("n146 zipf curve: no window over a corpus-derived relation — histogram only") {
+    val plan = finalPlan(q("n146_zipf_curve"))
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, s"no window:\n$plan")
+    winLines.foreach { l =>
+      assert(l.contains("windowspecdefinition(n#"),
+        s"window must order over the DISTINCT COUNT VALUES (the " +
+          s"histogram key), not the per-type relation:\n$l")
+      assert(!l.contains("w#"),
+        s"window references the per-type relation:\n$l")
+    }
+    assert(winLines.exists(_.contains("graft__types#")),
+      s"window must consume the histogram aggregate's output:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"no per-type ranking window belongs in this plan:\n$plan")
+  }
+
   test("n150 feature hash: tokens hash at the scan — no token text in exchanges") {
     val plan = finalPlan(q("n150_feature_hash"))
     val exchangeLines = plan.linesIterator
