@@ -107,7 +107,8 @@ object BandIndex {
       textCol: String,
       path: String,
       batchId: String,
-      compactAfterGenerations: Int = 0): Unit = {
+      compactAfterGenerations: Int = 0,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
@@ -127,6 +128,7 @@ object BandIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("gen", "band")
         .parquet(s"$path/postings")
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
     }
     // file-count hygiene under continuous ingest (the s46 policy):
@@ -152,7 +154,8 @@ object BandIndex {
       forgetIds: DataFrame,
       idCol: String,
       path: String,
-      batchId: String): Unit = {
+      batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = forgetIds.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     val gen = s"ts-$batchId"
@@ -173,6 +176,7 @@ object BandIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(s"$path/tombstones")
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.markApplied(spark, path, gen)
     IterationCheckpoint.release(spark.sparkContext, ckIds)
   }

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   *  - `band/` — a [[BandIndex]] over everything ingested (the probe
-  *    side of each batch);
+  *    side of each batch); shares the registry's tombstone/compact
+  *    lifecycle below;
   *  - `assignments/` (doc_id, cluster_id, gen) partitioned by `batch`
-  *    — LSM: a merge APPENDS re-mapping rows for the absorbed
-  *    cluster's members (bounded by the absorbed cluster, not the
-  *    corpus); reads fold to the latest generation per doc.
+  *    — LSM: the `base` generation holds ≤1 row per doc (the build, or
+  *    the last [[compact]]'s fold); every ingest APPENDS a generation
+  *    of delta assignments plus re-mapping rows for absorbed clusters
+  *    (bounded by the absorbed clusters, not the corpus). Reads fold
+  *    base + the recent-generation overlay (see [[assignments]]);
+  *  - `tombstones/` (doc_id) partitioned by delete batch — the forget
+  *    set every read anti-joins (the s40/s45 GDPR discipline);
+  *    [[compact]] drops the rows physically.
   *
   * Ingest algebra (exact, not heuristic): the delta's near-dup pairs
   * against the indexed corpus collapse the corpus side to its CLUSTER
@@ -32,7 +38,31 @@ import org.apache.spark.sql.functions._
   * Untouched clusters never appear in the graph, so their rows are
   * never rewritten. Gated: n177 proves build∘ingest(with retry AND
   * marker-less replay) ≡ the batch recursive-closure clustering over
-  * the union corpus, singletons included.
+  * the union corpus, singletons included; n178 gates the multi-batch
+  * foreachBatch loop shape (with a mid-stream replay) and
+  * ClusterRegistrySpec drives the real MemoryStream loop.
+  *
+  * DELETION SEMANTICS (the stable-id design question, pinned): a
+  * forgotten doc's assignment row and its band postings/signatures are
+  * tombstoned at once ([[forget]]) and dropped physically at
+  * [[compact]] — the per-doc facts a GDPR request targets are gone
+  * from every serving path immediately. Cluster TOPOLOGY, however, is
+  * retained:
+  *  - ids are NOT re-minted when the min-member doc is forgotten — id
+  *    stability is the operator's contract (downstream joins key on
+  *    it); a cluster id is an opaque stable token that need not name a
+  *    live member. [[canonicalAssignments]] serves the live-member
+  *    naming (min REMAINING member) when a rebuild-comparable view is
+  *    needed.
+  *  - merges established through a later-forgotten doc are NOT
+  *    re-split: transitive-closure evidence is monotone, and
+  *    tombstone-at-read cannot split a component (splitting would need
+  *    the forgotten doc's pair evidence — exactly the data deletion
+  *    removed). The serve contract is therefore: the partition of
+  *    SURVIVORS equals the closure over everything ever ingested,
+  *    restricted to survivors — which is what the s52 oracle computes
+  *    closed-form, and what ClusterRegistrySpec's bridge fixture pins
+  *    as the documented divergence from a from-scratch rebuild.
   *
   * Idempotent per the [[LsmLayout]] contract; the probe excludes the
   * batch's own band generation (a crashed first attempt may have
@@ -44,15 +74,24 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: per batch — delta-sized sketching, a band join
   * against pruned posting partitions, candidate-sized verify,
   * CC over a (delta + touched clusters)-sized graph, and appends
-  * bounded by |delta| + |absorbed clusters|. Nothing corpus-sized is
-  * read except the band join's narrow posting stream.
+  * bounded by |delta| + |absorbed clusters|. The registry fold reads
+  * the compacted base WITHOUT re-shuffling it (the recent overlay
+  * anti-joins as a broadcast), so per-ingest fold cost is
+  * delta+merge-sized; `compactAfterGenerations` bounds how large the
+  * overlay can grow (size the policy to the broadcast budget). The
+  * generation number derives from directory metadata (one listStatus),
+  * never a data scan.
   */
 object ClusterRegistry {
+
+  private val BaseBatch = "base"
 
   def build(
       docs: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.8): Unit = {
     val spark = docs.sparkSession
+    // a rebuild starts a fresh index life (the LexicalIndex discipline)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
     BandIndex.build(docs, idCol, textCol, s"$path/band")
     val comp = DedupClusters.components(
@@ -64,7 +103,7 @@ object ClusterRegistry {
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
       .withColumn("gen", lit(0L))
-      .withColumn("batch", lit("base"))
+      .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$path/assignments")
     spark.range(1)
@@ -72,35 +111,97 @@ object ClusterRegistry {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** The current assignment: latest generation per doc. One narrow
-    * aggregate over (doc_id, cluster_id, gen) rows. */
+  /** The current assignment of every SURVIVING doc. Read shape: the
+    * compacted `base` generation already holds ≤1 row per doc, so only
+    * the recent (post-compact) generations need the latest-wins fold —
+    * a delta+merge-sized aggregate whose doc ids then anti-join the
+    * base scan as a BROADCAST (the ChunkStore.refresh membership
+    * discipline: the corpus-sized base never enters an exchange).
+    * Tombstoned docs are dropped from every read. */
   def assignments(spark: SparkSession, path: String): DataFrame =
     assignmentsScoped(spark, path, None)
 
   private def assignmentsScoped(
       spark: SparkSession, path: String,
       excludeBatch: Option[String]): DataFrame = {
-    val base = spark.read.parquet(s"$path/assignments")
-    excludeBatch.fold(base)(b => base.filter(col("batch") =!= b))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("gen"), col("cluster_id"))).as("graft__l"))
-      .select(col("doc_id"), col("graft__l.cluster_id").as("cluster_id"))
+    val dir = s"$path/assignments"
+    // committed generation NAMES from directory metadata — also what
+    // keeps the recent-overlay scan pinned to the non-base partitions
+    val recentNames = LsmLayout.generationNames(spark, dir, "batch=")
+      .filterNot(_ == BaseBatch)
+      .filterNot(excludeBatch.contains)
+    val base = spark.read.parquet(dir)
+      .filter(col("batch") === BaseBatch)
+      .select(col("doc_id"), col("cluster_id"))
+    val folded =
+      if (recentNames.isEmpty) base
+      else {
+        val overlay = Materialize.shared(
+          spark.read.parquet(dir)
+            .filter(col("batch").isin(recentNames: _*))
+            .groupBy(col("doc_id"))
+            .agg(max(struct(col("gen"), col("cluster_id"))).as("graft__l"))
+            .select(col("doc_id"),
+              col("graft__l.cluster_id").as("cluster_id")))
+        base
+          .join(broadcast(overlay.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .unionByName(overlay)
+      }
+    if (!hasTombstones(spark, path)) folded
+    else folded.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The rebuild-comparable naming view: every cluster renamed to its
+    * min SURVIVING member. [[assignments]]'s raw ids are the stable
+    * tokens downstream joins key on; this view is what compares
+    * against a from-scratch clustering (the s52 oracle) after deletes
+    * may have forgotten a cluster's original min member. One
+    * clusters-keyed agg + an equi-join that reuses its exchange. */
+  def canonicalAssignments(spark: SparkSession, path: String): DataFrame = {
+    val a = Materialize.shared(assignments(spark, path))
+    val canon = a.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("graft__canon"))
+    a.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("graft__canon").as("cluster_id"))
   }
 
   /** Ingest one batch: assign every delta doc a cluster id and merge
-    * any corpus clusters the delta bridges. Doc ids must be new (the
-    * re-ingest contract shared with the other layouts). */
+    * any corpus clusters the delta bridges.
+    *
+    * CONTRACTS: delta doc ids must be NEW (the re-ingest contract
+    * shared with the other layouts), and `corpus` is the text LEDGER
+    * candidate verification rehydrates from — it must contain every
+    * previously ingested batch (base build set + all prior deltas); a
+    * candidate id absent from the ledger silently drops its pair at
+    * the exact-verify join. Forgotten docs may be present or absent —
+    * their ids never surface as candidates (band tombstones).
+    * `compactAfterGenerations` (0 = off) triggers [[compact]] when the
+    * committed generation count exceeds the threshold (the s46
+    * policy). `writerEpoch` is the [[LsmLayout]] single-writer fence.
+    */
   def ingest(
       corpus: DataFrame, delta: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: String): Unit = {
+      path: String, batchId: String,
+      compactAfterGenerations: Int = 0,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
       val threshold = spark.read.parquet(s"$path/meta")
         .head().getAs[Double]("threshold")
-      val nextGen = spark.read.parquet(s"$path/assignments")
-        .filter(col("batch") =!= batchId)
-        .agg(max(col("gen"))).head().getLong(0) + 1L
+      // the generation number = committed-generation count from
+      // directory metadata, excluding this batch's own (possibly
+      // partial) dir — monotone (dirs only vanish at compact, which
+      // folds every live gen into base gen 0 and resets the count),
+      // identical under retry, and never a data scan (the KMV
+      // max(gen) derivation, made metadata-sized)
+      val nextGen = LsmLayout
+        .generationNames(spark, s"$path/assignments", "batch=")
+        .count(_ != batchId).toLong
       // the registry state as of BEFORE this batch: a marker-less
       // replay would otherwise read its own (possibly partial) first
       // attempt's generation — e.g. an already-applied merge re-map —
@@ -141,17 +242,97 @@ object ClusterRegistry {
       val remapRows = reg
         .join(broadcast(remapTargets), Seq("cluster_id"))
         .select(col("doc_id"), col("comp").as("cluster_id"))
-      deltaAssign.unionByName(remapRows)
+      // eager-checkpoint the (delta+absorbed-sized) generation BEFORE
+      // the overwrite: its plan reads the same assignments path the
+      // write targets (own-partition exclusion + dynamic-overwrite
+      // staging happens to make the self-read safe, but the
+      // checkpoint removes the read-while-overwrite hazard class
+      // outright — the compact() discipline, at delta cost)
+      val (genRows, ckIds, _) = IterationCheckpoint.localCounted(
+        deltaAssign.unionByName(remapRows))
+      genRows
         .withColumn("gen", lit(nextGen))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(s"$path/assignments")
+      IterationCheckpoint.release(spark.sparkContext, ckIds)
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
     }
     // the next batch must see this one in the band index (its own
     // idempotency marker lives inside BandIndex)
-    BandIndex.append(delta, idCol, textCol, s"$path/band", batchId)
+    BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
+      writerEpoch = writerEpoch)
+    // file-count + overlay-size hygiene (the s46 policy): the fold's
+    // broadcast overlay grows with every generation until a compact
+    // folds it into base — one listStatus, no data read
+    if (compactAfterGenerations > 0 &&
+      LsmLayout.generationCount(spark, s"$path/assignments", "batch=") >
+        compactAfterGenerations)
+      compact(spark, path)
   }
+
+  /** Right-to-be-forgotten deletes: tombstone the doc's assignment row
+    * AND its band postings/signatures in one call — forget-set-sized
+    * work; every serving path (the fold, the canonical view, the next
+    * ingest's probe and remap) is blind to the doc immediately, and
+    * [[compact]] drops the rows physically. Ids/topology retention is
+    * the class-doc contract. Idempotent at both levels. */
+  def forget(
+      forgetIds: DataFrame, idCol: String,
+      path: String, batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val spark = forgetIds.sparkSession
+    LsmLayout.requireValidBatchId(batchId)
+    val gen = s"ts-$batchId"
+    if (!LsmLayout.isApplied(spark, path, gen)) {
+      val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
+      val fresh =
+        if (!hasTombstones(spark, path)) ids
+        else ids.join(
+          broadcast(spark.read.parquet(s"$path/tombstones")
+            .filter(col("batch") =!= batchId)
+            .select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
+      if (nForget > 0L)
+        forget
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(s"$path/tombstones")
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+      LsmLayout.markApplied(spark, path, gen)
+      IterationCheckpoint.release(spark.sparkContext, ckIds)
+    }
+    // the probe side must forget too (its own marker, under band/)
+    BandIndex.tombstone(forgetIds, idCol, s"$path/band", batchId,
+      writerEpoch = writerEpoch)
+  }
+
+  /** Fold the assignment log back to one `base` generation (≤1 row per
+    * doc, gen reset to 0 — the generation counter restarts with the
+    * directory count) and drop tombstoned docs physically, here and in
+    * the internal band index. Applied markers are KEPT (a late retry
+    * of a folded batch must still no-op); the forget-set is cleared.
+    * Restores the read fold to its cheapest shape: base-only, no
+    * overlay. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (rows, ckIds, _) = IterationCheckpoint.localCounted(
+      assignments(spark, path))
+    rows
+      .withColumn("gen", lit(0L))
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$path/assignments")
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    BandIndex.compact(spark, s"$path/band")
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    LsmLayout.dirExists(spark, s"$path/tombstones")
 }

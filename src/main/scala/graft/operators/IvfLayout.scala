@@ -81,7 +81,8 @@ object IvfLayout {
   def refresh(
       delta: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: String,
-      compactAfterGenerations: Int = 0): Unit = {
+      compactAfterGenerations: Int = 0,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
@@ -94,6 +95,7 @@ object IvfLayout {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("gen", "cell")
         .parquet(s"$path/vectors")
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
     }
     if (compactAfterGenerations > 0 &&
@@ -108,7 +110,8 @@ object IvfLayout {
     * per-id facts, no stored aggregate to correct). */
   def tombstone(
       forgetIds: DataFrame, idCol: String,
-      path: String, batchId: String): Unit = {
+      path: String, batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = forgetIds.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     val gen = s"ts-$batchId"
@@ -129,6 +132,7 @@ object IvfLayout {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(s"$path/tombstones")
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.markApplied(spark, path, gen)
     IterationCheckpoint.release(spark.sparkContext, ckIds)
   }

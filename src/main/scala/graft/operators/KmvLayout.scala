@@ -97,7 +97,8 @@ object KmvLayout {
   def refresh(
       delta: DataFrame, groupCol: String, idCol: String, textCol: String,
       path: String, batchId: String,
-      compactAfterGenerations: Int = 0): Unit = {
+      compactAfterGenerations: Int = 0,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
@@ -115,6 +116,7 @@ object KmvLayout {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(s"$path/sketches")
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
     }
     // file-count hygiene (the s46 policy); collapses time-travel
@@ -138,7 +140,8 @@ object KmvLayout {
     * overwrites itself; committed batch no-ops on its marker). */
   def tombstone(
       forgetIds: DataFrame, idCol: String,
-      path: String, batchId: String): Unit = {
+      path: String, batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = forgetIds.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     val gen = s"ts-$batchId"
@@ -159,6 +162,7 @@ object KmvLayout {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(s"$path/tombstones")
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.markApplied(spark, path, gen)
     IterationCheckpoint.release(spark.sparkContext, ckIds)
   }

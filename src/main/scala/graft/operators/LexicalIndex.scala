@@ -284,7 +284,8 @@ object LexicalIndex {
       textCol: String,
       path: String,
       batchId: String,
-      compactAfterGenerations: Int = 0): Unit = {
+      compactAfterGenerations: Int = 0,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     requireValidBatchId(batchId)
     if (!isApplied(spark, path, batchId)) {
@@ -322,6 +323,7 @@ object LexicalIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("gen")
         .parquet(s"$path/meta")
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       markApplied(spark, path, batchId)
     }
     if (compactAfterGenerations > 0 &&
@@ -364,7 +366,8 @@ object LexicalIndex {
       idCol: String,
       textCol: String,
       path: String,
-      batchId: String): Unit = {
+      batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
     val spark = forgetDocs.sparkSession
     requireValidBatchId(batchId)
     val gen = s"ts-$batchId"
@@ -413,6 +416,7 @@ object LexicalIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("gen")
       .parquet(s"$path/meta")
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     markApplied(spark, path, gen)
     IterationCheckpoint.release(spark.sparkContext, ids)
   }

@@ -8608,5 +8608,158 @@ object NorthStar {
         BandIndex.probe(
           docs.unionByName(delta1), delta2,
           "doc_id", "text", path, threshold = 0.8)
+    },
+
+    // ----- s51: registry auto-compaction under continuous ingest --------
+    // The s46 policy applied to the LAST layout that lacked it: the
+    // registry's read fold is base + a recent-generation overlay that
+    // grows with every ingest and merge until a compact folds it — so
+    // the lifecycle gate drives build → three ingests with
+    // compactAfterGenerations = 2 (the policy fires mid-sequence,
+    // folding assignments AND the internal band index while later
+    // batches still land on top) and proves the served assignment
+    // equals the from-scratch batch closure over the union corpus.
+    // The generation counter restarting on the folded base (gen 0,
+    // dir count 1) is part of what this gates: a collision between
+    // pre- and post-compact generation numbers would corrupt the
+    // latest-wins overlay fold.
+    QuerySpec(
+      "s51_registry_autocompact",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/s51_registry"
+        val docs = t(s, d, "documents")
+        graft.operators.ClusterRegistry.build(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path,
+          threshold = 0.8)
+        (1 to 3).foreach { r =>
+          graft.operators.ClusterRegistry.ingest(
+            docs.filter(col("doc_id") % 4 < r),
+            docs.filter(col("doc_id") % 4 === r),
+            "doc_id", "text", path, batchId = s"b$r",
+            compactAfterGenerations = 2)
+        }
+        // base+b1+b2 = 3 dirs > 2 tripped the policy at b2; b3 lands on
+        // the folded base -> 2 generation dirs after the loop
+        require(graft.operators.LsmLayout.generationCount(
+          s, s"$path/assignments", "batch=") == 2,
+          "registry auto-compaction did not fire mid-sequence")
+        graft.operators.ClusterRegistry.assignments(s, path)
+    },
+
+    // ----- s52: right-to-be-forgotten deletes in the cluster registry ---
+    // The registry stores exactly the per-doc fact a GDPR request
+    // targets. forget() tombstones the doc's assignment row AND its
+    // band postings/signatures in one call — gone from the fold, the
+    // canonical view, and every future ingest's probe immediately;
+    // compact drops them physically. The DESIGN DECISION this gates
+    // (the stable-id-under-deletion question): ids are retained (a
+    // cluster id is an opaque stable token, not necessarily a live
+    // member) and established merges are retained (closure evidence
+    // is monotone; splitting would need the deleted doc's pair
+    // evidence back). The oracle therefore computes the closure over
+    // EVERYTHING EVER INGESTED, restricted to survivors, renamed to
+    // each group's min surviving member — which is exactly what
+    // canonicalAssignments serves; ClusterRegistrySpec's bridge
+    // fixture pins the divergence from a from-scratch rebuild where
+    // it exists.
+    QuerySpec(
+      "s52_registry_forget",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id,
+         |          coalesce(c.component, d.doc_id) AS cid
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |rem AS (SELECT doc_id, cid FROM asg WHERE doc_id % 11 <> 5),
+         |canon AS (SELECT cid, min(doc_id) AS canon FROM rem GROUP BY cid)
+         |SELECT r.doc_id, CAST(c.canon AS BIGINT) AS cluster_id
+         |FROM rem r JOIN canon c USING (cid)""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s52_registry"
+      val docs = t(s, d, "documents")
+      graft.operators.ClusterRegistry.build(
+        docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", path,
+        threshold = 0.8)
+      graft.operators.ClusterRegistry.ingest(
+        docs, docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", path, batchId = "b1")
+      // the delete spans the build AND ingest generations, and lands
+      // AFTER merges it may have contributed to (retained by contract)
+      graft.operators.ClusterRegistry.forget(
+        docs.filter(col("doc_id") % 11 === 5).select("doc_id"),
+        "doc_id", path, batchId = "d1")
+      graft.operators.ClusterRegistry.canonicalAssignments(s, path)
+    },
+
+    // ----- n178: registry maintenance as the foreachBatch loop ----------
+    // n177 gates ONE ingest with fault injection; this is the batch
+    // spelling of the DEPLOYED shape — a multi-micro-batch foreachBatch
+    // loop (build on the first batch, ingest each next, corpus ledger
+    // growing batch by batch) with a marker-less replay of the
+    // IN-FLIGHT batch mid-stream (foreachBatch retries the current
+    // micro-batch; both the registry marker and the band marker are
+    // lost, so the replay re-derives the generation number, re-probes
+    // with its own partial band generation excluded, and the dynamic
+    // overwrite replaces both layouts' generations). The oracle is the
+    // batch closure over the union corpus — stream-shaped maintenance
+    // must be invisible in the answer; ClusterRegistrySpec drives the
+    // SAME loop through a real MemoryStream/foreachBatch query.
+    QuerySpec(
+      "n178_stream_registry_parity",
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/n178_registry"
+        val docs = t(s, d, "documents")
+        graft.operators.ClusterRegistry.build(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", path,
+          threshold = 0.8)
+        (1 to 4).foreach { r =>
+          graft.operators.ClusterRegistry.ingest(
+            docs.filter(col("doc_id") % 5 < r),
+            docs.filter(col("doc_id") % 5 === r),
+            "doc_id", "text", path, batchId = s"mb-$r")
+          if (r == 2) {
+            // the in-flight micro-batch fails AFTER its writes but
+            // BEFORE its markers — foreachBatch re-delivers it whole
+            new java.io.File(s"$path/_applied/mb-2").delete()
+            new java.io.File(s"$path/band/_applied/mb-2").delete()
+            graft.operators.ClusterRegistry.ingest(
+              docs.filter(col("doc_id") % 5 < 2),
+              docs.filter(col("doc_id") % 5 === 2),
+              "doc_id", "text", path, batchId = "mb-2")
+          }
+        }
+        graft.operators.ClusterRegistry.assignments(s, path)
     })
 }

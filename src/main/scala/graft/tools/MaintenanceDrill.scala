@@ -126,6 +126,21 @@ object MaintenanceDrill {
         batchId = "d2"))
       println(f"[maint] registry small-delta (1%%) $arm%-5s " +
         f"ingest $rSmall%6.2fs")
+      // the compact lifecycle: fold the log to base, then show what the
+      // compacted shape buys — the read fold (base-only, no overlay)
+      // and a second small ingest whose registry fold term is now
+      // delta+merge-sized (base anti-joins a broadcast overlay instead
+      // of re-shuffling corpus-sized assignments)
+      val cCr = timed(ClusterRegistry.compact(spark, cr))
+      val sCr2 = timedCount(ClusterRegistry.assignments(spark, cr))
+      val small2 = docs1.filter(col("doc_id") % 100 === 7)
+        .withColumn("doc_id", col("doc_id") + 4000000000L)
+      val rSmall2 = timed(ClusterRegistry.ingest(
+        docs.unionByName(delta).unionByName(small), small2,
+        "doc_id", "text", cr, batchId = "d3"))
+      println(f"[maint] registry compact $arm%-5s wall $cCr%6.2fs  " +
+        f"post-compact fold $sCr2%6.2fs  " +
+        f"post-compact small ingest $rSmall2%6.2fs")
     }
 
     // warmup on the 1× arm (codegen/JIT), then measure both arms

@@ -138,7 +138,12 @@ object ScaleDrill {
       "s44_band_forget", "s45_kmv_forget", "s46_lexical_autocompact",
       "s47_chunk_refresh", "n174_refresh_retry", "n175_band_append_retry",
       "n176_maintenance_interleave", "s48_ivf_refresh", "s49_ivf_forget",
-      "s50_band_point_probe", "n177_cluster_registry")
+      "s50_band_point_probe", "n177_cluster_registry",
+      // round-13 additions: the registry's own lifecycle (autocompact,
+      // GDPR forget, the multi-batch foreachBatch loop with a
+      // mid-stream replay)
+      "s51_registry_autocompact", "s52_registry_forget",
+      "n178_stream_registry_parity")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)

@@ -212,6 +212,52 @@ class BandIndexSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("pointProbe partition pruning holds before AND after a compact") {
+    import spark.implicits._
+    val path = "target/test_bandindex/probecompact"
+    BandIndex.build(corpus, "doc_id", "text", path)
+    BandIndex.append(Seq((601L, words(20, "d"))).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = "b1")
+    val qt = words(20, "b") + " zzz"
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+      }.flatten
+    // the serve latency rides the (gen, band) partitioning: the probe's
+    // band predicate must prune AT THE CATALOG to ≤ bands partitions
+    // per generation — and compact must not break the property (it
+    // rewrites the layout; a partitioning regression there would only
+    // surface at scale as a full postings scan)
+    def probedPartitions(): (Long, Int) = {
+      val df = BandIndex.pointProbe(corpus, "doc_id", "text", path, qt, 0.8)
+      df.collect()
+      val scans = allScans(df.queryExecution.executedPlan)
+        .filter(_.metadata("Location").contains("probecompact/postings"))
+      assert(scans.nonEmpty, "probe must scan the stored postings")
+      scans.foreach { sc =>
+        assert(sc.metadata("PartitionFilters").contains("band"),
+          s"band pruning lost: ${sc.metadata("PartitionFilters")}")
+      }
+      (scans.map(_.selectedPartitions.partitionCount.toLong).sum,
+        LsmLayout.generationCount(spark, s"$path/postings"))
+    }
+    val bands = 16 // the build default
+    val (preParts, preGens) = probedPartitions()
+    assert(preGens === 2)
+    assert(preParts <= bands.toLong * preGens,
+      s"pre-compact probe read $preParts partitions > bands x gens")
+    BandIndex.compact(spark, path)
+    val (postParts, postGens) = probedPartitions()
+    assert(postGens === 1)
+    assert(postParts <= bands.toLong,
+      s"post-compact probe read $postParts partitions > bands")
+  }
+
   test("probe scans of the stored index read only narrow columns, never text") {
     import spark.implicits._
     val path = "target/test_bandindex/plan"

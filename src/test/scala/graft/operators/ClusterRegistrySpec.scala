@@ -83,6 +83,103 @@ class ClusterRegistrySpec extends SparkTestBase {
       "a replayed ingest must replace its generation, not append")
   }
 
+  test("forget removes the doc from every serving path; ids stay stable; canonical renames") {
+    val p = "target/test_clusterreg/forget"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    // forget doc 1 — the MIN member of cluster {1, 2}
+    ClusterRegistry.forget(Seq(1L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    // the raw id is a stable token: doc 2 KEEPS cluster_id 1 even
+    // though doc 1 is gone (downstream joins key on it)
+    assert(assigned(p) === Map(2L -> 1L, 3L -> 3L, 4L -> 4L))
+    // the canonical view names clusters by their min SURVIVING member
+    val canon = ClusterRegistry.canonicalAssignments(spark, p)
+      .as[(Long, Long)].collect().toMap
+    assert(canon === Map(2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // the probe side forgot too: a new doc that near-dups ONLY the
+    // forgotten doc 1 (J(1,2)=0.8 means a copy of doc 1's text also
+    // hits doc 2 — use doc 4's unrelated run instead) lands a singleton
+    ClusterRegistry.forget(Seq(4L).toDF("doc_id"), "doc_id", p,
+      batchId = "d2")
+    val like4 = Seq((30L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    ClusterRegistry.ingest(corpus, like4, "doc_id", "text", p,
+      batchId = "b1")
+    assert(assigned(p) === Map(2L -> 1L, 3L -> 3L, 30L -> 30L),
+      "an exact copy of a forgotten doc must not pair with it")
+  }
+
+  test("bridge divergence pin: forgetting a bridge does NOT re-split the merged cluster") {
+    val p = "target/test_clusterreg/bridge"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+      batchId = "b1") // doc 10 bridges {1,2} and {3} -> all cluster 1
+    ClusterRegistry.forget(Seq(10L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    // the DOCUMENTED divergence from rebuild-on-remaining: closure
+    // evidence is monotone — the survivors stay one cluster even
+    // though a from-scratch rebuild over {1,2,3,4} would split 3 off.
+    // (The s52 oracle computes exactly this retained-topology answer.)
+    assert(assigned(p) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    val rebuilt = "target/test_clusterreg/bridge_rebuilt"
+    ClusterRegistry.build(corpus, "doc_id", "text", rebuilt,
+      threshold = 0.8)
+    assert(assigned(rebuilt)(3L) === 3L,
+      "fixture must make the divergence real: rebuild splits doc 3 off")
+  }
+
+  test("compact drops forgotten docs physically (assignments AND band) and folds generations") {
+    val p = "target/test_clusterreg/compact"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+      batchId = "b1")
+    ClusterRegistry.forget(Seq(2L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    val want = assigned(p)
+    ClusterRegistry.compact(spark, p)
+    assert(assigned(p) === want, "compact must not change the answer")
+    // physical drops: no doc-2 row anywhere, no tombstone dirs left,
+    // one folded generation, ≤1 row per doc
+    val raw = spark.read.parquet(s"$p/assignments")
+    assert(raw.filter(col("doc_id") === 2L).count() === 0L)
+    assert(raw.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(LsmLayout.generationCount(spark, s"$p/assignments", "batch=") === 1)
+    assert(!LsmLayout.dirExists(spark, s"$p/tombstones"))
+    assert(BandIndex.postings(spark, s"$p/band")
+      .filter(col("doc_id") === 2L).count() === 0L)
+    assert(!LsmLayout.dirExists(spark, s"$p/band/tombstones"))
+    // the generation counter restarts consistently: a post-compact
+    // ingest lands gen 1 on top of the folded gen-0 base
+    val more = Seq((40L, (1 to 20).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    ClusterRegistry.ingest(
+      corpus.unionByName(delta), more, "doc_id", "text", p, batchId = "b2")
+    assert(assigned(p) === want + (40L -> 40L))
+  }
+
+  test("auto-compaction fires mid-sequence inside ingest") {
+    val p = "target/test_clusterreg/autocompact"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    def lone(id: Long, tag: String) =
+      Seq((id, (1 to 20).map(i => s"$tag$i").mkString(" ")))
+        .toDF("doc_id", "text")
+    var ledger = corpus
+    Seq((50L, "p"), (51L, "q"), (52L, "r")).zipWithIndex.foreach {
+      case ((id, tag), i) =>
+        val d = lone(id, tag)
+        ClusterRegistry.ingest(ledger, d, "doc_id", "text", p,
+          batchId = s"b${i + 1}", compactAfterGenerations = 2)
+        ledger = ledger.unionByName(d)
+    }
+    // base+b1+b2 = 3 gens > 2 tripped the policy at b2 (fold to 1);
+    // b3 lands on the folded base -> 2 dirs after the loop
+    assert(LsmLayout.generationCount(spark, s"$p/assignments", "batch=") === 2,
+      "auto-compaction did not fire mid-sequence")
+    assert(assigned(p) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      50L -> 50L, 51L -> 51L, 52L -> 52L))
+  }
+
   test("a batch with no near-dups assigns singletons and leaves everything else alone") {
     val p = "target/test_clusterreg/nopairs"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)

@@ -80,6 +80,77 @@ class StreamingIndexSpec extends SparkTestBase {
       "a replayed micro-batch must not append physical rows")
   }
 
+  test("foreachBatch registry maintenance: streamed build+ingests == one-shot, replay-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/test_streamreg"))
+    val streamed = "target/test_streamreg/streamed"
+    val oneShot = "target/test_streamreg/oneshot"
+    def words(lo: Int, hi: Int): String =
+      (lo to hi).map(i => s"b$i").mkString(" ")
+    // batch 1's doc 2 near-dups doc 1 (J = 16/20); batch 2's doc 10
+    // BRIDGES {1,2} and {3} (J = 17/20 both ways) — the merge must
+    // re-map doc 3's cluster THROUGH the streaming loop
+    val b1 = Seq((1L, words(1, 20)), (3L, words(6, 25)),
+      (4L, (1 to 20).map(i => s"z$i").mkString(" ")))
+    val b2 = Seq((2L, words(3, 22)))
+    val b3 = Seq((10L, words(4, 24)))
+    // the corpus LEDGER the ingest contract requires: everything
+    // previously ingested (a deployment reads this from its warehouse;
+    // the driver-side buffer is the spec's stand-in)
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        if (id == 0L)
+          graft.operators.ClusterRegistry.build(
+            batch, "doc_id", "text", streamed, threshold = 0.8)
+        else
+          graft.operators.ClusterRegistry.ingest(
+            ledger.toSeq.toDF("doc_id", "text"), batch,
+            "doc_id", "text", streamed, batchId = s"mb-$id")
+        ledger ++= rows
+        ()
+      }
+      .option("checkpointLocation", "target/test_streamreg/ckpt")
+      .start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    graft.operators.ClusterRegistry.build(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"), "doc_id", "text", oneShot,
+      threshold = 0.8)
+    def assigned(p: String) = graft.operators.ClusterRegistry
+      .assignments(spark, p)
+      .as[(Long, Long)].collect().toMap
+    val want = assigned(oneShot)
+    assert(assigned(streamed) === want,
+      "the streamed registry must assign like the one-shot clustering")
+    assert(want === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L),
+      "the bridge merge must have propagated through the stream")
+    // at-least-once replay of the LAST micro-batch (the in-flight one
+    // foreachBatch re-delivers), marker-less — the read-modify-write
+    // hazard class: the replay must exclude its own partial generation
+    // on BOTH layouts and overwrite bit-for-bit
+    val physA = spark.read.parquet(s"$streamed/assignments").count()
+    val physB = spark.read.parquet(s"$streamed/band/postings").count()
+    new java.io.File(s"$streamed/_applied/mb-2").delete()
+    new java.io.File(s"$streamed/band/_applied/mb-2").delete()
+    graft.operators.ClusterRegistry.ingest(
+      (b1 ++ b2).toDF("doc_id", "text"), b3.toDF("doc_id", "text"),
+      "doc_id", "text", streamed, batchId = "mb-2")
+    assert(assigned(streamed) === want,
+      "a replayed micro-batch must not change any assignment")
+    assert(spark.read.parquet(s"$streamed/assignments").count() === physA,
+      "a replayed micro-batch must not append assignment rows")
+    assert(spark.read.parquet(s"$streamed/band/postings").count() === physB,
+      "a replayed micro-batch must not append band postings")
+  }
+
   test("foreachBatch band-index maintenance: streamed build+appends == one-shot, replay-invariant") {
     implicit val sqlCtx = spark.sqlContext
     org.apache.commons.io.FileUtils.deleteQuietly(
