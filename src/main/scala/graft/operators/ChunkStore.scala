@@ -42,12 +42,21 @@ import org.apache.spark.sql.functions._
   * read on the write path's comparison side). The chunk-delta rate is
   * measured at ~1.09 new chunks per edited doc (n169), so incremental
   * store growth is edit-sized, not corpus-sized. Reconstruction
-  * necessarily shuffles chunk text — it IS the rebuild op. Deletes:
-  * manifests are doc-keyed, so the s40 anti-join discipline applies
-  * directly to them; physically reclaiming SHARED chunks additionally
-  * needs a refcount sweep at compact time (store rows are shared by
-  * design) — not implemented, the manifest tombstone is the GDPR
-  * surface (the text is only reconstructible THROUGH a manifest).
+  * necessarily shuffles chunk text — it IS the rebuild op.
+  *
+  * Deletes ([[tombstone]], the s40 discipline): manifests are
+  * doc-keyed, so the forget-set is an id list every [[reconstruct]]
+  * anti-joins — the doc is unreconstructible immediately (the text is
+  * only reconstructible THROUGH a manifest), at forget-set-sized cost.
+  * Physical reclamation is [[compact]]'s REFCOUNT SWEEP: chunks are
+  * SHARED by design, so a store row is dropped only when NO surviving
+  * latest manifest references it — that covers tombstoned docs' unique
+  * chunks AND the dead chunks superseded manifests (edited re-ingests)
+  * left behind. Compact is deliberately the one corpus-sized
+  * maintenance op (one manifest fold + one hash semi-join), same as
+  * every other layout's compact contract; gated by s53 (forget + edit
+  * + compact lifecycle ≡ closed-form reconstruction over the effective
+  * surviving corpus).
   */
 object ChunkStore {
 
@@ -67,6 +76,8 @@ object ChunkStore {
       docs: DataFrame, idCol: String, textCol: String,
       path: String, maskBits: Int = 4): Unit = {
     val spark = docs.sparkSession
+    // a rebuild starts a fresh index life (the LexicalIndex discipline)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
     val rows = Materialize.shared(chunkRows(docs, idCol, textCol, maskBits))
     rows.groupBy(col("chunk_h"))
@@ -153,20 +164,34 @@ object ChunkStore {
     LsmLayout.markApplied(spark, path, batchId)
   }
 
-  /** Lossless reconstruction from the two stored tables: fold each doc
-    * to its LATEST manifest (one partitioned window over the narrow
-    * manifest — superseded versions of re-ingested docs drop here),
-    * then one manifest⋈store join + ordered rejoin per doc — (doc_id,
-    * n_chunks, text_md5), the s42 serving shape. */
-  def reconstruct(spark: SparkSession, path: String): DataFrame = {
+  /** The serving manifest relation: tombstoned docs dropped (the
+    * forget-set anti-joins broadcast — a delete is visible before any
+    * compact), then each doc folded to its LATEST manifest (one
+    * partitioned window over the narrow manifest — superseded versions
+    * of re-ingested docs drop here). */
+  private def latestManifests(
+      spark: SparkSession, path: String): DataFrame = {
     val man = spark.read.parquet(s"$path/manifest").drop("gen")
-    val latest = man
+    val scoped =
+      if (!hasTombstones(spark, path)) man
+      else man.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    scoped
       .withColumn("graft__mx",
         max(col("seq")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("seq") === col("graft__mx"))
       .select(col("doc_id"), col("pos"), col("chunk_h"))
-    latest
+  }
+
+  /** Lossless reconstruction from the two stored tables: the surviving
+    * latest manifests ([[latestManifests]]) through one manifest⋈store
+    * join + ordered rejoin per doc — (doc_id, n_chunks, text_md5), the
+    * s42 serving shape. */
+  def reconstruct(spark: SparkSession, path: String): DataFrame =
+    latestManifests(spark, path)
       .join(spark.read.parquet(s"$path/store").drop("gen"), Seq("chunk_h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -174,7 +199,80 @@ object ChunkStore {
           transform(
             array_sort(collect_list(struct(col("pos"), col("chunk")))),
             x => x.getField("chunk")), " ")).as("text_md5"))
+
+  /** Right-to-be-forgotten deletes: the forget-set becomes a tombstone
+    * id list every [[reconstruct]] anti-joins — the doc is
+    * unreconstructible immediately at forget-set-sized cost (ALL its
+    * manifest versions hide at once; the text only reconstructs
+    * THROUGH a manifest). [[compact]]'s refcount sweep later reclaims
+    * its unshared chunks physically. Idempotent at both levels (the
+    * band-index shape).
+    *
+    * Contract (the LexicalIndex.tombstone discipline): re-ingesting a
+    * forgotten id requires a [[compact]] first — while its tombstone
+    * is pending, the anti-join hides the re-ingested manifest too. */
+  def tombstone(
+      forgetIds: DataFrame, idCol: String,
+      path: String, batchId: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val spark = forgetIds.sparkSession
+    LsmLayout.requireValidBatchId(batchId)
+    val gen = s"ts-$batchId"
+    if (LsmLayout.isApplied(spark, path, gen)) return
+    val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
+    val fresh =
+      if (!hasTombstones(spark, path)) ids
+      else ids.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
+    if (nForget > 0L)
+      forget
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/tombstones")
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.markApplied(spark, path, gen)
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
   }
+
+  /** Fold the layout to one generation with PHYSICAL reclamation:
+    * manifests fold to the surviving latest version per doc (dropping
+    * tombstoned docs and superseded edit versions), and the store's
+    * refcount sweep keeps a chunk only if some surviving manifest
+    * still references it — chunks are shared, so per-doc deletion can
+    * never drop store rows eagerly; this sweep is where forgotten
+    * docs' unique chunks AND dead superseded chunks leave disk.
+    * Deliberately the one corpus-sized maintenance op (the compact
+    * contract): one manifest fold + one hash semi-join. Markers kept;
+    * forget-set cleared; seq restarts at 0 (the refresh counter
+    * restarts with the directory count, exactly like the registry's
+    * gen). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (man, manIds, _) = IterationCheckpoint.localCounted(
+      latestManifests(spark, path))
+    man
+      .withColumn("seq", lit(0L))
+      .withColumn("gen", lit(BaseGen))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/manifest")
+    val (store, storeIds, _) = IterationCheckpoint.localCounted(
+      spark.read.parquet(s"$path/store").drop("gen")
+        .join(man.select(col("chunk_h")).distinct(), Seq("chunk_h"),
+          "left_semi"))
+    store
+      .withColumn("gen", lit(BaseGen))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/store")
+    IterationCheckpoint.release(spark.sparkContext, manIds)
+    IterationCheckpoint.release(spark.sparkContext, storeIds)
+    LsmLayout.deleteDir(spark, s"$path/tombstones")
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    LsmLayout.dirExists(spark, s"$path/tombstones")
 
   /** Store-growth report: chunks and bytes per generation — what the
     * n169 chunk-delta claim is measured with. Metadata-sized output. */

@@ -8761,5 +8761,71 @@ object NorthStar {
           }
         }
         graft.operators.ClusterRegistry.assignments(s, path)
+    },
+
+    // ----- s53: chunk-store forget + edited re-sync + refcount compact --
+    // The full CAS lifecycle in one gate: build over the corpus, an
+    // edited third re-synced under EXISTING ids (the n169 deterministic
+    // one-token edit — last-writer-wins manifests), a GDPR forget-set,
+    // then compact's REFCOUNT SWEEP (chunks are shared, so per-doc
+    // deletes can't drop store rows eagerly; the sweep keeps a chunk
+    // only if a surviving latest manifest references it — reclaiming
+    // forgotten docs' unique chunks AND the dead chunks superseded
+    // edit manifests left behind). The oracle reconstructs the
+    // EFFECTIVE surviving corpus closed-form (edits applied, forgotten
+    // docs excluded) — any bug in the manifest fold, the tombstone
+    // visibility, or the sweep's refcounting garbles an md5 or a chunk
+    // count. ChunkStoreSpec additionally pins the physical drops.
+    QuerySpec(
+      "s53_chunk_forget",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |ed AS (SELECT doc_id, ws,
+         |         1 + ${hex60("'edit:' || CAST(doc_id AS VARCHAR)")}
+         |           % len(ws) AS p
+         |       FROM t),
+         |p2 AS (SELECT doc_id, ws, p,
+         |         unnest(generate_series(1, len(ws))) AS i FROM ed),
+         |w2 AS (SELECT doc_id, i,
+         |         CASE WHEN doc_id % 5 = 0 AND i = p
+         |           THEN ws[i] || '_X' ELSE ws[i] END AS w
+         |       FROM p2),
+         |b AS (SELECT doc_id, i, w,
+         |        CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |      FROM w2),
+         |c AS (SELECT doc_id, i, w,
+         |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cid
+         |      FROM b),
+         |cnt AS (SELECT doc_id, CAST(count(DISTINCT cid) AS BIGINT)
+         |          AS n_chunks
+         |        FROM c GROUP BY doc_id),
+         |txt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
+         |        FROM w2 GROUP BY doc_id)
+         |SELECT txt.doc_id, cnt.n_chunks, md5(txt.text) AS text_md5
+         |FROM txt JOIN cnt USING (doc_id)
+         |WHERE txt.doc_id % 9 <> 4""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s53_chunks"
+      val docs = t(s, d, "documents")
+      graft.operators.ChunkStore.build(
+        docs, "doc_id", "text", path, maskBits = 4)
+      // the edited re-sync under EXISTING ids (the n169 edit applied)
+      val v2 = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+        .withColumn("graft__p",
+          (TextOps.hexHash60(concat(lit("edit:"), col("doc_id").cast("string")))
+            % size(col("graft__ws")) + 1).cast("int"))
+        .select(col("doc_id"), expr(
+          "array_join(transform(graft__ws, (w, i) -> " +
+            "CASE WHEN i + 1 = graft__p THEN concat(w, '_X') ELSE w END)" +
+            ", ' ')").as("text"))
+      graft.operators.ChunkStore.refresh(
+        v2, "doc_id", "text", path, batchId = "b1")
+      graft.operators.ChunkStore.tombstone(
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"),
+        "doc_id", path, batchId = "d1")
+      graft.operators.ChunkStore.compact(s, path)
+      graft.operators.ChunkStore.reconstruct(s, path)
     })
 }

@@ -67,6 +67,66 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(rec2 === expect)
   }
 
+  test("tombstone hides the doc immediately; compact's refcount sweep reclaims physically") {
+    val p = "target/test_chunkstore/forget"
+    // docs 100/101 share all chunks except doc 100's unique head run;
+    // doc 102 is entirely unique — its chunks must ALL be reclaimed
+    val d = Seq(
+      (100L, "u1 u2 u3 " + (0 until 30).map(j => s"w${j % 40}").mkString(" ")),
+      (101L, (0 until 30).map(j => s"w${j % 40}").mkString(" ")),
+      (102L, (1 to 20).map(j => s"only$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    ChunkStore.build(d, "doc_id", "text", p)
+    val storeBefore = spark.read.parquet(s"$p/store").count()
+    ChunkStore.tombstone(Seq(102L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    // visible before any compact, at forget-set cost
+    val rec = ChunkStore.reconstruct(spark, p)
+      .as[(Long, Long, String)].collect().map(_._1).toSet
+    assert(rec === Set(100L, 101L))
+    // idempotent re-delivery
+    ChunkStore.tombstone(Seq(102L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    // compact: doc 102's chunks leave the store; shared chunks stay
+    ChunkStore.compact(spark, p)
+    assert(!LsmLayout.dirExists(spark, s"$p/tombstones"))
+    val store = spark.read.parquet(s"$p/store")
+      .as[(String, String, String)].collect() // chunk_h, chunk, gen
+    assert(store.length < storeBefore)
+    assert(!store.exists(_._2.contains("only")),
+      "the forgotten doc's unique chunks must be reclaimed")
+    assert(store.exists(_._2.contains("u1")),
+      "doc 100's surviving unique chunks must stay")
+    val rec2 = ChunkStore.reconstruct(spark, p)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val expect = d.filter(col("doc_id") =!= 102)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(rec2 === expect, "compact must not change surviving answers")
+  }
+
+  test("compact reclaims dead chunks superseded edit manifests left behind") {
+    val p = "target/test_chunkstore/sweep"
+    ChunkStore.build(corpus, "doc_id", "text", p)
+    // re-ingest EVERY doc with a tail edit that reseals its last chunk
+    val edited = corpus.select(col("doc_id"),
+      concat(col("text"), lit(" tailedit")).as("text"))
+    ChunkStore.refresh(edited, "doc_id", "text", p, batchId = "b1")
+    val before = spark.read.parquet(s"$p/store").count()
+    ChunkStore.compact(spark, p)
+    val after = spark.read.parquet(s"$p/store").count()
+    assert(after < before,
+      "superseded manifests' dead chunks must leave the store")
+    // and the folded layout still reconstructs the edited corpus
+    val rec = ChunkStore.reconstruct(spark, p)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val expect = edited
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(rec === expect)
+    assert(LsmLayout.generationCount(spark, s"$p/manifest") === 1)
+  }
+
   test("refresh is idempotent under clean retry and marker-less replay") {
     val p = "target/test_chunkstore/retry"
     val delta = corpus.filter(col("doc_id") % 2 === 1)
