@@ -274,6 +274,29 @@ object ChunkStore {
   private def hasTombstones(spark: SparkSession, path: String): Boolean =
     LsmLayout.dirExists(spark, s"$path/tombstones")
 
+  /** Reclamation report: how much of the store a [[compact]] refcount
+    * sweep would drop — live rows (referenced by some surviving latest
+    * manifest) vs dead rows (orphaned by superseded edit manifests or
+    * tombstoned docs) and the dead characters. The number an operator
+    * reads to DECIDE when compacting pays (the compact op itself is
+    * corpus-sized); one store scan + the manifest fold, chunk text
+    * read only on the store side. Single-row output. */
+  def deadChunkStats(spark: SparkSession, path: String): DataFrame = {
+    val refs = latestManifests(spark, path)
+      .select(col("chunk_h")).distinct()
+      .withColumn("graft__live", lit(1L))
+    spark.read.parquet(s"$path/store")
+      .join(refs, Seq("chunk_h"), "left")
+      .agg(
+        sum(when(col("graft__live").isNotNull, 1L).otherwise(0L))
+          .as("n_live"),
+        sum(when(col("graft__live").isNull, 1L).otherwise(0L))
+          .as("n_dead"),
+        coalesce(sum(when(col("graft__live").isNull,
+          length(col("chunk")).cast("long")).otherwise(0L)), lit(0L))
+          .as("dead_chars"))
+  }
+
   /** Store-growth report: chunks and bytes per generation — what the
     * n169 chunk-delta claim is measured with. Metadata-sized output. */
   def generationStats(spark: SparkSession, path: String): DataFrame =

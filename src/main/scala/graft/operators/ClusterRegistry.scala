@@ -117,13 +117,25 @@ object ClusterRegistry {
     * a delta+merge-sized aggregate whose doc ids then anti-join the
     * base scan as a BROADCAST (the ChunkStore.refresh membership
     * discipline: the corpus-sized base never enters an exchange).
-    * Tombstoned docs are dropped from every read. */
-  def assignments(spark: SparkSession, path: String): DataFrame =
-    assignmentsScoped(spark, path, None)
+    * Tombstoned docs are dropped from every read.
+    *
+    * `asOf` gives SNAPSHOT ISOLATION for free (the KmvLayout s43
+    * discipline): generations are immutable appends stamped with a
+    * monotone number, so "the registry as of generation g" — the
+    * cluster state after the g-th ingest, including exactly the
+    * merges it caused — is a filter on the fold, not a restore.
+    * Tombstones apply to every snapshot (a GDPR delete reaches
+    * time-travel reads too); a [[compact]] collapses history, after
+    * which pins address the post-compact state only. */
+  def assignments(
+      spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame =
+    assignmentsScoped(spark, path, None, asOf)
 
   private def assignmentsScoped(
       spark: SparkSession, path: String,
-      excludeBatch: Option[String]): DataFrame = {
+      excludeBatch: Option[String],
+      asOf: Option[Long] = None): DataFrame = {
     val dir = s"$path/assignments"
     // committed generation NAMES from directory metadata — also what
     // keeps the recent-overlay scan pinned to the non-base partitions
@@ -136,9 +148,10 @@ object ClusterRegistry {
     val folded =
       if (recentNames.isEmpty) base
       else {
+        val recent = spark.read.parquet(dir)
+          .filter(col("batch").isin(recentNames: _*))
         val overlay = Materialize.shared(
-          spark.read.parquet(dir)
-            .filter(col("batch").isin(recentNames: _*))
+          asOf.fold(recent)(g => recent.filter(col("gen") <= g))
             .groupBy(col("doc_id"))
             .agg(max(struct(col("gen"), col("cluster_id"))).as("graft__l"))
             .select(col("doc_id"),

@@ -8827,5 +8827,130 @@ object NorthStar {
         "doc_id", path, batchId = "d1")
       graft.operators.ChunkStore.compact(s, path)
       graft.operators.ChunkStore.reconstruct(s, path)
+    },
+
+    // ----- s54: time-travel reads on the cluster registry ---------------
+    // The s43 snapshot-isolation discipline on the registry: LSM
+    // generations are immutable appends stamped with a monotone
+    // number, so "cluster state as of ingest g" — including exactly
+    // the merges batch g caused and none later — is a filter on the
+    // read fold, not a restore. The audit question this serves:
+    // "which cluster was this doc in BEFORE yesterday's batch merged
+    // it?" — the provenance read a dedup-keyed training run pins its
+    // manifest to. Build + two ingests; the pinned read at gen 1 must
+    // equal the batch closure over (build ∪ first ingest), while s51
+    // already proves the unpinned read sees everything.
+    QuerySpec(
+      "s54_registry_time_travel",
+      s"""WITH RECURSIVE ${shingleCte.replace("FROM documents",
+             "FROM documents WHERE doc_id % 3 < 2")},
+         |${jaccardPairsCte(0.8)},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |WHERE d.doc_id % 3 < 2""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s54_registry"
+      val docs = t(s, d, "documents")
+      graft.operators.ClusterRegistry.build(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path,
+        threshold = 0.8)
+      graft.operators.ClusterRegistry.ingest(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", path, batchId = "b1")
+      graft.operators.ClusterRegistry.ingest(
+        docs.filter(col("doc_id") % 3 < 2),
+        docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", path, batchId = "b2")
+      graft.operators.ClusterRegistry.assignments(s, path, asOf = Some(1L))
+    },
+
+    // ----- n179: dead-chunk accounting (the compact-decision report) ----
+    // s53 proves compact's refcount sweep reclaims correctly; this is
+    // the number an operator reads to decide WHEN compacting pays:
+    // live store rows (referenced by a surviving latest manifest) vs
+    // dead rows (orphaned by superseded edit manifests or tombstoned
+    // docs), plus the reclaimable characters. Run BEFORE any compact —
+    // the report must see through pending tombstones and superseded
+    // manifests. The oracle replays the whole state closed-form: the
+    // store is v1 chunks ∪ the edit batch's content-new chunks; the
+    // live set is the EFFECTIVE surviving corpus's chunks (edits
+    // applied, forgotten docs out); dead = store − live, char-exact.
+    QuerySpec(
+      "n179_dead_chunks",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |ed AS (SELECT doc_id, ws,
+         |         1 + ${hex60("'edit:' || CAST(doc_id AS VARCHAR)")}
+         |           % len(ws) AS p
+         |       FROM t),
+         |p2 AS (SELECT doc_id, ws, p,
+         |         unnest(generate_series(1, len(ws))) AS i FROM ed),
+         |wo AS (SELECT doc_id, i, ws[i] AS w FROM p2),
+         |we AS (SELECT doc_id, i,
+         |         CASE WHEN doc_id % 5 = 0 AND i = p
+         |           THEN ws[i] || '_X' ELSE ws[i] END AS w
+         |       FROM p2),
+         |bo AS (SELECT doc_id, i, w,
+         |         CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |       FROM wo),
+         |co AS (SELECT doc_id, i, w,
+         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cid
+         |       FROM bo),
+         |cho AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS chunk
+         |        FROM co GROUP BY doc_id, cid),
+         |be AS (SELECT doc_id, i, w,
+         |         CASE WHEN ${hex60("w")} % 4 = 0 THEN 1 ELSE 0 END AS cut
+         |       FROM we),
+         |ce AS (SELECT doc_id, i, w,
+         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cid
+         |       FROM be),
+         |che AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS chunk
+         |        FROM ce GROUP BY doc_id, cid),
+         |store AS (SELECT chunk FROM cho
+         |          UNION
+         |          SELECT chunk FROM che WHERE doc_id % 5 = 0),
+         |refs AS (SELECT DISTINCT chunk FROM che WHERE doc_id % 9 <> 4)
+         |SELECT
+         |  CAST(sum(CASE WHEN r.chunk IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_live,
+         |  CAST(sum(CASE WHEN r.chunk IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dead,
+         |  CAST(coalesce(sum(CASE WHEN r.chunk IS NULL
+         |    THEN length(s.chunk) END), 0) AS BIGINT) AS dead_chars
+         |FROM store s LEFT JOIN refs r USING (chunk)""".stripMargin) {
+      (s, d) =>
+        val path = "target/sinks/n179_chunks"
+        val docs = t(s, d, "documents")
+        graft.operators.ChunkStore.build(
+          docs, "doc_id", "text", path, maskBits = 4)
+        val v2 = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+          .withColumn("graft__p",
+            (TextOps.hexHash60(concat(lit("edit:"),
+              col("doc_id").cast("string")))
+              % size(col("graft__ws")) + 1).cast("int"))
+          .select(col("doc_id"), expr(
+            "array_join(transform(graft__ws, (w, i) -> " +
+              "CASE WHEN i + 1 = graft__p THEN concat(w, '_X') ELSE w END)" +
+              ", ' ')").as("text"))
+        graft.operators.ChunkStore.refresh(
+          v2, "doc_id", "text", path, batchId = "b1")
+        graft.operators.ChunkStore.tombstone(
+          docs.filter(col("doc_id") % 9 === 4).select("doc_id"),
+          "doc_id", path, batchId = "d1")
+        graft.operators.ChunkStore.deadChunkStats(s, path)
     })
 }

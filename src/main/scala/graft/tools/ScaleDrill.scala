@@ -143,7 +143,8 @@ object ScaleDrill {
       // GDPR forget, the multi-batch foreachBatch loop with a
       // mid-stream replay)
       "s51_registry_autocompact", "s52_registry_forget",
-      "n178_stream_registry_parity", "s53_chunk_forget")
+      "n178_stream_registry_parity", "s53_chunk_forget",
+      "s54_registry_time_travel", "n179_dead_chunks")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)

@@ -113,10 +113,17 @@ class ChunkStoreSpec extends SparkTestBase {
       concat(col("text"), lit(" tailedit")).as("text"))
     ChunkStore.refresh(edited, "doc_id", "text", p, batchId = "b1")
     val before = spark.read.parquet(s"$p/store").count()
+    // the compact-decision report must predict the sweep exactly
+    val (nLive, nDead, deadChars) = ChunkStore.deadChunkStats(spark, p)
+      .as[(Long, Long, Long)].collect().head
+    assert(nLive + nDead === before)
+    assert(nDead > 0L && deadChars > 0L)
     ChunkStore.compact(spark, p)
     val after = spark.read.parquet(s"$p/store").count()
     assert(after < before,
       "superseded manifests' dead chunks must leave the store")
+    assert(after === nLive,
+      "deadChunkStats must predict the refcount sweep row-for-row")
     // and the folded layout still reconstructs the edited corpus
     val rec = ChunkStore.reconstruct(spark, p)
       .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap

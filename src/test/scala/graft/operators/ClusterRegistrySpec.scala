@@ -180,6 +180,45 @@ class ClusterRegistrySpec extends SparkTestBase {
       50L -> 50L, 51L -> 51L, 52L -> 52L))
   }
 
+  test("asOf pins the cluster state after a given ingest; tombstones reach snapshots") {
+    val p = "target/test_clusterreg/asof"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    val lone = Seq((20L, (1 to 20).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    ClusterRegistry.ingest(corpus, lone, "doc_id", "text", p,
+      batchId = "b1") // gen 1: singleton 20
+    ClusterRegistry.ingest(corpus.unionByName(lone), delta,
+      "doc_id", "text", p, batchId = "b2") // gen 2: doc 10 merges {1,2}+{3}
+    def asOf(g: Long) = ClusterRegistry.assignments(spark, p, Some(g))
+      .as[(Long, Long)].collect().toMap
+    assert(asOf(0L) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L),
+      "gen 0 pins the build state")
+    assert(asOf(1L) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 20L -> 20L),
+      "gen 1 must not see b2's merge")
+    assert(asOf(2L) === assigned(p))
+    // a GDPR delete reaches pinned reads too (the KMV s43 rule)
+    ClusterRegistry.forget(Seq(3L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    assert(asOf(1L) ===
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 20L -> 20L))
+  }
+
+  test("empty micro-batches are safe no-ops (foreachBatch delivers them)") {
+    val p = "target/test_clusterreg/empty"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    val before = assigned(p)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    ClusterRegistry.ingest(corpus, empty, "doc_id", "text", p,
+      batchId = "b1")
+    assert(assigned(p) === before)
+    // and the NEXT real batch still derives a sane generation and works
+    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+      batchId = "b2")
+    assert(assigned(p) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L))
+  }
+
   test("a batch with no near-dups assigns singletons and leaves everything else alone") {
     val p = "target/test_clusterreg/nopairs"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)

@@ -13,6 +13,12 @@ import graft.SparkTestBase
 class WriterFencingSpec extends SparkTestBase {
   import spark.implicits._
 
+  // epochs deliberately survive rebuilds (the fence contract), so the
+  // FIXTURE must start from a clean slate or a previous suite run's
+  // epoch files shift every expected number
+  org.apache.commons.io.FileUtils.deleteQuietly(
+    new java.io.File("target/test_fence"))
+
   private def docs(ids: Range, tag: String) =
     ids.map(i => (i.toLong, (1 to 12).map(j => s"$tag${i + j}").mkString(" ")))
       .toDF("doc_id", "text")
