@@ -180,6 +180,49 @@ class ClusterRegistrySpec extends SparkTestBase {
       50L -> 50L, 51L -> 51L, 52L -> 52L))
   }
 
+  test("merge chains across batches: ids only ever decrease, to the true min") {
+    val p = "target/test_clusterreg/chain"
+    // start from {3} and {4-like} singletons plus {1,2}; then two
+    // bridge batches merge the SAME growing cluster twice — the id
+    // must decrease monotonically (3 -> 1) and every absorbed
+    // cluster's members must be re-mapped each time
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    // batch 1: doc 10 bridges {1,2} and {3} -> all take id 1
+    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+      batchId = "b1")
+    assert(assigned(p) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L))
+    // batch 2: doc 11 duplicates doc 4's unrelated run AND a new doc 0
+    // (smaller than every existing id) duplicates doc 1's text — the
+    // growing cluster must re-min to 0, re-mapping ALL its members
+    val b2 = Seq(
+      (0L, run(1, 20)),
+      (11L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    ClusterRegistry.ingest(corpus.unionByName(delta), b2,
+      "doc_id", "text", p, batchId = "b2")
+    assert(assigned(p) === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 0L, 4L -> 4L, 11L -> 4L),
+      "the chain must re-min the merged cluster and leave {4,11} alone")
+  }
+
+  test("forgetting a cluster's min member does not break later merges into it") {
+    val p = "target/test_clusterreg/forgetmerge"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    ClusterRegistry.forget(Seq(1L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1") // cluster {2} keeps the stable id 1
+    // doc 10 bridges the (now min-less) cluster 1 and cluster {3}:
+    // the merge still lands on the RETAINED id 1 (min of the ids ever
+    // seen), and the forgotten doc is not resurrected
+    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+      batchId = "b1")
+    assert(assigned(p) === Map(2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L))
+    val canon = ClusterRegistry.canonicalAssignments(spark, p)
+      .as[(Long, Long)].collect().toMap
+    assert(canon === Map(2L -> 2L, 3L -> 2L, 4L -> 4L, 10L -> 2L),
+      "the canonical view renames to the min SURVIVING member")
+  }
+
   test("asOf pins the cluster state after a given ingest; tombstones reach snapshots") {
     val p = "target/test_clusterreg/asof"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
