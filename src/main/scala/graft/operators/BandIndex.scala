@@ -62,7 +62,10 @@ object BandIndex {
 
   private val BaseGen = "base"
 
-  /** Sketch the corpus ONCE and write the postings/sigs/meta layout. */
+  /** Sketch the corpus ONCE and write the postings/sigs/meta layout.
+    * `preSketched` hands in an already-materialized [[sketchRelation]]
+    * built with THESE exact parameters (the registry's one-sketch
+    * discipline — it also feeds the batch clustering). */
   def build(
       docs: DataFrame,
       idCol: String,
@@ -70,7 +73,8 @@ object BandIndex {
       path: String,
       shingleWidth: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): Unit = {
+      bands: Int = 16,
+      preSketched: Option[DataFrame] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     // a rebuild starts a fresh index life (the LexicalIndex.build
@@ -78,7 +82,8 @@ object BandIndex {
     // markers would skip the first append reusing an old batch id
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
-    val sk = sketch(docs, idCol, textCol, shingleWidth, numHashes, bands)
+    val sk = preSketched.getOrElse(sketchRelation(
+      docs, idCol, textCol, shingleWidth, numHashes, bands))
     sk.select(col("doc_id"), col("sig"))
       .withColumn("gen", lit(BaseGen))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/sigs")
@@ -108,12 +113,17 @@ object BandIndex {
       path: String,
       batchId: String,
       compactAfterGenerations: Int = 0,
-      writerEpoch: Option[Long] = None): Unit = {
+      writerEpoch: Option[Long] = None,
+      preSketched: Option[DataFrame] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
       val (numHashes, bands, shingleWidth) = metaOf(spark, path)
-      val sk = sketch(delta, idCol, textCol, shingleWidth, numHashes, bands)
+      // preSketched: the caller already built (and materialized) the
+      // delta's [[sketchRelation]] with THIS index's meta — reuse it
+      // instead of re-running the scan→shingle→sketch chain
+      val sk = preSketched.getOrElse(sketchRelation(
+        delta, idCol, textCol, shingleWidth, numHashes, bands))
       sk.select(col("doc_id"), col("sig"))
         .withColumn("gen", lit(batchId))
         .write.mode("overwrite")
@@ -227,7 +237,8 @@ object BandIndex {
       textCol: String,
       path: String,
       threshold: Double,
-      excludeGen: Option[String] = None): DataFrame = {
+      excludeGen: Option[String] = None,
+      preSketched: Option[DataFrame] = None): DataFrame = {
     // excludeGen: skip one stored generation on the index side —
     // the ingest-then-append maintenance loop (ClusterRegistry) probes
     // BEFORE appending the delta's own generation, and a RETRY of that
@@ -238,17 +249,16 @@ object BandIndex {
     val (numHashes, bands, shingleWidth) = metaOf(spark, path)
 
     // delta side: map-only fused sketch + its shingle sets, computed
-    // once and reused by the prefilter and the exact verify
-    val dsk = Materialize.shared(
-      delta
-        .select(col(idCol).as("delta_id"),
-          TextOps.tokens(col(textCol)).as("graft__ws"))
-        .select(col("delta_id"),
-          TextOps.shinglesFromTokens(col("graft__ws"), shingleWidth).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("delta_id"), col("sh"),
-          expr(s"graft_minhash_sig(sh, $numHashes)").as("sig"))
-        .withColumn("bh", expr(s"graft_minhash_band_mix(sig, $bands)")))
+    // once and reused by the prefilter and the exact verify — or, via
+    // `preSketched`, handed in by a caller that already built and
+    // materialized the delta's [[sketchRelation]] for other stages
+    // (the registry ingest's one-sketch-three-consumers discipline)
+    val dsk = preSketched
+      .map(_.withColumnRenamed("doc_id", "delta_id"))
+      .getOrElse(Materialize.shared(
+        sketchRelation(delta, idCol, textCol, shingleWidth, numHashes,
+          bands)
+          .withColumnRenamed("doc_id", "delta_id")))
 
     val deltaBands = dsk
       .select(col("delta_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
@@ -443,15 +453,25 @@ object BandIndex {
   private def hasTombstones(spark: SparkSession, path: String): Boolean =
     LsmLayout.dirExists(spark, s"$path/tombstones")
 
-  private def metaOf(spark: SparkSession, path: String): (Int, Int, Int) = {
-    // one row of layout constants — plan-time metadata, like the s23
-    // probe-set derivation
+  /** Layout constants (num_hashes, bands, shingle_n) — one meta row of
+    * plan-time metadata, like the s23 probe-set derivation. Exposed to
+    * the registry so a shared sketch is built with the INDEX's own
+    * parameters (a disagreeing caller must stay impossible). */
+  private[graft] def metaOf(
+      spark: SparkSession, path: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$path/meta").head()
     (m.getAs[Long]("num_hashes").toInt, m.getAs[Long]("bands").toInt,
       m.getAs[Long]("shingle_n").toInt)
   }
 
-  private def sketch(
+  /** The full per-doc sketch relation (doc_id, sh, sig, bh) — the ONE
+    * map-only chain every band-family stage derives from. Exposed so a
+    * caller driving several stages over the same docs (the registry's
+    * ingest: index probe + within-delta pairs + index append) can
+    * compute and materialize it ONCE and pass it to each stage's
+    * `preSketched` hook instead of re-running scan→shingle→sketch per
+    * consumer. */
+  private[graft] def sketchRelation(
       docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, numHashes: Int, bands: Int): DataFrame =
     Partitioning.spread(docs)
@@ -460,7 +480,7 @@ object BandIndex {
       .select(col("doc_id"),
         TextOps.shinglesFromTokens(col("graft__ws"), shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sh"),
         expr(s"graft_minhash_sig(sh, $numHashes)").as("sig"))
       .withColumn("bh", expr(s"graft_minhash_band_mix(sig, $bands)"))
 }

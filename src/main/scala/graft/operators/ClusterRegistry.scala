@@ -93,9 +93,15 @@ object ClusterRegistry {
     // a rebuild starts a fresh index life (the LexicalIndex discipline)
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
-    BandIndex.build(docs, idCol, textCol, s"$path/band")
+    // ONE corpus sketch feeds both the index build and the batch
+    // clustering (previously each ran its own scan→shingle→sketch
+    // chain over the full corpus)
+    val sk = Materialize.shared(BandIndex.sketchRelation(
+      docs, idCol, textCol, shingleWidth = 3, numHashes = 64, bands = 16))
+    BandIndex.build(docs, idCol, textCol, s"$path/band",
+      preSketched = Some(sk))
     val comp = DedupClusters.components(
-      MinHashNearDup.nearDupPairs(docs, idCol, textCol, threshold),
+      MinHashNearDup.pairsFromSketched(sk, threshold, numHashes = 64),
       "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp"))
     docs.select(col(idCol).as("doc_id"))
@@ -203,6 +209,16 @@ object ClusterRegistry {
       writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
+    // the delta is sketched ONCE (with the index's own meta) for all
+    // three consumers — the index probe, the within-delta pair join
+    // and the index append; the relation is delta-sized and shared
+    // (previously each consumer re-ran the scan→shingle→sketch chain)
+    lazy val bandMeta = BandIndex.metaOf(spark, s"$path/band")
+    lazy val deltaSketch: DataFrame = {
+      val (numHashes, bands, shingleWidth) = bandMeta
+      Materialize.shared(BandIndex.sketchRelation(
+        delta, idCol, textCol, shingleWidth, numHashes, bands))
+    }
     if (!LsmLayout.isApplied(spark, path, batchId)) {
       val threshold = spark.read.parquet(s"$path/meta")
         .head().getAs[Double]("threshold")
@@ -231,11 +247,12 @@ object ClusterRegistry {
       // deterministic
       val edgesDC = BandIndex.probe(
         corpus, delta, idCol, textCol, s"$path/band", threshold,
-        excludeGen = Some(batchId))
+        excludeGen = Some(batchId), preSketched = Some(deltaSketch))
         .join(reg.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
         .select(col("delta_id").as("u"), col("cluster_id").as("v"))
       val edgesDD = MinHashNearDup
-        .nearDupPairs(delta, idCol, textCol, threshold)
+        .pairsFromSketched(deltaSketch, threshold,
+          numHashes = bandMeta._1)
         .select(col("id_a").as("u"), col("id_b").as("v"))
       val comp = Materialize.shared(DedupClusters.components(
         edgesDC.unionByName(edgesDD), "u", "v"))
@@ -275,9 +292,15 @@ object ClusterRegistry {
       LsmLayout.markApplied(spark, path, batchId)
     }
     // the next batch must see this one in the band index (its own
-    // idempotency marker lives inside BandIndex)
+    // idempotency marker lives inside BandIndex); on the common path
+    // the shared sketch is already materialized — a clean retry whose
+    // registry half short-circuited only sketches if the band half
+    // actually needs to run (it checks its own marker first)
     BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
-      writerEpoch = writerEpoch)
+      writerEpoch = writerEpoch,
+      preSketched =
+        if (LsmLayout.isApplied(spark, s"$path/band", batchId)) None
+        else Some(deltaSketch))
     // file-count + overlay-size hygiene (the s46 policy): the fold's
     // broadcast overlay grows with every generation until a compact
     // folds it into base — one listStatus, no data read

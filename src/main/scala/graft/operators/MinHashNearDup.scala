@@ -144,6 +144,30 @@ object MinHashNearDup {
         .withColumn("bh", expr(s"graft_minhash_band_mix(sig, $bands)")),
       "sketches")
 
+    stagesFromSketched(shingled, sketches, threshold, numHashes)
+  }
+
+  /** Within-set pairs over an ALREADY-materialized (doc_id, sh, sig,
+    * bh) sketch relation — the shared-sketch entry point: a caller
+    * that already sketched the docs for another stage (the registry's
+    * ingest sketches its delta ONCE for the index probe, this
+    * within-delta join, and the index append) reuses that relation
+    * instead of re-running the scan→shingle→sketch chain per
+    * consumer. Same contract as [[nearDupPairs]]; the relation must
+    * come from [[BandIndex.sketchRelation]] (or equal construction)
+    * with the SAME numHashes/bands the caller compares against. */
+  private[graft] def pairsFromSketched(
+      sk: DataFrame, threshold: Double, numHashes: Int): DataFrame =
+    stagesFromSketched(
+      sk.select(col("doc_id"), col("sh")),
+      sk.select(col("doc_id"), col("sig"), col("bh")),
+      threshold, numHashes).verified
+
+  private def stagesFromSketched(
+      shingled: DataFrame,
+      sketches: DataFrame,
+      threshold: Double,
+      numHashes: Int): Stages = {
     val banded = sketches
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
 
