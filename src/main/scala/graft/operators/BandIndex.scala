@@ -60,6 +60,16 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
+  /** The ONE source of truth for the default sketch geometry. The
+    * registry (and any other caller that pre-computes a shared
+    * [[sketchRelation]] for an index built with defaults) must derive
+    * from these same constants — a second hardcoded copy could drift
+    * from the stored index meta, exactly the mismatch [[metaOf]] says
+    * must stay impossible. */
+  private[graft] val DefaultShingleWidth = 3
+  private[graft] val DefaultNumHashes = 64
+  private[graft] val DefaultBands = 16
+
   private val BaseGen = "base"
 
   /** Sketch the corpus ONCE and write the postings/sigs/meta layout.
@@ -71,17 +81,19 @@ object BandIndex {
       idCol: String,
       textCol: String,
       path: String,
-      shingleWidth: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 16,
+      shingleWidth: Int = DefaultShingleWidth,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
       preSketched: Option[DataFrame] = None): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     // a rebuild starts a fresh index life (the LexicalIndex.build
     // discipline): stale tombstones would hide rebuilt docs, stale
-    // markers would skip the first append reusing an old batch id
+    // markers would skip the first append reusing an old batch id,
+    // and a stale snapshot would point reads at a vanished base
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
+    LsmLayout.clearSnapshots(spark, path)
     val sk = preSketched.getOrElse(sketchRelation(
       docs, idCol, textCol, shingleWidth, numHashes, bands))
     sk.select(col("doc_id"), col("sig"))
@@ -144,11 +156,13 @@ object BandIndex {
     // file-count hygiene under continuous ingest (the s46 policy):
     // postings/sigs need no read-side fold — generations only multiply
     // the files/dirs a probe lists — so the bound is about scan
-    // metadata, not answer shape
+    // metadata, not answer shape. LIVE count: physical dirs include
+    // superseded generations awaiting GC, which would re-trip the
+    // policy on every append.
     if (compactAfterGenerations > 0 &&
-      LsmLayout.generationCount(spark, s"$path/sigs") >
+      LsmLayout.liveGenerationCount(spark, path, s"$path/sigs") >
         compactAfterGenerations)
-      compact(spark, path)
+      compact(spark, path, writerEpoch)
   }
 
   /** Right-to-be-forgotten deletes (the s40 discipline applied to the
@@ -171,13 +185,15 @@ object BandIndex {
     val gen = s"ts-$batchId"
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
-    val fresh =
-      if (!hasTombstones(spark, path)) ids
-      else ids.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
+    val snap = LsmLayout.snapshot(spark, path)
+    val fresh = LsmLayout.pendingTombstones(spark, path, snap) match {
+      case None => ids
+      case Some(ts) => ids.join(
+        broadcast(ts
           .filter(col("batch") =!= batchId)
           .select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
+    }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
     if (nForget > 0L)
       forget
@@ -192,28 +208,55 @@ object BandIndex {
   }
 
   /** Fold the layout back to one generation and drop tombstoned rows
-    * physically (the LSM compaction half): postings rewritten once per
-    * band with the anti-join folded in, signatures likewise, the
-    * forget-set cleared. Applied markers are KEPT (a late retry of a
-    * pre-compact batch must still no-op). Frames are checkpointed
-    * before each overwrite (a parquet path cannot be overwritten while
-    * a live plan reads it). */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * physically (the LSM compaction half) — SNAPSHOT-ATOMICALLY for
+    * concurrent readers: the fold is written as a brand-new immutable
+    * `base-<id>` generation for BOTH relations, then ONE manifest flip
+    * makes postings and signatures visible together (a reader never
+    * sees a compacted postings side beside an un-compacted signature
+    * side, nor a partially-rewritten base); directories only the
+    * PREVIOUS snapshot had stopped referencing are deleted, so a
+    * reader holding either snapshot scans intact files. Applied
+    * markers are KEPT (a late retry of a pre-compact batch must still
+    * no-op). `writerEpoch` fences the flip and the GC — a superseded
+    * writer's compact must not overwrite the new owner's base or
+    * delete its tombstones (frames are checkpointed before each write;
+    * a parquet path cannot be overwritten while a live plan reads it). */
+  def compact(
+      spark: SparkSession, path: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
     val (post, postIds, _) = IterationCheckpoint.localCounted(
-      postings(spark, path))
+      postingsScoped(spark, path, None, snap))
     post
-      .withColumn("gen", lit(BaseGen))
+      .withColumn("gen", lit(newBase))
       .repartition(col("band")).sortWithinPartitions(col("band_val"))
-      .write.mode("overwrite").partitionBy("gen", "band")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "band")
       .parquet(s"$path/postings")
     IterationCheckpoint.release(spark.sparkContext, postIds)
     val (sigs, sigIds, _) = IterationCheckpoint.localCounted(
-      signatures(spark, path))
+      signaturesScoped(spark, path, None, snap))
     sigs
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/sigs")
+      .withColumn("gen", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/sigs")
     IterationCheckpoint.release(spark.sparkContext, sigIds)
-    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    val folded = snap.folded ++
+      (LsmLayout.liveGenerationNames(spark, s"$path/postings", "gen=", snap) ++
+        LsmLayout.liveGenerationNames(spark, s"$path/sigs", "gen=", snap))
+        .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/postings", "gen="), (s"$path/sigs", "gen=")),
+      snap, next)
   }
 
   /** Delta-vs-corpus near-dup pairs served from the stored index:
@@ -247,6 +290,10 @@ object BandIndex {
     // output would stop being deterministic under replay)
     val spark = delta.sparkSession
     val (numHashes, bands, shingleWidth) = metaOf(spark, path)
+    // ONE snapshot resolution for the whole probe — the postings join
+    // and the signature prefilter must read the SAME committed state
+    // even if a compact flips the manifest mid-planning
+    val snap = LsmLayout.snapshot(spark, path)
 
     // delta side: map-only fused sketch + its shingle sets, computed
     // once and reused by the prefilter and the exact verify — or, via
@@ -267,7 +314,7 @@ object BandIndex {
     // touches the index's corpus-sized relation, and it reads two longs
     // + an id per row
     val candidates = deltaBands
-      .join(postingsScoped(spark, path, excludeGen),
+      .join(postingsScoped(spark, path, excludeGen, snap),
         Seq("band", "band_val"))
       .select(col("delta_id"), col("doc_id").as("corpus_id"))
       .distinct()
@@ -278,7 +325,7 @@ object BandIndex {
     val minMatches = math.floor((threshold - sigMargin) * numHashes).toLong
     val plausible = candidates
       .join(dsk.select(col("delta_id"), col("sig").as("sig_d")), "delta_id")
-      .join(signaturesScoped(spark, path, excludeGen)
+      .join(signaturesScoped(spark, path, excludeGen, snap)
         .select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")),
         "corpus_id")
       .withColumn("est",
@@ -371,6 +418,7 @@ object BandIndex {
       threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     val (numHashes, bands, shingleWidth) = metaOf(spark, path)
+    val snap = LsmLayout.snapshot(spark, path)
     val qsh = LexicalIndex.literalShingles(queryText, shingleWidth)
     require(qsh.nonEmpty,
       s"query shorter than the shingle width: $queryText")
@@ -380,14 +428,14 @@ object BandIndex {
     val bandPred = bvals.zipWithIndex.map { case (v, b) =>
       col("band") === b && col("band_val") === v
     }.reduce(_ || _)
-    val candidates = postings(spark, path)
+    val candidates = postingsScoped(spark, path, None, snap)
       .filter(bandPred)
       .select(col("doc_id"))
       .distinct()
     val sigMargin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val minMatches = math.floor((threshold - sigMargin) * numHashes).toLong
     val sigLit = array(sig.map(lit): _*)
-    val plausible = signatures(spark, path)
+    val plausible = signaturesScoped(spark, path, None, snap)
       .join(broadcast(candidates), Seq("doc_id"))
       .withColumn("graft__est",
         size(filter(zip_with(col("sig"), sigLit, (x, y) => x === y),
@@ -415,43 +463,40 @@ object BandIndex {
   /** The stored band-membership relation (band, band_val, doc_id),
     * minus tombstoned documents when a forget-set is pending — every
     * probe routes through here, so a [[tombstone]] is visible on all
-    * serving paths before [[compact]] rewrites anything. */
+    * serving paths before [[compact]] rewrites anything. Reads resolve
+    * the layout SNAPSHOT once: superseded base generations and folded
+    * generations awaiting GC are invisible. */
   def postings(spark: SparkSession, path: String): DataFrame =
-    postingsScoped(spark, path, None)
+    postingsScoped(spark, path, None, LsmLayout.snapshot(spark, path))
 
   private def postingsScoped(
       spark: SparkSession, path: String,
-      excludeGen: Option[String]): DataFrame = {
-    val base = spark.read.parquet(s"$path/postings")
-    val post = excludeGen.fold(base)(g => base.filter(col("gen") =!= g))
+      excludeGen: Option[String], snap: LayoutSnapshot): DataFrame = {
+    val live = LsmLayout
+      .liveGenerationNames(spark, s"$path/postings", "gen=", snap)
+      .filterNot(excludeGen.contains)
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("gen").isin(live: _*))
       .drop("gen")
-    if (!hasTombstones(spark, path)) post
-    else post.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
-        .select(col("doc_id"))),
-      Seq("doc_id"), "left_anti")
+    LsmLayout.antiJoinTombstones(spark, path, snap, post, "doc_id")
   }
 
   /** The stored signature relation (doc_id, sig), tombstones applied —
     * the prefilter's corpus side. */
   def signatures(spark: SparkSession, path: String): DataFrame =
-    signaturesScoped(spark, path, None)
+    signaturesScoped(spark, path, None, LsmLayout.snapshot(spark, path))
 
   private def signaturesScoped(
       spark: SparkSession, path: String,
-      excludeGen: Option[String]): DataFrame = {
-    val base = spark.read.parquet(s"$path/sigs")
-    val sigs = excludeGen.fold(base)(g => base.filter(col("gen") =!= g))
+      excludeGen: Option[String], snap: LayoutSnapshot): DataFrame = {
+    val live = LsmLayout
+      .liveGenerationNames(spark, s"$path/sigs", "gen=", snap)
+      .filterNot(excludeGen.contains)
+    val sigs = spark.read.parquet(s"$path/sigs")
+      .filter(col("gen").isin(live: _*))
       .drop("gen")
-    if (!hasTombstones(spark, path)) sigs
-    else sigs.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
-        .select(col("doc_id"))),
-      Seq("doc_id"), "left_anti")
+    LsmLayout.antiJoinTombstones(spark, path, snap, sigs, "doc_id")
   }
-
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    LsmLayout.dirExists(spark, s"$path/tombstones")
 
   /** Layout constants (num_hashes, bands, shingle_n) — one meta row of
     * plan-time metadata, like the s23 probe-set derivation. Exposed to

@@ -93,15 +93,22 @@ object ClusterRegistry {
     // a rebuild starts a fresh index life (the LexicalIndex discipline)
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
+    LsmLayout.clearSnapshots(spark, path)
     // ONE corpus sketch feeds both the index build and the batch
     // clustering (previously each ran its own scan→shingle→sketch
-    // chain over the full corpus)
+    // chain over the full corpus). The geometry comes from BandIndex's
+    // own default constants — the single source of truth — so the
+    // shared sketch can never disagree with the stored index meta.
     val sk = Materialize.shared(BandIndex.sketchRelation(
-      docs, idCol, textCol, shingleWidth = 3, numHashes = 64, bands = 16))
+      docs, idCol, textCol,
+      shingleWidth = BandIndex.DefaultShingleWidth,
+      numHashes = BandIndex.DefaultNumHashes,
+      bands = BandIndex.DefaultBands))
     BandIndex.build(docs, idCol, textCol, s"$path/band",
       preSketched = Some(sk))
     val comp = DedupClusters.components(
-      MinHashNearDup.pairsFromSketched(sk, threshold, numHashes = 64),
+      MinHashNearDup.pairsFromSketched(sk, threshold,
+        numHashes = BandIndex.DefaultNumHashes),
       "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp"))
     docs.select(col(idCol).as("doc_id"))
@@ -143,13 +150,19 @@ object ClusterRegistry {
       excludeBatch: Option[String],
       asOf: Option[Long] = None): DataFrame = {
     val dir = s"$path/assignments"
-    // committed generation NAMES from directory metadata — also what
-    // keeps the recent-overlay scan pinned to the non-base partitions
-    val recentNames = LsmLayout.generationNames(spark, dir, "batch=")
-      .filterNot(_ == BaseBatch)
+    // ONE snapshot resolution per read: the base pointer, the
+    // recent-overlay name set and the pending forget-set all come from
+    // the same committed manifest, so a compact flipping mid-read is
+    // invisible (pre- or post-compact state, never a mix)
+    val snap = LsmLayout.snapshot(spark, path)
+    // committed LIVE generation NAMES from directory metadata — also
+    // what keeps the recent-overlay scan pinned to the non-base
+    // partitions (folded generations awaiting GC are invisible)
+    val recentNames = LsmLayout.liveGenerationNames(spark, dir, "batch=", snap)
+      .filterNot(_ == snap.base)
       .filterNot(excludeBatch.contains)
     val base = spark.read.parquet(dir)
-      .filter(col("batch") === BaseBatch)
+      .filter(col("batch") === snap.base)
       .select(col("doc_id"), col("cluster_id"))
     val folded =
       if (recentNames.isEmpty) base
@@ -162,16 +175,21 @@ object ClusterRegistry {
             .agg(max(struct(col("gen"), col("cluster_id"))).as("graft__l"))
             .select(col("doc_id"),
               col("graft__l.cluster_id").as("cluster_id")))
+        // the overlay broadcast is bounded by the BUDGET, not just by
+        // policy: a mis-sized compactAfterGenerations (or a long
+        // compact-free ingest run) grows the overlay until it would
+        // exceed the driver's broadcast memory — past the budget the
+        // anti-join falls back to a shuffle (same answer, bounded
+        // memory). The generation bytes on disk upper-bound the
+        // deduplicated overlay relation.
+        val overlayBytes = LsmLayout.dirBytes(spark, dir, recentNames, "batch=")
         base
-          .join(broadcast(overlay.select(col("doc_id"))),
+          .join(LsmLayout.hintBroadcast(
+            overlay.select(col("doc_id")), overlayBytes),
             Seq("doc_id"), "left_anti")
           .unionByName(overlay)
       }
-    if (!hasTombstones(spark, path)) folded
-    else folded.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
-        .select(col("doc_id"))),
-      Seq("doc_id"), "left_anti")
+    LsmLayout.antiJoinTombstones(spark, path, snap, folded, "doc_id")
   }
 
   /** The rebuild-comparable naming view: every cluster renamed to its
@@ -229,7 +247,8 @@ object ClusterRegistry {
       // identical under retry, and never a data scan (the KMV
       // max(gen) derivation, made metadata-sized)
       val nextGen = LsmLayout
-        .generationNames(spark, s"$path/assignments", "batch=")
+        .liveGenerationNames(spark, s"$path/assignments", "batch=",
+          LsmLayout.snapshot(spark, path))
         .count(_ != batchId).toLong
       // the registry state as of BEFORE this batch: a marker-less
       // replay would otherwise read its own (possibly partial) first
@@ -303,11 +322,16 @@ object ClusterRegistry {
         else Some(deltaSketch))
     // file-count + overlay-size hygiene (the s46 policy): the fold's
     // broadcast overlay grows with every generation until a compact
-    // folds it into base — one listStatus, no data read
+    // folds it into base — one listStatus, no data read. LIVE count
+    // (physical dirs include superseded generations awaiting GC), and
+    // the auto-compact runs under the SAME writer epoch as the ingest:
+    // a superseded writer must not overwrite the new owner's base or
+    // clear its tombstones.
     if (compactAfterGenerations > 0 &&
-      LsmLayout.generationCount(spark, s"$path/assignments", "batch=") >
+      LsmLayout.liveGenerationCount(
+        spark, path, s"$path/assignments", "batch=") >
         compactAfterGenerations)
-      compact(spark, path)
+      compact(spark, path, writerEpoch)
   }
 
   /** Right-to-be-forgotten deletes: tombstone the doc's assignment row
@@ -325,13 +349,15 @@ object ClusterRegistry {
     val gen = s"ts-$batchId"
     if (!LsmLayout.isApplied(spark, path, gen)) {
       val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
-      val fresh =
-        if (!hasTombstones(spark, path)) ids
-        else ids.join(
-          broadcast(spark.read.parquet(s"$path/tombstones")
+      val fresh = LsmLayout.pendingTombstones(
+        spark, path, LsmLayout.snapshot(spark, path)) match {
+        case None => ids
+        case Some(ts) => ids.join(
+          broadcast(ts
             .filter(col("batch") =!= batchId)
             .select(col("doc_id"))),
           Seq("doc_id"), "left_anti")
+      }
       val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
       if (nForget > 0L)
         forget
@@ -349,26 +375,45 @@ object ClusterRegistry {
       writerEpoch = writerEpoch)
   }
 
-  /** Fold the assignment log back to one `base` generation (≤1 row per
+  /** Fold the assignment log back to one base generation (≤1 row per
     * doc, gen reset to 0 — the generation counter restarts with the
-    * directory count) and drop tombstoned docs physically, here and in
-    * the internal band index. Applied markers are KEPT (a late retry
-    * of a folded batch must still no-op); the forget-set is cleared.
-    * Restores the read fold to its cheapest shape: base-only, no
-    * overlay. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * live directory count) and drop tombstoned docs physically, here
+    * and in the internal band index — SNAPSHOT-ATOMICALLY for
+    * concurrent readers: the fold lands in a brand-new immutable
+    * `base-<id>` generation, one manifest flip makes it (and the
+    * now-applied tombstones) visible, and only directories the
+    * PREVIOUS snapshot had already stopped referencing are deleted, so
+    * a reader holding either snapshot sees exactly the pre- or
+    * post-compact answer. Applied markers are KEPT (a late retry of a
+    * folded batch must still no-op). `writerEpoch` fences the flip and
+    * the GC (a superseded writer's compact could otherwise silently
+    * drop the new owner's GDPR tombstones). Restores the read fold to
+    * its cheapest shape: base-only, no overlay. */
+  def compact(
+      spark: SparkSession, path: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
       assignments(spark, path))
     rows
       .withColumn("gen", lit(0L))
-      .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch")
+      .withColumn("batch", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
       .parquet(s"$path/assignments")
     IterationCheckpoint.release(spark.sparkContext, ckIds)
-    LsmLayout.deleteDir(spark, s"$path/tombstones")
-    BandIndex.compact(spark, s"$path/band")
+    val folded = snap.folded ++ LsmLayout
+      .liveGenerationNames(spark, s"$path/assignments", "batch=", snap)
+      .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/assignments", "batch=")), snap, next)
+    BandIndex.compact(spark, s"$path/band", writerEpoch)
   }
-
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    LsmLayout.dirExists(spark, s"$path/tombstones")
 }

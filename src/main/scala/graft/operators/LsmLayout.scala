@@ -1,6 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** One committed SNAPSHOT of a stored layout — the tiny manifest the
+  * reader resolves ONCE and the compactor flips ATOMICALLY (one
+  * fail-if-exists file create), so maintenance is safe for concurrent
+  * READERS, not just fenced writers:
+  *
+  *  - `base` — the generation directory holding the current folded
+  *    base (the build writes `base`; every [[LsmLayout]] compact writes
+  *    a NEW immutable `base-<id>` directory and flips this pointer —
+  *    never an in-place rewrite a mid-compact reader could half-see);
+  *  - `folded` — generation names already folded into `base` by past
+  *    compacts; readers exclude them (their rows live on inside the
+  *    base), and they are physically deleted one compact cycle LATER
+  *    (a reader that resolved the previous snapshot may still be
+  *    scanning them — the s43 immutable-generation discipline);
+  *  - `appliedTs` — tombstone batches whose deletes the base already
+  *    applied physically; readers skip their anti-join, and the
+  *    directories are garbage-collected one cycle later.
+  *
+  * A layout with no snapshot file is exactly the state [[build]]
+  * leaves: base = "base", nothing folded, nothing applied — so the
+  * build path needs no manifest write and pre-snapshot layouts read
+  * unchanged. */
+private[graft] final case class LayoutSnapshot(
+    id: Long,
+    base: String,
+    folded: Set[String],
+    appliedTs: Set[String]) {
+  /** The immutable base generation the NEXT compact writes. */
+  def nextBase: String = s"base-${id + 1L}"
+}
 
 /** The shared idempotency plumbing of the stored LSM layouts
   * ([[LexicalIndex]], [[BandIndex]], [[KmvLayout]]) — one spelling for
@@ -58,14 +90,21 @@ private[graft] object LsmLayout {
 
   /** Generation-name hygiene: batch ids become partition directory
     * names, so they must be path-safe, and must not collide with the
-    * build generation ("base") or the tombstone prefix ("ts-"). */
+    * base-generation namespace ("base" from a build, "base-<n>" from
+    * every snapshot compact) or the tombstone prefix ("ts-"). */
   def requireValidBatchId(batchId: String): Unit =
     require(
-      batchId.nonEmpty && batchId != "base" &&
+      batchId.nonEmpty && !batchId.startsWith("base") &&
         !batchId.startsWith("ts-") &&
         batchId.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
           c == '-'),
-      s"batch id must be a path-safe token, not 'base'/'ts-*': $batchId")
+      s"batch id must be a path-safe token, not 'base*'/'ts-*': $batchId")
+
+  /** True for any base-generation directory name — the build's `base`
+    * or a compact's `base-<id>` (both reserved by
+    * [[requireValidBatchId]]). */
+  def isBaseName(name: String): Boolean =
+    name == "base" || name.startsWith("base-")
 
   /** Generation directory NAMES under a layout relation (partition
     * values, prefix stripped) — file-count-sized metadata (one
@@ -91,6 +130,200 @@ private[graft] object LsmLayout {
       spark: SparkSession, dir: String, prefix: String = "gen="): Int =
     generationNames(spark, dir, prefix).size
 
+  // ---- layout snapshots (snapshot-atomic compaction) ------------------
+  // The compact of every stored layout used to rewrite its `base`
+  // generation IN PLACE — correct under the single-process oracle
+  // harness, but a reader that opened the path mid-compact could fail
+  // on vanished files or fold a partial base. The snapshot discipline
+  // extends the immutable-generation idea (s43/s54) to the base itself:
+  // a compact WRITES a brand-new `base-<id>` generation (touching
+  // nothing a reader may hold), then FLIPS one tiny manifest file
+  // (`_snap/<id>`, fail-if-exists create — atomic), and only deletes
+  // directories the PREVIOUS snapshot had already stopped referencing —
+  // so any reader sees exactly the pre- or the post-compact state,
+  // never an error or a mix (gated by SnapshotCompactSpec's concurrent
+  // reader loop).
+
+  private def snapDir(root: String) = s"$root/_snap"
+
+  /** The current committed snapshot of a layout — ONE metadata listing
+    * + one tiny file read; a layout that has never compacted (or was
+    * just rebuilt) resolves to the legacy build state. */
+  def snapshot(spark: SparkSession, root: String): LayoutSnapshot = {
+    val dir = new org.apache.hadoop.fs.Path(snapDir(root))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return LegacySnapshot
+    val ids = fs.listStatus(dir).iterator
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .toSeq
+    if (ids.isEmpty) LegacySnapshot
+    else {
+      val id = ids.max
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"${snapDir(root)}/$id"))
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = body.linesIterator
+        .map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }
+        .toMap
+      def set(k: String): Set[String] =
+        kv.getOrElse(k, "").split(",").filter(_.nonEmpty).toSet
+      LayoutSnapshot(id, kv("base"), set("folded"), set("appliedTs"))
+    }
+  }
+
+  /** The snapshot every un-compacted layout life starts in. */
+  val LegacySnapshot: LayoutSnapshot =
+    LayoutSnapshot(-1L, "base", Set.empty, Set.empty)
+
+  /** Atomically commit a new snapshot: one fail-if-exists file create
+    * (the single-writer fence makes a collision a loud error, not a
+    * retry case — two compacts racing one layout IS the bug the fence
+    * exists to surface). */
+  def commitSnapshot(
+      spark: SparkSession, root: String, snap: LayoutSnapshot): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${snapDir(root)}/${snap.id}")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, false)
+    try out.write(
+      (s"base=${snap.base}\n" +
+        s"folded=${snap.folded.toSeq.sorted.mkString(",")}\n" +
+        s"appliedTs=${snap.appliedTs.toSeq.sorted.mkString(",")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** A rebuild starts a fresh snapshot life (build's full overwrite
+    * wipes every generation directory, so the legacy snapshot is again
+    * exactly right). */
+  def clearSnapshots(spark: SparkSession, root: String): Unit =
+    deleteDir(spark, snapDir(root))
+
+  /** The generation names a reader of THIS snapshot folds: the
+    * snapshot's base plus every non-base generation not yet folded
+    * into it. Superseded base generations and folded generations may
+    * still exist on disk (they are deleted one compact cycle later) —
+    * they are invisible here. */
+  def liveGenerationNames(
+      spark: SparkSession, dir: String, prefix: String,
+      snap: LayoutSnapshot): Seq[String] =
+    generationNames(spark, dir, prefix).filter(n =>
+      n == snap.base || (!isBaseName(n) && !snap.folded.contains(n)))
+
+  /** Live-generation count under the CURRENT snapshot — what an
+    * auto-compaction policy compares against its threshold (physical
+    * directory counts include superseded generations awaiting GC and
+    * would re-trip the policy forever). */
+  def liveGenerationCount(
+      spark: SparkSession, root: String, dir: String,
+      prefix: String = "gen="): Int =
+    liveGenerationNames(spark, dir, prefix, snapshot(spark, root)).size
+
+  /** Tombstone batches a reader of this snapshot must still anti-join
+    * (batches the base already physically applied are skipped; their
+    * directories are GC'd one cycle later). */
+  def liveTombstoneBatches(
+      spark: SparkSession, root: String, snap: LayoutSnapshot): Seq[String] =
+    generationNames(spark, root + "/tombstones", "batch=")
+      .filterNot(snap.appliedTs.contains)
+
+  /** The pending forget-set under a snapshot — `None` when every
+    * tombstone batch is already applied (the common post-compact
+    * fast path: no anti-join in the plan at all). */
+  def pendingTombstones(
+      spark: SparkSession, root: String, snap: LayoutSnapshot): Option[DataFrame] = {
+    val live = liveTombstoneBatches(spark, root, snap)
+    if (live.isEmpty) None
+    else Some(spark.read.parquet(s"$root/tombstones")
+      .filter(col("batch").isin(live: _*)))
+  }
+
+  /** Anti-join the pending forget-set onto `frame` by `idName` — the
+    * read-side GDPR discipline, centralized: batches the snapshot's
+    * base already applied are skipped outright (no join in the plan),
+    * and the id list is broadcast only while its backing bytes fit
+    * [[broadcastBudgetBytes]] — a forget storm between compacts falls
+    * back to a shuffle join instead of failing at the driver. */
+  def antiJoinTombstones(
+      spark: SparkSession, root: String, snap: LayoutSnapshot,
+      frame: DataFrame, idName: String): DataFrame = {
+    val live = liveTombstoneBatches(spark, root, snap)
+    if (live.isEmpty) frame
+    else {
+      val bytes = dirBytes(spark, s"$root/tombstones", live, "batch=")
+      frame.join(
+        hintBroadcast(
+          spark.read.parquet(s"$root/tombstones")
+            .filter(col("batch").isin(live: _*))
+            .select(col(idName)),
+          bytes),
+        Seq(idName), "left_anti")
+    }
+  }
+
+  /** Bytes on disk under the named generation directories — one
+    * recursive metadata listing, never a data read. This is the
+    * honest input to a BROADCAST decision: parquet bytes upper-bound
+    * the broadcast relation built from those directories. */
+  def dirBytes(
+      spark: SparkSession, dir: String, names: Seq[String],
+      prefix: String = "gen="): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    names.map { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$prefix$n")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else fs.getContentSummary(p).getLength
+    }.sum
+  }
+
+  /** The broadcast budget every small-side maintenance relation
+    * (read-fold overlays, tombstone id lists) is guarded by: past it,
+    * the join falls back to a shuffle instead of failing (or degrading)
+    * at the driver when a mis-sized `compactAfterGenerations` policy or
+    * a forget storm grows the relation between compacts. Size the
+    * compaction policy so overlays stay WELL inside this; the guard
+    * turns a config mistake into a non-event, not a crash.
+    * Test hook: `-Dgraft.broadcast.budget.bytes=<n>`. */
+  def broadcastBudgetBytes: Long =
+    sys.props.get("graft.broadcast.budget.bytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Broadcast-hint `df` only while its backing bytes fit the budget;
+    * past it, return it unhinted (a shuffle join — bounded memory,
+    * same answer). */
+  def hintBroadcast(df: DataFrame, backingBytes: Long): DataFrame =
+    if (backingBytes <= broadcastBudgetBytes) broadcast(df) else df
+
+  /** Delete directories no snapshot can reference anymore — run AFTER
+    * the new snapshot commits. Deletable now: generation directories
+    * the PREVIOUS snapshot had already folded (both snapshots exclude
+    * them), base generations superseded before the previous snapshot,
+    * and tombstone batches the previous snapshot had already applied.
+    * Directories the previous snapshot still referenced are KEPT for
+    * one more cycle — an in-flight reader may have resolved it. */
+  def gcSuperseded(
+      spark: SparkSession, root: String,
+      relDirs: Seq[(String, String)],
+      prev: LayoutSnapshot, next: LayoutSnapshot): Unit = {
+    relDirs.foreach { case (dir, prefix) =>
+      generationNames(spark, dir, prefix).foreach { n =>
+        val superseded =
+          (isBaseName(n) && n != prev.base && n != next.base) ||
+            prev.folded.contains(n)
+        if (superseded) deleteDir(spark, s"$dir/$prefix$n")
+      }
+    }
+    prev.appliedTs.foreach(b =>
+      deleteDir(spark, s"$root/tombstones/batch=$b"))
+    // an emptied forget-set leaves no trace (the pre-snapshot
+    // "compact clears the tombstones dir" contract, one cycle later)
+    if (dirExists(spark, s"$root/tombstones") &&
+      generationNames(spark, s"$root/tombstones", "batch=").isEmpty)
+      deleteDir(spark, s"$root/tombstones")
+  }
+
   // ---- writer fencing -----------------------------------------------
   // The single-writer assumption above is an OPERATIONAL contract; the
   // epoch fence turns its violation (two maintenance loops on one index
@@ -110,13 +343,29 @@ private[graft] object LsmLayout {
 
   /** Claim ownership of a layout path's maintenance: returns a fresh
     * epoch strictly greater than every epoch ever issued for the path.
-    * One metadata listing + one empty-file create. */
+    * MUTUALLY EXCLUSIVE under races: the marker is created
+    * fail-if-exists, so two replacement drivers that both computed
+    * `latest + 1` cannot share an epoch — the loser re-lists and takes
+    * the next number (and is then fenced by the winner's, or fences
+    * the winner's, strictly-ordered epoch). */
   def acquireWriterEpoch(spark: SparkSession, path: String): Long = {
-    val next = latestEpoch(spark, path) + 1L
-    val p = new org.apache.hadoop.fs.Path(s"$path/_writer/$next")
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-      .create(p, true).close()
-    next
+    val conf = spark.sessionState.newHadoopConf()
+    var attempts = 0
+    while (true) {
+      val next = latestEpoch(spark, path) + 1L
+      val p = new org.apache.hadoop.fs.Path(s"$path/_writer/$next")
+      try {
+        p.getFileSystem(conf).create(p, false).close()
+        return next
+      } catch {
+        case _: java.io.IOException =>
+          attempts += 1
+          require(attempts < 1000,
+            s"could not acquire a writer epoch for $path after $attempts " +
+              "collisions")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def latestEpoch(spark: SparkSession, path: String): Long = {

@@ -8651,10 +8651,13 @@ object NorthStar {
             "doc_id", "text", path, batchId = s"b$r",
             compactAfterGenerations = 2)
         }
-        // base+b1+b2 = 3 dirs > 2 tripped the policy at b2; b3 lands on
-        // the folded base -> 2 generation dirs after the loop
-        require(graft.operators.LsmLayout.generationCount(
-          s, s"$path/assignments", "batch=") == 2,
+        // base+b1+b2 = 3 live gens > 2 tripped the policy at b2; b3
+        // lands on the freshly-compacted base -> 2 LIVE generations
+        // after the loop (physical dirs additionally hold superseded
+        // generations until the next compact's GC — the snapshot
+        // discipline's one-cycle retention for concurrent readers)
+        require(graft.operators.LsmLayout.liveGenerationCount(
+          s, path, s"$path/assignments", "batch=") == 2,
           "registry auto-compaction did not fire mid-sequence")
         graft.operators.ClusterRegistry.assignments(s, path)
     },

@@ -110,11 +110,21 @@ class BandIndexSpec extends SparkTestBase {
       corpus.filter(col("doc_id") === 1).select("doc_id"), "doc_id", del,
       batchId = "d1")
     assert(spark.read.parquet(s"$del/tombstones").count() === 1L)
-    // compact: physical drop + cleared forget-set + identical serving
-    val physBefore = spark.read.parquet(s"$del/postings").count()
+    // compact: the new base generation folds the delete physically and
+    // serving is identical; the superseded base and the applied
+    // tombstone batch survive ONE more cycle for concurrent readers,
+    // then the next compact's GC sweeps them
     BandIndex.compact(spark, del)
-    assert(spark.read.parquet(s"$del/postings").count() < physBefore,
-      "compact must drop tombstoned postings physically")
+    val snap = LsmLayout.snapshot(spark, del)
+    assert(spark.read.parquet(s"$del/postings")
+      .filter(col("gen") === snap.base && col("doc_id") === 1).count() === 0L,
+      "compact must drop tombstoned postings from the new base")
+    assert(LsmLayout.liveTombstoneBatches(spark, del, snap).isEmpty)
+    assert(probeAll(del) === probeAll(rem))
+    BandIndex.compact(spark, del)
+    assert(spark.read.parquet(s"$del/postings")
+      .filter(col("doc_id") === 1).count() === 0L,
+      "the second cycle's GC must sweep the superseded base")
     assert(!new java.io.File(s"$del/tombstones").exists())
     assert(probeAll(del) === probeAll(rem))
   }
@@ -130,8 +140,8 @@ class BandIndexSpec extends SparkTestBase {
         "doc_id", "text", path, batchId = s"a$i",
         compactAfterGenerations = 2)
     }
-    // a1 made 3 gens > 2 → compacted to 1; a2 appended → 2
-    assert(LsmLayout.generationCount(spark, s"$path/sigs") === 2)
+    // a1 made 3 gens > 2 → compacted to 1; a2 appended → 2 LIVE
+    assert(LsmLayout.liveGenerationCount(spark, path, s"$path/sigs") === 2)
     val indexed = corpus.unionByName(deltas.toDF("doc_id", "text"))
     val probe = Seq((301L, words(20, "e"))).toDF("doc_id", "text")
     val out = BandIndex.probe(indexed, probe, "doc_id", "text", path, 0.8)
@@ -244,7 +254,7 @@ class BandIndexSpec extends SparkTestBase {
           s"band pruning lost: ${sc.metadata("PartitionFilters")}")
       }
       (scans.map(_.selectedPartitions.partitionCount.toLong).sum,
-        LsmLayout.generationCount(spark, s"$path/postings"))
+        LsmLayout.liveGenerationCount(spark, path, s"$path/postings"))
     }
     val bands = 16 // the build default
     val (preParts, preGens) = probedPartitions()

@@ -138,15 +138,30 @@ class ClusterRegistrySpec extends SparkTestBase {
     val want = assigned(p)
     ClusterRegistry.compact(spark, p)
     assert(assigned(p) === want, "compact must not change the answer")
-    // physical drops: no doc-2 row anywhere, no tombstone dirs left,
-    // one folded generation, ≤1 row per doc
+    // the LIVE layout dropped the forgotten doc: the snapshot's base
+    // holds one row per doc and no doc-2 row; superseded generations
+    // and the applied tombstone batch stay on disk ONE more cycle (a
+    // concurrent reader may hold the previous snapshot), then the next
+    // compact's GC sweeps them
+    val snap = LsmLayout.snapshot(spark, s"$p")
+    val live = spark.read.parquet(s"$p/assignments")
+      .filter(col("batch") === snap.base)
+    assert(live.filter(col("doc_id") === 2L).count() === 0L)
+    assert(live.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(LsmLayout.liveGenerationCount(
+      spark, p, s"$p/assignments", "batch=") === 1)
+    assert(LsmLayout.liveTombstoneBatches(spark, p, snap).isEmpty)
+    assert(BandIndex.postings(spark, s"$p/band")
+      .filter(col("doc_id") === 2L).count() === 0L)
+    ClusterRegistry.compact(spark, p)
+    // second cycle: the forgotten doc's rows and the tombstone batch
+    // are physically gone from every remaining dir (only the current
+    // and previous base generations — both post-forget — survive)
     val raw = spark.read.parquet(s"$p/assignments")
     assert(raw.filter(col("doc_id") === 2L).count() === 0L)
-    assert(raw.groupBy(col("doc_id")).count()
-      .filter(col("count") > 1).count() === 0L)
-    assert(LsmLayout.generationCount(spark, s"$p/assignments", "batch=") === 1)
     assert(!LsmLayout.dirExists(spark, s"$p/tombstones"))
-    assert(BandIndex.postings(spark, s"$p/band")
+    assert(spark.read.parquet(s"$p/band/postings")
       .filter(col("doc_id") === 2L).count() === 0L)
     assert(!LsmLayout.dirExists(spark, s"$p/band/tombstones"))
     // the generation counter restarts consistently: a post-compact
@@ -173,8 +188,9 @@ class ClusterRegistrySpec extends SparkTestBase {
         ledger = ledger.unionByName(d)
     }
     // base+b1+b2 = 3 gens > 2 tripped the policy at b2 (fold to 1);
-    // b3 lands on the folded base -> 2 dirs after the loop
-    assert(LsmLayout.generationCount(spark, s"$p/assignments", "batch=") === 2,
+    // b3 lands on the folded base -> 2 LIVE generations after the loop
+    assert(LsmLayout.liveGenerationCount(
+      spark, p, s"$p/assignments", "batch=") === 2,
       "auto-compaction did not fire mid-sequence")
     assert(assigned(p) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
       50L -> 50L, 51L -> 51L, 52L -> 52L))
