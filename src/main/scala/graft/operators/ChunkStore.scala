@@ -79,6 +79,7 @@ object ChunkStore {
     // a rebuild starts a fresh index life (the LexicalIndex discipline)
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
+    LsmLayout.clearSnapshots(spark, path)
     val rows = Materialize.shared(chunkRows(docs, idCol, textCol, maskBits))
     rows.groupBy(col("chunk_h"))
       .agg(min(col("chunk")).as("chunk"))
@@ -117,12 +118,14 @@ object ChunkStore {
     if (LsmLayout.isApplied(spark, path, batchId)) return
     val maskBits = spark.read.parquet(s"$path/meta")
       .head().getAs[Long]("mask_bits").toInt
-    // the manifest sequence number: committed-generation COUNT from
+    val snap = LsmLayout.snapshot(spark, path)
+    // the manifest sequence number: LIVE-generation COUNT from
     // directory metadata, excluding this batch's own (possibly
-    // partial) dir — monotone across batches (generations are never
-    // removed), identical under retry, no data read
+    // partial) dir — monotone across batches (live generations only
+    // vanish at compact, which restarts seq at 0 on the folded base),
+    // identical under retry, no data read
     val seq = LsmLayout
-      .generationNames(spark, s"$path/manifest")
+      .liveGenerationNames(spark, s"$path/manifest", "gen=", snap)
       .count(_ != batchId).toLong
     val rows = Materialize.shared(chunkRows(delta, idCol, textCol, maskBits))
     val cand = rows.groupBy(col("chunk_h"))
@@ -132,9 +135,16 @@ object ChunkStore {
     // and the (delta-bounded) hit list broadcasts back into the
     // anti-join — so the corpus-sized store NEVER enters an exchange
     // on the refresh path (a plain delta-anti-store join would shuffle
-    // the store's full hash column per micro-batch)
+    // the store's full hash column per micro-batch). LIVE generations
+    // only, and that is CORRECTNESS, not hygiene: a superseded
+    // generation awaiting GC may hold a chunk the refcount sweep
+    // reclaimed — counting it as "present" would skip re-storing a
+    // chunk no live generation holds, and reconstruction would lose it.
+    val storeLive = LsmLayout
+      .liveGenerationNames(spark, s"$path/store", "gen=", snap)
+      .filterNot(_ == batchId)
     val present = spark.read.parquet(s"$path/store")
-      .filter(col("gen") =!= batchId)
+      .filter(col("gen").isin(storeLive: _*))
       .select(col("chunk_h"))
       .join(broadcast(cand.select(col("chunk_h"))),
         Seq("chunk_h"), "left_semi")
@@ -170,14 +180,14 @@ object ChunkStore {
     * partitioned window over the narrow manifest — superseded versions
     * of re-ingested docs drop here). */
   private def latestManifests(
-      spark: SparkSession, path: String): DataFrame = {
-    val man = spark.read.parquet(s"$path/manifest").drop("gen")
-    val scoped =
-      if (!hasTombstones(spark, path)) man
-      else man.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
-          .select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")
+      spark: SparkSession, path: String,
+      snap: Option[LayoutSnapshot] = None): DataFrame = {
+    val sn = snap.getOrElse(LsmLayout.snapshot(spark, path))
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/manifest", "gen=", sn)
+    val man = spark.read.parquet(s"$path/manifest")
+      .filter(col("gen").isin(live: _*)).drop("gen")
+    val scoped = LsmLayout.antiJoinTombstones(spark, path, sn, man, "doc_id")
     scoped
       .withColumn("graft__mx",
         max(col("seq")).over(
@@ -190,15 +200,31 @@ object ChunkStore {
     * latest manifests ([[latestManifests]]) through one manifest⋈store
     * join + ordered rejoin per doc — (doc_id, n_chunks, text_md5), the
     * s42 serving shape. */
-  def reconstruct(spark: SparkSession, path: String): DataFrame =
-    latestManifests(spark, path)
-      .join(spark.read.parquet(s"$path/store").drop("gen"), Seq("chunk_h"))
+  def reconstruct(spark: SparkSession, path: String): DataFrame = {
+    // ONE snapshot resolution for manifest + store: a compact flipping
+    // between the two reads would join live manifests against a store
+    // whose duplicate-held chunks (old base + new base) multiply rows
+    val snap = LsmLayout.snapshot(spark, path)
+    latestManifests(spark, path, Some(snap))
+      .join(storeScoped(spark, path, snap), Seq("chunk_h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         md5(array_join(
           transform(
             array_sort(collect_list(struct(col("pos"), col("chunk")))),
             x => x.getField("chunk")), " ")).as("text_md5"))
+  }
+
+  /** The store relation scoped to a snapshot's live generations —
+    * superseded generations awaiting GC may duplicate live chunks
+    * (the folded base holds everything) and would multiply any join. */
+  private def storeScoped(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame = {
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/store", "gen=", snap)
+    spark.read.parquet(s"$path/store")
+      .filter(col("gen").isin(live: _*)).drop("gen")
+  }
 
   /** Right-to-be-forgotten deletes: the forget-set becomes a tombstone
     * id list every [[reconstruct]] anti-joins — the doc is
@@ -220,13 +246,15 @@ object ChunkStore {
     val gen = s"ts-$batchId"
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
-    val fresh =
-      if (!hasTombstones(spark, path)) ids
-      else ids.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
+    val fresh = LsmLayout.pendingTombstones(
+      spark, path, LsmLayout.snapshot(spark, path)) match {
+      case None => ids
+      case Some(ts) => ids.join(
+        broadcast(ts
           .filter(col("batch") =!= batchId)
           .select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
+    }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
     if (nForget > 0L)
       forget
@@ -252,27 +280,47 @@ object ChunkStore {
     * forget-set cleared; seq restarts at 0 (the refresh counter
     * restarts with the directory count, exactly like the registry's
     * gen). */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(
+      spark: SparkSession, path: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
     val (man, manIds, _) = IterationCheckpoint.localCounted(
-      latestManifests(spark, path))
+      latestManifests(spark, path, Some(snap)))
     man
       .withColumn("seq", lit(0L))
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/manifest")
+      .withColumn("gen", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/manifest")
     val (store, storeIds, _) = IterationCheckpoint.localCounted(
-      spark.read.parquet(s"$path/store").drop("gen")
+      storeScoped(spark, path, snap)
         .join(man.select(col("chunk_h")).distinct(), Seq("chunk_h"),
           "left_semi"))
     store
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/store")
+      .withColumn("gen", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/store")
     IterationCheckpoint.release(spark.sparkContext, manIds)
     IterationCheckpoint.release(spark.sparkContext, storeIds)
-    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    // ONE manifest flip covers both relations: a reader never joins a
+    // swept store against un-folded manifests (or vice versa)
+    val folded = snap.folded ++
+      Seq("manifest", "store").flatMap(rel =>
+        LsmLayout.liveGenerationNames(spark, s"$path/$rel", "gen=", snap))
+        .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/manifest", "gen="), (s"$path/store", "gen=")),
+      snap, next)
   }
-
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    LsmLayout.dirExists(spark, s"$path/tombstones")
 
   /** Reclamation report: how much of the store a [[compact]] refcount
     * sweep would drop — live rows (referenced by some surviving latest
@@ -282,10 +330,11 @@ object ChunkStore {
     * corpus-sized); one store scan + the manifest fold, chunk text
     * read only on the store side. Single-row output. */
   def deadChunkStats(spark: SparkSession, path: String): DataFrame = {
-    val refs = latestManifests(spark, path)
+    val snap = LsmLayout.snapshot(spark, path)
+    val refs = latestManifests(spark, path, Some(snap))
       .select(col("chunk_h")).distinct()
       .withColumn("graft__live", lit(1L))
-    spark.read.parquet(s"$path/store")
+    storeScoped(spark, path, snap)
       .join(refs, Seq("chunk_h"), "left")
       .agg(
         sum(when(col("graft__live").isNotNull, 1L).otherwise(0L))
@@ -299,10 +348,15 @@ object ChunkStore {
 
   /** Store-growth report: chunks and bytes per generation — what the
     * n169 chunk-delta claim is measured with. Metadata-sized output. */
-  def generationStats(spark: SparkSession, path: String): DataFrame =
+  def generationStats(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/store", "gen=", snap)
     spark.read.parquet(s"$path/store")
+      .filter(col("gen").isin(live: _*))
       .groupBy(col("gen"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(length(col("chunk")).cast("long")).as("n_chars"))
       .orderBy(col("gen"))
+  }
 }

@@ -49,6 +49,7 @@ object IvfLayout {
     val spark = vecs.sparkSession
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
+    LsmLayout.clearSnapshots(spark, path)
     vecs
       .withColumn("cell",
         Similarity.nearestCell(Similarity.asDouble(col(vecCol)), centroids))
@@ -99,9 +100,9 @@ object IvfLayout {
       LsmLayout.markApplied(spark, path, batchId)
     }
     if (compactAfterGenerations > 0 &&
-      LsmLayout.generationCount(spark, s"$path/vectors") >
+      LsmLayout.liveGenerationCount(spark, path, s"$path/vectors") >
         compactAfterGenerations)
-      compact(spark, path)
+      compact(spark, path, writerEpoch)
   }
 
   /** Right-to-be-forgotten deletes: an id list anti-joined on every
@@ -117,13 +118,15 @@ object IvfLayout {
     val gen = s"ts-$batchId"
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("vec_id")).distinct()
-    val fresh =
-      if (!hasTombstones(spark, path)) ids
-      else ids.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
+    val fresh = LsmLayout.pendingTombstones(
+      spark, path, LsmLayout.snapshot(spark, path)) match {
+      case None => ids
+      case Some(ts) => ids.join(
+        broadcast(ts
           .filter(col("batch") =!= batchId)
           .select(col("vec_id"))),
         Seq("vec_id"), "left_anti")
+    }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
     if (nForget > 0L)
       forget
@@ -138,33 +141,52 @@ object IvfLayout {
   }
 
   /** Fold generations to one and drop tombstoned vectors physically;
-    * markers kept, forget-set cleared (the shared compact contract). */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * markers kept, forget-set retired (the shared compact contract).
+    * SNAPSHOT-ATOMIC for concurrent readers: new immutable base
+    * generation + one manifest flip + one-cycle-deferred GC;
+    * `writerEpoch` fences the flip and the GC. */
+  def compact(
+      spark: SparkSession, path: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
-      vectors(spark, path))
+      vectorsScoped(spark, path, snap))
     rows
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen", "cell")
+      .withColumn("gen", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "cell")
       .parquet(s"$path/vectors")
     IterationCheckpoint.release(spark.sparkContext, ckIds)
-    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    val folded = snap.folded ++ LsmLayout
+      .liveGenerationNames(spark, s"$path/vectors", "gen=", snap)
+      .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/vectors", "gen=")), snap, next)
   }
 
   /** The stored vector relation (vec_id, embedding, …, cell),
     * tombstones applied. Reading through here does NOT prune cells —
     * serving paths use [[topK]], whose literal probe filter is what
     * reaches the catalog. */
-  def vectors(spark: SparkSession, path: String): DataFrame = {
-    val v = spark.read.parquet(s"$path/vectors").drop("gen")
-    if (!hasTombstones(spark, path)) v
-    else v.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
-        .select(col("vec_id"))),
-      Seq("vec_id"), "left_anti")
-  }
+  def vectors(spark: SparkSession, path: String): DataFrame =
+    vectorsScoped(spark, path, LsmLayout.snapshot(spark, path))
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    LsmLayout.dirExists(spark, s"$path/tombstones")
+  private def vectorsScoped(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame = {
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/vectors", "gen=", snap)
+    LsmLayout.antiJoinTombstones(spark, path, snap,
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("gen").isin(live: _*)).drop("gen"),
+      "vec_id")
+  }
 
   /** The `nprobe` nearest cells to a literal query vector, from the
     * STORED centroids — same argmin arithmetic, same lower-index
@@ -197,14 +219,13 @@ object IvfLayout {
       query: Seq[Double], nprobe: Int, k: Int,
       excludeId: Option[Long] = None): DataFrame = {
     val probes = probeCellsOf(spark, path, query, nprobe)
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/vectors", "gen=", snap)
     val base = spark.read.parquet(s"$path/vectors")
+      .filter(col("gen").isin(live: _*))
       .filter(col("cell").isin(probes.map(_.toLong): _*))
-    val scoped =
-      if (!hasTombstones(spark, path)) base
-      else base.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
-          .select(col("vec_id"))),
-        Seq("vec_id"), "left_anti")
+    val scoped = LsmLayout.antiJoinTombstones(spark, path, snap, base, "vec_id")
     excludeId.fold(scoped)(id => scoped.filter(col("vec_id") =!= id))
       .select(col("vec_id"),
         round(Similarity.cosine(

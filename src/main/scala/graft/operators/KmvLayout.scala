@@ -78,6 +78,7 @@ object KmvLayout {
     // a rebuild starts a fresh index life (the LexicalIndex discipline)
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
+    LsmLayout.clearSnapshots(spark, path)
     docSketches(docs, groupCol, idCol, textCol, salt, k)
       .withColumn("gen", lit(0L))
       .withColumn("batch", lit(BaseBatch))
@@ -105,9 +106,15 @@ object KmvLayout {
       val m = spark.read.parquet(s"$path/meta").head()
       val (k, salt) = (m.getAs[Long]("k").toInt, m.getAs[String]("hash_salt"))
       // exclude the batch's own (possibly partial) partition so a retry
-      // derives the SAME generation number as the failed first attempt
+      // derives the SAME generation number as the failed first attempt;
+      // LIVE batches only (folded generations awaiting GC carry the
+      // pre-compact numbering this counter must restart from)
+      val liveNames = LsmLayout.liveGenerationNames(
+        spark, s"$path/sketches", "batch=",
+        LsmLayout.snapshot(spark, path))
+        .filterNot(_ == batchId)
       val nextGen = spark.read.parquet(s"$path/sketches")
-        .filter(col("batch") =!= batchId)
+        .filter(col("batch").isin(liveNames: _*))
         .agg(max(col("gen"))).head().getLong(0) + 1L
       docSketches(delta, groupCol, idCol, textCol, salt, k)
         .withColumn("gen", lit(nextGen))
@@ -121,11 +128,13 @@ object KmvLayout {
     }
     // file-count hygiene (the s46 policy); collapses time-travel
     // history by the compact contract, so a deployment that pins
-    // snapshots sizes the threshold to its retention window
+    // snapshots sizes the threshold to its retention window. LIVE
+    // count; the auto-compact runs under the caller's writer epoch.
     if (compactAfterGenerations > 0 &&
-      LsmLayout.generationCount(spark, s"$path/sketches", "batch=") >
+      LsmLayout.liveGenerationCount(
+        spark, path, s"$path/sketches", "batch=") >
         compactAfterGenerations)
-      compact(spark, path)
+      compact(spark, path, writerEpoch)
   }
 
   /** Right-to-be-forgotten deletes (the s40 discipline applied to the
@@ -147,13 +156,15 @@ object KmvLayout {
     val gen = s"ts-$batchId"
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
-    val fresh =
-      if (!hasTombstones(spark, path)) ids
-      else ids.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
+    val fresh = LsmLayout.pendingTombstones(
+      spark, path, LsmLayout.snapshot(spark, path)) match {
+      case None => ids
+      case Some(ts) => ids.join(
+        broadcast(ts
           .filter(col("batch") =!= batchId)
           .select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
+    }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
     if (nForget > 0L)
       forget
@@ -173,31 +184,50 @@ object KmvLayout {
     * time-travel history: after a compact, `asOf` pins address the
     * post-compact state only (the LexicalIndex compact contract).
     * Applied markers are kept so late retries of folded batches
-    * still no-op. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * still no-op. SNAPSHOT-ATOMIC for concurrent readers (the shared
+    * discipline): new immutable base generation + one manifest flip +
+    * one-cycle-deferred GC; `writerEpoch` fences the flip and the GC. */
+  def compact(
+      spark: SparkSession, path: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
-      docRows(spark, path).select(col("group"), col("doc_id"), col("sk")))
+      docRowsScoped(spark, path, snap)
+        .select(col("group"), col("doc_id"), col("sk")))
     rows
       .withColumn("gen", lit(0L))
-      .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch")
+      .withColumn("batch", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
       .parquet(s"$path/sketches")
     IterationCheckpoint.release(spark.sparkContext, ckIds)
-    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    val folded = snap.folded ++ LsmLayout
+      .liveGenerationNames(spark, s"$path/sketches", "batch=", snap)
+      .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/sketches", "batch=")), snap, next)
   }
 
   /** The stored per-doc sketch rows, tombstones applied. */
-  private def docRows(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/sketches")
-    if (!hasTombstones(spark, path)) base
-    else base.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
-        .select(col("doc_id"))),
-      Seq("doc_id"), "left_anti")
-  }
+  private def docRows(spark: SparkSession, path: String): DataFrame =
+    docRowsScoped(spark, path, LsmLayout.snapshot(spark, path))
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean =
-    LsmLayout.dirExists(spark, s"$path/tombstones")
+  private def docRowsScoped(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame = {
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/sketches", "batch=", snap)
+    LsmLayout.antiJoinTombstones(spark, path, snap,
+      spark.read.parquet(s"$path/sketches")
+        .filter(col("batch").isin(live: _*)),
+      "doc_id")
+  }
 
   /** The folded logical sketch relation: one row per group, the
     * surviving per-doc sketches merged by re-sketching the union of

@@ -84,6 +84,7 @@ object LexicalIndex {
     // skip the first refresh that reuses a batch id from the old life
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
+    LsmLayout.clearSnapshots(spark, path)
     postingProjection(docs, idCol, textCol, n, buckets)
       .withColumn("gen", lit(BaseGen))
       .repartition(col("bucket"))
@@ -114,14 +115,6 @@ object LexicalIndex {
     * the idempotency contract (see [[refresh]]). */
   private val BaseGen = "base"
 
-  private def tombstonePath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/tombstones")
-
-  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
-    val p = tombstonePath(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
-
   // the applied-batch markers + batch-id hygiene live in [[LsmLayout]]
   // (shared with BandIndex/KmvLayout so the idempotency contract cannot
   // drift between the stored layouts)
@@ -136,26 +129,40 @@ object LexicalIndex {
   private def requireValidBatchId(batchId: String): Unit =
     LsmLayout.requireValidBatchId(batchId)
 
-  /** The committed generation directories of the stored lexicon — what
-    * the auto-compaction policy counts. */
+  /** The committed LIVE generation directories of the stored lexicon —
+    * what the auto-compaction policy counts (physical dirs additionally
+    * hold superseded generations awaiting GC). */
   private[graft] def generationCount(
       spark: SparkSession, path: String): Int =
-    LsmLayout.generationCount(spark, s"$path/lexicon")
+    LsmLayout.liveGenerationCount(spark, path, s"$path/lexicon")
+
+  /** One relation of a layout, scoped to a SNAPSHOT's live generations
+    * — superseded base generations and folded generations awaiting GC
+    * are invisible (reading them would double-count every df/meta sum
+    * after a compact). */
+  private def scopedRel(
+      spark: SparkSession, path: String, rel: String,
+      snap: LayoutSnapshot): DataFrame = {
+    val live = LsmLayout
+      .liveGenerationNames(spark, s"$path/$rel", "gen=", snap)
+    spark.read.parquet(s"$path/$rel")
+      .filter(col("gen").isin(live: _*))
+  }
 
   /** The stored posting relation (doc_id, ns, dl, shingle, tf, bucket),
     * minus tombstoned documents when a forget-set is pending — every
     * probe routes through here, so a [[tombstone]] call is visible on
     * all serving paths immediately, before [[compact]] rewrites
     * anything. The anti-join side is the forget-set id list (16 bytes a
-    * row, broadcast); the posting stream itself is untouched. */
-  def postings(spark: SparkSession, path: String): DataFrame = {
-    val post = spark.read.parquet(s"$path/postings").drop("gen")
-    if (!hasTombstones(spark, path)) post
-    else post.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
-        .select(col("doc_id"))),
-      Seq("doc_id"), "left_anti")
-  }
+    * row, broadcast while within the budget); the posting stream itself
+    * is untouched. */
+  def postings(spark: SparkSession, path: String): DataFrame =
+    postingsScoped(spark, path, LsmLayout.snapshot(spark, path))
+
+  private def postingsScoped(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame =
+    LsmLayout.antiJoinTombstones(spark, path, snap,
+      scopedRel(spark, path, "postings", snap).drop("gen"), "doc_id")
 
   /** The LOGICAL document-frequency table: refresh appends delta df
     * generations LSM-style (never rewrites the stored table), so the
@@ -163,7 +170,11 @@ object LexicalIndex {
     * and reads fold them with one sum. [[compact]] collapses
     * generations back to one. */
   def lexicon(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/lexicon")
+    lexiconScoped(spark, path, LsmLayout.snapshot(spark, path))
+
+  private def lexiconScoped(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame =
+    scopedRel(spark, path, "lexicon", snap)
       .groupBy(col("bucket"), col("shingle"))
       .agg(sum(col("df")).as("df"))
       // a shingle whose documents were ALL tombstoned folds to df = 0
@@ -174,7 +185,11 @@ object LexicalIndex {
     * counters sum across generations; the layout constants are
     * identical in every generation row. */
   def metaRow(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/meta")
+    metaRowScoped(spark, path, LsmLayout.snapshot(spark, path))
+
+  private def metaRowScoped(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame =
+    scopedRel(spark, path, "meta", snap)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         max(col("buckets")).as("buckets"),
@@ -213,11 +228,15 @@ object LexicalIndex {
       path: String,
       queryText: String,
       k: Int): DataFrame = {
+    // ONE snapshot resolution for the whole probe — lexicon, meta and
+    // postings must read the SAME committed state even if a compact
+    // flips the manifest mid-planning
+    val snap = LsmLayout.snapshot(spark, path)
     // shingle width and bucket count are properties of the STORED
     // layout — read them from meta (1 row, plan-time) rather than
     // trusting caller parameters that would silently return empty or
     // mis-pruned results on disagreement
-    val m = metaRow(spark, path)
+    val m = metaRowScoped(spark, path, snap)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
     val qsh = literalShingles(queryText, n)
@@ -225,18 +244,18 @@ object LexicalIndex {
     val qb = qsh.map(bucketOf(_, buckets)).distinct
     // filter BELOW the generation fold so the bucket set prunes at the
     // catalog and the shingle IN-list reaches the reader
-    val lex = spark.read.parquet(s"$path/lexicon")
+    val lex = scopedRel(spark, path, "lexicon", snap)
       .filter(col("bucket").isin(qb: _*))
       .filter(col("shingle").isin(qsh: _*))
       .groupBy(col("bucket"), col("shingle"))
       .agg(sum(col("df")).as("df"))
       .filter(col("df") > 0) // fully-tombstoned shingles fold to 0
-    val qw = lex.crossJoin(broadcast(metaRow(spark, path)))
+    val qw = lex.crossJoin(broadcast(metaRowScoped(spark, path, snap)))
       .select(col("shingle"),
         round(lit(1000000.0) *
           (col("n_docs").cast("double") / col("df").cast("double")))
           .cast("long").as("graft__w"))
-    postings(spark, path)
+    postingsScoped(spark, path, snap)
       .filter(col("bucket").isin(qb: _*))
       .filter(col("shingle").isin(qsh: _*))
       .join(broadcast(qw), Seq("shingle"))
@@ -375,13 +394,15 @@ object LexicalIndex {
     val m = metaRow(spark, path)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
-    val filtered =
-      if (!hasTombstones(spark, path)) forgetDocs
-      else forgetDocs.join(
-        broadcast(spark.read.parquet(s"$path/tombstones")
+    val filtered = LsmLayout.pendingTombstones(
+      spark, path, LsmLayout.snapshot(spark, path)) match {
+      case None => forgetDocs
+      case Some(ts) => forgetDocs.join(
+        broadcast(ts
           .filter(col("batch") =!= batchId)
           .select(col("doc_id").as(idCol))),
         Seq(idCol), "left_anti")
+    }
     val (forget, ids, nForget) = IterationCheckpoint.localCounted(filtered)
     if (nForget == 0L) {
       // everything in this batch was already tombstoned by an earlier
@@ -427,39 +448,66 @@ object LexicalIndex {
     * their sums; the postings (already logically final — appends never
     * duplicate a (doc, gram) row) are rewritten once per bucket to
     * restore the one-sorted-file-per-bucket layout the row-group
-    * pruning story assumes (the s19 discipline). Folded frames are
-    * checkpointed before each overwrite (a parquet path cannot be
-    * overwritten while a live plan reads it). */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * pruning story assumes (the s19 discipline).
+    *
+    * SNAPSHOT-ATOMIC for concurrent readers: the three folds land in a
+    * brand-new immutable `base-<id>` generation and ONE manifest flip
+    * makes postings, lexicon and meta visible together — a probe never
+    * mixes a folded lexicon with an un-folded meta (which would skew
+    * every idf weight); directories only the previous snapshot had
+    * stopped referencing are GC'd, so a reader holding either snapshot
+    * scans intact files. The `_applied` markers are KEPT: a late retry
+    * of a pre-compact batch must still no-op (its data survives inside
+    * the folded generation). `writerEpoch` fences the flip and the GC.
+    * Folded frames are checkpointed before each write (a parquet path
+    * cannot be overwritten while a live plan reads it). */
+  def compact(
+      spark: SparkSession, path: String,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
     val (post, postIds, _) = IterationCheckpoint.localCounted(
-      postings(spark, path))
+      postingsScoped(spark, path, snap))
     post
-      .withColumn("gen", lit(BaseGen))
+      .withColumn("gen", lit(newBase))
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("gen", "bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "bucket")
       .parquet(s"$path/postings")
     IterationCheckpoint.release(spark.sparkContext, postIds)
     val (lex, lexIds, _) = IterationCheckpoint.localCounted(
-      lexicon(spark, path))
+      lexiconScoped(spark, path, snap))
     lex
-      .withColumn("gen", lit(BaseGen))
+      .withColumn("gen", lit(newBase))
       .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("gen", "bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "bucket")
       .parquet(s"$path/lexicon")
     IterationCheckpoint.release(spark.sparkContext, lexIds)
     val (meta, metaIds, _) = IterationCheckpoint.localCounted(
-      metaRow(spark, path))
+      metaRowScoped(spark, path, snap))
     meta
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/meta")
+      .withColumn("gen", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/meta")
     IterationCheckpoint.release(spark.sparkContext, metaIds)
-    // tombstoned postings are now physically gone (the postings()
-    // rewrite above folded the anti-join) and the lexicon/meta folds
-    // absorbed the negative generations — clear the forget-set. The
-    // `_applied` markers are KEPT: they record which batches landed in
-    // this index life, and a late retry of a pre-compact batch must
-    // still no-op (its data survives inside the folded generation).
-    LsmLayout.deleteDir(spark, s"$path/tombstones")
+    val folded = snap.folded ++
+      Seq("postings", "lexicon", "meta").flatMap(rel =>
+        LsmLayout.liveGenerationNames(spark, s"$path/$rel", "gen=", snap))
+        .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/postings", "gen="), (s"$path/lexicon", "gen="),
+        (s"$path/meta", "gen=")),
+      snap, next)
   }
 
   /** Index-health report: per-bucket posting/vocabulary/document

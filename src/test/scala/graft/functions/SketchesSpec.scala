@@ -248,7 +248,7 @@ class SketchesSpec extends SparkTestBase {
 
   test("KmvLayout: refresh retry is idempotent; forget == rebuild on the remaining corpus") {
     import spark.implicits._
-    import graft.operators.KmvLayout
+    import graft.operators.{KmvLayout, LsmLayout}
     val docs = (0 until 400).map { i =>
       (i.toLong, s"g${i % 3}", s"w${i % 90} w${(i * 7) % 130} w${(i * 11) % 50}")
     }.toDF("doc_id", "g", "text")
@@ -292,11 +292,16 @@ class SketchesSpec extends SparkTestBase {
     def mat(q: String) = KmvLayout.overlapMatrix(spark, q)
       .collect().map(_.toSeq).toSet
     assert(mat(p) === mat(rem))
-    // compact drops the rows physically and keeps serving identically
+    // compact drops the rows from the live layout and keeps serving
+    // identically; the second cycle's GC clears the forget-set dir
+    KmvLayout.compact(spark, p)
+    assert(LsmLayout.liveTombstoneBatches(
+      spark, p, LsmLayout.snapshot(spark, p)).isEmpty)
+    assert(sk(p) === sk(rem))
+    assert(mat(p) === mat(rem))
     KmvLayout.compact(spark, p)
     assert(!new java.io.File(s"$p/tombstones").exists())
     assert(sk(p) === sk(rem))
-    assert(mat(p) === mat(rem))
   }
 
   test("KmvLayout: refresh auto-compaction folds batches and preserves the fold") {
@@ -314,8 +319,9 @@ class SketchesSpec extends SparkTestBase {
         docs.filter(col("doc_id") % 4 === r), "g", "doc_id", "text", p,
         batchId = s"b$r", compactAfterGenerations = 2)
     }
-    // b2 made 3 batches > 2 → compacted to 1; b3 appended → 2
-    assert(LsmLayout.generationCount(spark, s"$p/sketches", "batch=") === 2)
+    // b2 made 3 batches > 2 → compacted to 1; b3 appended → 2 LIVE
+    assert(LsmLayout.liveGenerationCount(
+      spark, p, s"$p/sketches", "batch=") === 2)
     KmvLayout.build(docs, "g", "doc_id", "text", full, k = 32)
     def sk(q: String) = KmvLayout.sketches(spark, q)
       .select(col("group"), col("sk"))

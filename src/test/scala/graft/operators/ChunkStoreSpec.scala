@@ -87,10 +87,13 @@ class ChunkStoreSpec extends SparkTestBase {
     // idempotent re-delivery
     ChunkStore.tombstone(Seq(102L).toDF("doc_id"), "doc_id", p,
       batchId = "d1")
-    // compact: doc 102's chunks leave the store; shared chunks stay
+    // compact: doc 102's chunks leave the NEW base; shared chunks stay
+    // (superseded dirs survive one cycle for concurrent readers)
     ChunkStore.compact(spark, p)
-    assert(!LsmLayout.dirExists(spark, s"$p/tombstones"))
+    val snap = LsmLayout.snapshot(spark, p)
+    assert(LsmLayout.liveTombstoneBatches(spark, p, snap).isEmpty)
     val store = spark.read.parquet(s"$p/store")
+      .filter(col("gen") === snap.base)
       .as[(String, String, String)].collect() // chunk_h, chunk, gen
     assert(store.length < storeBefore)
     assert(!store.exists(_._2.contains("only")),
@@ -103,6 +106,12 @@ class ChunkStoreSpec extends SparkTestBase {
       .select(col("doc_id"), md5(col("text")).as("m"))
       .as[(Long, String)].collect().toMap
     assert(rec2 === expect, "compact must not change surviving answers")
+    // second cycle: the GC sweeps the superseded dirs physically
+    ChunkStore.compact(spark, p)
+    assert(!LsmLayout.dirExists(spark, s"$p/tombstones"))
+    assert(!spark.read.parquet(s"$p/store")
+      .as[(String, String, String)].collect().exists(_._2.contains("only")),
+      "after the GC cycle no physical dir holds the forgotten chunks")
   }
 
   test("compact reclaims dead chunks superseded edit manifests left behind") {
@@ -119,7 +128,9 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(nLive + nDead === before)
     assert(nDead > 0L && deadChars > 0L)
     ChunkStore.compact(spark, p)
-    val after = spark.read.parquet(s"$p/store").count()
+    val snap = LsmLayout.snapshot(spark, p)
+    val after = spark.read.parquet(s"$p/store")
+      .filter(col("gen") === snap.base).count()
     assert(after < before,
       "superseded manifests' dead chunks must leave the store")
     assert(after === nLive,
@@ -131,7 +142,7 @@ class ChunkStoreSpec extends SparkTestBase {
       .select(col("doc_id"), md5(col("text")).as("m"))
       .as[(Long, String)].collect().toMap
     assert(rec === expect)
-    assert(LsmLayout.generationCount(spark, s"$p/manifest") === 1)
+    assert(LsmLayout.liveGenerationCount(spark, p, s"$p/manifest") === 1)
   }
 
   test("refresh is idempotent under clean retry and marker-less replay") {

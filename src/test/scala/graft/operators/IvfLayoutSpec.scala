@@ -95,7 +95,13 @@ class IvfLayoutSpec extends SparkTestBase {
       vecs.filter(col("vec_id") % 3 === 1).count())
     val physBefore = spark.read.parquet(s"$del/vectors").count()
     IvfLayout.compact(spark, del)
-    assert(spark.read.parquet(s"$del/vectors").count() < physBefore)
+    val snap = LsmLayout.snapshot(spark, del)
+    assert(spark.read.parquet(s"$del/vectors")
+      .filter(col("gen") === snap.base).count() < physBefore)
+    assert(LsmLayout.liveTombstoneBatches(spark, del, snap).isEmpty)
+    assert(ranked(del, queryVec) === ranked(rem, queryVec))
+    // second cycle: the GC sweeps superseded dirs and the forget-set
+    IvfLayout.compact(spark, del)
     assert(!new java.io.File(s"$del/tombstones").exists())
     assert(ranked(del, queryVec) === ranked(rem, queryVec))
     // auto-compaction: threshold 2, third refresh folds
@@ -105,6 +111,6 @@ class IvfLayoutSpec extends SparkTestBase {
       IvfLayout.refresh(d, "vec_id", "embedding", del,
         batchId = s"a$id", compactAfterGenerations = 2)
     }
-    assert(LsmLayout.generationCount(spark, s"$del/vectors") === 2)
+    assert(LsmLayout.liveGenerationCount(spark, del, s"$del/vectors") === 2)
   }
 }

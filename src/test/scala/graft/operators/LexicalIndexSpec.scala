@@ -63,14 +63,19 @@ class LexicalIndexSpec extends SparkTestBase {
     assert(lexi(inc) === lexi(full))
     assert(meta(inc) === meta(full))
     // the refresh appended a generation (LSM) — compaction folds it
-    // back to one without changing the logical relations
+    // back to one LIVE generation without changing the logical
+    // relations (superseded dirs stay on disk one cycle for concurrent
+    // readers; reads scope to the snapshot)
     assert(spark.read.parquet(s"$inc/meta").count() === 2L)
     LexicalIndex.compact(spark, inc)
-    assert(spark.read.parquet(s"$inc/meta").count() === 1L)
+    val snap = LsmLayout.snapshot(spark, inc)
+    assert(spark.read.parquet(s"$inc/meta")
+      .filter(col("gen") === snap.base).count() === 1L)
     assert(posts(inc) === posts(full))
     assert(lexi(inc) === lexi(full))
     assert(meta(inc) === meta(full))
-    val lexRows = spark.read.parquet(s"$inc/lexicon").count()
+    val lexRows = spark.read.parquet(s"$inc/lexicon")
+      .filter(col("gen") === snap.base).count()
     assert(lexRows === lexi(full).size.toLong,
       "compacted lexicon must hold exactly one row per shingle")
   }
@@ -154,17 +159,27 @@ class LexicalIndexSpec extends SparkTestBase {
     // "c a" existed only in doc 1 — its df folded to 0 and it must have
     // left the logical vocabulary
     assert(!lexi(del).exists(_.head == "c a"))
-    // the PHYSICAL postings still hold doc 1's rows until compaction
-    val physBefore = spark.read.parquet(s"$del/postings").count()
+    // the PHYSICAL postings still hold doc 1's rows until compaction;
+    // the first compact's new base drops them, the second cycle's GC
+    // sweeps the superseded dirs and the applied tombstone batch
     LexicalIndex.compact(spark, del)
-    val physAfter = spark.read.parquet(s"$del/postings").count()
-    assert(physAfter < physBefore,
-      "compact must drop the tombstoned postings physically")
-    assert(!new java.io.File(s"$del/tombstones").exists(),
-      "compact must clear the forget-set")
+    val snap = LsmLayout.snapshot(spark, del)
+    assert(spark.read.parquet(s"$del/postings")
+      .filter(col("gen") === snap.base && col("doc_id") === 1)
+      .count() === 0L,
+      "compact must drop the tombstoned postings from the new base")
+    assert(LsmLayout.liveTombstoneBatches(spark, del, snap).isEmpty,
+      "compact must retire the forget-set")
     assert(posts(del) === posts(rem))
     assert(lexi(del) === lexi(rem))
     assert(meta(del) === meta(rem))
+    LexicalIndex.compact(spark, del)
+    assert(spark.read.parquet(s"$del/postings")
+      .filter(col("doc_id") === 1).count() === 0L,
+      "the second cycle's GC must sweep the superseded postings")
+    assert(!new java.io.File(s"$del/tombstones").exists(),
+      "the second cycle's GC must clear the forget-set")
+    assert(posts(del) === posts(rem))
   }
 
   test("tombstone is idempotent: a re-delivered delete subtracts nothing twice") {
