@@ -156,7 +156,16 @@ object Bench {
       .map { case (k, main, end) =>
         s"\"" + k + "\":{\"main\":" + fmt(main) + ",\"end\":" + fmt(end) + "}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor":${fmt(floor)},"reps":$reps,"recheck":$recheckJson}"""
+    // Phase split (r13 review #6): the lifecycle oracles fuse index
+    // build/maintenance/serve into one timed body by convention, so
+    // their growth moves the per-query average without any regression —
+    // the artifact carries the split so the 2× gate stays readable.
+    val (lc, plain) = results.partition { case (k, _, _) =>
+      SparkEntry.lifecycleQueries.contains(k) }
+    val phases =
+      s"""{"lifecycle":{"n":${lc.size},"sec":${fmt(lc.map(_._2).sum)}},""" +
+        s""""serve":{"n":${plain.size},"sec":${fmt(plain.map(_._2).sum)}}}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor":${fmt(floor)},"reps":$reps,"recheck":$recheckJson,"phases":$phases}"""
     println(json)
     // dev-filtered/rep runs must never masquerade as the driver
     // artifact — only the arg-less contract run writes the files

@@ -27,4 +27,28 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Queries whose timed body FUSES stored-layout lifecycle work —
+    * index builds, refreshes/ingests with fault-injected retries,
+    * forgets, compacts — with the final serve (the oracle
+    * self-containment convention: the driver prices the whole
+    * lifecycle, not one query). Bench reports the lifecycle/serve
+    * split so the per-query average stays interpretable as the
+    * registry grows: a rising s/q driven by new lifecycle gates is
+    * bookkeeping, not regression. Maintained HERE (one place) beside
+    * the packs; SparkEntrySpec pins membership ⊆ queries. */
+  val lifecycleQueries: Set[String] = Set(
+    "s23_ivf_layout", "s28_lexical_index", "s29_lexical_serve",
+    "s30_lexical_refresh", "s31_lexical_point_probe", "s33_lexical_stats",
+    "s37_band_index", "s40_lexical_forget", "s41_sketch_layout",
+    "s42_chunk_store", "s43_sketch_time_travel", "s44_band_forget",
+    "s45_kmv_forget", "s46_lexical_autocompact", "s47_chunk_refresh",
+    "s48_ivf_refresh", "s49_ivf_forget", "s50_band_point_probe",
+    "s51_registry_autocompact", "s52_registry_forget", "s53_chunk_forget",
+    "s54_registry_time_travel", "s55_corpus_forget",
+    "n101_balanced_shards", "n121_hybrid_serve", "n122_bm25_topk",
+    "n124_stream_index_parity", "n174_refresh_retry",
+    "n175_band_append_retry", "n176_maintenance_interleave",
+    "n177_cluster_registry", "n178_stream_registry_parity",
+    "n179_dead_chunks")
 }

@@ -475,8 +475,8 @@ object BandIndex {
     val live = LsmLayout
       .liveGenerationNames(spark, s"$path/postings", "gen=", snap)
       .filterNot(excludeGen.contains)
-    val post = spark.read.parquet(s"$path/postings")
-      .filter(col("gen").isin(live: _*))
+    val post = LsmLayout
+      .readGenerations(spark, s"$path/postings", "gen=", live)
       .drop("gen")
     LsmLayout.antiJoinTombstones(spark, path, snap, post, "doc_id")
   }
@@ -492,8 +492,8 @@ object BandIndex {
     val live = LsmLayout
       .liveGenerationNames(spark, s"$path/sigs", "gen=", snap)
       .filterNot(excludeGen.contains)
-    val sigs = spark.read.parquet(s"$path/sigs")
-      .filter(col("gen").isin(live: _*))
+    val sigs = LsmLayout
+      .readGenerations(spark, s"$path/sigs", "gen=", live)
       .drop("gen")
     LsmLayout.antiJoinTombstones(spark, path, snap, sigs, "doc_id")
   }

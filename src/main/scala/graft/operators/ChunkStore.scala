@@ -143,8 +143,8 @@ object ChunkStore {
     val storeLive = LsmLayout
       .liveGenerationNames(spark, s"$path/store", "gen=", snap)
       .filterNot(_ == batchId)
-    val present = spark.read.parquet(s"$path/store")
-      .filter(col("gen").isin(storeLive: _*))
+    val present = LsmLayout
+      .readGenerations(spark, s"$path/store", "gen=", storeLive)
       .select(col("chunk_h"))
       .join(broadcast(cand.select(col("chunk_h"))),
         Seq("chunk_h"), "left_semi")
@@ -185,8 +185,9 @@ object ChunkStore {
     val sn = snap.getOrElse(LsmLayout.snapshot(spark, path))
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/manifest", "gen=", sn)
-    val man = spark.read.parquet(s"$path/manifest")
-      .filter(col("gen").isin(live: _*)).drop("gen")
+    val man = LsmLayout
+      .readGenerations(spark, s"$path/manifest", "gen=", live)
+      .drop("gen")
     val scoped = LsmLayout.antiJoinTombstones(spark, path, sn, man, "doc_id")
     scoped
       .withColumn("graft__mx",
@@ -222,8 +223,8 @@ object ChunkStore {
       spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame = {
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/store", "gen=", snap)
-    spark.read.parquet(s"$path/store")
-      .filter(col("gen").isin(live: _*)).drop("gen")
+    LsmLayout.readGenerations(spark, s"$path/store", "gen=", live)
+      .drop("gen")
   }
 
   /** Right-to-be-forgotten deletes: the forget-set becomes a tombstone
@@ -352,8 +353,7 @@ object ChunkStore {
     val snap = LsmLayout.snapshot(spark, path)
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/store", "gen=", snap)
-    spark.read.parquet(s"$path/store")
-      .filter(col("gen").isin(live: _*))
+    LsmLayout.readGenerations(spark, s"$path/store", "gen=", live)
       .groupBy(col("gen"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(length(col("chunk")).cast("long")).as("n_chars"))

@@ -161,14 +161,13 @@ object ClusterRegistry {
     val recentNames = LsmLayout.liveGenerationNames(spark, dir, "batch=", snap)
       .filterNot(_ == snap.base)
       .filterNot(excludeBatch.contains)
-    val base = spark.read.parquet(dir)
-      .filter(col("batch") === snap.base)
+    val base = LsmLayout.readGenerations(spark, dir, "batch=", Seq(snap.base))
       .select(col("doc_id"), col("cluster_id"))
     val folded =
       if (recentNames.isEmpty) base
       else {
-        val recent = spark.read.parquet(dir)
-          .filter(col("batch").isin(recentNames: _*))
+        val recent = LsmLayout.readGenerations(spark, dir, "batch=",
+          recentNames)
         val overlay = Materialize.shared(
           asOf.fold(recent)(g => recent.filter(col("gen") <= g))
             .groupBy(col("doc_id"))

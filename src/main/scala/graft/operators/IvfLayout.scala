@@ -183,8 +183,8 @@ object IvfLayout {
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/vectors", "gen=", snap)
     LsmLayout.antiJoinTombstones(spark, path, snap,
-      spark.read.parquet(s"$path/vectors")
-        .filter(col("gen").isin(live: _*)).drop("gen"),
+      LsmLayout.readGenerations(spark, s"$path/vectors", "gen=", live)
+        .drop("gen"),
       "vec_id")
   }
 
@@ -222,8 +222,8 @@ object IvfLayout {
     val snap = LsmLayout.snapshot(spark, path)
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/vectors", "gen=", snap)
-    val base = spark.read.parquet(s"$path/vectors")
-      .filter(col("gen").isin(live: _*))
+    val base = LsmLayout
+      .readGenerations(spark, s"$path/vectors", "gen=", live)
       .filter(col("cell").isin(probes.map(_.toLong): _*))
     val scoped = LsmLayout.antiJoinTombstones(spark, path, snap, base, "vec_id")
     excludeId.fold(scoped)(id => scoped.filter(col("vec_id") =!= id))

@@ -113,8 +113,8 @@ object KmvLayout {
         spark, s"$path/sketches", "batch=",
         LsmLayout.snapshot(spark, path))
         .filterNot(_ == batchId)
-      val nextGen = spark.read.parquet(s"$path/sketches")
-        .filter(col("batch").isin(liveNames: _*))
+      val nextGen = LsmLayout
+        .readGenerations(spark, s"$path/sketches", "batch=", liveNames)
         .agg(max(col("gen"))).head().getLong(0) + 1L
       docSketches(delta, groupCol, idCol, textCol, salt, k)
         .withColumn("gen", lit(nextGen))
@@ -224,8 +224,7 @@ object KmvLayout {
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/sketches", "batch=", snap)
     LsmLayout.antiJoinTombstones(spark, path, snap,
-      spark.read.parquet(s"$path/sketches")
-        .filter(col("batch").isin(live: _*)),
+      LsmLayout.readGenerations(spark, s"$path/sketches", "batch=", live),
       "doc_id")
   }
 

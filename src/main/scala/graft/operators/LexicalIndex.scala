@@ -145,8 +145,7 @@ object LexicalIndex {
       snap: LayoutSnapshot): DataFrame = {
     val live = LsmLayout
       .liveGenerationNames(spark, s"$path/$rel", "gen=", snap)
-    spark.read.parquet(s"$path/$rel")
-      .filter(col("gen").isin(live: _*))
+    LsmLayout.readGenerations(spark, s"$path/$rel", "gen=", live)
   }
 
   /** The stored posting relation (doc_id, ns, dl, shingle, tf, bucket),

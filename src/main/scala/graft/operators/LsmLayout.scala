@@ -177,21 +177,35 @@ private[graft] object LsmLayout {
   val LegacySnapshot: LayoutSnapshot =
     LayoutSnapshot(-1L, "base", Set.empty, Set.empty)
 
-  /** Atomically commit a new snapshot: one fail-if-exists file create
-    * (the single-writer fence makes a collision a loud error, not a
-    * retry case — two compacts racing one layout IS the bug the fence
-    * exists to surface). */
+  /** Atomically commit a new snapshot: the content is written to a
+    * temp name and RENAMED into place — a reader can never open a
+    * created-but-not-yet-written manifest (create-then-write showed up
+    * as an empty-file read under SnapshotCompactSpec's hammer). The
+    * temp name does not parse as a snapshot id, so readers ignore it;
+    * rename-refuses-to-overwrite keeps the fail-if-exists property
+    * (two compacts racing one layout IS the bug the writer fence
+    * exists to surface — loud error, not a retry case). */
   def commitSnapshot(
       spark: SparkSession, root: String, snap: LayoutSnapshot): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${snapDir(root)}/${snap.id}")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, false)
+    val fs = new org.apache.hadoop.fs.Path(snapDir(root))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${snapDir(root)}/.tmp-${snap.id}")
+    val out = fs.create(tmp, true)
     try out.write(
       (s"base=${snap.base}\n" +
         s"folded=${snap.folded.toSeq.sorted.mkString(",")}\n" +
         s"appliedTs=${snap.appliedTs.toSeq.sorted.mkString(",")}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val p = new org.apache.hadoop.fs.Path(s"${snapDir(root)}/${snap.id}")
+    // loud-collision check (best effort — POSIX rename overwrites
+    // silently; the writer-epoch fence is what actually serializes
+    // compacts, this turns a fence-less double-commit into an error)
+    if (fs.exists(p) || !fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"snapshot ${snap.id} already committed at $root — two compacts " +
+          "raced this layout (single-writer fence violation)")
   }
 
   /** A rebuild starts a fresh snapshot life (build's full overwrite
@@ -235,8 +249,24 @@ private[graft] object LsmLayout {
       spark: SparkSession, root: String, snap: LayoutSnapshot): Option[DataFrame] = {
     val live = liveTombstoneBatches(spark, root, snap)
     if (live.isEmpty) None
-    else Some(spark.read.parquet(s"$root/tombstones")
-      .filter(col("batch").isin(live: _*)))
+    else Some(readGenerations(spark, s"$root/tombstones", "batch=", live))
+  }
+
+  /** Read exactly the NAMED generation directories of a layout
+    * relation (basePath keeps the partition column). This — not a
+    * whole-directory read + isin filter — is the snapshot-safe scan
+    * shape: `spark.read.parquet(dir)` lists and schema-infers over
+    * EVERY footer under the directory, including superseded
+    * generations a concurrent compact's GC may delete mid-inference;
+    * explicit live paths never touch them (and skip listing them —
+    * at scale the metadata win too). */
+  def readGenerations(
+      spark: SparkSession, dir: String, prefix: String,
+      names: Seq[String]): DataFrame = {
+    require(names.nonEmpty,
+      s"no live generations to read under $dir (prefix $prefix)")
+    spark.read.option("basePath", dir)
+      .parquet(names.map(n => s"$dir/$prefix$n"): _*)
   }
 
   /** Anti-join the pending forget-set onto `frame` by `idName` — the
@@ -254,8 +284,7 @@ private[graft] object LsmLayout {
       val bytes = dirBytes(spark, s"$root/tombstones", live, "batch=")
       frame.join(
         hintBroadcast(
-          spark.read.parquet(s"$root/tombstones")
-            .filter(col("batch").isin(live: _*))
+          readGenerations(spark, s"$root/tombstones", "batch=", live)
             .select(col(idName)),
           bytes),
         Seq(idName), "left_anti")

@@ -8955,5 +8955,85 @@ object NorthStar {
           docs.filter(col("doc_id") % 9 === 4).select("doc_id"),
           "doc_id", path, batchId = "d1")
         graft.operators.ChunkStore.deadChunkStats(s, path)
+    },
+
+    // ----- s55: ONE-CALL corpus-level GDPR forget across six layouts ----
+    // A deletion request names user data, not layouts: a deployment
+    // indexing one corpus six ways (registry, band, lexical, KMV, IVF,
+    // chunk store) must forget the doc EVERYWHERE — forgetting five of
+    // six silently retains it in the sixth, the failure mode no
+    // per-layout oracle can see. CorpusLifecycle.forget fans one id
+    // set + one batch id out to all six, idempotent under partial
+    // failure (every layout forget is marker-gated). The drive: build
+    // all six, then simulate a coordinator CRASH mid-fan-out (band and
+    // lexical applied their tombstones; the rest never ran), retry the
+    // coordinator (completes four, no-ops two), replay it (no-ops
+    // six), then corpus-compact (physical reclamation; snapshot-atomic
+    // per layout). The audit relation is computed from the REAL
+    // serving paths — registry fold, band signatures, lexical
+    // postings, KMV group fold, IVF vectors, chunk reconstruction —
+    // so any layout still serving a forgotten doc (or double-serving
+    // after a bad compact) breaks the row. The oracle replays the
+    // surviving populations closed-form: docs (registry/kmv/chunks),
+    // docs with >= 3 tokens (band/lexical — shingle-width gate), and
+    // vectors whose ids escaped the doc-keyed forget-set (ivf).
+    QuerySpec(
+      "s55_corpus_forget",
+      s"""SELECT 'band' AS layout, CAST(0 AS BIGINT) AS forgotten_served,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |   WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 11 <> 5)
+         |  AS survivors
+         |UNION ALL
+         |SELECT 'chunks', CAST(0 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |   WHERE doc_id % 11 <> 5)
+         |UNION ALL
+         |SELECT 'ivf', CAST(0 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE vec_id NOT IN
+         |     (SELECT doc_id FROM documents WHERE doc_id % 11 = 5))
+         |UNION ALL
+         |SELECT 'kmv', CAST(0 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |   WHERE doc_id % 11 <> 5)
+         |UNION ALL
+         |SELECT 'lexical', CAST(0 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |   WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 11 <> 5)
+         |UNION ALL
+         |SELECT 'registry', CAST(0 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |   WHERE doc_id % 11 <> 5)""".stripMargin) { (s, d) =>
+      import graft.operators._
+      val root = "target/sinks/s55_corpus"
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val lay = CorpusLifecycle.CorpusLayouts(
+        registry = Some(s"$root/registry"), band = Some(s"$root/band"),
+        lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
+        ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
+      ClusterRegistry.build(docs, "doc_id", "text", s"$root/registry")
+      BandIndex.build(docs, "doc_id", "text", s"$root/band")
+      LexicalIndex.build(docs, "doc_id", "text", s"$root/lexical")
+      KmvLayout.build(docs.withColumn("g", col("doc_id")),
+        "g", "doc_id", "text", s"$root/kmv", k = 32)
+      IvfLayout.build(emb, "vec_id", "embedding", s"$root/ivf",
+        Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)))
+      ChunkStore.build(docs, "doc_id", "text", s"$root/chunks",
+        maskBits = 4)
+      val forget = docs.filter(col("doc_id") % 11 === 5)
+      // the coordinator "crashed" after two layouts committed ...
+      BandIndex.tombstone(forget.select("doc_id"), "doc_id",
+        s"$root/band", batchId = "g1")
+      LexicalIndex.tombstone(forget, "doc_id", "text",
+        s"$root/lexical", batchId = "g1")
+      // ... the retry completes the other four and no-ops those two;
+      // the replay no-ops all six
+      CorpusLifecycle.forget(forget, "doc_id", "text", lay, batchId = "g1")
+      CorpusLifecycle.forget(forget, "doc_id", "text", lay, batchId = "g1")
+      // physical reclamation across the corpus must not change serving
+      CorpusLifecycle.compact(s, lay)
+      CorpusLifecycle.forgetAudit(s, lay, forget.select("doc_id"), "doc_id")
+        .orderBy(col("layout"))
     })
 }

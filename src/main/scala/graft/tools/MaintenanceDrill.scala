@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
-import graft.operators.{BandIndex, ChunkStore, ClusterRegistry, KmvLayout, LexicalIndex}
+import graft.operators.{BandIndex, ChunkStore, ClusterRegistry, DedupClusters, KmvLayout, LexicalIndex, Materialize, MinHashNearDup}
 import graft.sources.Tables
 
 /** Build-vs-delta separation drill for the stored-index maintenance
@@ -141,6 +141,32 @@ object MaintenanceDrill {
       println(f"[maint] registry compact $arm%-5s wall $cCr%6.2fs  " +
         f"post-compact fold $sCr2%6.2fs  " +
         f"post-compact small ingest $rSmall2%6.2fs")
+
+      // registry BUILD decomposition — which term dominates the one
+      // honest corpus pass: the scan→shingle→sketch chain, the
+      // within-corpus pair join (band bucket join + sig prefilter +
+      // exact verify), the connected-components rounds, or the
+      // partitioned writes? Each stage is timed with its INPUT cached
+      // (no sweep between stages), so a stage's time is its own work;
+      // the residual vs the fused build above is the write term plus
+      // the band-index build's own postings/sigs writes.
+      def stage(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sk = Materialize.shared(BandIndex.sketchRelation(
+        docs, "doc_id", "text", 3, 64, 16))
+      val tSketch = stage(sk)
+      val pairs = Materialize.shared(
+        MinHashNearDup.pairsFromSketched(sk, 0.8, numHashes = 64))
+      val tPairs = stage(pairs)
+      val tCC = stage(DedupClusters.components(pairs, "id_a", "id_b"))
+      sweep()
+      println(f"[maint] registry build-decomp $arm%-5s " +
+        f"sketch $tSketch%6.2fs  pairs $tPairs%6.2fs  cc $tCC%6.2fs  " +
+        f"writes+rest ${math.max(0.0, bCr - tSketch - tPairs - tCC)}%6.2fs" +
+        f"  (fused build $bCr%6.2fs)")
     }
 
     // warmup on the 1× arm (codegen/JIT), then measure both arms

@@ -57,7 +57,7 @@ object PairDrill {
     // one warmup pass per query shape at base scale so no arm is
     // charged first-run codegen/JIT (shape-keyed, shared across scales)
     Seq("n3_minhash_neardup", "n68_online_neardup", "n56_source_overlap",
-      "n110_pagerank_step")
+      "n110_pagerank_step", "n177_cluster_registry", "n169_chunk_delta")
       .filter(want).foreach(q => timed(q, sfDir))
 
     def report(scale: Int, q: String, wall: Double, counts: (String, Long)*): Unit = {
@@ -132,6 +132,98 @@ object PairDrill {
         sweep()
         report(c, "n56_source_overlap", wall,
           "src_fp_rows" -> nFp, "shared_fps" -> nShared, "pairs" -> nOut)
+      }
+
+      if (want("n177_cluster_registry")) {
+        // the 2.47× 10×-arm pin (SCALE_r13 §2): is the super-2× slope a
+        // corpus term in ONE ingest, or fixed scheduling? Time the
+        // oracle, then rebuild the same index and time build vs ingest
+        // apart, with the workload cardinalities each ingest stage is
+        // bounded by: delta rows, delta↔corpus verified probe pairs
+        // (the band join + ledger-rehydrated verify), within-delta
+        // pairs, touched clusters and re-mapped rows. Healthy = wall
+        // tracks the dominant cardinality; machinery degradation =
+        // per-pair cost growing while counts scale linearly.
+        val wall = timed("n177_cluster_registry", dir)
+        val path = "target/pair_drill/n177_registry"
+        val delta = docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val tBuild = {
+          val t0 = System.nanoTime()
+          graft.operators.ClusterRegistry.build(
+            docs, "doc_id", "text", path)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tIngest = {
+          val t0 = System.nanoTime()
+          graft.operators.ClusterRegistry.ingest(
+            docs, delta, "doc_id", "text", path, batchId = "b1")
+          (System.nanoTime() - t0) / 1e9
+        }
+        sweep()
+        val nDelta = delta.count()
+        val probePairs = graft.operators.BandIndex.probe(
+          docs, delta, "doc_id", "text", s"$path/band", threshold = 0.8,
+          excludeGen = Some("b1"))
+          .transform(graft.operators.Materialize.shared)
+        val nDC = probePairs.count()
+        val nTouched = probePairs.select(col("corpus_id")).distinct().count()
+        val sk = graft.operators.Materialize.shared(
+          graft.operators.BandIndex.sketchRelation(
+            delta, "doc_id", "text", 3, 64, 16))
+        val nDD = MinHashNearDup.pairsFromSketched(sk, 0.8, 64).count()
+        sweep()
+        println(f"[pairs] scale=$c%3d n177_decomp         " +
+          f"wall=$wall%8.2fs  build=$tBuild%7.2fs  ingest=$tIngest%6.2fs  " +
+          f"delta=$nDelta%,d  dc_pairs=$nDC%,d  dd_pairs=$nDD%,d  " +
+          f"touched=$nTouched%,d  " +
+          f"us_per_dc=${if (nDC > 0) tIngest * 1e6 / nDC else 0.0}%9.1f")
+      }
+
+      if (want("n169_chunk_delta")) {
+        // the second 2.47×-family arm: the edited-resync chunk delta.
+        // Stage cardinalities: delta chunk occurrences (map-only CDC),
+        // distinct candidate hashes (the store anti-join's broadcast
+        // side), and genuinely new chunks (the stored delta) — the
+        // refresh write is bounded by the last, the probe by the first.
+        val wall = timed("n169_chunk_delta", dir)
+        val path = "target/pair_drill/n169_chunks"
+        val tBuild = {
+          val t0 = System.nanoTime()
+          graft.operators.ChunkStore.build(
+            docs, "doc_id", "text", path, maskBits = 4)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val edited = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("graft__ws"))
+          .withColumn("graft__p",
+            (TextOps.hexHash60(concat(lit("edit:"),
+              col("doc_id").cast("string")))
+              % size(col("graft__ws")) + 1).cast("int"))
+          .select(col("doc_id"), expr(
+            "array_join(transform(graft__ws, (w, i) -> " +
+              "CASE WHEN i + 1 = graft__p THEN concat(w, '_X') ELSE w END)" +
+              ", ' ')").as("text"))
+          .transform(graft.operators.Materialize.shared)
+        val tRefresh = {
+          val t0 = System.nanoTime()
+          graft.operators.ChunkStore.refresh(
+            edited, "doc_id", "text", path, batchId = "b1")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val chunkRows = edited
+          .select(posexplode(TextOps.cdcChunks(
+            TextOps.tokens(col("text")), 4)).as(Seq("pos", "chunk")))
+        val nOcc = chunkRows.count()
+        val nCand = chunkRows.select(
+          TextOps.hexHash60(col("chunk")).as("h")).distinct().count()
+        val nNew = spark.read.option("basePath", s"$path/store")
+          .parquet(s"$path/store/gen=b1").count()
+        sweep()
+        println(f"[pairs] scale=$c%3d n169_decomp         " +
+          f"wall=$wall%8.2fs  build=$tBuild%7.2fs  refresh=$tRefresh%6.2fs  " +
+          f"chunk_occ=$nOcc%,d  cand_hashes=$nCand%,d  new_chunks=$nNew%,d  " +
+          f"us_per_occ=${if (nOcc > 0) tRefresh * 1e6 / nOcc else 0.0}%9.1f")
       }
 
       if (want("n110_pagerank_step")) {

@@ -7,12 +7,17 @@ class SparkEntrySpec extends SparkTestBase {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
-    assert(names.size >= 277) // registry-loss guard (round 13, continued)
+    assert(names.size >= 278) // registry-loss guard (round 14, continued)
   }
 
   test("oracle keys are a subset of query keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("lifecycle phase tags name real queries") {
+    val missing = SparkEntry.lifecycleQueries -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"phase tags without queries: $missing")
   }
 
   test("entry() (flagship star join) returns rows at sf0.001") {

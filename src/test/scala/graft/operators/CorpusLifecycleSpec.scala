@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Corpus-level forget orchestration: one id set, one batch id, six
+  * layouts — idempotent under partial failure (the coordinator crash
+  * is repaired by re-running the same call), audited from the REAL
+  * serving paths. The s55 oracle gates the full lifecycle against the
+  * DuckDB closed form; these pin the mechanics on a hand fixture. */
+class CorpusLifecycleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(lo: Int, hi: Int): String =
+    (lo to hi).map(i => s"b$i").mkString(" ")
+
+  private def docs = (1 to 12).map { i =>
+    (i.toLong, run(5 * ((i + 1) / 2), 5 * ((i + 1) / 2) + 19))
+  }.toDF("doc_id", "text")
+
+  private def vecs = (1 to 12).map { i =>
+    (i.toLong, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def buildAll(root: String): CorpusLifecycle.CorpusLayouts = {
+    val lay = CorpusLifecycle.CorpusLayouts(
+      registry = Some(s"$root/registry"), band = Some(s"$root/band"),
+      lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
+      ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
+    ClusterRegistry.build(docs, "doc_id", "text", s"$root/registry")
+    BandIndex.build(docs, "doc_id", "text", s"$root/band")
+    LexicalIndex.build(docs, "doc_id", "text", s"$root/lexical", n = 2)
+    KmvLayout.build(docs.withColumn("g", col("doc_id")),
+      "g", "doc_id", "text", s"$root/kmv", k = 16)
+    IvfLayout.build(vecs, "vec_id", "embedding", s"$root/ivf",
+      Similarity.hyperplanes(2, 8).map(_.map(_.toDouble)))
+    ChunkStore.build(docs, "doc_id", "text", s"$root/chunks", maskBits = 3)
+    lay
+  }
+
+  private def auditMap(lay: CorpusLifecycle.CorpusLayouts) =
+    CorpusLifecycle.forgetAudit(spark, lay,
+      Seq(3L, 7L).toDF("doc_id"), "doc_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("forget fans one id set out to every layout; audit sees zero everywhere") {
+    val root = "target/test_corpuslc/forget"
+    val lay = buildAll(root)
+    val before = auditMap(lay)
+    assert(before.keySet ===
+      Set("registry", "band", "lexical", "kmv", "ivf", "chunks"))
+    assert(before.values.forall(_._1 == 2L),
+      s"fixture: every layout serves both audit ids before the forget: $before")
+    CorpusLifecycle.forget(
+      docs.filter(col("doc_id").isin(3L, 7L)), "doc_id", "text", lay,
+      batchId = "g1")
+    val after = auditMap(lay)
+    assert(after.values.forall(_._1 == 0L),
+      s"a layout still serves a forgotten doc: $after")
+    assert(after.values.forall(_._2 == 10L),
+      s"every layout must serve exactly the 10 survivors: $after")
+  }
+
+  test("a coordinator crash mid-fan-out is repaired by retrying the same call") {
+    val root = "target/test_corpuslc/crash"
+    val lay = buildAll(root)
+    val forget = docs.filter(col("doc_id").isin(3L, 7L))
+    // crash after two layouts committed their tombstones
+    BandIndex.tombstone(forget.select("doc_id"), "doc_id",
+      s"$root/band", batchId = "g1")
+    ChunkStore.tombstone(forget.select("doc_id"), "doc_id",
+      s"$root/chunks", batchId = "g1")
+    // mid-crash state: exactly those two forgot, the other four serve
+    val mid = auditMap(lay)
+    assert(mid("band")._1 === 0L && mid("chunks")._1 === 0L)
+    assert(Seq("registry", "lexical", "kmv", "ivf")
+      .forall(mid(_)._1 == 2L), s"unexpected mid-crash state: $mid")
+    // the retry completes the remaining four and no-ops the two
+    CorpusLifecycle.forget(forget, "doc_id", "text", lay, batchId = "g1")
+    // a second replay is a full no-op (markers) — nothing double-counts
+    CorpusLifecycle.forget(forget, "doc_id", "text", lay, batchId = "g1")
+    val after = auditMap(lay)
+    assert(after.values.forall(v => v._1 == 0L && v._2 == 10L),
+      s"retry did not converge the corpus: $after")
+    // the lexical negative-df generation applied exactly once: idf/meta
+    // equal a rebuild on the survivors
+    val rebuilt = s"$root/lex_rebuilt"
+    LexicalIndex.build(docs.filter(!col("doc_id").isin(3L, 7L)),
+      "doc_id", "text", rebuilt, n = 2)
+    def meta(p: String) = LexicalIndex.metaRow(spark, p)
+      .select("n_docs", "n_tokens").as[(Long, Long)].collect().head
+    assert(meta(s"$root/lexical") === meta(rebuilt))
+  }
+
+  test("corpus compact fans out snapshot-atomic compacts; serving is invariant") {
+    val root = "target/test_corpuslc/compact"
+    val lay = buildAll(root)
+    CorpusLifecycle.forget(
+      docs.filter(col("doc_id").isin(3L, 7L)), "doc_id", "text", lay,
+      batchId = "g1")
+    val before = auditMap(lay)
+    CorpusLifecycle.compact(spark, lay)
+    assert(auditMap(lay) === before, "compact must not change serving")
+    // every layout flipped to a snapshot base (manifest committed)
+    lay.paths.foreach { p =>
+      assert(LsmLayout.snapshot(spark, p).id === 0L,
+        s"$p did not commit a compact snapshot")
+      assert(LsmLayout.liveTombstoneBatches(
+        spark, p, LsmLayout.snapshot(spark, p)).isEmpty,
+        s"$p did not retire its forget-set")
+    }
+    // re-forgetting after physical reclamation is a fresh batch
+    CorpusLifecycle.forget(
+      docs.filter(col("doc_id") === 9L), "doc_id", "text", lay,
+      batchId = "g2")
+    val after = auditMap(lay)
+    assert(after.values.forall(v => v._1 == 0L && v._2 == 9L),
+      s"post-compact forget did not apply everywhere: $after")
+  }
+
+  test("per-path writer epochs fence a superseded coordinator") {
+    val root = "target/test_corpuslc/fence"
+    val lay = buildAll(root)
+    val stale = lay.paths.map(p =>
+      p -> LsmLayout.acquireWriterEpoch(spark, p)).toMap
+    // a replacement coordinator takes over every path
+    lay.paths.foreach(p => LsmLayout.acquireWriterEpoch(spark, p))
+    intercept[IllegalStateException] {
+      CorpusLifecycle.forget(
+        docs.filter(col("doc_id") === 3L), "doc_id", "text", lay,
+        batchId = "g1", epochOf = p => stale.get(p))
+    }
+  }
+}
