@@ -81,6 +81,65 @@ object CorpusLifecycle {
       ChunkStore.tombstone(ids, idCol, p, batchId, epochOf(p)))
   }
 
+  /** Corpus-wide delta ingest: ONE delta batch, ONE batch id, every
+    * layout — the forward twin of [[forget]]. The failure mode this
+    * closes is symmetric to the forget one: a caller that fans a new
+    * batch out by hand and crashes after five of six layouts leaves
+    * the sixth silently MISSING the docs — every probe of that layout
+    * under-serves, and no per-layout oracle can see it. One call, and
+    * a retry with the same batch id, repairs any partial fan-out
+    * (every per-layout ingest is marker-gated, the [[LsmLayout]]
+    * at-least-once contract).
+    *
+    * Per-layout contracts carried through unchanged: the registry
+    * needs the text LEDGER (`corpus` — base build set + all prior
+    * deltas + this one) for candidate verification, and delta doc ids
+    * must be NEW; the KMV layout needs the delta's `groupCol`; the IVF
+    * layout ingests VECTORS, not text — pass the delta's embedding
+    * rows as `deltaVectors = (frame, vecIdCol, vecCol)`. Omitting a
+    * needed argument while the layout is configured fails loudly up
+    * front (a silent skip would be exactly the under-serve this call
+    * exists to prevent).
+    *
+    * 100 TB shape: pure fan-out of delta-sized work — each layout's
+    * ingest is delta-sized by its own contract (the registry probe is
+    * delta×pruned-band-partitions; nothing stored is rewritten);
+    * `compactAfterGenerations` bounds every layout's generation count
+    * under a continuous loop. */
+  def ingest(
+      corpus: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      layouts: CorpusLayouts, batchId: String,
+      groupCol: Option[String] = None,
+      deltaVectors: Option[(DataFrame, String, String)] = None,
+      compactAfterGenerations: Int = 0,
+      epochOf: String => Option[Long] = _ => None): Unit = {
+    require(layouts.kmv.isEmpty || groupCol.isDefined,
+      "a KMV layout is configured but no groupCol was supplied — the " +
+        "layout would silently miss this batch")
+    require(layouts.ivf.isEmpty || deltaVectors.isDefined,
+      "an IVF layout is configured but no deltaVectors were supplied — " +
+        "the layout would silently miss this batch")
+    layouts.registry.foreach(p =>
+      ClusterRegistry.ingest(corpus, delta, idCol, textCol, p, batchId,
+        compactAfterGenerations, epochOf(p)))
+    layouts.band.foreach(p =>
+      BandIndex.append(delta, idCol, textCol, p, batchId,
+        compactAfterGenerations, epochOf(p)))
+    layouts.lexical.foreach(p =>
+      LexicalIndex.refresh(delta, idCol, textCol, p, batchId,
+        compactAfterGenerations, epochOf(p)))
+    layouts.kmv.foreach(p =>
+      KmvLayout.refresh(delta, groupCol.get, idCol, textCol, p, batchId,
+        compactAfterGenerations, epochOf(p)))
+    layouts.ivf.foreach { p =>
+      val (vecs, vid, vcol) = deltaVectors.get
+      IvfLayout.refresh(vecs, vid, vcol, p, batchId,
+        compactAfterGenerations, epochOf(p))
+    }
+    layouts.chunks.foreach(p =>
+      ChunkStore.refresh(delta, idCol, textCol, p, batchId, epochOf(p)))
+  }
+
   /** Fan out the snapshot-atomic compacts — physical reclamation of
     * every pending forget across the corpus (each layout writes a new
     * immutable base generation and flips its manifest; concurrent
@@ -107,7 +166,25 @@ object CorpusLifecycle {
     * One row per configured layout. */
   def forgetAudit(
       spark: SparkSession, layouts: CorpusLayouts,
-      auditIds: DataFrame, idCol: String): DataFrame = {
+      auditIds: DataFrame, idCol: String): DataFrame =
+    serveAudit(spark, layouts, auditIds, idCol, "forgotten_served")
+
+  /** The ingest-completeness audit — the forward twin of
+    * [[forgetAudit]]: per layout, how many of the batch's ids its
+    * serving path returns (must equal the batch size, modulo each
+    * layout's own content gates — e.g. the band/lexical shingle-width
+    * minimum) and how many documents it serves in total. Catches the
+    * partially-failed fan-out [[ingest]]'s retry contract exists for:
+    * a layout the crash skipped shows `delta_served` short. One row
+    * per configured layout, from the REAL serving paths. */
+  def ingestAudit(
+      spark: SparkSession, layouts: CorpusLayouts,
+      deltaIds: DataFrame, idCol: String): DataFrame =
+    serveAudit(spark, layouts, deltaIds, idCol, "delta_served")
+
+  private def serveAudit(
+      spark: SparkSession, layouts: CorpusLayouts,
+      auditIds: DataFrame, idCol: String, matchName: String): DataFrame = {
     val ids = broadcast(
       auditIds.select(col(idCol).cast("string").as("graft__fid")))
     // string-typed key compare: the layouts key differently (doc ids,
@@ -118,10 +195,10 @@ object CorpusLifecycle {
         .join(ids, col("graft__d") === col("graft__fid"), "left")
         .agg(
           sum(when(col("graft__fid").isNotNull, 1L).otherwise(0L))
-            .as("forgotten_served"),
+            .as(matchName),
           count(lit(1)).as("survivors"))
         .select(lit(name).as("layout"),
-          col("forgotten_served"), col("survivors"))
+          col(matchName), col("survivors"))
     val parts =
       layouts.registry.map(p => audit("registry",
         ClusterRegistry.assignments(spark, p), "doc_id")).toSeq ++

@@ -9035,5 +9035,94 @@ object NorthStar {
       CorpusLifecycle.compact(s, lay)
       CorpusLifecycle.forgetAudit(s, lay, forget.select("doc_id"), "doc_id")
         .orderBy(col("layout"))
+    },
+
+    // ----- s56: ONE-CALL corpus-level delta ingest across six layouts --
+    // The forward twin of s55: a new batch must land in EVERY layout a
+    // deployment keeps — a hand-rolled fan-out that crashes after five
+    // of six leaves the sixth silently MISSING the docs, and every
+    // probe of that layout under-serves forever. CorpusLifecycle.ingest
+    // takes one delta + one batch id and fans it out, idempotent under
+    // partial failure (every per-layout ingest is marker-gated). The
+    // drive: build all six on the doc_id%3!=0 base slice, simulate a
+    // coordinator CRASH mid-fan-out (band and lexical committed the
+    // batch; the other four never ran), retry the coordinator
+    // (completes four, no-ops two), replay it (no-ops six). The audit
+    // is computed from the REAL serving paths; the oracle replays the
+    // populations closed-form: all docs (registry/kmv/chunks), docs
+    // with >= 3 tokens (band/lexical — the shingle-width gate), and
+    // the embeddings split by the same id residue (ivf: vec_ids are a
+    // subset of doc ids in the fixture, so the delta id set covers
+    // every ingested vector).
+    QuerySpec(
+      "s56_corpus_ingest",
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |           FROM documents)
+        |SELECT 'band' AS layout,
+        |  CAST((SELECT count(*) FROM d WHERE n >= 3 AND doc_id % 3 = 0)
+        |    AS BIGINT) AS delta_served,
+        |  CAST((SELECT count(*) FROM d WHERE n >= 3) AS BIGINT)
+        |    AS survivors
+        |UNION ALL
+        |SELECT 'chunks',
+        |  CAST((SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS BIGINT),
+        |  CAST((SELECT count(*) FROM d) AS BIGINT)
+        |UNION ALL
+        |SELECT 'ivf',
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 3 = 0)
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+        |UNION ALL
+        |SELECT 'kmv',
+        |  CAST((SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS BIGINT),
+        |  CAST((SELECT count(*) FROM d) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lexical',
+        |  CAST((SELECT count(*) FROM d WHERE n >= 3 AND doc_id % 3 = 0)
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM d WHERE n >= 3) AS BIGINT)
+        |UNION ALL
+        |SELECT 'registry',
+        |  CAST((SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS BIGINT),
+        |  CAST((SELECT count(*) FROM d) AS BIGINT)""".stripMargin) {
+      (s, d) =>
+        import graft.operators._
+        val root = "target/sinks/s56_corpus"
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val base = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("g", col("doc_id"))
+        val deltaVecs = emb.filter(col("vec_id") % 3 === 0)
+        val lay = CorpusLifecycle.CorpusLayouts(
+          registry = Some(s"$root/registry"), band = Some(s"$root/band"),
+          lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
+          ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
+        ClusterRegistry.build(base, "doc_id", "text", s"$root/registry")
+        BandIndex.build(base, "doc_id", "text", s"$root/band")
+        LexicalIndex.build(base, "doc_id", "text", s"$root/lexical")
+        KmvLayout.build(base.withColumn("g", col("doc_id")),
+          "g", "doc_id", "text", s"$root/kmv", k = 32)
+        IvfLayout.build(emb.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", s"$root/ivf",
+          Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)))
+        ChunkStore.build(base, "doc_id", "text", s"$root/chunks",
+          maskBits = 4)
+        // the coordinator "crashed" after two layouts committed ...
+        BandIndex.append(delta, "doc_id", "text", s"$root/band",
+          batchId = "b1")
+        LexicalIndex.refresh(delta, "doc_id", "text", s"$root/lexical",
+          batchId = "b1")
+        // ... the retry completes the other four and no-ops those two;
+        // the replay no-ops all six
+        CorpusLifecycle.ingest(docs, delta, "doc_id", "text", lay,
+          batchId = "b1", groupCol = Some("g"),
+          deltaVectors = Some((deltaVecs, "vec_id", "embedding")))
+        CorpusLifecycle.ingest(docs, delta, "doc_id", "text", lay,
+          batchId = "b1", groupCol = Some("g"),
+          deltaVectors = Some((deltaVecs, "vec_id", "embedding")))
+        CorpusLifecycle.ingestAudit(
+          s, lay, delta.select("doc_id"), "doc_id")
+          .orderBy(col("layout"))
     })
 }

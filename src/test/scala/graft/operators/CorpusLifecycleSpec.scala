@@ -23,19 +23,25 @@ class CorpusLifecycleSpec extends SparkTestBase {
     (i.toLong, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat))
   }.toDF("vec_id", "embedding")
 
-  private def buildAll(root: String): CorpusLifecycle.CorpusLayouts = {
+  private def buildAll(root: String): CorpusLifecycle.CorpusLayouts =
+    buildOn(root, docs, vecs)
+
+  private def buildOn(
+      root: String,
+      d: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): CorpusLifecycle.CorpusLayouts = {
     val lay = CorpusLifecycle.CorpusLayouts(
       registry = Some(s"$root/registry"), band = Some(s"$root/band"),
       lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
       ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
-    ClusterRegistry.build(docs, "doc_id", "text", s"$root/registry")
-    BandIndex.build(docs, "doc_id", "text", s"$root/band")
-    LexicalIndex.build(docs, "doc_id", "text", s"$root/lexical", n = 2)
-    KmvLayout.build(docs.withColumn("g", col("doc_id")),
+    ClusterRegistry.build(d, "doc_id", "text", s"$root/registry")
+    BandIndex.build(d, "doc_id", "text", s"$root/band")
+    LexicalIndex.build(d, "doc_id", "text", s"$root/lexical", n = 2)
+    KmvLayout.build(d.withColumn("g", col("doc_id")),
       "g", "doc_id", "text", s"$root/kmv", k = 16)
-    IvfLayout.build(vecs, "vec_id", "embedding", s"$root/ivf",
+    IvfLayout.build(v, "vec_id", "embedding", s"$root/ivf",
       Similarity.hyperplanes(2, 8).map(_.map(_.toDouble)))
-    ChunkStore.build(docs, "doc_id", "text", s"$root/chunks", maskBits = 3)
+    ChunkStore.build(d, "doc_id", "text", s"$root/chunks", maskBits = 3)
     lay
   }
 
@@ -118,6 +124,81 @@ class CorpusLifecycleSpec extends SparkTestBase {
     val after = auditMap(lay)
     assert(after.values.forall(v => v._1 == 0L && v._2 == 9L),
       s"post-compact forget did not apply everywhere: $after")
+  }
+
+  // ---- corpus-wide ingest (the forward twin of forget) ---------------
+
+  private def baseDocs = docs.filter(col("doc_id") <= 8L)
+  private def deltaDocs = docs.filter(col("doc_id") > 8L)
+    .withColumn("g", col("doc_id"))
+  private def ingestAuditMap(lay: CorpusLifecycle.CorpusLayouts) =
+    CorpusLifecycle.ingestAudit(spark, lay,
+      deltaDocs.select("doc_id"), "doc_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def runIngest(lay: CorpusLifecycle.CorpusLayouts): Unit =
+    CorpusLifecycle.ingest(docs, deltaDocs, "doc_id", "text", lay,
+      batchId = "b1", groupCol = Some("g"),
+      deltaVectors =
+        Some((vecs.filter(col("vec_id") > 8L), "vec_id", "embedding")))
+
+  test("ingest fans one delta out to every layout; audit sees the full batch") {
+    val root = "target/test_corpuslc/ingest"
+    val lay = buildOn(root, baseDocs, vecs.filter(col("vec_id") <= 8L))
+    val before = ingestAuditMap(lay)
+    assert(before.values.forall(v => v._1 == 0L && v._2 == 8L),
+      s"fixture: no layout serves the delta before the ingest: $before")
+    runIngest(lay)
+    val after = ingestAuditMap(lay)
+    assert(after.keySet ===
+      Set("registry", "band", "lexical", "kmv", "ivf", "chunks"))
+    assert(after.values.forall(v => v._1 == 4L && v._2 == 12L),
+      s"a layout is missing part of the batch: $after")
+  }
+
+  test("a coordinator crash mid-ingest is repaired by retrying the same call") {
+    val root = "target/test_corpuslc/ingest_crash"
+    val lay = buildOn(root, baseDocs, vecs.filter(col("vec_id") <= 8L))
+    // crash after two layouts committed the batch
+    BandIndex.append(deltaDocs, "doc_id", "text", s"$root/band",
+      batchId = "b1")
+    KmvLayout.refresh(deltaDocs, "g", "doc_id", "text", s"$root/kmv",
+      batchId = "b1")
+    val mid = ingestAuditMap(lay)
+    assert(mid("band")._1 === 4L && mid("kmv")._1 === 4L)
+    assert(Seq("registry", "lexical", "ivf", "chunks")
+      .forall(mid(_)._1 == 0L), s"unexpected mid-crash state: $mid")
+    // the retry completes the remaining four and no-ops the two;
+    // a second replay is a full no-op (markers) — nothing duplicates
+    runIngest(lay)
+    runIngest(lay)
+    val after = ingestAuditMap(lay)
+    assert(after.values.forall(v => v._1 == 4L && v._2 == 12L),
+      s"retry did not converge the corpus: $after")
+    // no layout double-counted: lexical idf/meta equal a rebuild on
+    // the full corpus (token totals would double under a replayed
+    // generation)
+    val rebuilt = s"$root/lex_rebuilt"
+    LexicalIndex.build(docs, "doc_id", "text", rebuilt, n = 2)
+    def meta(p: String) = LexicalIndex.metaRow(spark, p)
+      .select("n_docs", "n_tokens").as[(Long, Long)].collect().head
+    assert(meta(s"$root/lexical") === meta(rebuilt))
+  }
+
+  test("ingest refuses a configured layout whose inputs are missing") {
+    val lay = CorpusLifecycle.CorpusLayouts(
+      kmv = Some("target/test_corpuslc/never/kmv"))
+    intercept[IllegalArgumentException] {
+      CorpusLifecycle.ingest(docs, deltaDocs, "doc_id", "text", lay,
+        batchId = "b1", groupCol = None)
+    }
+    val lay2 = CorpusLifecycle.CorpusLayouts(
+      ivf = Some("target/test_corpuslc/never/ivf"))
+    intercept[IllegalArgumentException] {
+      CorpusLifecycle.ingest(docs, deltaDocs, "doc_id", "text", lay2,
+        batchId = "b1", deltaVectors = None)
+    }
   }
 
   test("per-path writer epochs fence a superseded coordinator") {

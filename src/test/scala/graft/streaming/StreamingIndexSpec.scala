@@ -197,4 +197,94 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(probed(streamed) === expected)
     assert(spark.read.parquet(s"$streamed/postings").count() === phys)
   }
+
+  test("foreachBatch corpus coordinator: one ingest call fans each micro-batch to six layouts, replay-invariant") {
+    import graft.operators._
+    implicit val sqlCtx = spark.sqlContext
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/test_streamcorpus"))
+    val root = "target/test_streamcorpus/streamed"
+    val lay = CorpusLifecycle.CorpusLayouts(
+      registry = Some(s"$root/registry"), band = Some(s"$root/band"),
+      lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
+      ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
+    def words(lo: Int, hi: Int): String =
+      (lo to hi).map(i => s"b$i").mkString(" ")
+    def fix(ids: Seq[Long]): Seq[(Long, String)] =
+      ids.map(i => (i, words(5 * ((i.toInt + 1) / 2),
+        5 * ((i.toInt + 1) / 2) + 19)))
+    def vecsOf(d: org.apache.spark.sql.DataFrame) = d.select("doc_id")
+      .as[Long].collect().toSeq
+      .map(i => (i, (0 until 8).map(j => math.sin(i * 0.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b1 = fix(1L to 6L)
+    val b2 = fix(7L to 9L)
+    val b3 = fix(10L to 12L)
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    ledger ++= b1 ++ b2 ++ b3 // the warehouse stand-in (superset is fine)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L) {
+          ClusterRegistry.build(batch, "doc_id", "text", s"$root/registry")
+          BandIndex.build(batch, "doc_id", "text", s"$root/band")
+          LexicalIndex.build(batch, "doc_id", "text", s"$root/lexical", n = 2)
+          KmvLayout.build(batch.withColumn("g", col("doc_id")),
+            "g", "doc_id", "text", s"$root/kmv", k = 16)
+          IvfLayout.build(vecsOf(batch), "vec_id", "embedding",
+            s"$root/ivf", Similarity.hyperplanes(2, 8).map(_.map(_.toDouble)))
+          ChunkStore.build(batch, "doc_id", "text", s"$root/chunks",
+            maskBits = 3)
+        } else CorpusLifecycle.ingest(
+          ledger.toSeq.toDF("doc_id", "text"),
+          batch.withColumn("g", col("doc_id")), "doc_id", "text", lay,
+          batchId = s"mb-$id", groupCol = Some("g"),
+          deltaVectors = Some((vecsOf(batch), "vec_id", "embedding")))
+        ()
+      }
+      .option("checkpointLocation", "target/test_streamcorpus/ckpt")
+      .start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    // every layout serves the full 12-doc corpus after the stream
+    def audits() = CorpusLifecycle.ingestAudit(spark, lay,
+      (1L to 12L).toDF("doc_id"), "doc_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a = audits()
+    assert(a.values.forall(v => v._1 == 12L && v._2 == 12L),
+      s"a layout is missing streamed docs: $a")
+    // and the registry clusters exactly like a one-shot batch build
+    ClusterRegistry.build((b1 ++ b2 ++ b3).toDF("doc_id", "text"),
+      "doc_id", "text", "target/test_streamcorpus/oneshot")
+    def assigned(p: String) = ClusterRegistry.assignments(spark, p)
+      .as[(Long, Long)].collect().toMap
+    assert(assigned(s"$root/registry") ===
+      assigned("target/test_streamcorpus/oneshot"))
+
+    // marker-less replay of the LAST micro-batch through the
+    // COORDINATOR (the at-least-once re-delivery, with every applied
+    // marker gone): serving and physical rows invariant on all six
+    val physical = Seq(
+      s"$root/registry/assignments", s"$root/band/postings",
+      s"$root/lexical/postings", s"$root/kmv/sketches",
+      s"$root/ivf/vectors", s"$root/chunks/manifest")
+    val before = physical.map(p => p -> spark.read.parquet(p).count()).toMap
+    Seq(s"$root/registry", s"$root/registry/band", s"$root/band",
+      s"$root/lexical", s"$root/kmv", s"$root/ivf", s"$root/chunks")
+      .foreach(p => new java.io.File(s"$p/_applied/mb-2").delete())
+    CorpusLifecycle.ingest(
+      ledger.toSeq.toDF("doc_id", "text"),
+      b3.toDF("doc_id", "text").withColumn("g", col("doc_id")),
+      "doc_id", "text", lay, batchId = "mb-2", groupCol = Some("g"),
+      deltaVectors = Some((vecsOf(b3.toDF("doc_id", "text")),
+        "vec_id", "embedding")))
+    assert(audits() === a, "a replayed micro-batch changed serving")
+    physical.foreach(p =>
+      assert(spark.read.parquet(p).count() === before(p),
+        s"a replayed micro-batch appended physical rows under $p"))
+  }
 }
