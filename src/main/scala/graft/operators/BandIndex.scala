@@ -186,12 +186,12 @@ object BandIndex {
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
     val snap = LsmLayout.snapshot(spark, path)
-    val fresh = LsmLayout.pendingTombstones(spark, path, snap) match {
+    val fresh = LsmLayout.pendingTombstonesSized(spark, path, snap) match {
       case None => ids
-      case Some(ts) => ids.join(
-        broadcast(ts
+      case Some((ts, bytes)) => ids.join(
+        LsmLayout.hintBroadcast(ts
           .filter(col("batch") =!= batchId)
-          .select(col("doc_id"))),
+          .select(col("doc_id")), bytes),
         Seq("doc_id"), "left_anti")
     }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)

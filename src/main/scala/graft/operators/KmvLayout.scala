@@ -156,13 +156,13 @@ object KmvLayout {
     val gen = s"ts-$batchId"
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("doc_id")).distinct()
-    val fresh = LsmLayout.pendingTombstones(
+    val fresh = LsmLayout.pendingTombstonesSized(
       spark, path, LsmLayout.snapshot(spark, path)) match {
       case None => ids
-      case Some(ts) => ids.join(
-        broadcast(ts
+      case Some((ts, bytes)) => ids.join(
+        LsmLayout.hintBroadcast(ts
           .filter(col("batch") =!= batchId)
-          .select(col("doc_id"))),
+          .select(col("doc_id")), bytes),
         Seq("doc_id"), "left_anti")
     }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)

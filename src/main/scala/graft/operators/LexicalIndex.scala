@@ -393,13 +393,13 @@ object LexicalIndex {
     val m = metaRow(spark, path)
       .select(col("shingle_n"), col("buckets")).head()
     val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
-    val filtered = LsmLayout.pendingTombstones(
+    val filtered = LsmLayout.pendingTombstonesSized(
       spark, path, LsmLayout.snapshot(spark, path)) match {
       case None => forgetDocs
-      case Some(ts) => forgetDocs.join(
-        broadcast(ts
+      case Some((ts, bytes)) => forgetDocs.join(
+        LsmLayout.hintBroadcast(ts
           .filter(col("batch") =!= batchId)
-          .select(col("doc_id").as(idCol))),
+          .select(col("doc_id").as(idCol)), bytes),
         Seq(idCol), "left_anti")
     }
     val (forget, ids, nForget) = IterationCheckpoint.localCounted(filtered)

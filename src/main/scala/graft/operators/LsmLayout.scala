@@ -269,6 +269,21 @@ private[graft] object LsmLayout {
       .parquet(names.map(n => s"$dir/$prefix$n"): _*)
   }
 
+  /** [[pendingTombstones]] plus the forget-set's on-disk byte size —
+    * the honest broadcast-budget input for the forget-path dedup joins
+    * (a new batch anti-joins the ALREADY-pending ids so a re-submitted
+    * doc id doesn't tombstone twice). The caller filters the frame
+    * further before joining, so the bytes UPPER-bound the broadcast. */
+  def pendingTombstonesSized(
+      spark: SparkSession, root: String,
+      snap: LayoutSnapshot): Option[(DataFrame, Long)] = {
+    val live = liveTombstoneBatches(spark, root, snap)
+    if (live.isEmpty) None
+    else Some((
+      readGenerations(spark, s"$root/tombstones", "batch=", live),
+      dirBytes(spark, s"$root/tombstones", live, "batch=")))
+  }
+
   /** Anti-join the pending forget-set onto `frame` by `idName` — the
     * read-side GDPR discipline, centralized: batches the snapshot's
     * base already applied are skipped outright (no join in the plan),

@@ -229,4 +229,28 @@ class SnapshotCompactSpec extends SparkTestBase {
     assert(ClusterRegistry.assignments(spark, p)
       .as[(Long, Long)].collect().toMap === want)
   }
+
+  test("over-budget forget-set DEDUP (the write path) falls back and still converges") {
+    val p = "target/test_snapcompact/budget_forget"
+    val d = docs(40)
+    BandIndex.build(d, "doc_id", "text", p)
+    BandIndex.tombstone(Seq(4L, 6L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    val key = "graft.broadcast.budget.bytes"
+    sys.props(key) = "1" // the pending-set dedup join is over budget
+    try BandIndex.tombstone(Seq(6L, 8L).toDF("doc_id"), "doc_id", p,
+      batchId = "d2")
+    finally sys.props.remove(key)
+    // the overlapping id deduped exactly as the broadcast path would:
+    // one tombstone row per id, and serving excludes all three
+    val ts = spark.read.parquet(s"$p/tombstones")
+      .groupBy(col("doc_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(ts === Map(4L -> 1L, 6L -> 1L, 8L -> 1L),
+      s"shuffle-path dedup diverged from the broadcast path: $ts")
+    val served = BandIndex.signatures(spark, p)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(Seq(4L, 6L, 8L).forall(!served.contains(_)))
+    assert(served.size === 37)
+  }
 }
