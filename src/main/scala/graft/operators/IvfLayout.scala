@@ -50,25 +50,47 @@ object IvfLayout {
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
     LsmLayout.clearSnapshots(spark, path)
+    LsmLayout.deleteDir(spark, s"$path/centroids")
     vecs
       .withColumn("cell",
         Similarity.nearestCell(Similarity.asDouble(col(vecCol)), centroids))
       .withColumn("gen", lit(BaseGen))
       .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(s"$path/vectors")
+    writeCentroids(spark, path, BaseGen, centroids)
+  }
+
+  /** Centroid tables are VERSIONED BY THE BASE GENERATION NAME (one
+    * `centroids/gen=<base>` table per snapshot life): cell numbers
+    * only mean anything relative to the quantizer that assigned them,
+    * so a probe must compute its cell set from the centroids that
+    * match the vector generations its snapshot reads — an in-place
+    * centroid swap under a live reader would prune with the NEW
+    * quantizer over OLD assignments and silently miss vectors. Every
+    * snapshot flip that changes the quantizer ([[retrain]]) writes a
+    * new table; flips that keep it ([[compact]]) carry it forward
+    * under the new base name; superseded tables are GC'd one cycle
+    * later like every other generation. */
+  private def centroidDir(path: String, base: String): String =
+    s"$path/centroids/gen=$base"
+
+  private def writeCentroids(
+      spark: SparkSession, path: String, base: String,
+      centroids: Seq[Seq[Double]]): Unit = {
     import spark.implicits._
     centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c) }
       .toDF("cell", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(centroidDir(path, base))
   }
 
-  /** The stored centroid table, driver-side — nlist rows of plan-time
-    * metadata (the metaRow discipline). */
+  /** The stored centroid table OF ONE SNAPSHOT, driver-side — nlist
+    * rows of plan-time metadata (the metaRow discipline). */
   private def centroidsOf(
-      spark: SparkSession, path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/centroids")
+      spark: SparkSession, path: String,
+      snap: LayoutSnapshot): Seq[Seq[Double]] =
+    spark.read.parquet(centroidDir(path, snap.base))
       .orderBy(col("cell"))
       .collect()
       .map(r => r.getSeq[Double](1).toSeq)
@@ -87,7 +109,7 @@ object IvfLayout {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
-      val cents = centroidsOf(spark, path)
+      val cents = centroidsOf(spark, path, LsmLayout.snapshot(spark, path))
       delta
         .withColumn("cell",
           Similarity.nearestCell(Similarity.asDouble(col(vecCol)), cents))
@@ -118,13 +140,13 @@ object IvfLayout {
     val gen = s"ts-$batchId"
     if (LsmLayout.isApplied(spark, path, gen)) return
     val ids = forgetIds.select(col(idCol).as("vec_id")).distinct()
-    val fresh = LsmLayout.pendingTombstones(
+    val fresh = LsmLayout.pendingTombstonesSized(
       spark, path, LsmLayout.snapshot(spark, path)) match {
       case None => ids
-      case Some(ts) => ids.join(
-        broadcast(ts
+      case Some((ts, bytes)) => ids.join(
+        LsmLayout.hintBroadcast(ts
           .filter(col("batch") =!= batchId)
-          .select(col("vec_id"))),
+          .select(col("vec_id")), bytes),
         Seq("vec_id"), "left_anti")
     }
     val (forget, ckIds, nForget) = IterationCheckpoint.localCounted(fresh)
@@ -160,6 +182,70 @@ object IvfLayout {
       .partitionBy("gen", "cell")
       .parquet(s"$path/vectors")
     IterationCheckpoint.release(spark.sparkContext, ckIds)
+    // the quantizer is unchanged — carry its table forward under the
+    // new base name (nlist rows, metadata-sized) so readers of either
+    // snapshot resolve a matching (vectors, centroids) pair
+    writeCentroids(spark, path, newBase, centroidsOf(spark, path, snap))
+    commitBaseSwap(spark, path, snap, newBase, writerEpoch)
+  }
+
+  /** Re-centroid the layout — the quantizer maintenance op the rest of
+    * the lifecycle ([[refresh]]/[[tombstone]]/[[compact]]) deliberately
+    * never performs: they assign with the STORED centroids, so as the
+    * corpus grows and forgets, the cell distribution drifts from the
+    * quantizer that was trained at build time — hot cells grow without
+    * bound and probes over-read. `retrain` polishes the quantizer with
+    * `rounds` exact-integer Lloyd updates ([[KMeans]] — deterministic,
+    * bit-reproducible) over the LIVE vectors, seeded from the current
+    * centroids (nlist is preserved; the seed is stored state, so a
+    * retry retrains identically), then reassigns every surviving
+    * vector and swaps in the result SNAPSHOT-ATOMICALLY: new vectors
+    * base + new centroid table under one base name, one manifest flip
+    * — a concurrent reader sees the old (vectors, centroids) pair or
+    * the new one, never a quantizer/assignment mismatch. Subsumes a
+    * [[compact]] (tombstones applied physically, generations folded).
+    * Deliberately the one corpus-sized maintenance pass, per the
+    * layout contract: assignment is a map-only argmin against a
+    * broadcast centroid row; each Lloyd round exchanges ≤ nlist×dim
+    * BIGINT partials per task, never vectors. */
+  def retrain(
+      spark: SparkSession, path: String,
+      rounds: Int = 5,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
+    val (live, ckIds, _) = IterationCheckpoint.localCounted(
+      vectorsScoped(spark, path, snap))
+    // seed = stored centroids on KMeans' 1e-6 grid; the trained row is
+    // nlist×dim longs — ONE driver-side head() of plan-time metadata
+    val init = centroidsOf(spark, path, snap)
+      .map(_.map(x => math.floor(x * 1e6).toLong))
+    val trained = KMeans
+      .trainedCentroidRow(live, "vec_id", "embedding", init, rounds)
+      .head().getSeq[scala.collection.Seq[Long]](0)
+      .map(_.map(_.toDouble / 1e6).toSeq).toSeq
+    live
+      .withColumn("cell",
+        Similarity.nearestCell(
+          Similarity.asDouble(col("embedding")), trained))
+      .withColumn("gen", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "cell")
+      .parquet(s"$path/vectors")
+    IterationCheckpoint.release(spark.sparkContext, ckIds)
+    writeCentroids(spark, path, newBase, trained)
+    commitBaseSwap(spark, path, snap, newBase, writerEpoch)
+  }
+
+  /** The shared snapshot flip of [[compact]] and [[retrain]]: fold
+    * every live generation into `newBase`, retire the applied
+    * tombstone batches, commit the manifest (epoch-fenced), GC what
+    * only the PREVIOUS snapshot had stopped referencing. */
+  private def commitBaseSwap(
+      spark: SparkSession, path: String, snap: LayoutSnapshot,
+      newBase: String, writerEpoch: Option[Long]): Unit = {
     val folded = snap.folded ++ LsmLayout
       .liveGenerationNames(spark, s"$path/vectors", "gen=", snap)
       .filterNot(_ == snap.base)
@@ -168,7 +254,8 @@ object IvfLayout {
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.commitSnapshot(spark, path, next)
     LsmLayout.gcSuperseded(spark, path,
-      Seq((s"$path/vectors", "gen=")), snap, next)
+      Seq((s"$path/vectors", "gen="), (s"$path/centroids", "gen=")),
+      snap, next)
   }
 
   /** The stored vector relation (vec_id, embedding, …, cell),
@@ -194,8 +281,9 @@ object IvfLayout {
     * [[Similarity.nearestCell]] (bit-identical cells; law-tested). */
   private[graft] def probeCellsOf(
       spark: SparkSession, path: String,
-      query: Seq[Double], nprobe: Int): Seq[Int] = {
-    val cents = centroidsOf(spark, path)
+      query: Seq[Double], nprobe: Int,
+      snap: LayoutSnapshot): Seq[Int] = {
+    val cents = centroidsOf(spark, path, snap)
     // a wrong-dimension query would silently zip-truncate into a
     // plausible-looking but wrong cell set (and a wrong cosine in
     // topK's literal) — fail loudly instead
@@ -218,8 +306,11 @@ object IvfLayout {
       spark: SparkSession, path: String,
       query: Seq[Double], nprobe: Int, k: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    val probes = probeCellsOf(spark, path, query, nprobe)
+    // ONE snapshot resolution serves both the centroid lookup and the
+    // vector scan — a retrain flipping between the two would otherwise
+    // prune new-quantizer cells over old-quantizer assignments
     val snap = LsmLayout.snapshot(spark, path)
+    val probes = probeCellsOf(spark, path, query, nprobe, snap)
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/vectors", "gen=", snap)
     val base = LsmLayout

@@ -9124,5 +9124,49 @@ object NorthStar {
         CorpusLifecycle.ingestAudit(
           s, lay, delta.select("doc_id"), "doc_id")
           .orderBy(col("layout"))
+    },
+
+    // ----- s57: IVF re-centroiding (quantizer maintenance) --------------
+    // The one lifecycle op the maintained-ANN family still lacked:
+    // refresh/forget/compact all assign with the STORED centroids, so
+    // the quantizer drifts as the corpus grows and forgets — hot cells
+    // grow without bound and probes over-read. retrain polishes the
+    // quantizer with deterministic exact-integer Lloyd rounds (KMeans)
+    // over the live vectors, reassigns every survivor, and swaps
+    // (vectors, centroids) in under ONE snapshot flip — a reader never
+    // sees a quantizer/assignment mismatch (IvfLayoutSpec pins the
+    // pairing, the post-retrain partition pruning, and that retrain
+    // subsumes a compact). The oracle gates the data contract the
+    // rewrite must preserve: build on 90%, refresh 10%, forget
+    // vec_id%5=1, retrain, then a FULL-probe serve — exact cosine
+    // top-k over exactly the survivors; a vector lost, duplicated, or
+    // resurrected by the rewrite breaks the ranking.
+    QuerySpec(
+      "s57_ivf_retrain",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 2)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT qv FROM q)), 6) AS sim
+        |FROM embeddings
+        |WHERE vec_id % 5 <> 1 AND vec_id <> 2
+        |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s57_ivf"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.IvfLayout.build(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        path, cents)
+      graft.operators.IvfLayout.refresh(
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        path, batchId = "b1")
+      graft.operators.IvfLayout.tombstone(
+        emb.filter(col("vec_id") % 5 === 1).select("vec_id"),
+        "vec_id", path, batchId = "d1")
+      graft.operators.IvfLayout.retrain(s, path, rounds = 3)
+      val qv = emb.filter(col("vec_id") === 2)
+        .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
+      graft.operators.IvfLayout.topK(
+        s, path, qv, nprobe = cents.size, k = 15, excludeId = Some(2L))
     })
 }

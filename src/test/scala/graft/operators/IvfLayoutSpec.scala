@@ -113,4 +113,87 @@ class IvfLayoutSpec extends SparkTestBase {
     }
     assert(LsmLayout.liveGenerationCount(spark, del, s"$del/vectors") === 2)
   }
+
+  test("retrain: new quantizer, same corpus — full-probe serving invariant, survivors exact") {
+    val p = "target/test_ivflayout/retrain"
+    val delta = vecs.filter(col("vec_id") % 4 === 0)
+    IvfLayout.build(
+      vecs.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding", p, cents)
+    IvfLayout.refresh(delta, "vec_id", "embedding", p, batchId = "b1")
+    IvfLayout.tombstone(
+      vecs.filter(col("vec_id") % 3 === 1).select("vec_id"),
+      "vec_id", p, batchId = "d1")
+    def full(q: Seq[Double]) = IvfLayout
+      .topK(spark, p, q, nprobe = cents.size, k = 10, excludeId = Some(1L))
+      .as[(Long, Double)].collect().toSeq
+    val want = full(queryVec)
+    IvfLayout.retrain(spark, p, rounds = 3)
+    // the full-probe ranking is quantizer-independent: exactly the
+    // surviving vectors, nothing lost/duplicated/resurrected
+    assert(full(queryVec) === want)
+    // the quantizer genuinely changed and every stored vector sits in
+    // its NEW nearest cell (the (vectors, centroids) pairing)
+    val snap = LsmLayout.snapshot(spark, p)
+    val newCents = spark.read
+      .parquet(s"$p/centroids/gen=${snap.base}")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    assert(newCents !== cents, "Lloyd rounds over real vectors must move " +
+      "the hyperplane seed centroids")
+    val stored = spark.read.parquet(s"$p/vectors")
+      .filter(col("gen") === snap.base)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = vecs.filter(col("vec_id") % 3 =!= 1)
+      .select(col("vec_id"),
+        Similarity.nearestCell(
+          Similarity.asDouble(col("embedding")), newCents).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored === expected)
+    // retrain subsumed the compact: one live generation, forget-set
+    // retired, tombstoned vectors physically gone
+    assert(LsmLayout.liveGenerationCount(spark, p, s"$p/vectors") === 1)
+    assert(LsmLayout.liveTombstoneBatches(spark, p, snap).isEmpty)
+    assert(!stored.keySet.exists(_ % 3 == 1))
+    // post-retrain refreshes assign with the NEW stored quantizer and
+    // partial probes stay correct: the served top-k over the probed
+    // cells equals brute force restricted to those cells
+    val d2 = Seq((201L, (0 until dim).map(j =>
+      math.sin(201 * 0.53 + j).toFloat).toSeq)).toDF("vec_id", "embedding")
+    IvfLayout.refresh(d2, "vec_id", "embedding", p, batchId = "b2")
+    val probes = IvfLayout
+      .probeCellsOf(spark, p, queryVec, 2, LsmLayout.snapshot(spark, p))
+      .map(_.toLong).toSet
+    val served = IvfLayout
+      .topK(spark, p, queryVec, nprobe = 2, k = 10, excludeId = Some(1L))
+      .as[(Long, Double)].collect().toSeq
+    val brute = IvfLayout.vectors(spark, p)
+      .filter(col("cell").isin(probes.toSeq: _*))
+      .filter(col("vec_id") =!= 1L)
+      .select(col("vec_id"),
+        round(Similarity.cosine(
+          Similarity.asDouble(col("embedding")),
+          array(queryVec.map(lit): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === brute)
+    // a second retrain supersedes the first and GC keeps exactly the
+    // two most recent centroid tables (one-cycle-deferred, like data)
+    IvfLayout.retrain(spark, p, rounds = 2)
+    val gens = LsmLayout.generationNames(spark, s"$p/centroids", "gen=")
+    assert(gens.toSet.size <= 2 &&
+      gens.contains(LsmLayout.snapshot(spark, p).base))
+  }
+
+  test("a stale writer epoch cannot retrain over the new owner") {
+    val p = "target/test_ivflayout/retrain_fence"
+    IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
+    val stale = LsmLayout.acquireWriterEpoch(spark, p)
+    LsmLayout.acquireWriterEpoch(spark, p)
+    intercept[IllegalStateException] {
+      IvfLayout.retrain(spark, p, rounds = 1, writerEpoch = Some(stale))
+    }
+    assert(LsmLayout.snapshot(spark, p) === LsmLayout.LegacySnapshot,
+      "a fenced retrain must not flip the manifest")
+  }
 }
