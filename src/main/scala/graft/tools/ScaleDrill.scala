@@ -145,10 +145,11 @@ object ScaleDrill {
       "s51_registry_autocompact", "s52_registry_forget",
       "n178_stream_registry_parity", "s53_chunk_forget",
       "s54_registry_time_travel", "n179_dead_chunks",
-      // round-14 addition: the one-call corpus-level GDPR forget across
-      // all six stored layouts (build ×6 + crash-replayed fan-out +
-      // corpus compact + the serving-path audit)
-      "s55_corpus_forget")
+      // round-14 additions: the one-call corpus-level GDPR forget and
+      // delta ingest across all six stored layouts (build ×6 +
+      // crash-replayed fan-out + the serving-path audits) and the IVF
+      // quantizer retrain (Lloyd rounds + reassign + snapshot swap)
+      "s55_corpus_forget", "s56_corpus_ingest", "s57_ivf_retrain")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)
