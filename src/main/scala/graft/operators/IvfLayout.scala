@@ -197,7 +197,8 @@ object IvfLayout {
     * bound and probes over-read. `retrain` polishes the quantizer with
     * `rounds` exact-integer Lloyd updates ([[KMeans]] — deterministic,
     * bit-reproducible) over the LIVE vectors, seeded from the current
-    * centroids (nlist is preserved; the seed is stored state, so a
+    * centroids (optionally RE-SIZED via `nlist` — see the seed note in
+    * the body; the seed derives from stored state + stored ids, so a
     * retry retrains identically), then reassigns every surviving
     * vector and swaps in the result SNAPSHOT-ATOMICALLY: new vectors
     * base + new centroid table under one base name, one manifest flip
@@ -211,6 +212,7 @@ object IvfLayout {
   def retrain(
       spark: SparkSession, path: String,
       rounds: Int = 5,
+      nlist: Option[Int] = None,
       writerEpoch: Option[Long] = None): Unit = {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
@@ -218,9 +220,35 @@ object IvfLayout {
     val (live, ckIds, _) = IterationCheckpoint.localCounted(
       vectorsScoped(spark, path, snap))
     // seed = stored centroids on KMeans' 1e-6 grid; the trained row is
-    // nlist×dim longs — ONE driver-side head() of plan-time metadata
-    val init = centroidsOf(spark, path, snap)
+    // nlist×dim longs — ONE driver-side head() of plan-time metadata.
+    // `nlist` RE-SIZES the quantizer (the FAISS guidance is nlist ∝ √N
+    // for probes, ∝ N for constant cell occupancy — a build-time nlist
+    // is mis-sized once the corpus has grown 100×): growing pads the
+    // seed with the lowest-vec_id live vectors not already nearest an
+    // existing seed (deterministic — stored state + stored ids, so a
+    // retry re-derives the same seed); shrinking keeps the first
+    // `nlist` stored centroids. Lloyd then polishes the combined seed.
+    val stored = centroidsOf(spark, path, snap)
       .map(_.map(x => math.floor(x * 1e6).toLong))
+    val k = nlist.getOrElse(stored.size)
+    require(k > 0, s"nlist must be positive: $k")
+    val init =
+      if (k <= stored.size) stored.take(k)
+      else {
+        val extra = live
+          .orderBy(col("vec_id"))
+          .limit(k) // ≤ k rows collected — seed-sized, not corpus-sized
+          .select(col("vec_id"),
+            Similarity.asDouble(col("embedding")).as("graft__v"))
+          .collect()
+          .map(r => r.getSeq[Double](1).map(x =>
+            math.floor(x * 1e6).toLong).toSeq)
+          .filterNot(stored.contains)
+          .take(k - stored.size)
+        // a tiny corpus may not fill the requested nlist — train with
+        // what exists (empty cells would keep dead seed centroids)
+        stored ++ extra
+      }
     val trained = KMeans
       .trainedCentroidRow(live, "vec_id", "embedding", init, rounds)
       .head().getSeq[scala.collection.Seq[Long]](0)

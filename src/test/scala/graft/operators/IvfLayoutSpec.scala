@@ -185,6 +185,41 @@ class IvfLayoutSpec extends SparkTestBase {
       gens.contains(LsmLayout.snapshot(spark, p).base))
   }
 
+  test("retrain can RE-SIZE the quantizer; serving stays exact either way") {
+    val p = "target/test_ivflayout/resize"
+    IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
+    def full(q: Seq[Double], np: Int) = IvfLayout
+      .topK(spark, p, q, nprobe = np, k = 10, excludeId = Some(1L))
+      .as[(Long, Double)].collect().toSeq
+    val want = full(queryVec, cents.size)
+    // grow nlist 16 -> 24: the padded seed survives Lloyd (empty cells
+    // keep their centroid), serving is invariant under full probe
+    IvfLayout.retrain(spark, p, rounds = 2, nlist = Some(24))
+    val snapG = LsmLayout.snapshot(spark, p)
+    val nG = spark.read.parquet(s"$p/centroids/gen=${snapG.base}").count()
+    assert(nG === 24L, s"grown quantizer must store 24 centroids: $nG")
+    assert(full(queryVec, 24) === want)
+    // shrink back to 8: fewer, coarser cells — same full-probe answer
+    IvfLayout.retrain(spark, p, rounds = 2, nlist = Some(8))
+    val snapS = LsmLayout.snapshot(spark, p)
+    assert(spark.read.parquet(s"$p/centroids/gen=${snapS.base}")
+      .count() === 8L)
+    assert(full(queryVec, 8) === want)
+    // every stored vector sits in its nearest NEW cell
+    val newCents = spark.read.parquet(s"$p/centroids/gen=${snapS.base}")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val stored = spark.read.parquet(s"$p/vectors")
+      .filter(col("gen") === snapS.base)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = vecs.select(col("vec_id"),
+      Similarity.nearestCell(
+        Similarity.asDouble(col("embedding")), newCents).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored === expected)
+  }
+
   test("a stale writer epoch cannot retrain over the new owner") {
     val p = "target/test_ivflayout/retrain_fence"
     IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
