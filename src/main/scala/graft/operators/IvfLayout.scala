@@ -303,6 +303,36 @@ object IvfLayout {
       "vec_id")
   }
 
+  /** The retrain-decision report (the `deadChunkStats` pattern on the
+    * ANN side): per-cell occupancy of the LIVE index — tombstones
+    * applied, every generation folded — with each cell's exact share
+    * of the corpus. What an operator reads to decide WHEN the
+    * corpus-sized [[retrain]] pays: hot cells mean probes over-read
+    * (a probed cell's rows are scanned in full), a long tail of
+    * near-empty cells means nlist is oversized for the surviving
+    * corpus. Cells that lost every vector still report (n_vecs = 0) —
+    * dead cells are exactly the re-size signal. One narrow scan +
+    * one nlist-sized grouped count; the share divides two exact
+    * counts (bit-identical cross-engine). */
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val counts = vectorsScoped(spark, path, snap)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    import spark.implicits._
+    val all = centroidsOf(spark, path, snap).indices
+      .map(_.toLong).toDF("cell")
+    val joined = all.join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = joined.agg(sum(col("n_vecs")).as("graft__t"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("graft__t").cast("double"))
+          .as("share"))
+      .orderBy(col("cell"))
+  }
+
   /** The `nprobe` nearest cells to a literal query vector, from the
     * STORED centroids — same argmin arithmetic, same lower-index
     * tie-break, same left-to-right double fold as

@@ -9168,5 +9168,40 @@ object NorthStar {
         .select(Similarity.asDouble(col("embedding"))).head().getSeq[Double](0)
       graft.operators.IvfLayout.topK(
         s, path, qv, nprobe = cents.size, k = 15, excludeId = Some(2L))
+    },
+
+    // ----- s58: IVF cell-occupancy report (the retrain decision) --------
+    // The deadChunkStats pattern on the ANN side: per-cell occupancy of
+    // the live index with exact shares, computed AFTER a forget — hot
+    // cells mean probes over-read, emptied cells (reported as n=0, not
+    // dropped) mean nlist is oversized for the surviving corpus; this
+    // relation is what an operator reads to decide WHEN the
+    // corpus-sized s57 retrain pays. The oracle replays the assignment
+    // closed-form with the same hyperplane constants (equal-norm
+    // centroids: argmin L2 ≡ argmax dot) over the surviving vectors
+    // and densifies the full cell range so dead cells compare too.
+    QuerySpec(
+      "s58_ivf_cell_stats",
+      s"""WITH c AS (SELECT vec_id,
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings WHERE vec_id % 7 <> 2),
+         |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+         |      FROM c GROUP BY cell),
+         |cells AS (SELECT unnest(generate_series(0, 3)) AS cell),
+         |j AS (SELECT CAST(cells.cell AS BIGINT) AS cell,
+         |        coalesce(g.n, 0) AS n_vecs
+         |      FROM cells LEFT JOIN g ON cells.cell = g.cell)
+         |SELECT cell, n_vecs,
+         |  CAST(n_vecs AS DOUBLE) / (SELECT CAST(sum(n_vecs) AS DOUBLE)
+         |                            FROM j) AS share
+         |FROM j ORDER BY cell""".stripMargin) { (s, d) =>
+      val path = "target/sinks/s58_ivf"
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.IvfLayout.build(emb, "vec_id", "embedding", path, cents)
+      graft.operators.IvfLayout.tombstone(
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id"),
+        "vec_id", path, batchId = "d1")
+      graft.operators.IvfLayout.cellStats(s, path)
     })
 }

@@ -220,6 +220,29 @@ class IvfLayoutSpec extends SparkTestBase {
     assert(stored === expected)
   }
 
+  test("cellStats keeps dead cells visible — the retrain/re-size signal") {
+    val p = "target/test_ivflayout/cellstats"
+    IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
+    val byCell = spark.read.parquet(s"$p/vectors")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect()
+    // empty the least-populated cell entirely via a forget
+    val (deadCell, members) = byCell.groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSeq).toSeq.minBy(_._2.size)
+    assert(members.nonEmpty && members.size < byCell.length)
+    IvfLayout.tombstone(members.toDF("vec_id"), "vec_id", p,
+      batchId = "d1")
+    val stats = IvfLayout.cellStats(spark, p)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(stats.map(_._1) === cents.indices.map(_.toLong),
+      "one row per centroid cell, ordered, dead cells included")
+    assert(stats.find(_._1 == deadCell).get._2 === 0L,
+      "the emptied cell must report n_vecs = 0, not vanish")
+    assert(stats.map(_._2).sum === (byCell.length - members.size).toLong)
+    assert(math.abs(stats.map(_._3).sum - 1.0) < 1e-9,
+      "shares are exact count ratios and must sum to 1")
+  }
+
   test("a stale writer epoch cannot retrain over the new owner") {
     val p = "target/test_ivflayout/retrain_fence"
     IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
