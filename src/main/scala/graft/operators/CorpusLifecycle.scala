@@ -159,6 +159,103 @@ object CorpusLifecycle {
     layouts.chunks.foreach(p => ChunkStore.compact(spark, p, epochOf(p)))
   }
 
+  /** The maintenance policy [[maintain]] decides with — every
+    * threshold compares against a report the layouts already publish,
+    * so the decision inputs are themselves spec/oracle-gated:
+    *
+    *  - `maxLiveGenerations` — any layout whose live generation count
+    *    (one listStatus) exceeds this compacts; this is also what
+    *    bounds the budget-guarded read-side broadcasts (overlay,
+    *    tombstone lists), so size it with `broadcastBudgetBytes` in
+    *    mind;
+    *  - `maxChunkDeadShare` — the chunk store compacts when
+    *    [[ChunkStore.deadChunkStats]] reports more than this fraction
+    *    of store rows dead (orphaned by superseded edits or forgets);
+    *  - `maxIvfCellShare` — the IVF layout RETRAINS (not just
+    *    compacts) when [[IvfLayout.cellStats]] reports a cell holding
+    *    more than this fraction of the live corpus: a hot cell is
+    *    quantizer drift, which no compact fixes. */
+  final case class MaintenancePolicy(
+      maxLiveGenerations: Int = 8,
+      maxChunkDeadShare: Double = 0.3,
+      maxIvfCellShare: Double = 0.5,
+      ivfRetrainRounds: Int = 5)
+
+  /** One nightly maintenance call — the observe → decide → act loop
+    * over every configured layout, completing the coordinator trilogy
+    * ([[forget]], [[ingest]], maintain): read each layout's own
+    * reports, run exactly the maintenance it needs, and return the
+    * decision relation `(layout, metric, value, threshold, action)` —
+    * the audit trail an operator reads after the nightly run.
+    *
+    * Crash-safe by recomputation: every action is snapshot-atomic and
+    * epoch-fenced, and a re-run re-reads the state — a layout the
+    * crash already compacted reports its post-compact metric and
+    * decides `none`, layouts the crash skipped act now. The
+    * generation-count and dead-share rules CONVERGE (their action
+    * resets the metric, so the second call decides `none` — the spec
+    * pins it); the IVF cell-share rule is a LEVEL trigger — genuinely
+    * concentrated data stays concentrated after a retrain, so set the
+    * threshold above the concentration the corpus actually has
+    * (always ≥ 1/nlist by pigeonhole; the report shows the level).
+    * Decision inputs are metadata-sized (generation
+    * listings, the nlist-row cell stats, the one-row dead-chunk
+    * report); the actions are the corpus-sized passes, by the layout
+    * contracts. */
+  def maintain(
+      spark: SparkSession, layouts: CorpusLayouts,
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      epochOf: String => Option[Long] = _ => None): DataFrame = {
+    import spark.implicits._
+    val out = Seq.newBuilder[(String, String, Double, Double, String)]
+    def genRule(name: String, p: String, dir: String, prefix: String)(
+        run: => Unit): Unit = {
+      val n = LsmLayout.liveGenerationCount(spark, p, dir, prefix)
+      val act = n > policy.maxLiveGenerations
+      if (act) run
+      out += ((name, "live_generations", n.toDouble,
+        policy.maxLiveGenerations.toDouble, if (act) "compact" else "none"))
+    }
+    layouts.registry.foreach(p =>
+      genRule("registry", p, s"$p/assignments", "batch=")(
+        ClusterRegistry.compact(spark, p, epochOf(p))))
+    layouts.band.foreach(p =>
+      genRule("band", p, s"$p/sigs", "gen=")(
+        BandIndex.compact(spark, p, epochOf(p))))
+    layouts.lexical.foreach(p =>
+      genRule("lexical", p, s"$p/lexicon", "gen=")(
+        LexicalIndex.compact(spark, p, epochOf(p))))
+    layouts.kmv.foreach(p =>
+      genRule("kmv", p, s"$p/sketches", "batch=")(
+        KmvLayout.compact(spark, p, epochOf(p))))
+    layouts.ivf.foreach { p =>
+      val shares = IvfLayout.cellStats(spark, p)
+        .select(col("share")).as[Double].collect()
+      val mx = if (shares.isEmpty) 0.0 else shares.max
+      if (mx > policy.maxIvfCellShare) {
+        IvfLayout.retrain(spark, p, policy.ivfRetrainRounds,
+          writerEpoch = epochOf(p))
+        out += (("ivf", "max_cell_share", mx,
+          policy.maxIvfCellShare, "retrain"))
+      } else genRule("ivf", p, s"$p/vectors", "gen=")(
+        IvfLayout.compact(spark, p, epochOf(p)))
+    }
+    layouts.chunks.foreach { p =>
+      val r = ChunkStore.deadChunkStats(spark, p).head()
+      val (live, dead) = (r.getLong(0), r.getLong(1))
+      val share = if (live + dead == 0L) 0.0
+        else dead.toDouble / (live + dead).toDouble
+      if (share > policy.maxChunkDeadShare) {
+        ChunkStore.compact(spark, p, epochOf(p))
+        out += (("chunks", "dead_chunk_share", share,
+          policy.maxChunkDeadShare, "compact"))
+      } else genRule("chunks", p, s"$p/manifest", "gen=")(
+        ChunkStore.compact(spark, p, epochOf(p)))
+    }
+    out.result()
+      .toDF("layout", "metric", "value", "threshold", "action")
+  }
+
   /** The deletion-audit relation: per layout, how many of `auditIds`
     * any serving path still returns (must be 0 after [[forget]]) and
     * how many documents survive — the report a compliance check reads,

@@ -201,6 +201,52 @@ class CorpusLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("maintain: observe -> decide -> act per layout, report + convergence") {
+    val root = "target/test_corpuslc/maintain"
+    val lay = buildOn(root, baseDocs, vecs.filter(col("vec_id") <= 8L))
+    runIngest(lay) // every layout now holds base + one delta generation
+    val pol = CorpusLifecycle.MaintenancePolicy(
+      maxLiveGenerations = 1, maxChunkDeadShare = 0.9,
+      maxIvfCellShare = 0.2, ivfRetrainRounds = 2)
+    val before = ingestAuditMap(lay)
+    def run() = CorpusLifecycle.maintain(spark, lay, pol)
+      .as[(String, String, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val rep = run()
+    assert(rep.keySet ===
+      Set("registry", "band", "lexical", "kmv", "ivf", "chunks"))
+    // gen-count rule: 2 live generations > 1 -> compact (dead-chunk
+    // share is 0 after a pure-append ingest, so chunks fall through
+    // to the generation rule too)
+    Seq("registry", "band", "lexical", "kmv", "chunks").foreach { l =>
+      assert(rep(l)._5 === "compact", s"$l: ${rep(l)}")
+      assert(rep(l)._2 === "live_generations" && rep(l)._3 === 2.0)
+    }
+    // 12 vectors in <= 4 cells: max share >= 0.25 > 0.2 -> retrain
+    assert(rep("ivf")._5 === "retrain" &&
+      rep("ivf")._2 === "max_cell_share")
+    // every action flipped a snapshot; serving is invariant
+    lay.paths.foreach(p =>
+      assert(LsmLayout.snapshot(spark, p).id === 0L,
+        s"$p did not act on its committed snapshot"))
+    assert(ingestAuditMap(lay) === before,
+      "maintenance must not change serving")
+    // second run: the count/share rules converged to none; the IVF
+    // cell-share rule is a LEVEL trigger — its decision must agree
+    // with the recomputed report either way
+    val rep2 = run()
+    Seq("registry", "band", "lexical", "kmv", "chunks").foreach { l =>
+      assert(rep2(l)._5 === "none", s"$l did not converge: ${rep2(l)}")
+      assert(rep2(l)._3 === 1.0)
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val mx = IvfLayout.cellStats(spark, s"$root/ivf")
+      .select(c("share")).as[Double].collect().max
+    assert(rep2("ivf")._5 ===
+      (if (mx > pol.maxIvfCellShare) "retrain" else "none"))
+    assert(ingestAuditMap(lay) === before)
+  }
+
   test("per-path writer epochs fence a superseded coordinator") {
     val root = "target/test_corpuslc/fence"
     val lay = buildAll(root)
