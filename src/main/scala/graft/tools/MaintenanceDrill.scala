@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
-import graft.operators.{BandIndex, ChunkStore, ClusterRegistry, DedupClusters, KmvLayout, LexicalIndex, Materialize, MinHashNearDup}
+import graft.operators.{BandIndex, ChunkStore, ClusterRegistry, DedupClusters, IvfLayout, KmvLayout, LexicalIndex, Materialize, MinHashNearDup, Similarity}
 import graft.sources.Tables
 
 /** Build-vs-delta separation drill for the stored-index maintenance
@@ -104,6 +104,32 @@ object MaintenanceDrill {
         delta, "doc_id", "text", cs, batchId = "d1"))
       val sCs = timedCount(ChunkStore.generationStats(spark, cs))
       out += Row3("chunkstore(s42)", arm, bCs, rCs, sCs)
+
+      // IVF layout: build / refresh(1× delta) / topK probe — plus the
+      // quantizer-maintenance pair this family owns: cellStats (the
+      // metadata-sized retrain-decision report) and retrain itself
+      // (deliberately the corpus-sized pass: Lloyd rounds exchange
+      // nlist×dim partials, the reassign is a map-only argmin)
+      val ivf = s"$tag/ivf"
+      val vecs = Tables(spark, dir, "embeddings")
+      val vdelta = Tables(spark, sfDir, "embeddings")
+        .withColumn("vec_id", col("vec_id") + 1000000000L)
+      val cents = Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))
+      val bIvf = timed(IvfLayout.build(
+        vecs, "vec_id", "embedding", ivf, cents))
+      val rIvf = timed(IvfLayout.refresh(
+        vdelta, "vec_id", "embedding", ivf, batchId = "d1"))
+      val qv = Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") === 2)
+        .select(Similarity.asDouble(col("embedding")))
+        .head().getSeq[Double](0)
+      val sIvf = timedCount(IvfLayout.topK(spark, ivf, qv, 2, 10))
+      out += Row3("ivf(s23/s48)", arm, bIvf, rIvf, sIvf)
+      val tStats = timedCount(IvfLayout.cellStats(spark, ivf))
+      val tRetrain = timed(IvfLayout.retrain(spark, ivf, rounds = 3))
+      val sIvf2 = timedCount(IvfLayout.topK(spark, ivf, qv, 2, 10))
+      println(f"[maint] ivf retrain $arm%-5s cellStats $tStats%6.2fs  " +
+        f"retrain(3 rounds) $tRetrain%6.2fs  post-retrain probe $sIvf2%6.2fs")
 
       // cluster registry: build (batch clustering — the one-time cost
       // ingest amortizes) / ingest(1× delta) / assignment fold; plus a

@@ -243,6 +243,47 @@ class IvfLayoutSpec extends SparkTestBase {
       "shares are exact count ratios and must sum to 1")
   }
 
+  test("retrain keeps the probe's catalog pruning (plan pin)") {
+    // the 0.9s-class serve latency rides the (gen, cell) partitioning;
+    // retrain REWRITES the whole layout, so a partitioning regression
+    // there would only surface at scale as a full vector scan
+    val p = "target/test_ivflayout/retrainplan"
+    IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
+    IvfLayout.refresh(vecs.filter(col("vec_id") <= 5)
+      .withColumn("vec_id", col("vec_id") + 100L),
+      "vec_id", "embedding", p, batchId = "b1")
+    def allScans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      pl.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(qs.plan)
+      }.flatten
+    def probedPartitions(): (Long, Int) = {
+      val df = IvfLayout.topK(spark, p, queryVec, nprobe = 2, k = 5)
+      df.collect()
+      val scans = allScans(df.queryExecution.executedPlan)
+        .filter(_.metadata("Location").contains("retrainplan/vectors"))
+      assert(scans.nonEmpty, "topK must scan the stored vectors")
+      scans.foreach(sc =>
+        assert(sc.metadata("PartitionFilters").contains("cell"),
+          s"cell pruning lost: ${sc.metadata("PartitionFilters")}"))
+      (scans.map(_.selectedPartitions.partitionCount.toLong).sum,
+        LsmLayout.liveGenerationCount(spark, p, s"$p/vectors"))
+    }
+    val (preParts, preGens) = probedPartitions()
+    assert(preGens === 2)
+    assert(preParts <= 2L * preGens,
+      s"pre-retrain probe read $preParts partitions > nprobe x gens")
+    IvfLayout.retrain(spark, p, rounds = 2)
+    val (postParts, postGens) = probedPartitions()
+    assert(postGens === 1)
+    assert(postParts <= 2L,
+      s"post-retrain probe read $postParts partitions > nprobe")
+  }
+
   test("a stale writer epoch cannot retrain over the new owner") {
     val p = "target/test_ivflayout/retrain_fence"
     IvfLayout.build(vecs, "vec_id", "embedding", p, cents)
