@@ -9203,5 +9203,71 @@ object NorthStar {
         emb.filter(col("vec_id") % 7 === 2).select("vec_id"),
         "vec_id", path, batchId = "d1")
       graft.operators.IvfLayout.cellStats(s, path)
+    },
+
+    // ----- s59: policy-driven corpus maintenance (the decision gate) ----
+    // The coordinator trilogy's last member under the DuckDB gate:
+    // maintain reads each layout's own report and runs exactly the
+    // maintenance it needs, returning the decision relation as the
+    // nightly audit trail. The drive fixes the state closed-form:
+    // build six layouts on the 2/3 slice, corpus-ingest the rest (so
+    // every generation count is exactly 2), then maintain with a
+    // 1-generation budget — the five count-ruled layouts decide
+    // 'compact' at value 2.0 (the chunk store's dead share is 0 after
+    // a pure-append ingest, so it falls through to the count rule),
+    // and the IVF layout decides 'retrain' because its max cell share
+    // (replayed closed-form by the oracle over the same hyperplane
+    // constants) exceeds the 0.2 level — with 4 cells the max share
+    // is >= 0.25 by pigeonhole. The actions RUN inside the timed body
+    // (compacts + retrain); a wrong decision, a wrong metric, or a
+    // drifted share breaks the row.
+    QuerySpec(
+      "s59_corpus_maintain",
+      s"""WITH c AS (SELECT
+         |        ${ivfRankSql("CAST(embedding AS DOUBLE[])")}[1].i AS cell
+         |      FROM embeddings),
+         |g AS (SELECT cell, count(*) AS n FROM c GROUP BY cell),
+         |mx AS (SELECT max(CAST(n AS DOUBLE) /
+         |         (SELECT CAST(count(*) AS DOUBLE) FROM c)) AS m FROM g)
+         |SELECT 'band' AS layout, 'live_generations' AS metric,
+         |  CAST(2.0 AS DOUBLE) AS value, CAST(1.0 AS DOUBLE) AS threshold,
+         |  'compact' AS action
+         |UNION ALL SELECT 'chunks', 'live_generations', 2.0, 1.0, 'compact'
+         |UNION ALL SELECT 'ivf', 'max_cell_share',
+         |  (SELECT m FROM mx), 0.2, 'retrain'
+         |UNION ALL SELECT 'kmv', 'live_generations', 2.0, 1.0, 'compact'
+         |UNION ALL SELECT 'lexical', 'live_generations', 2.0, 1.0, 'compact'
+         |UNION ALL SELECT 'registry', 'live_generations', 2.0, 1.0,
+         |  'compact'""".stripMargin) { (s, d) =>
+      import graft.operators._
+      val root = "target/sinks/s59_corpus"
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("g", col("doc_id"))
+      val lay = CorpusLifecycle.CorpusLayouts(
+        registry = Some(s"$root/registry"), band = Some(s"$root/band"),
+        lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
+        ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
+      ClusterRegistry.build(base, "doc_id", "text", s"$root/registry")
+      BandIndex.build(base, "doc_id", "text", s"$root/band")
+      LexicalIndex.build(base, "doc_id", "text", s"$root/lexical")
+      KmvLayout.build(base.withColumn("g", col("doc_id")),
+        "g", "doc_id", "text", s"$root/kmv", k = 32)
+      IvfLayout.build(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", s"$root/ivf",
+        Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)))
+      ChunkStore.build(base, "doc_id", "text", s"$root/chunks",
+        maskBits = 4)
+      CorpusLifecycle.ingest(docs, delta, "doc_id", "text", lay,
+        batchId = "b1", groupCol = Some("g"),
+        deltaVectors = Some((emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding")))
+      CorpusLifecycle.maintain(s, lay,
+        CorpusLifecycle.MaintenancePolicy(
+          maxLiveGenerations = 1, maxChunkDeadShare = 0.9,
+          maxIvfCellShare = 0.2, ivfRetrainRounds = 2))
+        .orderBy(col("layout"))
     })
 }

@@ -149,7 +149,8 @@ object ScaleDrill {
       // delta ingest across all six stored layouts (build ×6 +
       // crash-replayed fan-out + the serving-path audits) and the IVF
       // quantizer retrain (Lloyd rounds + reassign + snapshot swap)
-      "s55_corpus_forget", "s56_corpus_ingest", "s57_ivf_retrain")
+      "s55_corpus_forget", "s56_corpus_ingest", "s57_ivf_retrain",
+      "s58_ivf_cell_stats", "s59_corpus_maintain")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)
