@@ -227,6 +227,8 @@ object BandIndex {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(spark, s"$path/postings", "gen=", newBase)
+    LsmLayout.clearStaleGeneration(spark, s"$path/sigs", "gen=", newBase)
     val (post, postIds, _) = IterationCheckpoint.localCounted(
       postingsScoped(spark, path, None, snap))
     post

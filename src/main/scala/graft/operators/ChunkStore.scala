@@ -108,14 +108,23 @@ object ChunkStore {
     * (last-writer-wins). The superseded manifest's chunks stay in the
     * store — content-addressed rows are shared by design; physical
     * reclamation is a refcount sweep at a future compact, per the
-    * class doc. */
+    * class doc.
+    *
+    * `compactAfterGenerations` (0 = off) triggers [[compact]] when the
+    * live manifest-generation count exceeds the threshold — the s46
+    * policy, so a continuous ingest loop bounds THIS layout's
+    * generation growth like every other layout's refresh does. */
   def refresh(
       delta: DataFrame, idCol: String, textCol: String,
       path: String, batchId: String,
+      compactAfterGenerations: Int = 0,
       writerEpoch: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
-    if (LsmLayout.isApplied(spark, path, batchId)) return
+    if (LsmLayout.isApplied(spark, path, batchId)) {
+      maybeAutoCompact(spark, path, compactAfterGenerations, writerEpoch)
+      return
+    }
     val maskBits = spark.read.parquet(s"$path/meta")
       .head().getAs[Long]("mask_bits").toInt
     val snap = LsmLayout.snapshot(spark, path)
@@ -172,7 +181,19 @@ object ChunkStore {
       .parquet(s"$path/manifest")
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.markApplied(spark, path, batchId)
+    maybeAutoCompact(spark, path, compactAfterGenerations, writerEpoch)
   }
+
+  /** The s46 generation-count policy, shared by the fresh and the
+    * already-applied retry paths of [[refresh]] (the IvfLayout shape:
+    * a clean retry must still honor the compaction budget). */
+  private def maybeAutoCompact(
+      spark: SparkSession, path: String, compactAfterGenerations: Int,
+      writerEpoch: Option[Long]): Unit =
+    if (compactAfterGenerations > 0 &&
+      LsmLayout.liveGenerationCount(spark, path, s"$path/manifest") >
+        compactAfterGenerations)
+      compact(spark, path, writerEpoch)
 
   /** The serving manifest relation: tombstoned docs dropped (the
     * forget-set anti-joins broadcast — a delete is visible before any
@@ -287,6 +308,8 @@ object ChunkStore {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(spark, s"$path/manifest", "gen=", newBase)
+    LsmLayout.clearStaleGeneration(spark, s"$path/store", "gen=", newBase)
     val (man, manIds, _) = IterationCheckpoint.localCounted(
       latestManifests(spark, path, Some(snap)))
     man
@@ -338,10 +361,13 @@ object ChunkStore {
     storeScoped(spark, path, snap)
       .join(refs, Seq("chunk_h"), "left")
       .agg(
-        sum(when(col("graft__live").isNotNull, 1L).otherwise(0L))
-          .as("n_live"),
-        sum(when(col("graft__live").isNull, 1L).otherwise(0L))
-          .as("n_dead"),
+        // coalesce all three: the sums aggregate NULL over an empty
+        // store, and maintain() reads them with getLong — a brand-new
+        // (or fully-swept) layout must report zeros, not NPE the run
+        coalesce(sum(when(col("graft__live").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_live"),
+        coalesce(sum(when(col("graft__live").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_dead"),
         coalesce(sum(when(col("graft__live").isNull,
           length(col("chunk")).cast("long")).otherwise(0L)), lit(0L))
           .as("dead_chars"))

@@ -394,6 +394,8 @@ object ClusterRegistry {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(
+      spark, s"$path/assignments", "batch=", newBase)
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
       assignments(spark, path))
     rows

@@ -137,7 +137,8 @@ object CorpusLifecycle {
         compactAfterGenerations, epochOf(p))
     }
     layouts.chunks.foreach(p =>
-      ChunkStore.refresh(delta, idCol, textCol, p, batchId, epochOf(p)))
+      ChunkStore.refresh(delta, idCol, textCol, p, batchId,
+        compactAfterGenerations, epochOf(p)))
   }
 
   /** Fan out the snapshot-atomic compacts — physical reclamation of

@@ -70,7 +70,13 @@ object IvfLayout {
     * snapshot flip that changes the quantizer ([[retrain]]) writes a
     * new table; flips that keep it ([[compact]]) carry it forward
     * under the new base name; superseded tables are GC'd one cycle
-    * later like every other generation. */
+    * later like every other generation.
+    *
+    * MIGRATION NOTE: layouts written before the gen-versioned table
+    * (flat `centroids/`) must be re-[[build]]t — there is no lazy
+    * fallback by design (a flat table cannot say which base it pairs
+    * with, which is the exact ambiguity the versioning removes). All
+    * harness artifacts are regenerated per run. */
   private def centroidDir(path: String, base: String): String =
     s"$path/centroids/gen=$base"
 
@@ -173,6 +179,7 @@ object IvfLayout {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(spark, s"$path/vectors", "gen=", newBase)
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
       vectorsScoped(spark, path, snap))
     rows
@@ -217,6 +224,7 @@ object IvfLayout {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(spark, s"$path/vectors", "gen=", newBase)
     val (live, ckIds, _) = IterationCheckpoint.localCounted(
       vectorsScoped(spark, path, snap))
     // seed = stored centroids on KMeans' 1e-6 grid; the trained row is
@@ -243,6 +251,11 @@ object IvfLayout {
           .collect()
           .map(r => r.getSeq[Double](1).map(x =>
             math.floor(x * 1e6).toLong).toSeq)
+          // dedup the extra seeds against the stored centroids AND each
+          // other on the quantized grid: duplicate embeddings among the
+          // lowest-vec_id rows would otherwise yield identical seeds —
+          // permanently dead cells, an effective nlist below the ask
+          .distinct
           .filterNot(stored.contains)
           .take(k - stored.size)
         // a tiny corpus may not fill the requested nlist — train with

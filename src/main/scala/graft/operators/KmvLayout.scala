@@ -193,6 +193,7 @@ object KmvLayout {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(spark, s"$path/sketches", "batch=", newBase)
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
       docRowsScoped(spark, path, snap)
         .select(col("group"), col("doc_id"), col("sk")))

@@ -466,6 +466,8 @@ object LexicalIndex {
     val snap = LsmLayout.snapshot(spark, path)
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
+    Seq("postings", "lexicon", "meta").foreach(rel =>
+      LsmLayout.clearStaleGeneration(spark, s"$path/$rel", "gen=", newBase))
     val (post, postIds, _) = IterationCheckpoint.localCounted(
       postingsScoped(spark, path, snap))
     post

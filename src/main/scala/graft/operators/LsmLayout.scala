@@ -214,6 +214,22 @@ private[graft] object LsmLayout {
   def clearSnapshots(spark: SparkSession, root: String): Unit =
     deleteDir(spark, snapDir(root))
 
+  /** Delete the possibly-partial generation directory a CRASHED earlier
+    * attempt of the SAME compact/retrain may have left, so the rewrite
+    * starts from a clean slate. Those ops write their new base under a
+    * DETERMINISTIC name with dynamic partition overwrite — if state
+    * changed between the attempts (a tombstone landed, say), the
+    * retry's row set may no longer cover every (sub-)partition the
+    * first attempt wrote, and the uncovered directories (stale rows,
+    * possibly freshly-tombstoned ones) would survive under the new base
+    * and be served after the commit. The name is referenced by NO
+    * committed snapshot until [[commitSnapshot]] runs, so the delete is
+    * invisible to concurrent readers. */
+  def clearStaleGeneration(
+      spark: SparkSession, dir: String, prefix: String,
+      name: String): Unit =
+    deleteDir(spark, s"$dir/$prefix$name")
+
   /** The generation names a reader of THIS snapshot folds: the
     * snapshot's base plus every non-base generation not yet folded
     * into it. Superseded base generations and folded generations may
