@@ -237,6 +237,27 @@ object ChunkStore {
             x => x.getField("chunk")), " ")).as("text_md5"))
   }
 
+  /** The ids of every doc the store currently SERVES — the id-only
+    * serving accessor the corpus audits read. Survivorship is fully
+    * determined by the NARROW manifest relation with the tombstone
+    * anti-join: a doc reconstructs iff it has any surviving manifest
+    * row, and superseded edit versions carry the same id, so neither
+    * the latest-manifest fold nor the store join is needed — chunk
+    * TEXT is never read (plan-pinned in CorpusLifecycleSpec). At
+    * 100 TB this is the difference between a compliance audit that
+    * scans one id column and one that reassembles every surviving
+    * document's text only to distinct the ids. */
+  def servedDocIds(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/manifest", "gen=", snap)
+    val man = LsmLayout
+      .readGenerations(spark, s"$path/manifest", "gen=", live)
+      .select(col("doc_id"))
+    LsmLayout.antiJoinTombstones(spark, path, snap, man, "doc_id")
+      .distinct()
+  }
+
   /** The store relation scoped to a snapshot's live generations —
     * superseded generations awaiting GC may duplicate live chunks
     * (the folded base holds everything) and would multiply any join. */

@@ -308,8 +308,11 @@ object CorpusLifecycle {
         KmvLayout.sketches(spark, p), "group")) ++
       layouts.ivf.map(p => audit("ivf",
         IvfLayout.vectors(spark, p), "vec_id")) ++
+      // id-only accessor, NOT reconstruct: survivorship is determined
+      // by the narrow manifest relation — the audit must not reassemble
+      // every document's text just to distinct the ids
       layouts.chunks.map(p => audit("chunks",
-        ChunkStore.reconstruct(spark, p), "doc_id"))
+        ChunkStore.servedDocIds(spark, p), "doc_id"))
     parts.reduce(_ unionByName _)
   }
 }

@@ -247,6 +247,42 @@ class CorpusLifecycleSpec extends SparkTestBase {
     assert(ingestAuditMap(lay) === before)
   }
 
+  test("audits read the chunk layout id-only: no store text in the plan") {
+    val root = "target/test_corpuslc/idonly"
+    ChunkStore.build(docs, "doc_id", "text", s"$root/chunks", maskBits = 3)
+    ChunkStore.tombstone(Seq(3L, 7L).toDF("doc_id"), "doc_id",
+      s"$root/chunks", batchId = "d1")
+    val lay = CorpusLifecycle.CorpusLayouts(chunks = Some(s"$root/chunks"))
+    val audit = CorpusLifecycle.forgetAudit(
+      spark, lay, Seq(3L, 7L).toDF("doc_id"), "doc_id")
+    // the plan pin: survivorship comes from the NARROW manifest
+    // relation — no scan reads the store (chunk text), no scan reads
+    // any chunk column (ReadSchema "chunk" also matches chunk_h: the
+    // audit needs neither). Scans hide below AQE query-stage leaves
+    // (the QueryPlansSpec allScans discipline), so execute + recurse.
+    audit.collect()
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(qs.plan)
+      }.flatten
+    val scans = scansOf(audit.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "audit must scan the stored manifests")
+    scans.foreach { s =>
+      assert(!s.metadata("ReadSchema").contains("chunk"),
+        s"audit must stay id-only: ${s.metadata("ReadSchema")}")
+      assert(!s.metadata("Location").contains("/store"),
+        s"audit must not touch the store relation: ${s.metadata("Location")}")
+    }
+    // and the id-only accessor answers exactly like the serving path
+    assert(audit.as[(String, Long, Long)].collect().toSeq ===
+      Seq(("chunks", 0L, 10L)))
+  }
+
   test("per-path writer epochs fence a superseded coordinator") {
     val root = "target/test_corpuslc/fence"
     val lay = buildAll(root)
