@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   *    of delta assignments plus re-mapping rows for absorbed clusters
   *    (bounded by the absorbed clusters, not the corpus). Reads fold
   *    base + the recent-generation overlay (see [[assignments]]);
+  *  - `ledger/` (doc_id, text) partitioned by `batch` — the LAYOUT-OWNED
+  *    text ledger candidate verification rehydrates from (the build set
+  *    under `base`, each ingest's delta under its batch id — the same
+  *    LSM discipline as the assignments). The registry used to require
+  *    the caller to assemble and pass the full ledger on every ingest;
+  *    a stale or partial caller copy produced silently WRONG cluster
+  *    merges (candidate pairs whose corpus text was missing dropped at
+  *    the exact-verify join) — exactly the silent contract drift the
+  *    coordinator exists to kill, so the state now lives with the
+  *    index. GDPR reaches it: reads anti-join the tombstones and
+  *    [[compact]] drops forgotten rows physically like every relation;
   *  - `tombstones/` (doc_id) partitioned by delete batch — the forget
   *    set every read anti-joins (the s40/s45 GDPR discipline);
   *    [[compact]] drops the rows physically.
@@ -119,9 +130,34 @@ object ClusterRegistry {
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$path/assignments")
+    // the layout-owned text ledger starts with the build set — from
+    // here on, ingests are self-contained (delta-only)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$path/ledger")
     spark.range(1)
       .select(lit(threshold).as("threshold"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The stored text ledger of every SURVIVING doc — what candidate
+    * verification rehydrates from, and what a forgotten doc's text
+    * physically leaves at [[compact]]. Same read discipline as every
+    * ledger-shaped relation: live generations under one snapshot,
+    * pending tombstones anti-joined broadcast. */
+  def ledger(spark: SparkSession, path: String): DataFrame =
+    ledgerScoped(spark, path, None, LsmLayout.snapshot(spark, path))
+
+  private def ledgerScoped(
+      spark: SparkSession, path: String,
+      excludeBatch: Option[String], snap: LayoutSnapshot): DataFrame = {
+    val dir = s"$path/ledger"
+    val live = LsmLayout.liveGenerationNames(spark, dir, "batch=", snap)
+      .filterNot(excludeBatch.contains)
+    val rows = LsmLayout.readGenerations(spark, dir, "batch=", live)
+      .select(col("doc_id"), col("text"))
+    LsmLayout.antiJoinTombstones(spark, path, snap, rows, "doc_id")
   }
 
   /** The current assignment of every SURVIVING doc. Read shape: the
@@ -206,21 +242,21 @@ object ClusterRegistry {
   }
 
   /** Ingest one batch: assign every delta doc a cluster id and merge
-    * any corpus clusters the delta bridges.
+    * any corpus clusters the delta bridges. SELF-CONTAINED — the call
+    * takes ONLY the delta: candidate verification rehydrates corpus
+    * text from the layout-owned [[ledger]] (the delta's text is
+    * appended to it as this batch's generation), so no caller-assembled
+    * corpus relation exists to go stale or partial.
     *
     * CONTRACTS: delta doc ids must be NEW (the re-ingest contract
-    * shared with the other layouts), and `corpus` is the text LEDGER
-    * candidate verification rehydrates from — it must contain every
-    * previously ingested batch (base build set + all prior deltas); a
-    * candidate id absent from the ledger silently drops its pair at
-    * the exact-verify join. Forgotten docs may be present or absent —
-    * their ids never surface as candidates (band tombstones).
+    * shared with the other layouts). Forgotten docs never surface as
+    * candidates (band tombstones + the ledger's tombstone anti-join).
     * `compactAfterGenerations` (0 = off) triggers [[compact]] when the
     * committed generation count exceeds the threshold (the s46
     * policy). `writerEpoch` is the [[LsmLayout]] single-writer fence.
     */
   def ingest(
-      corpus: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      delta: DataFrame, idCol: String, textCol: String,
       path: String, batchId: String,
       compactAfterGenerations: Int = 0,
       writerEpoch: Option[Long] = None): Unit = {
@@ -239,6 +275,20 @@ object ClusterRegistry {
     if (!LsmLayout.isApplied(spark, path, batchId)) {
       val threshold = spark.read.parquet(s"$path/meta")
         .head().getAs[Double]("threshold")
+      // append the delta's text to the layout-owned ledger FIRST (its
+      // own batch-keyed generation — dynamic overwrite, so a partial
+      // first attempt is replaced bit-for-bit on retry); the probe
+      // below reads the ledger EXCLUDING this generation, so the
+      // replay input is the state before the batch either way
+      delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/ledger")
+      val corpus = ledgerScoped(spark, path, Some(batchId),
+        LsmLayout.snapshot(spark, path))
+        .select(col("doc_id").as(idCol), col("text").as(textCol))
       // the generation number = committed-generation count from
       // directory metadata, excluding this batch's own (possibly
       // partial) dir — monotone (dirs only vanish at compact, which
@@ -396,6 +446,7 @@ object ClusterRegistry {
     val newBase = snap.nextBase
     LsmLayout.clearStaleGeneration(
       spark, s"$path/assignments", "batch=", newBase)
+    LsmLayout.clearStaleGeneration(spark, s"$path/ledger", "batch=", newBase)
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
       assignments(spark, path))
     rows
@@ -406,15 +457,32 @@ object ClusterRegistry {
       .partitionBy("batch")
       .parquet(s"$path/assignments")
     IterationCheckpoint.release(spark.sparkContext, ckIds)
-    val folded = snap.folded ++ LsmLayout
-      .liveGenerationNames(spark, s"$path/assignments", "batch=", snap)
-      .filterNot(_ == snap.base)
+    // fold the text ledger the same way — this is where a forgotten
+    // doc's TEXT physically leaves the layout (the GDPR contract now
+    // covers the stored ledger, not just ids and postings). No
+    // checkpoint for the corpus-sized text: the fold reads explicit
+    // live-generation paths and writes only the just-cleared
+    // batch=<newBase> directory, so read and write sets are disjoint
+    // by construction (checkpointing here would materialize the whole
+    // corpus text a second time inside the one deliberately
+    // corpus-sized maintenance op).
+    ledgerScoped(spark, path, None, snap)
+      .withColumn("batch", lit(newBase))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/ledger")
+    val folded = snap.folded ++
+      Seq("assignments", "ledger").flatMap(rel =>
+        LsmLayout.liveGenerationNames(spark, s"$path/$rel", "batch=", snap))
+        .filterNot(_ == snap.base)
     val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
       snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.commitSnapshot(spark, path, next)
     LsmLayout.gcSuperseded(spark, path,
-      Seq((s"$path/assignments", "batch=")), snap, next)
+      Seq((s"$path/assignments", "batch="), (s"$path/ledger", "batch=")),
+      snap, next)
     BandIndex.compact(spark, s"$path/band", writerEpoch)
   }
 }

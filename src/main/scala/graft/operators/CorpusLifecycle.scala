@@ -91,11 +91,12 @@ object CorpusLifecycle {
     * (every per-layout ingest is marker-gated, the [[LsmLayout]]
     * at-least-once contract).
     *
-    * Per-layout contracts carried through unchanged: the registry
-    * needs the text LEDGER (`corpus` — base build set + all prior
-    * deltas + this one) for candidate verification, and delta doc ids
-    * must be NEW; the KMV layout needs the delta's `groupCol`; the IVF
-    * layout ingests VECTORS, not text — pass the delta's embedding
+    * Per-layout contracts carried through: delta doc ids must be NEW;
+    * the registry is SELF-CONTAINED (it owns its text ledger, so no
+    * caller-assembled corpus relation exists to go stale — the silent
+    * wrong-merge class the old `corpus` parameter carried is gone by
+    * construction); the KMV layout needs the delta's `groupCol`; the
+    * IVF layout ingests VECTORS, not text — pass the delta's embedding
     * rows as `deltaVectors = (frame, vecIdCol, vecCol)`. Omitting a
     * needed argument while the layout is configured fails loudly up
     * front (a silent skip would be exactly the under-serve this call
@@ -107,7 +108,7 @@ object CorpusLifecycle {
     * `compactAfterGenerations` bounds every layout's generation count
     * under a continuous loop. */
   def ingest(
-      corpus: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      delta: DataFrame, idCol: String, textCol: String,
       layouts: CorpusLayouts, batchId: String,
       groupCol: Option[String] = None,
       deltaVectors: Option[(DataFrame, String, String)] = None,
@@ -120,7 +121,7 @@ object CorpusLifecycle {
       "an IVF layout is configured but no deltaVectors were supplied — " +
         "the layout would silently miss this batch")
     layouts.registry.foreach(p =>
-      ClusterRegistry.ingest(corpus, delta, idCol, textCol, p, batchId,
+      ClusterRegistry.ingest(delta, idCol, textCol, p, batchId,
         compactAfterGenerations, epochOf(p)))
     layouts.band.foreach(p =>
       BandIndex.append(delta, idCol, textCol, p, batchId,

@@ -8554,13 +8554,13 @@ object NorthStar {
         graft.operators.ClusterRegistry.build(
           corpus, "doc_id", "text", path, threshold = 0.8)
         graft.operators.ClusterRegistry.ingest(
-          corpus, delta, "doc_id", "text", path, batchId = "b1")
+          delta, "doc_id", "text", path, batchId = "b1")
         // clean retry, then a marker-less partial-failure replay
         graft.operators.ClusterRegistry.ingest(
-          corpus, delta, "doc_id", "text", path, batchId = "b1")
+          delta, "doc_id", "text", path, batchId = "b1")
         new java.io.File(s"$path/_applied/b1").delete()
         graft.operators.ClusterRegistry.ingest(
-          corpus, delta, "doc_id", "text", path, batchId = "b1")
+          delta, "doc_id", "text", path, batchId = "b1")
         graft.operators.ClusterRegistry.assignments(s, path)
     },
 
@@ -8646,7 +8646,6 @@ object NorthStar {
           threshold = 0.8)
         (1 to 3).foreach { r =>
           graft.operators.ClusterRegistry.ingest(
-            docs.filter(col("doc_id") % 4 < r),
             docs.filter(col("doc_id") % 4 === r),
             "doc_id", "text", path, batchId = s"b$r",
             compactAfterGenerations = 2)
@@ -8703,7 +8702,7 @@ object NorthStar {
         docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", path,
         threshold = 0.8)
       graft.operators.ClusterRegistry.ingest(
-        docs, docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 === 2),
         "doc_id", "text", path, batchId = "b1")
       // the delete spans the build AND ingest generations, and lands
       // AFTER merges it may have contributed to (retained by contract)
@@ -8749,7 +8748,6 @@ object NorthStar {
           threshold = 0.8)
         (1 to 4).foreach { r =>
           graft.operators.ClusterRegistry.ingest(
-            docs.filter(col("doc_id") % 5 < r),
             docs.filter(col("doc_id") % 5 === r),
             "doc_id", "text", path, batchId = s"mb-$r")
           if (r == 2) {
@@ -8758,7 +8756,6 @@ object NorthStar {
             new java.io.File(s"$path/_applied/mb-2").delete()
             new java.io.File(s"$path/band/_applied/mb-2").delete()
             graft.operators.ClusterRegistry.ingest(
-              docs.filter(col("doc_id") % 5 < 2),
               docs.filter(col("doc_id") % 5 === 2),
               "doc_id", "text", path, batchId = "mb-2")
           }
@@ -8866,11 +8863,9 @@ object NorthStar {
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path,
         threshold = 0.8)
       graft.operators.ClusterRegistry.ingest(
-        docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 === 1),
         "doc_id", "text", path, batchId = "b1")
       graft.operators.ClusterRegistry.ingest(
-        docs.filter(col("doc_id") % 3 < 2),
         docs.filter(col("doc_id") % 3 === 2),
         "doc_id", "text", path, batchId = "b2")
       graft.operators.ClusterRegistry.assignments(s, path, asOf = Some(1L))
@@ -9115,10 +9110,12 @@ object NorthStar {
           batchId = "b1")
         // ... the retry completes the other four and no-ops those two;
         // the replay no-ops all six
-        CorpusLifecycle.ingest(docs, delta, "doc_id", "text", lay,
+        // delta-only: the registry rehydrates candidate text from its
+        // own stored ledger — no caller-assembled corpus argument
+        CorpusLifecycle.ingest(delta, "doc_id", "text", lay,
           batchId = "b1", groupCol = Some("g"),
           deltaVectors = Some((deltaVecs, "vec_id", "embedding")))
-        CorpusLifecycle.ingest(docs, delta, "doc_id", "text", lay,
+        CorpusLifecycle.ingest(delta, "doc_id", "text", lay,
           batchId = "b1", groupCol = Some("g"),
           deltaVectors = Some((deltaVecs, "vec_id", "embedding")))
         CorpusLifecycle.ingestAudit(
@@ -9260,7 +9257,7 @@ object NorthStar {
         Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)))
       ChunkStore.build(base, "doc_id", "text", s"$root/chunks",
         maskBits = 4)
-      CorpusLifecycle.ingest(docs, delta, "doc_id", "text", lay,
+      CorpusLifecycle.ingest(delta, "doc_id", "text", lay,
         batchId = "b1", groupCol = Some("g"),
         deltaVectors = Some((emb.filter(col("vec_id") % 3 === 0),
           "vec_id", "embedding")))

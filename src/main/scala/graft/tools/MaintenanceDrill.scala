@@ -139,17 +139,15 @@ object MaintenanceDrill {
       val cr = s"$tag/registry"
       val bCr = timed(ClusterRegistry.build(docs, "doc_id", "text", cr))
       val rCr = timed(ClusterRegistry.ingest(
-        docs, delta, "doc_id", "text", cr, batchId = "d1"))
+        delta, "doc_id", "text", cr, batchId = "d1"))
       val sCr = timedCount(ClusterRegistry.assignments(spark, cr))
       out += Row3("registry(n177)", arm, bCr, rCr, sCr)
       val small = docs1.filter(col("doc_id") % 100 === 3)
         .withColumn("doc_id", col("doc_id") + 3000000000L)
-      // the corpus LEDGER must include every previously ingested batch
-      // (d1 here) — ingest rehydrates candidate text from it, so a
-      // stale ledger silently drops small-vs-d1 verify candidates
+      // delta-only: the layout-owned ledger already holds the build
+      // set + d1, so candidate text rehydration is self-contained
       val rSmall = timed(ClusterRegistry.ingest(
-        docs.unionByName(delta), small, "doc_id", "text", cr,
-        batchId = "d2"))
+        small, "doc_id", "text", cr, batchId = "d2"))
       println(f"[maint] registry small-delta (1%%) $arm%-5s " +
         f"ingest $rSmall%6.2fs")
       // the compact lifecycle: fold the log to base, then show what the
@@ -162,8 +160,7 @@ object MaintenanceDrill {
       val small2 = docs1.filter(col("doc_id") % 100 === 7)
         .withColumn("doc_id", col("doc_id") + 4000000000L)
       val rSmall2 = timed(ClusterRegistry.ingest(
-        docs.unionByName(delta).unionByName(small), small2,
-        "doc_id", "text", cr, batchId = "d3"))
+        small2, "doc_id", "text", cr, batchId = "d3"))
       println(f"[maint] registry compact $arm%-5s wall $cCr%6.2fs  " +
         f"post-compact fold $sCr2%6.2fs  " +
         f"post-compact small ingest $rSmall2%6.2fs")

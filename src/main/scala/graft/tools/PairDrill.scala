@@ -157,7 +157,7 @@ object PairDrill {
         val tIngest = {
           val t0 = System.nanoTime()
           graft.operators.ClusterRegistry.ingest(
-            docs, delta, "doc_id", "text", path, batchId = "b1")
+            delta, "doc_id", "text", path, batchId = "b1")
           (System.nanoTime() - t0) / 1e9
         }
         sweep()

@@ -50,7 +50,7 @@ class ClusterRegistrySpec extends SparkTestBase {
     val p = "target/test_clusterreg/merge"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
     assert(assigned(p) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     // doc 10 bridges {1,2} (id 1) and {3}: everything merges to 1;
     // the absorbed cluster's member (doc 3) was RE-MAPPED by append
@@ -66,16 +66,16 @@ class ClusterRegistrySpec extends SparkTestBase {
   test("ingest is idempotent under clean retry and marker-less replay") {
     val p = "target/test_clusterreg/retry"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     val want = assigned(p)
     val phys = spark.read.parquet(s"$p/assignments").count()
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) === want)
     assert(spark.read.parquet(s"$p/assignments").count() === phys)
     new java.io.File(s"$p/_applied/b1").delete()
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) === want,
       "a replayed ingest must reproduce the same assignment")
@@ -103,7 +103,7 @@ class ClusterRegistrySpec extends SparkTestBase {
       batchId = "d2")
     val like4 = Seq((30L, (1 to 20).map(i => s"z$i").mkString(" ")))
       .toDF("doc_id", "text")
-    ClusterRegistry.ingest(corpus, like4, "doc_id", "text", p,
+    ClusterRegistry.ingest(like4, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) === Map(2L -> 1L, 3L -> 3L, 30L -> 30L),
       "an exact copy of a forgotten doc must not pair with it")
@@ -112,7 +112,7 @@ class ClusterRegistrySpec extends SparkTestBase {
   test("bridge divergence pin: forgetting a bridge does NOT re-split the merged cluster") {
     val p = "target/test_clusterreg/bridge"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1") // doc 10 bridges {1,2} and {3} -> all cluster 1
     ClusterRegistry.forget(Seq(10L).toDF("doc_id"), "doc_id", p,
       batchId = "d1")
@@ -131,7 +131,7 @@ class ClusterRegistrySpec extends SparkTestBase {
   test("compact drops forgotten docs physically (assignments AND band) and folds generations") {
     val p = "target/test_clusterreg/compact"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     ClusterRegistry.forget(Seq(2L).toDF("doc_id"), "doc_id", p,
       batchId = "d1")
@@ -168,8 +168,7 @@ class ClusterRegistrySpec extends SparkTestBase {
     // ingest lands gen 1 on top of the folded gen-0 base
     val more = Seq((40L, (1 to 20).map(i => s"y$i").mkString(" ")))
       .toDF("doc_id", "text")
-    ClusterRegistry.ingest(
-      corpus.unionByName(delta), more, "doc_id", "text", p, batchId = "b2")
+    ClusterRegistry.ingest(more, "doc_id", "text", p, batchId = "b2")
     assert(assigned(p) === want + (40L -> 40L))
   }
 
@@ -179,13 +178,10 @@ class ClusterRegistrySpec extends SparkTestBase {
     def lone(id: Long, tag: String) =
       Seq((id, (1 to 20).map(i => s"$tag$i").mkString(" ")))
         .toDF("doc_id", "text")
-    var ledger = corpus
     Seq((50L, "p"), (51L, "q"), (52L, "r")).zipWithIndex.foreach {
       case ((id, tag), i) =>
-        val d = lone(id, tag)
-        ClusterRegistry.ingest(ledger, d, "doc_id", "text", p,
+        ClusterRegistry.ingest(lone(id, tag), "doc_id", "text", p,
           batchId = s"b${i + 1}", compactAfterGenerations = 2)
-        ledger = ledger.unionByName(d)
     }
     // base+b1+b2 = 3 gens > 2 tripped the policy at b2 (fold to 1);
     // b3 lands on the folded base -> 2 LIVE generations after the loop
@@ -204,7 +200,7 @@ class ClusterRegistrySpec extends SparkTestBase {
     // cluster's members must be re-mapped each time
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
     // batch 1: doc 10 bridges {1,2} and {3} -> all take id 1
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L))
@@ -215,8 +211,7 @@ class ClusterRegistrySpec extends SparkTestBase {
       (0L, run(1, 20)),
       (11L, (1 to 20).map(i => s"z$i").mkString(" ")))
       .toDF("doc_id", "text")
-    ClusterRegistry.ingest(corpus.unionByName(delta), b2,
-      "doc_id", "text", p, batchId = "b2")
+    ClusterRegistry.ingest(b2, "doc_id", "text", p, batchId = "b2")
     assert(assigned(p) === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
       10L -> 0L, 4L -> 4L, 11L -> 4L),
       "the chain must re-min the merged cluster and leave {4,11} alone")
@@ -230,7 +225,7 @@ class ClusterRegistrySpec extends SparkTestBase {
     // doc 10 bridges the (now min-less) cluster 1 and cluster {3}:
     // the merge still lands on the RETAINED id 1 (min of the ids ever
     // seen), and the forgotten doc is not resurrected
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) === Map(2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L))
     val canon = ClusterRegistry.canonicalAssignments(spark, p)
@@ -244,10 +239,9 @@ class ClusterRegistrySpec extends SparkTestBase {
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
     val lone = Seq((20L, (1 to 20).map(i => s"q$i").mkString(" ")))
       .toDF("doc_id", "text")
-    ClusterRegistry.ingest(corpus, lone, "doc_id", "text", p,
+    ClusterRegistry.ingest(lone, "doc_id", "text", p,
       batchId = "b1") // gen 1: singleton 20
-    ClusterRegistry.ingest(corpus.unionByName(lone), delta,
-      "doc_id", "text", p, batchId = "b2") // gen 2: doc 10 merges {1,2}+{3}
+    ClusterRegistry.ingest(delta, "doc_id", "text", p, batchId = "b2") // gen 2: doc 10 merges {1,2}+{3}
     def asOf(g: Long) = ClusterRegistry.assignments(spark, p, Some(g))
       .as[(Long, Long)].collect().toMap
     assert(asOf(0L) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L),
@@ -268,14 +262,49 @@ class ClusterRegistrySpec extends SparkTestBase {
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
     val before = assigned(p)
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    ClusterRegistry.ingest(corpus, empty, "doc_id", "text", p,
+    ClusterRegistry.ingest(empty, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) === before)
     // and the NEXT real batch still derives a sane generation and works
-    ClusterRegistry.ingest(corpus, delta, "doc_id", "text", p,
+    ClusterRegistry.ingest(delta, "doc_id", "text", p,
       batchId = "b2")
     assert(assigned(p) ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L))
+  }
+
+  test("the layout-owned ledger: builds seed it, ingests extend it, GDPR reaches the stored text") {
+    val p = "target/test_clusterreg/ledger"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    def led() = ClusterRegistry.ledger(spark, p)
+      .as[(Long, String)].collect().toMap
+    assert(led().keySet === Set(1L, 2L, 3L, 4L),
+      "the build must seed the ledger with the build set")
+    // the delta-only ingest merges THROUGH stored text: doc 10 bridges
+    // {1,2} and {3}, whose candidate text can only come from the ledger
+    ClusterRegistry.ingest(delta, "doc_id", "text", p, batchId = "b1")
+    assert(assigned(p) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 10L -> 1L),
+      "candidate verification must rehydrate from the stored ledger")
+    assert(led().keySet === Set(1L, 2L, 3L, 4L, 10L),
+      "the ingest must append the delta's text")
+    assert(led()(10L) === run(4, 24))
+    // a forget hides the text from every read immediately ...
+    ClusterRegistry.forget(Seq(1L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    assert(!led().contains(1L), "a forgotten doc's text must hide at once")
+    // ... and two compact cycles remove it physically (fold, then the
+    // one-cycle-deferred GC of the superseded generations)
+    ClusterRegistry.compact(spark, p)
+    ClusterRegistry.compact(spark, p)
+    assert(spark.read.parquet(s"$p/ledger")
+      .filter(col("doc_id") === 1L).count() === 0L,
+      "GDPR must reach the stored ledger text physically")
+    assert(led().keySet === Set(2L, 3L, 4L, 10L))
+    // post-compact, the folded ledger still feeds the next merge
+    val dup3 = Seq((40L, run(6, 25))).toDF("doc_id", "text")
+    ClusterRegistry.ingest(dup3, "doc_id", "text", p, batchId = "b2")
+    assert(assigned(p)(40L) === 1L,
+      "a post-compact ingest must still verify against the folded ledger")
   }
 
   test("a batch with no near-dups assigns singletons and leaves everything else alone") {
@@ -284,15 +313,14 @@ class ClusterRegistrySpec extends SparkTestBase {
     val before = assigned(p)
     val lone = Seq((20L, (1 to 20).map(i => s"q$i").mkString(" ")))
       .toDF("doc_id", "text")
-    ClusterRegistry.ingest(corpus, lone, "doc_id", "text", p,
+    ClusterRegistry.ingest(lone, "doc_id", "text", p,
       batchId = "b1")
     assert(assigned(p) === before + (20L -> 20L))
     // and a SECOND batch duplicating the first batch's doc pairs into
     // the now-appended band generation (stable id = 20, the min)
     val dup20 = Seq((21L, (1 to 20).map(i => s"q$i").mkString(" ")))
       .toDF("doc_id", "text")
-    ClusterRegistry.ingest(corpus.unionByName(lone), dup20,
-      "doc_id", "text", p, batchId = "b2")
+    ClusterRegistry.ingest(dup20, "doc_id", "text", p, batchId = "b2")
     assert(assigned(p) === before + (20L -> 20L) + (21L -> 20L),
       "the second batch must find the first batch's doc through the appended index")
   }

@@ -138,7 +138,7 @@ class CorpusLifecycleSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
 
   private def runIngest(lay: CorpusLifecycle.CorpusLayouts): Unit =
-    CorpusLifecycle.ingest(docs, deltaDocs, "doc_id", "text", lay,
+    CorpusLifecycle.ingest(deltaDocs, "doc_id", "text", lay,
       batchId = "b1", groupCol = Some("g"),
       deltaVectors =
         Some((vecs.filter(col("vec_id") > 8L), "vec_id", "embedding")))
@@ -190,13 +190,13 @@ class CorpusLifecycleSpec extends SparkTestBase {
     val lay = CorpusLifecycle.CorpusLayouts(
       kmv = Some("target/test_corpuslc/never/kmv"))
     intercept[IllegalArgumentException] {
-      CorpusLifecycle.ingest(docs, deltaDocs, "doc_id", "text", lay,
+      CorpusLifecycle.ingest(deltaDocs, "doc_id", "text", lay,
         batchId = "b1", groupCol = None)
     }
     val lay2 = CorpusLifecycle.CorpusLayouts(
       ivf = Some("target/test_corpuslc/never/ivf"))
     intercept[IllegalArgumentException] {
-      CorpusLifecycle.ingest(docs, deltaDocs, "doc_id", "text", lay2,
+      CorpusLifecycle.ingest(deltaDocs, "doc_id", "text", lay2,
         batchId = "b1", deltaVectors = None)
     }
   }

@@ -81,7 +81,7 @@ class SnapshotCompactSpec extends SparkTestBase {
     ClusterRegistry.build(
       d.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
     ClusterRegistry.ingest(
-      d, d.filter(col("doc_id") % 2 === 0), "doc_id", "text", p,
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", p,
       batchId = "b1")
     ClusterRegistry.forget(
       Seq(4L, 8L).toDF("doc_id"), "doc_id", p, batchId = "d1")
@@ -144,7 +144,7 @@ class SnapshotCompactSpec extends SparkTestBase {
     // a freshly-built layout reads under the legacy snapshot
     assert(LsmLayout.snapshot(spark, p) === LsmLayout.LegacySnapshot)
     ClusterRegistry.ingest(
-      d, Seq((100L, run(500, 519))).toDF("doc_id", "text"),
+      Seq((100L, run(500, 519))).toDF("doc_id", "text"),
       "doc_id", "text", p, batchId = "b1")
     ClusterRegistry.compact(spark, p)
     val s0 = LsmLayout.snapshot(spark, p)
@@ -205,7 +205,7 @@ class SnapshotCompactSpec extends SparkTestBase {
     ClusterRegistry.build(
       d.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
     ClusterRegistry.ingest(
-      d, d.filter(col("doc_id") % 2 === 0), "doc_id", "text", p,
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", p,
       batchId = "b1")
     ClusterRegistry.forget(Seq(6L).toDF("doc_id"), "doc_id", p,
       batchId = "d1")

@@ -119,7 +119,7 @@ class WriterFencingSpec extends SparkTestBase {
     ClusterRegistry.build(docs(0 until 6, "r"), "doc_id", "text", reg)
     LsmLayout.acquireWriterEpoch(spark, reg)
     intercept[IllegalStateException] {
-      ClusterRegistry.ingest(docs(0 until 6, "r"), docs(6 until 9, "r"),
+      ClusterRegistry.ingest(docs(6 until 9, "r"),
         "doc_id", "text", reg, batchId = "b1", writerEpoch = Some(0L))
     }
     intercept[IllegalStateException] {

@@ -95,25 +95,19 @@ class StreamingIndexSpec extends SparkTestBase {
       (4L, (1 to 20).map(i => s"z$i").mkString(" ")))
     val b2 = Seq((2L, words(3, 22)))
     val b3 = Seq((10L, words(4, 24)))
-    // the corpus LEDGER the ingest contract requires: everything
-    // previously ingested (a deployment reads this from its warehouse;
-    // the driver-side buffer is the spec's stand-in)
-    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
 
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val rows = batch.collect()
-          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        // delta-only: the registry owns its text ledger — the loop
+        // carries NO driver-side corpus stand-in across micro-batches
         if (id == 0L)
           graft.operators.ClusterRegistry.build(
             batch, "doc_id", "text", streamed, threshold = 0.8)
         else
           graft.operators.ClusterRegistry.ingest(
-            ledger.toSeq.toDF("doc_id", "text"), batch,
-            "doc_id", "text", streamed, batchId = s"mb-$id")
-        ledger ++= rows
+            batch, "doc_id", "text", streamed, batchId = s"mb-$id")
         ()
       }
       .option("checkpointLocation", "target/test_streamreg/ckpt")
@@ -141,7 +135,7 @@ class StreamingIndexSpec extends SparkTestBase {
     new java.io.File(s"$streamed/_applied/mb-2").delete()
     new java.io.File(s"$streamed/band/_applied/mb-2").delete()
     graft.operators.ClusterRegistry.ingest(
-      (b1 ++ b2).toDF("doc_id", "text"), b3.toDF("doc_id", "text"),
+      b3.toDF("doc_id", "text"),
       "doc_id", "text", streamed, batchId = "mb-2")
     assert(assigned(streamed) === want,
       "a replayed micro-batch must not change any assignment")
@@ -220,8 +214,6 @@ class StreamingIndexSpec extends SparkTestBase {
     val b1 = fix(1L to 6L)
     val b2 = fix(7L to 9L)
     val b3 = fix(10L to 12L)
-    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    ledger ++= b1 ++ b2 ++ b3 // the warehouse stand-in (superset is fine)
 
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "text")
@@ -238,7 +230,6 @@ class StreamingIndexSpec extends SparkTestBase {
           ChunkStore.build(batch, "doc_id", "text", s"$root/chunks",
             maskBits = 3)
         } else CorpusLifecycle.ingest(
-          ledger.toSeq.toDF("doc_id", "text"),
           batch.withColumn("g", col("doc_id")), "doc_id", "text", lay,
           batchId = s"mb-$id", groupCol = Some("g"),
           deltaVectors = Some((vecsOf(batch), "vec_id", "embedding")))
@@ -269,7 +260,8 @@ class StreamingIndexSpec extends SparkTestBase {
     // COORDINATOR (the at-least-once re-delivery, with every applied
     // marker gone): serving and physical rows invariant on all six
     val physical = Seq(
-      s"$root/registry/assignments", s"$root/band/postings",
+      s"$root/registry/assignments", s"$root/registry/ledger",
+      s"$root/band/postings",
       s"$root/lexical/postings", s"$root/kmv/sketches",
       s"$root/ivf/vectors", s"$root/chunks/manifest")
     val before = physical.map(p => p -> spark.read.parquet(p).count()).toMap
@@ -277,7 +269,6 @@ class StreamingIndexSpec extends SparkTestBase {
       s"$root/lexical", s"$root/kmv", s"$root/ivf", s"$root/chunks")
       .foreach(p => new java.io.File(s"$p/_applied/mb-2").delete())
     CorpusLifecycle.ingest(
-      ledger.toSeq.toDF("doc_id", "text"),
       b3.toDF("doc_id", "text").withColumn("g", col("doc_id")),
       "doc_id", "text", lay, batchId = "mb-2", groupCol = Some("g"),
       deltaVectors = Some((vecsOf(b3.toDF("doc_id", "text")),
