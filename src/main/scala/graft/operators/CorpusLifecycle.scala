@@ -281,6 +281,93 @@ object CorpusLifecycle {
       deltaIds: DataFrame, idCol: String): DataFrame =
     serveAudit(spark, layouts, deltaIds, idCol, "delta_served")
 
+  /** Cross-layout population-drift audit — the check [[forgetAudit]]/
+    * [[ingestAudit]] cannot make: those prove ONE batch landed (or
+    * left) everywhere; this compares each layout's FULL served doc
+    * population against the registry's, so a layout that under-serves
+    * from a pre-coordinator bug, a missed historical batch, or manual
+    * surgery surfaces as a nonzero row instead of staying invisible
+    * until some per-batch audit happens to cover the hole.
+    *
+    * Semantics per layout (one row each, `(layout, missing, extra)`):
+    * the reference population is the registry's own serving relation,
+    * with token counts from its stored ledger (which is what makes
+    * the audit self-contained — the content gates need text). Band and
+    * lexical compare against the reference docs meeting their OWN
+    * stored shingle-width gate; KMV and chunks against docs with ≥ 1
+    * token (their build chains emit nothing for empty text). The IVF
+    * layout is vector-keyed: which docs SHOULD carry vectors is not
+    * derivable from a text corpus, so its row reports `extra` only —
+    * served vec_ids outside the registry population (a forgotten doc
+    * whose vector survived IS detectable drift) — and missing = 0 by
+    * construction. KMV rows are doc-comparable because the stored
+    * sketches are per-(group, doc); group granularity is irrelevant.
+    *
+    * 100 TB shape: one narrow id scan per layout plus one full-outer
+    * id join each — corpus-ID-sized, never text-sized, except the one
+    * map-only token count over the stored ledger that feeds the gates.
+    * Populations are corpus-sized on both sides, so the joins shuffle
+    * ids by design (this is the periodic audit, not a serving path). */
+  def consistencyAudit(
+      spark: SparkSession, layouts: CorpusLayouts): DataFrame = {
+    require(layouts.registry.isDefined,
+      "consistencyAudit compares layouts against the registry " +
+        "population — configure layouts.registry")
+    val reg = layouts.registry.get
+    val ref = Materialize.shared(
+      ClusterRegistry.assignments(spark, reg)
+        .select(col("doc_id").cast("string").as("graft__id"))
+        .join(ClusterRegistry.ledger(spark, reg)
+          .select(col("doc_id").cast("string").as("graft__id"),
+            size(TextOps.tokens(col("text"))).as("graft__ntok")),
+          Seq("graft__id"), "left")
+        .select(col("graft__id"),
+          coalesce(col("graft__ntok"), lit(0)).as("graft__ntok")))
+    // string-typed key compare throughout (the serveAudit discipline)
+    def served(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).cast("string").as("graft__id")).distinct()
+    def diff(name: String, expected: DataFrame, s: DataFrame): DataFrame =
+      expected.select(col("graft__id")).withColumn("graft__e", lit(1))
+        .join(s.withColumn("graft__s", lit(1)), Seq("graft__id"),
+          "full_outer")
+        .agg(
+          coalesce(sum(when(col("graft__s").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("missing"),
+          coalesce(sum(when(col("graft__e").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("extra"))
+        .select(lit(name).as("layout"), col("missing"), col("extra"))
+    val parts =
+      Seq(diff("registry", ref,
+        served(ClusterRegistry.assignments(spark, reg), "doc_id"))) ++
+      layouts.band.map { p =>
+        val w = BandIndex.metaOf(spark, p)._3
+        diff("band", ref.filter(col("graft__ntok") >= w),
+          served(BandIndex.signatures(spark, p), "doc_id"))
+      } ++
+      layouts.lexical.map { p =>
+        val w = LexicalIndex.metaRow(spark, p)
+          .head().getAs[Long]("shingle_n").toInt
+        diff("lexical", ref.filter(col("graft__ntok") >= w),
+          served(LexicalIndex.postings(spark, p), "doc_id"))
+      } ++
+      layouts.kmv.map(p =>
+        diff("kmv", ref.filter(col("graft__ntok") >= 1),
+          served(KmvLayout.servedDocIds(spark, p), "doc_id"))) ++
+      layouts.ivf.map { p =>
+        // extra-only (class doc): expected := served ∩ reference, so
+        // missing ≡ 0 and extra = served vec_ids outside the registry
+        val s = served(IvfLayout.vectors(spark, p), "vec_id")
+        diff("ivf",
+          s.join(ref.select(col("graft__id")), Seq("graft__id"),
+            "left_semi"),
+          s)
+      } ++
+      layouts.chunks.map(p =>
+        diff("chunks", ref.filter(col("graft__ntok") >= 1),
+          served(ChunkStore.servedDocIds(spark, p), "doc_id")))
+    parts.reduce(_ unionByName _)
+  }
+
   private def serveAudit(
       spark: SparkSession, layouts: CorpusLayouts,
       auditIds: DataFrame, idCol: String, matchName: String): DataFrame = {

@@ -216,6 +216,13 @@ object KmvLayout {
       Seq((s"$path/sketches", "batch=")), snap, next)
   }
 
+  /** The distinct ids of every doc contributing a surviving sketch row
+    * — the doc-population view the corpus consistency audit compares
+    * (the serving relations themselves are group-keyed folds). One
+    * narrow id-column scan, tombstones applied. */
+  def servedDocIds(spark: SparkSession, path: String): DataFrame =
+    docRows(spark, path).select(col("doc_id")).distinct()
+
   /** The stored per-doc sketch rows, tombstones applied. */
   private def docRows(spark: SparkSession, path: String): DataFrame =
     docRowsScoped(spark, path, LsmLayout.snapshot(spark, path))

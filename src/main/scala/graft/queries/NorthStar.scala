@@ -9266,5 +9266,68 @@ object NorthStar {
           maxLiveGenerations = 1, maxChunkDeadShare = 0.9,
           maxIvfCellShare = 0.2, ivfRetrainRounds = 2))
         .orderBy(col("layout"))
+    },
+
+    // ----- s60: cross-layout population-drift audit ---------------------
+    // forgetAudit/ingestAudit prove ONE batch landed (or left)
+    // everywhere; nothing compared the layouts' FULL served
+    // populations — a layout that under-serves from a pre-coordinator
+    // bug or a missed historical batch stays invisible until a
+    // per-batch audit happens to cover the hole.
+    // CorpusLifecycle.consistencyAudit compares each layout's whole
+    // served doc population against the registry's (token gates from
+    // the registry's own stored ledger; the IVF row is extra-only —
+    // vector coverage is not derivable from a text corpus). The drive:
+    // build six layouts on the 2/3 slice, then replay the HISTORICAL
+    // failure — a hand-rolled fan-out that ingested the delta into
+    // five layouts and skipped lexical. The audit must report exactly
+    // that hole (delta docs meeting the lexical shingle gate) and
+    // green-zero everywhere else; the oracle replays the hole
+    // closed-form.
+    QuerySpec(
+      "s60_corpus_consistency",
+      """SELECT 'band' AS layout, CAST(0 AS BIGINT) AS missing,
+        |  CAST(0 AS BIGINT) AS extra
+        |UNION ALL SELECT 'chunks', 0, 0
+        |UNION ALL SELECT 'ivf', 0, 0
+        |UNION ALL SELECT 'kmv', 0, 0
+        |UNION ALL SELECT 'lexical',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 3 = 0),
+        |  0
+        |UNION ALL SELECT 'registry', 0, 0""".stripMargin) { (s, d) =>
+      import graft.operators._
+      val root = "target/sinks/s60_corpus"
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val lay = CorpusLifecycle.CorpusLayouts(
+        registry = Some(s"$root/registry"), band = Some(s"$root/band"),
+        lexical = Some(s"$root/lexical"), kmv = Some(s"$root/kmv"),
+        ivf = Some(s"$root/ivf"), chunks = Some(s"$root/chunks"))
+      ClusterRegistry.build(base, "doc_id", "text", s"$root/registry")
+      BandIndex.build(base, "doc_id", "text", s"$root/band")
+      LexicalIndex.build(base, "doc_id", "text", s"$root/lexical")
+      KmvLayout.build(base.withColumn("g", col("doc_id")),
+        "g", "doc_id", "text", s"$root/kmv", k = 32)
+      IvfLayout.build(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", s"$root/ivf",
+        Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)))
+      ChunkStore.build(base, "doc_id", "text", s"$root/chunks",
+        maskBits = 4)
+      // the historical hand-rolled fan-out: five layouts got the
+      // batch, lexical never did — no per-batch audit ran back then
+      ClusterRegistry.ingest(delta, "doc_id", "text",
+        s"$root/registry", batchId = "b1")
+      BandIndex.append(delta, "doc_id", "text", s"$root/band",
+        batchId = "b1")
+      KmvLayout.refresh(delta.withColumn("g", col("doc_id")),
+        "g", "doc_id", "text", s"$root/kmv", batchId = "b1")
+      IvfLayout.refresh(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", s"$root/ivf", batchId = "b1")
+      ChunkStore.refresh(delta, "doc_id", "text", s"$root/chunks",
+        batchId = "b1")
+      CorpusLifecycle.consistencyAudit(s, lay).orderBy(col("layout"))
     })
 }

@@ -150,7 +150,9 @@ object ScaleDrill {
       // crash-replayed fan-out + the serving-path audits) and the IVF
       // quantizer retrain (Lloyd rounds + reassign + snapshot swap)
       "s55_corpus_forget", "s56_corpus_ingest", "s57_ivf_retrain",
-      "s58_ivf_cell_stats", "s59_corpus_maintain")
+      "s58_ivf_cell_stats", "s59_corpus_maintain",
+      // round-15 addition: the cross-layout population-drift audit
+      "s60_corpus_consistency")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)

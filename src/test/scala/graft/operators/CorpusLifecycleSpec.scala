@@ -247,6 +247,48 @@ class CorpusLifecycleSpec extends SparkTestBase {
     assert(ingestAuditMap(lay) === before)
   }
 
+  test("consistencyAudit: green-zero when coordinated; holes and strays report exactly") {
+    val root = "target/test_corpuslc/consistency"
+    val lay = buildOn(root, baseDocs, vecs.filter(col("vec_id") <= 8L))
+    runIngest(lay)
+    def audit() = CorpusLifecycle.consistencyAudit(spark, lay)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a0 = audit()
+    assert(a0.keySet ===
+      Set("registry", "band", "lexical", "kmv", "ivf", "chunks"))
+    assert(a0.values.forall(_ == ((0L, 0L))),
+      s"a coordinated corpus must audit green-zero: $a0")
+    // the HOLE: a hand-rolled second batch lands everywhere but the
+    // lexical layout (no vectors exist for it, so the ivf row — by its
+    // extra-only contract — must stay quiet)
+    val d2 = Seq((13L, run(40, 59)), (14L, run(45, 64)))
+      .toDF("doc_id", "text")
+    ClusterRegistry.ingest(d2, "doc_id", "text", s"$root/registry",
+      batchId = "b2")
+    BandIndex.append(d2, "doc_id", "text", s"$root/band", batchId = "b2")
+    KmvLayout.refresh(d2.withColumn("g", col("doc_id")),
+      "g", "doc_id", "text", s"$root/kmv", batchId = "b2")
+    ChunkStore.refresh(d2, "doc_id", "text", s"$root/chunks",
+      batchId = "b2")
+    val a1 = audit()
+    assert(a1("lexical") === ((2L, 0L)),
+      s"the skipped layout must report the exact hole: $a1")
+    assert((a1 - "lexical").values.forall(_ == ((0L, 0L))),
+      s"only the skipped layout may report: $a1")
+    // the STRAY: forget a doc ONLY in the registry — every doc-keyed
+    // layout now serves a doc outside the reference population, and
+    // the ivf layout reports its surviving vector too
+    ClusterRegistry.forget(Seq(2L).toDF("doc_id"), "doc_id",
+      s"$root/registry", batchId = "d9")
+    val a2 = audit()
+    assert(a2("registry") === ((0L, 0L)))
+    assert(a2("lexical") === ((2L, 1L)))
+    Seq("band", "kmv", "chunks", "ivf").foreach(l =>
+      assert(a2(l) === ((0L, 1L)),
+        s"$l must report the stray doc as extra: $a2"))
+  }
+
   test("audits read the chunk layout id-only: no store text in the plan") {
     val root = "target/test_corpuslc/idonly"
     ChunkStore.build(docs, "doc_id", "text", s"$root/chunks", maskBits = 3)
