@@ -500,6 +500,23 @@ object BandIndex {
     LsmLayout.antiJoinTombstones(spark, path, snap, sigs, "doc_id")
   }
 
+  /** Reclamation report (the deadChunkStats pattern on the LSH side):
+    * live vs dead POSTING rows, dead = rows of pending-tombstoned docs
+    * still physically present — the forget mass every probe's band
+    * join scans and anti-joins until a compact drops it. The
+    * data-aware compact trigger the generation-count rule cannot see
+    * (one generation, half the docs forgotten → count rule never
+    * fires). One narrow doc_id scan over the pruned live generations. */
+  def deadRowStats(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/postings", "gen=", snap)
+    LsmLayout.deadRowStats(spark, path, snap,
+      LsmLayout.readGenerations(spark, s"$path/postings", "gen=", live)
+        .select(col("doc_id")),
+      "doc_id")
+  }
+
   /** Layout constants (num_hashes, bands, shingle_n) — one meta row of
     * plan-time metadata, like the s23 probe-set derivation. Exposed to
     * the registry so a shared sketch is built with the INDEX's own

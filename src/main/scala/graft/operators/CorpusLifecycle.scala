@@ -173,6 +173,14 @@ object CorpusLifecycle {
     *  - `maxChunkDeadShare` — the chunk store compacts when
     *    [[ChunkStore.deadChunkStats]] reports more than this fraction
     *    of store rows dead (orphaned by superseded edits or forgets);
+    *  - `maxBandDeadShare` / `maxLexicalDeadShare` / `maxKmvDeadShare`
+    *    — the posting/sketch families compact when their
+    *    `deadRowStats` report more than this fraction of stored rows
+    *    belonging to pending-tombstoned docs (forget mass every probe
+    *    still scans and anti-joins). This is what makes the policy
+    *    DATA-AWARE on every family: a forget-heavy layout with few
+    *    generations compacts on dead mass, never waiting for a
+    *    generation count that may never come;
     *  - `maxIvfCellShare` — the IVF layout RETRAINS (not just
     *    compacts) when [[IvfLayout.cellStats]] reports a cell holding
     *    more than this fraction of the live corpus: a hot cell is
@@ -180,6 +188,9 @@ object CorpusLifecycle {
   final case class MaintenancePolicy(
       maxLiveGenerations: Int = 8,
       maxChunkDeadShare: Double = 0.3,
+      maxBandDeadShare: Double = 0.3,
+      maxLexicalDeadShare: Double = 0.3,
+      maxKmvDeadShare: Double = 0.3,
       maxIvfCellShare: Double = 0.5,
       ivfRetrainRounds: Int = 5)
 
@@ -200,10 +211,11 @@ object CorpusLifecycle {
     * concentrated data stays concentrated after a retrain, so set the
     * threshold above the concentration the corpus actually has
     * (always ≥ 1/nlist by pigeonhole; the report shows the level).
-    * Decision inputs are metadata-sized (generation
-    * listings, the nlist-row cell stats, the one-row dead-chunk
-    * report); the actions are the corpus-sized passes, by the layout
-    * contracts. */
+    * Decision inputs are metadata-sized (generation listings, the
+    * nlist-row cell stats) or narrow one-row reports (the dead-chunk
+    * and dead-row scans — and the dead-row scans only run while a
+    * forget is actually pending, from metadata alone otherwise); the
+    * actions are the corpus-sized passes, by the layout contracts. */
   def maintain(
       spark: SparkSession, layouts: CorpusLayouts,
       policy: MaintenancePolicy = MaintenancePolicy(),
@@ -218,17 +230,43 @@ object CorpusLifecycle {
       out += ((name, "live_generations", n.toDouble,
         policy.maxLiveGenerations.toDouble, if (act) "compact" else "none"))
     }
+    // the dead-share rule, tried BEFORE the count rule (the chunk
+    // branch's shape, uniform across the posting/sketch families): a
+    // forget-heavy low-generation layout compacts on its dead mass.
+    // Fast path: no pending tombstones (the common post-compact state)
+    // → share 0 from metadata alone, no report scan runs.
+    def deadOrGenRule(
+        name: String, p: String, dir: String, prefix: String,
+        threshold: Double, stats: => DataFrame)(run: => Unit): Unit = {
+      val pending = LsmLayout.liveTombstoneBatches(
+        spark, p, LsmLayout.snapshot(spark, p)).nonEmpty
+      val share =
+        if (!pending) 0.0
+        else {
+          val r = stats.head()
+          val (liveN, deadN) = (r.getLong(0), r.getLong(1))
+          if (liveN + deadN == 0L) 0.0
+          else deadN.toDouble / (liveN + deadN).toDouble
+        }
+      if (share > threshold) {
+        run
+        out += ((name, "dead_row_share", share, threshold, "compact"))
+      } else genRule(name, p, dir, prefix)(run)
+    }
     layouts.registry.foreach(p =>
       genRule("registry", p, s"$p/assignments", "batch=")(
         ClusterRegistry.compact(spark, p, epochOf(p))))
     layouts.band.foreach(p =>
-      genRule("band", p, s"$p/sigs", "gen=")(
+      deadOrGenRule("band", p, s"$p/sigs", "gen=",
+        policy.maxBandDeadShare, BandIndex.deadRowStats(spark, p))(
         BandIndex.compact(spark, p, epochOf(p))))
     layouts.lexical.foreach(p =>
-      genRule("lexical", p, s"$p/lexicon", "gen=")(
+      deadOrGenRule("lexical", p, s"$p/lexicon", "gen=",
+        policy.maxLexicalDeadShare, LexicalIndex.deadRowStats(spark, p))(
         LexicalIndex.compact(spark, p, epochOf(p))))
     layouts.kmv.foreach(p =>
-      genRule("kmv", p, s"$p/sketches", "batch=")(
+      deadOrGenRule("kmv", p, s"$p/sketches", "batch=",
+        policy.maxKmvDeadShare, KmvLayout.deadRowStats(spark, p))(
         KmvLayout.compact(spark, p, epochOf(p))))
     layouts.ivf.foreach { p =>
       val shares = IvfLayout.cellStats(spark, p)

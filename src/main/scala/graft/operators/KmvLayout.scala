@@ -216,6 +216,21 @@ object KmvLayout {
       Seq((s"$path/sketches", "batch=")), snap, next)
   }
 
+  /** Reclamation report (the deadChunkStats pattern on the sketch
+    * side): live vs dead per-doc SKETCH rows, dead = rows of
+    * pending-tombstoned docs still physically present — the forget
+    * mass every group fold scans and anti-joins until a compact drops
+    * it. One narrow doc_id scan over the live generations. */
+  def deadRowStats(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/sketches", "batch=", snap)
+    LsmLayout.deadRowStats(spark, path, snap,
+      LsmLayout.readGenerations(spark, s"$path/sketches", "batch=", live)
+        .select(col("doc_id")),
+      "doc_id")
+  }
+
   /** The distinct ids of every doc contributing a surviving sketch row
     * — the doc-population view the corpus consistency audit compares
     * (the serving relations themselves are group-keyed folds). One

@@ -511,6 +511,22 @@ object LexicalIndex {
       snap, next)
   }
 
+  /** Reclamation report (the deadChunkStats pattern on the lexical
+    * side): live vs dead POSTING rows, dead = rows of pending-
+    * tombstoned docs still physically present — the forget mass every
+    * probe scans and anti-joins until a compact drops it, weighted by
+    * each dead doc's distinct-gram count (big forgotten docs cost
+    * probes more). One narrow doc_id scan over the live generations. */
+  def deadRowStats(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/postings", "gen=", snap)
+    LsmLayout.deadRowStats(spark, path, snap,
+      LsmLayout.readGenerations(spark, s"$path/postings", "gen=", live)
+        .select(col("doc_id")),
+      "doc_id")
+  }
+
   /** Index-health report: per-bucket posting/vocabulary/document
     * occupancy — what a rebalance or compaction policy reads. One scan
     * of the narrow postings; never text. The bucket function is the

@@ -322,6 +322,40 @@ private[graft] object LsmLayout {
     }
   }
 
+  /** One-row `(n_live, n_dead)` of `rows` against the snapshot's
+    * PENDING forget-set — the shared dead-mass report (the
+    * `ChunkStore.deadChunkStats` pattern generalized): dead rows are
+    * physically present rows of tombstoned docs, still scanned and
+    * anti-joined by every probe until a compact drops them. This is
+    * the data-aware compact-decision input for the posting/sketch/sig
+    * families, where generation COUNT says nothing about forget mass
+    * (a layout with one generation and half its docs tombstoned never
+    * trips a count rule). One narrow id-column scan + the budget-
+    * guarded tombstone join; no pending tombstones → a zero-dead
+    * count of the same scan. */
+  def deadRowStats(
+      spark: SparkSession, root: String, snap: LayoutSnapshot,
+      rows: DataFrame, idName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    pendingTombstonesSized(spark, root, snap) match {
+      case None =>
+        rows.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_live"),
+          lit(0L).as("n_dead"))
+      case Some((ts, bytes)) =>
+        val dead = hintBroadcast(
+          ts.select(col(idName)).distinct()
+            .withColumn("graft__t", lit(1)),
+          bytes)
+        rows.join(dead, Seq(idName), "left")
+          .agg(
+            coalesce(sum(when(col("graft__t").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_live"),
+            coalesce(sum(when(col("graft__t").isNotNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_dead"))
+    }
+  }
+
   /** Bytes on disk under the named generation directories — one
     * recursive metadata listing, never a data read. This is the
     * honest input to a BROADCAST decision: parquet bytes upper-bound

@@ -9329,5 +9329,61 @@ object NorthStar {
       ChunkStore.refresh(delta, "doc_id", "text", s"$root/chunks",
         batchId = "b1")
       CorpusLifecycle.consistencyAudit(s, lay).orderBy(col("layout"))
+    },
+
+    // ----- s61: dead-mass maintenance triggers (data-aware policy) ------
+    // s59's count/share rules left the band/lexical/KMV families
+    // deciding on generation COUNT alone — a forget-heavy layout with
+    // ONE generation (half its docs tombstoned, every probe still
+    // scanning and anti-joining the dead postings) never triggered.
+    // Each family now publishes deadRowStats (the deadChunkStats
+    // pattern: live vs pending-tombstoned rows physically present) and
+    // MaintenancePolicy carries per-family dead-share thresholds. The
+    // drive builds the three families in exactly that state — one
+    // generation, doc_id%2=0 forgotten — and maintains with an
+    // unreachable generation budget: all three must decide 'compact'
+    // via dead_row_share, with the share replayed closed-form (band
+    // postings are bands-per-doc uniform → the gated doc ratio;
+    // lexical postings weight each doc by its distinct-gram count; KMV
+    // sketch rows are one per doc). The compacts RUN in the timed body.
+    QuerySpec(
+      "s61_dead_mass_policy",
+      s"""WITH $shingleCte,
+         |m AS (SELECT
+         |    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS DOUBLE) /
+         |      CAST(count(*) AS DOUBLE) AS band_share,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n ELSE 0 END)
+         |        AS DOUBLE) /
+         |      CAST(sum(n) AS DOUBLE) AS lex_share
+         |  FROM shn),
+         |k AS (SELECT
+         |    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS DOUBLE) /
+         |      CAST(count(*) AS DOUBLE) AS kmv_share
+         |  FROM documents)
+         |SELECT 'band' AS layout, 'dead_row_share' AS metric,
+         |  (SELECT band_share FROM m) AS value,
+         |  CAST(0.3 AS DOUBLE) AS threshold, 'compact' AS action
+         |UNION ALL SELECT 'kmv', 'dead_row_share',
+         |  (SELECT kmv_share FROM k), 0.3, 'compact'
+         |UNION ALL SELECT 'lexical', 'dead_row_share',
+         |  (SELECT lex_share FROM m), 0.3, 'compact'""".stripMargin) {
+      (s, d) =>
+        import graft.operators._
+        val root = "target/sinks/s61_corpus"
+        val docs = t(s, d, "documents")
+        val lay = CorpusLifecycle.CorpusLayouts(
+          band = Some(s"$root/band"), lexical = Some(s"$root/lexical"),
+          kmv = Some(s"$root/kmv"))
+        BandIndex.build(docs, "doc_id", "text", s"$root/band")
+        LexicalIndex.build(docs, "doc_id", "text", s"$root/lexical")
+        KmvLayout.build(docs.withColumn("g", col("doc_id")),
+          "g", "doc_id", "text", s"$root/kmv", k = 32)
+        // the state the count rule cannot see: ONE generation each,
+        // half the corpus tombstoned
+        CorpusLifecycle.forget(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", lay, batchId = "g1")
+        CorpusLifecycle.maintain(s, lay,
+          CorpusLifecycle.MaintenancePolicy(maxLiveGenerations = 8))
+          .orderBy(col("layout"))
     })
 }

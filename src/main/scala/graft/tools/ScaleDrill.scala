@@ -151,8 +151,9 @@ object ScaleDrill {
       // quantizer retrain (Lloyd rounds + reassign + snapshot swap)
       "s55_corpus_forget", "s56_corpus_ingest", "s57_ivf_retrain",
       "s58_ivf_cell_stats", "s59_corpus_maintain",
-      // round-15 addition: the cross-layout population-drift audit
-      "s60_corpus_consistency")
+      // round-15 additions: the cross-layout population-drift audit
+      // and the dead-mass maintenance triggers
+      "s60_corpus_consistency", "s61_dead_mass_policy")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)

@@ -247,6 +247,44 @@ class CorpusLifecycleSpec extends SparkTestBase {
     assert(ingestAuditMap(lay) === before)
   }
 
+  test("maintain: the dead-share rule compacts a forget-heavy one-generation layout, then converges") {
+    val root = "target/test_corpuslc/deadmass"
+    val lay = CorpusLifecycle.CorpusLayouts(
+      band = Some(s"$root/band"), lexical = Some(s"$root/lexical"),
+      kmv = Some(s"$root/kmv"))
+    BandIndex.build(docs, "doc_id", "text", s"$root/band")
+    LexicalIndex.build(docs, "doc_id", "text", s"$root/lexical", n = 2)
+    KmvLayout.build(docs.withColumn("g", col("doc_id")),
+      "g", "doc_id", "text", s"$root/kmv", k = 16)
+    // ONE generation each, half the docs tombstoned — the state the
+    // generation-count rule can never act on
+    CorpusLifecycle.forget(docs.filter(col("doc_id") <= 6L),
+      "doc_id", "text", lay, batchId = "g1")
+    def run() = CorpusLifecycle.maintain(spark, lay,
+      CorpusLifecycle.MaintenancePolicy(maxLiveGenerations = 8))
+      .as[(String, String, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val rep = run()
+    Seq("band", "lexical", "kmv").foreach { l =>
+      assert(rep(l)._2 === "dead_row_share" && rep(l)._5 === "compact",
+        s"$l must compact on dead mass: ${rep(l)}")
+      // every doc carries the same row count per family (16 bands, 19
+      // distinct bigrams, 1 sketch row), so the share is exactly 1/2
+      assert(rep(l)._3 === 0.5, s"$l share: ${rep(l)}")
+      assert(rep(l)._4 === 0.3)
+    }
+    // the compacts retired the forget-sets: the second run's dead
+    // share is 0 from metadata alone and the count rule (1 live
+    // generation) decides none — the convergence contract
+    val rep2 = run()
+    Seq("band", "lexical", "kmv").foreach { l =>
+      assert(rep2(l)._2 === "live_generations" && rep2(l)._5 === "none",
+        s"$l did not converge: ${rep2(l)}")
+    }
+    assert(BandIndex.signatures(spark, s"$root/band").count() === 6L,
+      "the dead-share compact must have dropped the forgotten docs")
+  }
+
   test("consistencyAudit: green-zero when coordinated; holes and strays report exactly") {
     val root = "target/test_corpuslc/consistency"
     val lay = buildOn(root, baseDocs, vecs.filter(col("vec_id") <= 8L))
