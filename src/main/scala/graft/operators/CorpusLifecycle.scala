@@ -406,6 +406,44 @@ object CorpusLifecycle {
     parts.reduce(_ unionByName _)
   }
 
+  /** Corpus-level time travel over the layouts that keep
+    * generation-stamped immutable history (the registry's assignment
+    * log and the KMV sketch generations — the s54/s43 pins, fanned
+    * out): per layout, the served doc population at ingest generation
+    * `gen` and now — the drift report an operator reads before
+    * replaying a pipeline against a pinned corpus state.
+    *
+    * Generation numbers ALIGN across coordinated layouts by
+    * construction: both derive them as the committed-generation count,
+    * both start at 0 at build, and [[ingest]] delivers every batch to
+    * every configured layout — so "generation g" names the same ingest
+    * everywhere. The shared caveats carry over: GDPR tombstones apply
+    * to every pin (a delete reaches time-travel reads), and a compact
+    * collapses history — pins address the post-compact state only.
+    * Layouts without stored history (band/lexical/IVF/chunks serve
+    * only the present) are absent by design, not silently wrong. */
+  def asOfAudit(
+      spark: SparkSession, layouts: CorpusLayouts, gen: Long): DataFrame = {
+    require(layouts.registry.isDefined || layouts.kmv.isDefined,
+      "asOfAudit needs at least one history-keeping layout " +
+        "(registry or kmv)")
+    def row(name: String, asof: DataFrame, now: DataFrame): DataFrame =
+      asof.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("served_asof"))
+        .crossJoin(now.agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("served_now")))
+        .select(lit(name).as("layout"),
+          col("served_asof"), col("served_now"))
+    val parts =
+      layouts.registry.map(p => row("registry",
+        ClusterRegistry.assignments(spark, p, Some(gen)),
+        ClusterRegistry.assignments(spark, p))).toSeq ++
+      layouts.kmv.map(p => row("kmv",
+        KmvLayout.servedDocIds(spark, p, Some(gen)),
+        KmvLayout.servedDocIds(spark, p)))
+    parts.reduce(_ unionByName _)
+  }
+
   private def serveAudit(
       spark: SparkSession, layouts: CorpusLayouts,
       auditIds: DataFrame, idCol: String, matchName: String): DataFrame = {

@@ -235,8 +235,13 @@ object KmvLayout {
     * — the doc-population view the corpus consistency audit compares
     * (the serving relations themselves are group-keyed folds). One
     * narrow id-column scan, tombstones applied. */
-  def servedDocIds(spark: SparkSession, path: String): DataFrame =
-    docRows(spark, path).select(col("doc_id")).distinct()
+  def servedDocIds(
+      spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val rows = docRows(spark, path)
+    asOf.fold(rows)(g => rows.filter(col("gen") <= g))
+      .select(col("doc_id")).distinct()
+  }
 
   /** The stored per-doc sketch rows, tombstones applied. */
   private def docRows(spark: SparkSession, path: String): DataFrame =

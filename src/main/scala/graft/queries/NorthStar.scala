@@ -9385,5 +9385,50 @@ object NorthStar {
         CorpusLifecycle.maintain(s, lay,
           CorpusLifecycle.MaintenancePolicy(maxLiveGenerations = 8))
           .orderBy(col("layout"))
+    },
+
+    // ----- s62: corpus-level time travel (the s43/s54 pins, fanned) -----
+    // The registry and the KMV layout keep generation-stamped immutable
+    // history; coordinated ingest keeps their generation numbers
+    // ALIGNED by construction (both count committed generations from 0,
+    // and the coordinator delivers every batch to every layout), so
+    // "the corpus as of ingest g" is ONE pin across layouts.
+    // CorpusLifecycle.asOfAudit serves the per-layout populations at
+    // the pin and now — the drift report read before replaying a
+    // pipeline against pinned state. GDPR reaches pins (the s43 rule):
+    // the drive forgets a slice AFTER both ingests and the pinned
+    // populations must exclude it. The oracle replays both counts
+    // closed-form.
+    QuerySpec(
+      "s62_corpus_time_travel",
+      """SELECT 'kmv' AS layout,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 3) AS served_asof,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 7 <> 3) AS served_now
+        |UNION ALL
+        |SELECT 'registry',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 3),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 7 <> 3)""".stripMargin) { (s, d) =>
+      import graft.operators._
+      val root = "target/sinks/s62_corpus"
+      val docs = t(s, d, "documents")
+      val lay = CorpusLifecycle.CorpusLayouts(
+        registry = Some(s"$root/registry"), kmv = Some(s"$root/kmv"))
+      val a = docs.filter(col("doc_id") % 3 === 1)
+      ClusterRegistry.build(a, "doc_id", "text", s"$root/registry")
+      KmvLayout.build(a.withColumn("g", col("doc_id")),
+        "g", "doc_id", "text", s"$root/kmv", k = 32)
+      def g(df: DataFrame) = df.withColumn("g", col("doc_id"))
+      CorpusLifecycle.ingest(g(docs.filter(col("doc_id") % 3 === 2)),
+        "doc_id", "text", lay, batchId = "b1", groupCol = Some("g"))
+      CorpusLifecycle.ingest(g(docs.filter(col("doc_id") % 3 === 0)),
+        "doc_id", "text", lay, batchId = "b2", groupCol = Some("g"))
+      // the delete lands AFTER both ingests and must reach the pin
+      CorpusLifecycle.forget(docs.filter(col("doc_id") % 7 === 3),
+        "doc_id", "text", lay, batchId = "g1")
+      CorpusLifecycle.asOfAudit(s, lay, gen = 1L).orderBy(col("layout"))
     })
 }

@@ -153,7 +153,8 @@ object ScaleDrill {
       "s58_ivf_cell_stats", "s59_corpus_maintain",
       // round-15 additions: the cross-layout population-drift audit
       // and the dead-mass maintenance triggers
-      "s60_corpus_consistency", "s61_dead_mass_policy")
+      "s60_corpus_consistency", "s61_dead_mass_policy",
+      "s62_corpus_time_travel")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)
