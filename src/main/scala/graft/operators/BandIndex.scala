@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stored MinHash band index — the warehouse layout behind INCREMENTAL
@@ -275,6 +275,17 @@ object BandIndex {
     * ([[Materialize]]'s release contract) once the returned frame is
     * consumed.
     */
+  /** `corpusBucket` — the rehydration-pruning hook: `(bucketColName,
+    * bucketOf)` where `bucketColName` is a PHYSICAL partition column
+    * the corpus relation carries and `bucketOf(id)` derives its value
+    * from an id column (the ClusterRegistry ledger hands its own
+    * bucket function in, so write and probe sides cannot drift). When
+    * set, the exact-verify's candidate semi-join includes the bucket
+    * equi-condition, and dynamic partition pruning cuts the corpus
+    * TEXT scan to the candidate ids' bucket directories — a
+    * micro-batch verify reads a few buckets of text, never the whole
+    * corpus. Absent (an unbucketed caller relation), the join is
+    * id-only as before. */
   def probe(
       corpus: DataFrame,
       delta: DataFrame,
@@ -283,7 +294,9 @@ object BandIndex {
       path: String,
       threshold: Double,
       excludeGen: Option[String] = None,
-      preSketched: Option[DataFrame] = None): DataFrame = {
+      preSketched: Option[DataFrame] = None,
+      corpusBucket: Option[(String, Column => Column)] = None)
+      : DataFrame = {
     // excludeGen: skip one stored generation on the index side —
     // the ingest-then-append maintenance loop (ClusterRegistry) probes
     // BEFORE appending the delta's own generation, and a RETRY of that
@@ -335,11 +348,22 @@ object BandIndex {
       .filter(col("est") >= minMatches)
       .select(col("delta_id"), col("corpus_id"))
 
-    // exact verify: corpus text rehydrated CANDIDATE-sized (semi-join on
-    // the candidate ids), then the exact integer Jaccard
-    val candCorpus = corpus
-      .join(plausible.select(col("corpus_id")).distinct(),
-        col(idCol) === col("corpus_id"), "left_semi")
+    // exact verify: corpus text rehydrated CANDIDATE-sized (semi-join
+    // on the candidate ids — and, when the corpus is bucketed, on the
+    // bucket too, so the broadcast semi-join's dynamic pruning filter
+    // reaches the scan's partition directories), then the exact
+    // integer Jaccard
+    val candIds = plausible.select(col("corpus_id")).distinct()
+    val candCorpus = corpusBucket
+      .fold(
+        corpus.join(candIds, col(idCol) === col("corpus_id"), "left_semi")
+      ) { case (bucketCol, bucketOf) =>
+        corpus.join(
+          candIds.withColumn("graft__cb", bucketOf(col("corpus_id"))),
+          col(idCol) === col("corpus_id") &&
+            col(bucketCol) === col("graft__cb"),
+          "left_semi")
+      }
       .select(col(idCol).as("corpus_id"),
         TextOps.shinglesFromTokens(
           TextOps.tokens(col(textCol)), shingleWidth).as("sh_c"))

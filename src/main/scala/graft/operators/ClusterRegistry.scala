@@ -23,17 +23,26 @@ import org.apache.spark.sql.functions._
   *    of delta assignments plus re-mapping rows for absorbed clusters
   *    (bounded by the absorbed clusters, not the corpus). Reads fold
   *    base + the recent-generation overlay (see [[assignments]]);
-  *  - `ledger/` (doc_id, text) partitioned by `batch` — the LAYOUT-OWNED
-  *    text ledger candidate verification rehydrates from (the build set
-  *    under `base`, each ingest's delta under its batch id — the same
-  *    LSM discipline as the assignments). The registry used to require
-  *    the caller to assemble and pass the full ledger on every ingest;
-  *    a stale or partial caller copy produced silently WRONG cluster
-  *    merges (candidate pairs whose corpus text was missing dropped at
-  *    the exact-verify join) — exactly the silent contract drift the
-  *    coordinator exists to kill, so the state now lives with the
-  *    index. GDPR reaches it: reads anti-join the tombstones and
-  *    [[compact]] drops forgotten rows physically like every relation;
+  *  - `ledger/` (doc_id, text) partitioned by (`batch`, `bucket`) —
+  *    the LAYOUT-OWNED text ledger candidate verification rehydrates
+  *    from (the build set under `base`, each ingest's delta under its
+  *    batch id — the same LSM discipline as the assignments). The
+  *    registry used to require the caller to assemble and pass the
+  *    full ledger on every ingest; a stale or partial caller copy
+  *    produced silently WRONG cluster merges (candidate pairs whose
+  *    corpus text was missing dropped at the exact-verify join) —
+  *    exactly the silent contract drift the coordinator exists to
+  *    kill, so the state now lives with the index. `bucket` =
+  *    pmod(hex60(doc_id), ledger_buckets) is the 100 TB rehydration
+  *    lever owning the ledger unlocks: the verify stage needs the
+  *    TEXT of candidate ids only, and with the ledger hash-bucketed
+  *    the candidate→text semi-join DYNAMICALLY PRUNES the scan to the
+  *    candidate ids' bucket directories (plan-pinned) — a small
+  *    micro-batch reads a few buckets of text, never the corpus
+  *    (a caller-passed corpus relation could never be pruned this
+  *    way: the layout controls its own physical design). GDPR reaches
+  *    the ledger: reads anti-join the tombstones and [[compact]]
+  *    drops forgotten rows physically like every relation;
   *  - `tombstones/` (doc_id) partitioned by delete batch — the forget
   *    set every read anti-joins (the s40/s45 GDPR discipline);
   *    [[compact]] drops the rows physically.
@@ -97,9 +106,25 @@ object ClusterRegistry {
 
   private val BaseBatch = "base"
 
+  /** The ledger's bucket function — the PORTABLE md5-derived hash (an
+    * engine-local hash could not be re-derived by an external reader),
+    * computed from the id's STRING form so the same value buckets
+    * identically whatever the caller's id type. Write side and probe
+    * side both derive through here, so they cannot drift. */
+  private[graft] def ledgerBucket(
+      id: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(TextOps.hexHash60(id.cast("string")), lit(buckets.toLong))
+
+  /** `ledgerBuckets` sizes the rehydration pruning unit (see the class
+    * doc): a micro-batch verify reads ~candidate-buckets/buckets of
+    * the ledger text. Size it so one bucket's text fits a task
+    * comfortably — the default suits the test scales; a 100 TB corpus
+    * wants O(10k). Stored in `meta/`, so every later ingest derives
+    * the same buckets (the self-describing-index lesson). */
   def build(
       docs: DataFrame, idCol: String, textCol: String,
-      path: String, threshold: Double = 0.8): Unit = {
+      path: String, threshold: Double = 0.8,
+      ledgerBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     // a rebuild starts a fresh index life (the LexicalIndex discipline)
     LsmLayout.deleteDir(spark, s"$path/tombstones")
@@ -131,13 +156,18 @@ object ClusterRegistry {
       .write.mode("overwrite").partitionBy("batch")
       .parquet(s"$path/assignments")
     // the layout-owned text ledger starts with the build set — from
-    // here on, ingests are self-contained (delta-only)
+    // here on, ingests are self-contained (delta-only). Bucketed for
+    // rehydration pruning; repartitioned by bucket so each task writes
+    // one bucket directory (no small-files fan-out).
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
+      .repartition(col("bucket"))
       .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch")
+      .write.mode("overwrite").partitionBy("batch", "bucket")
       .parquet(s"$path/ledger")
     spark.range(1)
-      .select(lit(threshold).as("threshold"))
+      .select(lit(threshold).as("threshold"),
+        lit(ledgerBuckets.toLong).as("ledger_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -148,6 +178,14 @@ object ClusterRegistry {
     * pending tombstones anti-joined broadcast. */
   def ledger(spark: SparkSession, path: String): DataFrame =
     ledgerScoped(spark, path, None, LsmLayout.snapshot(spark, path))
+      .drop("bucket")
+
+  /** The ledger WITH its physical bucket column (long-cast: partition
+    * directory values infer as int) — what the rehydration pruning
+    * joins against. */
+  private[graft] def ledgerBucketed(
+      spark: SparkSession, path: String): DataFrame =
+    ledgerScoped(spark, path, None, LsmLayout.snapshot(spark, path))
 
   private def ledgerScoped(
       spark: SparkSession, path: String,
@@ -156,7 +194,8 @@ object ClusterRegistry {
     val live = LsmLayout.liveGenerationNames(spark, dir, "batch=", snap)
       .filterNot(excludeBatch.contains)
     val rows = LsmLayout.readGenerations(spark, dir, "batch=", live)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"),
+        col("bucket").cast("long").as("bucket"))
     LsmLayout.antiJoinTombstones(spark, path, snap, rows, "doc_id")
   }
 
@@ -273,22 +312,31 @@ object ClusterRegistry {
         delta, idCol, textCol, shingleWidth, numHashes, bands))
     }
     if (!LsmLayout.isApplied(spark, path, batchId)) {
-      val threshold = spark.read.parquet(s"$path/meta")
-        .head().getAs[Double]("threshold")
+      val metaRow = spark.read.parquet(s"$path/meta").head()
+      val threshold = metaRow.getAs[Double]("threshold")
+      val ledgerBuckets = metaRow.getAs[Long]("ledger_buckets").toInt
       // append the delta's text to the layout-owned ledger FIRST (its
       // own batch-keyed generation — dynamic overwrite, so a partial
       // first attempt is replaced bit-for-bit on retry); the probe
       // below reads the ledger EXCLUDING this generation, so the
       // replay input is the state before the batch either way
       delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
+        .repartition(col("bucket"))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
+        .partitionBy("batch", "bucket")
         .parquet(s"$path/ledger")
+      // the probe corpus keeps the ledger's PHYSICAL bucket column and
+      // hands the bucket function to the verify stage, so the
+      // candidate-text semi-join dynamically prunes the ledger scan to
+      // the candidate buckets — the rehydration reads candidate-bucket
+      // text, never the corpus (plan-pinned in ClusterRegistrySpec)
       val corpus = ledgerScoped(spark, path, Some(batchId),
         LsmLayout.snapshot(spark, path))
-        .select(col("doc_id").as(idCol), col("text").as(textCol))
+        .select(col("doc_id").as(idCol), col("text").as(textCol),
+          col("bucket").as("graft__lbucket"))
       // the generation number = committed-generation count from
       // directory metadata, excluding this batch's own (possibly
       // partial) dir — monotone (dirs only vanish at compact, which
@@ -315,7 +363,9 @@ object ClusterRegistry {
       // deterministic
       val edgesDC = BandIndex.probe(
         corpus, delta, idCol, textCol, s"$path/band", threshold,
-        excludeGen = Some(batchId), preSketched = Some(deltaSketch))
+        excludeGen = Some(batchId), preSketched = Some(deltaSketch),
+        corpusBucket = Some(("graft__lbucket",
+          ledgerBucket(_, ledgerBuckets))))
         .join(reg.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
         .select(col("delta_id").as("u"), col("cluster_id").as("v"))
       val edgesDD = MinHashNearDup
@@ -467,10 +517,11 @@ object ClusterRegistry {
     // corpus text a second time inside the one deliberately
     // corpus-sized maintenance op).
     ledgerScoped(spark, path, None, snap)
+      .repartition(col("bucket"))
       .withColumn("batch", lit(newBase))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
+      .partitionBy("batch", "bucket")
       .parquet(s"$path/ledger")
     val folded = snap.folded ++
       Seq("assignments", "ledger").flatMap(rel =>

@@ -307,6 +307,49 @@ class ClusterRegistrySpec extends SparkTestBase {
       "a post-compact ingest must still verify against the folded ledger")
   }
 
+  test("rehydration pruning: the verify's ledger scan is dynamically pruned to candidate buckets") {
+    val p = "target/test_clusterreg/dpp"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    val led = ClusterRegistry.ledgerBucketed(spark, p)
+      .select(col("doc_id"), col("text"),
+        col("bucket").as("graft__lbucket"))
+    def probe(bucketed: Boolean) = BandIndex.probe(
+      led, delta, "doc_id", "text", s"$p/band", threshold = 0.8,
+      corpusBucket =
+        if (bucketed) Some(("graft__lbucket",
+          (id: org.apache.spark.sql.Column) =>
+            ClusterRegistry.ledgerBucket(id, 16)))
+        else None)
+    // same answer with and without the bucket condition (the bucket is
+    // a pure function of the id, so the extra equi-condition can never
+    // drop a true candidate)
+    val want = probe(bucketed = false)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = probe(bucketed = true)
+    assert(got.as[(Long, Long, Double)].collect().toSet === want)
+    assert(want.nonEmpty, "fixture must produce at least one pair")
+    // the plan pin: the ledger TEXT scan carries a dynamic partition
+    // pruning filter — the rehydration reads candidate buckets, never
+    // the whole corpus (scans hide below AQE stages; recurse)
+    def scansOf(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      pl.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(qs.plan)
+      }.flatten
+    val ledgerScans = scansOf(got.queryExecution.executedPlan)
+      .filter(s => s.metadata("Location").contains("/ledger") &&
+        s.metadata("ReadSchema").contains("text"))
+    assert(ledgerScans.nonEmpty, "the verify must scan the ledger text")
+    ledgerScans.foreach(s =>
+      assert(s.metadata("PartitionFilters").contains("dynamicpruning"),
+        "the ledger text scan must be dynamically pruned to candidate " +
+          s"buckets: ${s.metadata("PartitionFilters")}"))
+  }
+
   test("a batch with no near-dups assigns singletons and leaves everything else alone") {
     val p = "target/test_clusterreg/nopairs"
     ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
