@@ -332,11 +332,27 @@ object ClusterRegistry {
       // hands the bucket function to the verify stage, so the
       // candidate-text semi-join dynamically prunes the ledger scan to
       // the candidate buckets — the rehydration reads candidate-bucket
-      // text, never the corpus (plan-pinned in ClusterRegistrySpec)
-      val corpus = ledgerScoped(spark, path, Some(batchId),
-        LsmLayout.snapshot(spark, path))
+      // text, never the corpus (plan-pinned in ClusterRegistrySpec).
+      // BYTE-GATED (the hintBroadcast discipline): while the ledger is
+      // small, one full text scan beats the pruning machinery's fixed
+      // cost (the dynamic-pruning subquery + bucket-keyed join), so
+      // the hint engages only past the threshold — measured: the
+      // un-gated hint cost ~+3.5 s per small-corpus ingest for a scan
+      // it could not meaningfully shrink.
+      val snapNow = LsmLayout.snapshot(spark, path)
+      val corpus = ledgerScoped(spark, path, Some(batchId), snapNow)
         .select(col("doc_id").as(idCol), col("text").as(textCol),
           col("bucket").as("graft__lbucket"))
+      val ledgerBytes = LsmLayout.dirBytes(spark, s"$path/ledger",
+        LsmLayout.liveGenerationNames(spark, s"$path/ledger", "batch=",
+          snapNow).filterNot(_ == batchId),
+        "batch=")
+      val bucketHint =
+        if (ledgerBytes > LsmLayout.rehydrationPruneBytes)
+          Some(("graft__lbucket",
+            (id: org.apache.spark.sql.Column) =>
+              ledgerBucket(id, ledgerBuckets)))
+        else None
       // the generation number = committed-generation count from
       // directory metadata, excluding this batch's own (possibly
       // partial) dir — monotone (dirs only vanish at compact, which
@@ -364,8 +380,7 @@ object ClusterRegistry {
       val edgesDC = BandIndex.probe(
         corpus, delta, idCol, textCol, s"$path/band", threshold,
         excludeGen = Some(batchId), preSketched = Some(deltaSketch),
-        corpusBucket = Some(("graft__lbucket",
-          ledgerBucket(_, ledgerBuckets))))
+        corpusBucket = bucketHint)
         .join(reg.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
         .select(col("delta_id").as("u"), col("cluster_id").as("v"))
       val edgesDD = MinHashNearDup

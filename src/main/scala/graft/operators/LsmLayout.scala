@@ -372,6 +372,20 @@ private[graft] object LsmLayout {
     }.sum
   }
 
+  /** The byte threshold past which the registry's candidate-text
+    * rehydration switches from a plain id semi-join (one full ledger
+    * text scan — the right plan while the ledger is small: the
+    * pruning machinery's fixed cost, a dynamic-pruning subquery plus
+    * the bucket-keyed join, exceeds the scan it saves) to the
+    * bucket-pruned join (reads candidate buckets only — the only
+    * viable plan once the ledger text is large; at 100 TB a per-batch
+    * full text scan is the maintenance bottleneck). Same discipline
+    * as [[broadcastBudgetBytes]]: the on-disk bytes are the honest
+    * decision input. Test hook: `-Dgraft.rehydration.prune.bytes=<n>`. */
+  def rehydrationPruneBytes: Long =
+    sys.props.get("graft.rehydration.prune.bytes").map(_.toLong)
+      .getOrElse(256L << 20)
+
   /** The broadcast budget every small-side maintenance relation
     * (read-fold overlays, tombstone id lists) is guarded by: past it,
     * the join falls back to a shuffle instead of failing (or degrading)
