@@ -106,6 +106,15 @@ object ClusterRegistry {
 
   private val BaseBatch = "base"
 
+  /** Hygiene bound for the SECONDARY relations a registry compact
+    * folds (the text ledger and the internal band index): with no
+    * tombstones pending, their rewrite runs only once this many
+    * generations are live — they are read via explicit generation
+    * paths (ledger reads additionally prune by hash bucket), so extra
+    * generations cost directory fan-out, not read shape, and count
+    * alone never forces a corpus-sized rewrite (see [[compact]]). */
+  private val LedgerFoldAfterGenerations = 8
+
   /** The ledger's bucket function — the PORTABLE md5-derived hash (an
     * engine-local hash could not be re-derived by an external reader),
     * computed from the id's STRING form so the same value buckets
@@ -140,31 +149,32 @@ object ClusterRegistry {
       shingleWidth = BandIndex.DefaultShingleWidth,
       numHashes = BandIndex.DefaultNumHashes,
       bands = BandIndex.DefaultBands))
-    BandIndex.build(docs, idCol, textCol, s"$path/band",
-      preSketched = Some(sk))
-    val comp = DedupClusters.components(
+    Trace("reg.build:band")(BandIndex.build(docs, idCol, textCol, s"$path/band",
+      preSketched = Some(sk)))
+    val comp = Trace("reg.build:components")(DedupClusters.components(
       MinHashNearDup.pairsFromSketched(sk, threshold,
         numHashes = BandIndex.DefaultNumHashes),
-      "id_a", "id_b")
+      "id_a", "id_b"))
       .select(col("id").as("doc_id"), col("comp"))
-    docs.select(col(idCol).as("doc_id"))
+    Trace("reg.build:assignments")(docs.select(col(idCol).as("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
       .withColumn("gen", lit(0L))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$path/assignments")
+      .parquet(s"$path/assignments"))
     // the layout-owned text ledger starts with the build set — from
     // here on, ingests are self-contained (delta-only). Bucketed for
     // rehydration pruning; repartitioned by bucket so each task writes
     // one bucket directory (no small-files fan-out).
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Trace("reg.build:ledger")(docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
       .repartition(col("bucket"))
       .withColumn("batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("batch", "bucket")
-      .parquet(s"$path/ledger")
+      .parquet(s"$path/ledger"))
     spark.range(1)
       .select(lit(threshold).as("threshold"),
         lit(ledgerBuckets.toLong).as("ledger_buckets"))
@@ -191,7 +201,10 @@ object ClusterRegistry {
       spark: SparkSession, path: String,
       excludeBatch: Option[String], snap: LayoutSnapshot): DataFrame = {
     val dir = s"$path/ledger"
-    val live = LsmLayout.liveGenerationNames(spark, dir, "batch=", snap)
+    // the ledger tracks its own fold state (a compact may fold the
+    // assignment log while skipping the corpus-sized ledger rewrite)
+    val live = LsmLayout.liveGenerationNames(spark, dir, "batch=",
+        snap.ledgerView)
       .filterNot(excludeBatch.contains)
     val rows = LsmLayout.readGenerations(spark, dir, "batch=", live)
       .select(col("doc_id"), col("text"),
@@ -312,22 +325,37 @@ object ClusterRegistry {
         delta, idCol, textCol, shingleWidth, numHashes, bands))
     }
     if (!LsmLayout.isApplied(spark, path, batchId)) {
-      val metaRow = spark.read.parquet(s"$path/meta").head()
+      // fence BEFORE the first mutation: a superseded writer used to
+      // land its ledger generation before the first epoch check (the
+      // pre-existing write-then-fence pattern, extended to corpus
+      // text) — now it is rejected before touching any relation
+      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+      val metaRow = Trace("reg.ingest:meta")(
+        spark.read.parquet(s"$path/meta").head())
       val threshold = metaRow.getAs[Double]("threshold")
+      // MIGRATION NOTE: layouts built before the layout-owned ledger
+      // (round 15) carry no `ledger_buckets` in meta and no ledger/
+      // relation — delta-only ingest cannot rehydrate candidate text
+      // from them; fail with the remedy instead of an opaque getAs
+      require(metaRow.schema.fieldNames.contains("ledger_buckets"),
+        s"registry at $path predates the layout-owned text ledger " +
+          "(meta lacks ledger_buckets) — re-build the registry with " +
+          "ClusterRegistry.build to start an owned-ledger index life")
       val ledgerBuckets = metaRow.getAs[Long]("ledger_buckets").toInt
       // append the delta's text to the layout-owned ledger FIRST (its
       // own batch-keyed generation — dynamic overwrite, so a partial
       // first attempt is replaced bit-for-bit on retry); the probe
       // below reads the ledger EXCLUDING this generation, so the
       // replay input is the state before the batch either way
-      delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      Trace("reg.ingest:ledger-append")(delta
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
         .repartition(col("bucket"))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch", "bucket")
-        .parquet(s"$path/ledger")
+        .parquet(s"$path/ledger"))
       // the probe corpus keeps the ledger's PHYSICAL bucket column and
       // hands the bucket function to the verify stage, so the
       // candidate-text semi-join dynamically prunes the ledger scan to
@@ -345,7 +373,7 @@ object ClusterRegistry {
           col("bucket").as("graft__lbucket"))
       val ledgerBytes = LsmLayout.dirBytes(spark, s"$path/ledger",
         LsmLayout.liveGenerationNames(spark, s"$path/ledger", "batch=",
-          snapNow).filterNot(_ == batchId),
+          snapNow.ledgerView).filterNot(_ == batchId),
         "batch=")
       val bucketHint =
         if (ledgerBytes > LsmLayout.rehydrationPruneBytes)
@@ -377,18 +405,24 @@ object ClusterRegistry {
       // cluster id; the probe skips this batch's own (possibly
       // partially appended) band generation so replays are
       // deterministic
-      val edgesDC = BandIndex.probe(
+      // materialized ONCE: the edge list feeds BOTH the component
+      // resolution and the absorbed-cluster remap below — un-shared,
+      // `touched` re-executed the entire probe pipeline (band join,
+      // prefilter, ledger rehydration, exact verify) a second time per
+      // ingest (measured: ~1.5 s of the 6 s sf0.1 ingest wall)
+      val edgesDC = Materialize.shared(BandIndex.probe(
         corpus, delta, idCol, textCol, s"$path/band", threshold,
         excludeGen = Some(batchId), preSketched = Some(deltaSketch),
         corpusBucket = bucketHint)
         .join(reg.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
-        .select(col("delta_id").as("u"), col("cluster_id").as("v"))
+        .select(col("delta_id").as("u"), col("cluster_id").as("v")))
       val edgesDD = MinHashNearDup
         .pairsFromSketched(deltaSketch, threshold,
           numHashes = bandMeta._1)
         .select(col("id_a").as("u"), col("id_b").as("v"))
-      val comp = Materialize.shared(DedupClusters.components(
-        edgesDC.unionByName(edgesDD), "u", "v"))
+      val comp = Trace("reg.ingest:components")(
+        Materialize.shared(DedupClusters.components(
+          edgesDC.unionByName(edgesDD), "u", "v")))
       // delta assignments: component min if paired, else singleton
       val deltaAssign = delta.select(col(idCol).as("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -411,15 +445,16 @@ object ClusterRegistry {
       // staging happens to make the self-read safe, but the
       // checkpoint removes the read-while-overwrite hazard class
       // outright — the compact() discipline, at delta cost)
-      val (genRows, ckIds, _) = IterationCheckpoint.localCounted(
-        deltaAssign.unionByName(remapRows))
-      genRows
+      val (genRows, ckIds, _) = Trace("reg.ingest:gen-rows")(
+        IterationCheckpoint.localCounted(
+          deltaAssign.unionByName(remapRows)))
+      Trace("reg.ingest:gen-write")(genRows
         .withColumn("gen", lit(nextGen))
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
-        .parquet(s"$path/assignments")
+        .parquet(s"$path/assignments"))
       IterationCheckpoint.release(spark.sparkContext, ckIds)
       LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
@@ -429,11 +464,12 @@ object ClusterRegistry {
     // the shared sketch is already materialized — a clean retry whose
     // registry half short-circuited only sketches if the band half
     // actually needs to run (it checks its own marker first)
-    BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
+    Trace("reg.ingest:band-append")(
+      BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
       writerEpoch = writerEpoch,
       preSketched =
         if (LsmLayout.isApplied(spark, s"$path/band", batchId)) None
-        else Some(deltaSketch))
+        else Some(deltaSketch)))
     // file-count + overlay-size hygiene (the s46 policy): the fold's
     // broadcast overlay grows with every generation until a compact
     // folds it into base — one listStatus, no data read. LIVE count
@@ -446,6 +482,27 @@ object ClusterRegistry {
         spark, path, s"$path/assignments", "batch=") >
         compactAfterGenerations)
       compact(spark, path, writerEpoch)
+  }
+
+  /** One-row `(n_live, n_dead)` over the physically-present assignment
+    * rows vs the snapshot's PENDING forget-set — the data-aware
+    * compact-decision input for the registry/ledger family (the s61
+    * `deadRowStats` pattern, closing its last gap): a forget-heavy
+    * ONE-generation registry carries dead assignment rows and dead
+    * ledger text that reads still anti-join (and rehydrations past the
+    * byte gate still scan) with no generation count ever tripping the
+    * policy. One narrow id-column scan + the budget-guarded tombstone
+    * join; ledger rows are 1:1 with assignment rows per batch, so the
+    * assignment share prices the stored text's dead mass too. */
+  def deadRowStats(spark: SparkSession, path: String): DataFrame = {
+    val snap = LsmLayout.snapshot(spark, path)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/assignments", "batch=", snap)
+    LsmLayout.deadRowStats(spark, path, snap,
+      LsmLayout.readGenerations(
+        spark, s"$path/assignments", "batch=", live)
+        .select(col("doc_id")),
+      "doc_id")
   }
 
   /** Right-to-be-forgotten deletes: tombstone the doc's assignment row
@@ -512,15 +569,32 @@ object ClusterRegistry {
     LsmLayout.clearStaleGeneration(
       spark, s"$path/assignments", "batch=", newBase)
     LsmLayout.clearStaleGeneration(spark, s"$path/ledger", "batch=", newBase)
-    val (rows, ckIds, _) = IterationCheckpoint.localCounted(
-      assignments(spark, path))
-    rows
+    val liveTs = LsmLayout.liveTombstoneBatches(spark, path, snap)
+    val ledgerLive = LsmLayout.liveGenerationNames(
+      spark, s"$path/ledger", "batch=", snap.ledgerView)
+    // The corpus-sized ledger rewrite runs only when it has WORK to
+    // do: pending tombstones (the GDPR contract — forgotten text must
+    // leave the stored ledger physically at compact) or a generation
+    // count past the hygiene bound. Ledger reads prune by hash bucket
+    // and read explicit generation paths, so extra ledger generations
+    // cost directory fan-out, not scan bytes — unlike assignment
+    // generations, they do NOT grow the read fold's overlay. A
+    // generation-count-triggered compact therefore folds the (small)
+    // assignment log WITHOUT rewriting the stored corpus text: at
+    // 100 TB that is the difference between an assignment-sized
+    // maintenance op and a full-corpus text pass on every policy trip.
+    val foldLedger = liveTs.nonEmpty ||
+      ledgerLive.size > LedgerFoldAfterGenerations
+    val (rows, ckIds, _) = Trace("reg.compact:fold-rows")(
+      IterationCheckpoint.localCounted(
+        assignments(spark, path)))
+    Trace("reg.compact:fold-write")(rows
       .withColumn("gen", lit(0L))
       .withColumn("batch", lit(newBase))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
-      .parquet(s"$path/assignments")
+      .parquet(s"$path/assignments"))
     IterationCheckpoint.release(spark.sparkContext, ckIds)
     // fold the text ledger the same way — this is where a forgotten
     // doc's TEXT physically leaves the layout (the GDPR contract now
@@ -531,24 +605,60 @@ object ClusterRegistry {
     // by construction (checkpointing here would materialize the whole
     // corpus text a second time inside the one deliberately
     // corpus-sized maintenance op).
-    ledgerScoped(spark, path, None, snap)
-      .repartition(col("bucket"))
-      .withColumn("batch", lit(newBase))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "bucket")
-      .parquet(s"$path/ledger")
+    if (foldLedger)
+      Trace("reg.compact:ledger-fold")(
+        ledgerScoped(spark, path, None, snap)
+          .repartition(col("bucket"))
+          .withColumn("batch", lit(newBase))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "bucket")
+          .parquet(s"$path/ledger"))
+    // per-relation fold sets (each relation records ONLY its own
+    // folded generation names — the shared-set spelling recorded every
+    // batch twice and the duplicates accumulated across compacts)
     val folded = snap.folded ++
-      Seq("assignments", "ledger").flatMap(rel =>
-        LsmLayout.liveGenerationNames(spark, s"$path/$rel", "batch=", snap))
+      LsmLayout.liveGenerationNames(
+        spark, s"$path/assignments", "batch=", snap)
         .filterNot(_ == snap.base)
+    val (lbase, lfolded) =
+      if (foldLedger)
+        (newBase,
+          snap.ledgerFolded ++ ledgerLive.filterNot(_ == snap.ledgerBase))
+      else (snap.ledgerBase, snap.ledgerFolded)
     val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
-      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+      snap.appliedTs ++ liveTs, Some(lbase), Some(lfolded))
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.commitSnapshot(spark, path, next)
     LsmLayout.gcSuperseded(spark, path,
-      Seq((s"$path/assignments", "batch="), (s"$path/ledger", "batch=")),
-      snap, next)
-    BandIndex.compact(spark, s"$path/band", writerEpoch)
+      Seq((s"$path/assignments", "batch=")), snap, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/ledger", "batch=")),
+      snap.ledgerView, next.ledgerView)
+    // the internal band index folds on the SAME policy as the ledger:
+    // probes read explicit live generation paths (postings carry
+    // per-doc facts, never an overlay fold like the assignments), so
+    // folding buys file hygiene, not read shape — run the two-relation
+    // rewrite only when the band's OWN pending tombstones require
+    // physical drops, or past the hygiene bound
+    val bandPath = s"$path/band"
+    val bandSnap = LsmLayout.snapshot(spark, bandPath)
+    val bandTs = LsmLayout.liveTombstoneBatches(spark, bandPath, bandSnap)
+    val bandGens = LsmLayout.liveGenerationNames(
+      spark, s"$bandPath/sigs", "gen=", bandSnap)
+    if (bandTs.nonEmpty || bandGens.size > LedgerFoldAfterGenerations)
+      Trace("reg.compact:band")(
+        BandIndex.compact(spark, bandPath, writerEpoch))
+    else
+      // the skipped rewrite still owes the PREVIOUS band compact its
+      // one-cycle-deferred GC: directories only snapshots OLDER than
+      // the current one could reference (superseded bases, folded
+      // generations, applied tombstone batches) are swept without a
+      // manifest flip — exactly the deletion set a second compact
+      // cycle would perform, so physical removal keeps its two-cycle
+      // contract through a skip history
+      LsmLayout.gcSuperseded(spark, bandPath,
+        Seq((s"$bandPath/postings", "gen="), (s"$bandPath/sigs", "gen=")),
+        bandSnap, bandSnap)
   }
 }

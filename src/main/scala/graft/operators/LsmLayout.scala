@@ -29,9 +29,27 @@ private[graft] final case class LayoutSnapshot(
     id: Long,
     base: String,
     folded: Set[String],
-    appliedTs: Set[String]) {
+    appliedTs: Set[String],
+    ledgerBaseOpt: Option[String] = None,
+    ledgerFoldedOpt: Option[Set[String]] = None) {
   /** The immutable base generation the NEXT compact writes. */
   def nextBase: String = s"base-${id + 1L}"
+
+  /** The registry's text-ledger relation tracks its own fold state:
+    * a compact may fold the (small) assignment log while SKIPPING the
+    * corpus-sized ledger rewrite (see ClusterRegistry.compact — the
+    * ledger only MUST fold when pending tombstones have to leave the
+    * stored text physically). Pre-split snapshots folded both
+    * relations together, so the ledger fields default to the shared
+    * ones — old manifests read unchanged. */
+  def ledgerBase: String = ledgerBaseOpt.getOrElse(base)
+  def ledgerFolded: Set[String] = ledgerFoldedOpt.getOrElse(folded)
+
+  /** This snapshot re-keyed to the ledger relation's fold state — what
+    * ledger reads/GC pass wherever the shared helpers expect `base`/
+    * `folded`. */
+  def ledgerView: LayoutSnapshot =
+    LayoutSnapshot(id, ledgerBase, ledgerFolded, appliedTs)
 }
 
 /** The shared idempotency plumbing of the stored LSM layouts
@@ -169,7 +187,9 @@ private[graft] object LsmLayout {
         .toMap
       def set(k: String): Set[String] =
         kv.getOrElse(k, "").split(",").filter(_.nonEmpty).toSet
-      LayoutSnapshot(id, kv("base"), set("folded"), set("appliedTs"))
+      LayoutSnapshot(id, kv("base"), set("folded"), set("appliedTs"),
+        kv.get("lbase"), kv.get("lfolded").map(_ =>
+          set("lfolded")))
     }
   }
 
@@ -195,7 +215,10 @@ private[graft] object LsmLayout {
     try out.write(
       (s"base=${snap.base}\n" +
         s"folded=${snap.folded.toSeq.sorted.mkString(",")}\n" +
-        s"appliedTs=${snap.appliedTs.toSeq.sorted.mkString(",")}\n")
+        s"appliedTs=${snap.appliedTs.toSeq.sorted.mkString(",")}\n" +
+        snap.ledgerBaseOpt.fold("")(b => s"lbase=$b\n") +
+        snap.ledgerFoldedOpt.fold("")(f =>
+          s"lfolded=${f.toSeq.sorted.mkString(",")}\n"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val p = new org.apache.hadoop.fs.Path(s"${snapDir(root)}/${snap.id}")

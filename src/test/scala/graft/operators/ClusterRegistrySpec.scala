@@ -367,4 +367,46 @@ class ClusterRegistrySpec extends SparkTestBase {
     assert(assigned(p) === before + (20L -> 20L) + (21L -> 20L),
       "the second batch must find the first batch's doc through the appended index")
   }
+
+  test("a count-triggered compact folds assignments WITHOUT rewriting the stored ledger") {
+    val p = "target/test_clusterreg/ledgerskip"
+    ClusterRegistry.build(corpus, "doc_id", "text", p, threshold = 0.8)
+    ClusterRegistry.ingest(delta, "doc_id", "text", p, batchId = "b1")
+    def led() = ClusterRegistry.ledger(spark, p)
+      .as[(Long, String)].collect().toMap
+    val wantLedger = led()
+    val wantAssign = assigned(p)
+    // no tombstones pending: the compact folds the (small) assignment
+    // log but must NOT rewrite the corpus text — at 100 TB that skip
+    // is the difference between an assignment-sized maintenance op
+    // and a full-corpus pass on every generation-count policy trip
+    ClusterRegistry.compact(spark, p)
+    val snap = LsmLayout.snapshot(spark, p)
+    assert(LsmLayout.liveGenerationCount(
+      spark, p, s"$p/assignments", "batch=") === 1,
+      "the assignment log must fold to one live generation")
+    assert(!LsmLayout.dirExists(spark, s"$p/ledger/batch=${snap.base}"),
+      "a no-tombstone compact must not write a folded ledger copy")
+    assert(LsmLayout.liveGenerationNames(
+      spark, s"$p/ledger", "batch=", snap.ledgerView).toSet ===
+      Set("base", "b1"),
+      "the ledger keeps its immutable generations live")
+    assert(led() === wantLedger, "ledger reads must be unchanged")
+    assert(assigned(p) === wantAssign)
+    // a post-skip ingest still merges through the multi-generation
+    // ledger (doc 40 duplicates doc 3's run, stored under batch=base)
+    val dup3 = Seq((40L, run(6, 25))).toDF("doc_id", "text")
+    ClusterRegistry.ingest(dup3, "doc_id", "text", p, batchId = "b2")
+    assert(assigned(p)(40L) === assigned(p)(3L))
+    // and a forget STILL reaches the stored text physically: pending
+    // tombstones force the fold (fold cycle + the one-cycle-deferred GC)
+    ClusterRegistry.forget(Seq(2L).toDF("doc_id"), "doc_id", p,
+      batchId = "d1")
+    ClusterRegistry.compact(spark, p)
+    ClusterRegistry.compact(spark, p)
+    assert(spark.read.parquet(s"$p/ledger")
+      .filter(col("doc_id") === 2L).count() === 0L,
+      "GDPR must reach the stored ledger text through a skip history")
+    assert(led().keySet === wantLedger.keySet + 40L - 2L)
+  }
 }
