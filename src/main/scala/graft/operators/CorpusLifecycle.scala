@@ -120,26 +120,27 @@ object CorpusLifecycle {
     require(layouts.ivf.isEmpty || deltaVectors.isDefined,
       "an IVF layout is configured but no deltaVectors were supplied — " +
         "the layout would silently miss this batch")
-    layouts.registry.foreach(p =>
+    layouts.registry.foreach(p => Trace("corpus.ingest:registry")(
       ClusterRegistry.ingest(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p)))
-    layouts.band.foreach(p =>
+        compactAfterGenerations, epochOf(p))))
+    layouts.band.foreach(p => Trace("corpus.ingest:band")(
       BandIndex.append(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p)))
-    layouts.lexical.foreach(p =>
+        compactAfterGenerations, epochOf(p))))
+    layouts.lexical.foreach(p => Trace("corpus.ingest:lexical")(
       LexicalIndex.refresh(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p)))
-    layouts.kmv.foreach(p =>
+        compactAfterGenerations, epochOf(p))))
+    layouts.kmv.foreach(p => Trace("corpus.ingest:kmv")(
       KmvLayout.refresh(delta, groupCol.get, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p)))
+        compactAfterGenerations, epochOf(p))))
     layouts.ivf.foreach { p =>
       val (vecs, vid, vcol) = deltaVectors.get
-      IvfLayout.refresh(vecs, vid, vcol, p, batchId,
-        compactAfterGenerations, epochOf(p))
+      Trace("corpus.ingest:ivf")(
+        IvfLayout.refresh(vecs, vid, vcol, p, batchId,
+          compactAfterGenerations, epochOf(p)))
     }
-    layouts.chunks.foreach(p =>
+    layouts.chunks.foreach(p => Trace("corpus.ingest:chunks")(
       ChunkStore.refresh(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p)))
+        compactAfterGenerations, epochOf(p))))
   }
 
   /** Fan out the snapshot-atomic compacts — physical reclamation of
@@ -174,7 +175,8 @@ object CorpusLifecycle {
     *    [[ChunkStore.deadChunkStats]] reports more than this fraction
     *    of store rows dead (orphaned by superseded edits or forgets);
     *  - `maxBandDeadShare` / `maxLexicalDeadShare` / `maxKmvDeadShare`
-    *    — the posting/sketch families compact when their
+    *    / `maxRegistryDeadShare`
+    *    — the posting/sketch/assignment families compact when their
     *    `deadRowStats` report more than this fraction of stored rows
     *    belonging to pending-tombstoned docs (forget mass every probe
     *    still scans and anti-joins). This is what makes the policy
@@ -191,6 +193,7 @@ object CorpusLifecycle {
       maxBandDeadShare: Double = 0.3,
       maxLexicalDeadShare: Double = 0.3,
       maxKmvDeadShare: Double = 0.3,
+      maxRegistryDeadShare: Double = 0.3,
       maxIvfCellShare: Double = 0.5,
       ivfRetrainRounds: Int = 5)
 
@@ -254,7 +257,8 @@ object CorpusLifecycle {
       } else genRule(name, p, dir, prefix)(run)
     }
     layouts.registry.foreach(p =>
-      genRule("registry", p, s"$p/assignments", "batch=")(
+      deadOrGenRule("registry", p, s"$p/assignments", "batch=",
+        policy.maxRegistryDeadShare, ClusterRegistry.deadRowStats(spark, p))(
         ClusterRegistry.compact(spark, p, epochOf(p))))
     layouts.band.foreach(p =>
       deadOrGenRule("band", p, s"$p/sigs", "gen=",
@@ -347,14 +351,34 @@ object CorpusLifecycle {
     * Populations are corpus-sized on both sides, so the joins shuffle
     * ids by design (this is the periodic audit, not a serving path). */
   def consistencyAudit(
-      spark: SparkSession, layouts: CorpusLayouts): DataFrame = {
+      spark: SparkSession, layouts: CorpusLayouts,
+      expected: Option[(DataFrame, String)] = None): DataFrame = {
     require(layouts.registry.isDefined,
       "consistencyAudit compares layouts against the registry " +
         "population — configure layouts.registry")
     val reg = layouts.registry.get
+    // The reference population: the registry's own serving relation by
+    // default — or, when the caller supplies an EXPECTED population
+    // (the coordinator's ingest audit trail, an upstream manifest),
+    // that anchor instead. The anchor closes the audit's one blind
+    // spot (the r15 review's Missing #1): a doc lost from the registry
+    // AND every other layout (a bad coordinated forget, a corrupted
+    // base generation) is invisible to the self-referential compare
+    // because the reference itself shrank — against an external
+    // anchor it surfaces as `missing` on the registry row. Token
+    // gates still come from the stored ledger, so an anchored doc the
+    // corpus no longer holds text for coalesces to 0 tokens and is
+    // expected only of the ungated (registry) population — the loss
+    // is reported exactly once, not fabricated into every gated row.
+    val basePop = expected match {
+      case Some((df, idCol)) =>
+        df.select(col(idCol).cast("string").as("graft__id")).distinct()
+      case None =>
+        ClusterRegistry.assignments(spark, reg)
+          .select(col("doc_id").cast("string").as("graft__id"))
+    }
     val ref = Materialize.shared(
-      ClusterRegistry.assignments(spark, reg)
-        .select(col("doc_id").cast("string").as("graft__id"))
+      basePop
         .join(ClusterRegistry.ledger(spark, reg)
           .select(col("doc_id").cast("string").as("graft__id"),
             size(TextOps.tokens(col("text"))).as("graft__ntok")),

@@ -376,4 +376,58 @@ class CorpusLifecycleSpec extends SparkTestBase {
         batchId = "g1", epochOf = p => stale.get(p))
     }
   }
+
+  test("maintain: the registry dead-share rule compacts a forget-heavy one-generation registry, then converges") {
+    val root = "target/test_corpuslc/regdead"
+    val lay = CorpusLifecycle.CorpusLayouts(
+      registry = Some(s"$root/registry"))
+    ClusterRegistry.build(docs, "doc_id", "text", s"$root/registry")
+    CorpusLifecycle.forget(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", lay, batchId = "g1")
+    val pol = CorpusLifecycle.MaintenancePolicy(maxLiveGenerations = 8)
+    val r1 = CorpusLifecycle.maintain(spark, lay, pol).collect().head
+    assert(r1.getString(0) === "registry")
+    assert(r1.getString(1) === "dead_row_share", "the dead rule decides")
+    assert(r1.getDouble(2) === 0.5, "6 of 12 docs tombstoned")
+    assert(r1.getString(4) === "compact")
+    // the action RAN and reset the metric: the second call reports
+    // none via the count rule (share 0 — tombstones applied)
+    val r2 = CorpusLifecycle.maintain(spark, lay, pol).collect().head
+    assert(r2.getString(1) === "live_generations")
+    assert(r2.getString(4) === "none")
+    // the compact's pending-tombstone rule folded the LEDGER too: one
+    // more cycle and the forgotten text is physically gone
+    ClusterRegistry.compact(spark, s"$root/registry")
+    assert(spark.read.parquet(s"$root/registry/ledger")
+      .filter(col("doc_id") % 2 === 0).count() === 0L)
+  }
+
+  test("consistencyAudit: an external anchor surfaces registry-wide loss; self-compare stays blind") {
+    val root = "target/test_corpuslc/anchor"
+    val lay = buildAll(root)
+    val anchor = Some((docs.select("doc_id"), "doc_id"))
+    // anchored, nothing lost: green-zero everywhere
+    assert(CorpusLifecycle.consistencyAudit(spark, lay, anchor)
+      .filter(col("missing") =!= 0L || col("extra") =!= 0L)
+      .count() === 0L)
+    // the BAD coordinated forget (should never have happened): every
+    // layout drops docs 1-3, so the self-referential reference shrinks
+    CorpusLifecycle.forget(docs.filter(col("doc_id") <= 3L),
+      "doc_id", "text", lay, batchId = "g1")
+    val got = CorpusLifecycle.consistencyAudit(spark, lay, anchor)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("registry") === ((3L, 0L)),
+      "the anchor must surface the loss on the registry row, once")
+    (got - "registry").foreach { case (k, v) =>
+      assert(v === ((0L, 0L)),
+        s"$k must not fabricate expectations for text the corpus " +
+          "no longer holds")
+    }
+    // without the anchor the loss is invisible — the documented blind
+    // spot the expected-population input exists to close
+    assert(CorpusLifecycle.consistencyAudit(spark, lay)
+      .filter(col("missing") =!= 0L || col("extra") =!= 0L)
+      .count() === 0L)
+  }
 }
