@@ -48,7 +48,8 @@ object SparkEntry {
     "s54_registry_time_travel", "s55_corpus_forget", "s56_corpus_ingest",
     "s57_ivf_retrain", "s58_ivf_cell_stats", "s59_corpus_maintain",
     "s60_corpus_consistency", "s61_dead_mass_policy",
-    "s62_corpus_time_travel",
+    "s62_corpus_time_travel", "s63_registry_dead_mass",
+    "s64_consistency_anchor",
     "n101_balanced_shards", "n121_hybrid_serve", "n122_bm25_topk",
     "n124_stream_index_parity", "n174_refresh_retry",
     "n175_band_append_retry", "n176_maintenance_interleave",

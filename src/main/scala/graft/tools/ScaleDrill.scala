@@ -154,7 +154,10 @@ object ScaleDrill {
       // round-15 additions: the cross-layout population-drift audit
       // and the dead-mass maintenance triggers
       "s60_corpus_consistency", "s61_dead_mass_policy",
-      "s62_corpus_time_travel")
+      "s62_corpus_time_travel",
+      // round-16 additions: the registry/ledger dead-mass trigger and
+      // the externally-anchored consistency audit
+      "s63_registry_dead_mass", "s64_consistency_anchor")
       // (s38_zonemap_scan, s39_bloom_manifest and n171_data_contract read
       // lineitem/orders, which the drill corpus does not scale — their
       // properties are spec-/oracle-pinned instead)
