@@ -40,4 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // random bench queries (alloc-heavy JSON/near-dup stages); the
   // harness box has 128 GiB. Still overridable via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 285-query bench run compiles thousands of whole-stage-codegen
+  // classes in ONE JVM; the JDK default 240 MiB code cache fills
+  // mid-run and the sweeper then discards hot compiled methods, so a
+  // CONTIGUOUS stretch of queries runs deoptimized/interpreted 3-10x
+  // slow and recovers later — exactly the r10/r15 "stretch anomaly"
+  // signature the bench recheck block keeps recording (main >> end on
+  // the same process). 1 GiB keeps every generated method compiled for
+  // the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -79,7 +79,13 @@ object Bench {
       // code than n3's trigram config — its first two executions ramp
       // 9.4→5.5→3.5s (PROFILE_r05), which is exactly the r4 "7.2s
       // regression": warmup landing inside the timed reps
-      "n18_ngram_jaccard" -> warmSf)
+      "n18_ngram_jaccard" -> warmSf,
+      // the registry build∘ingest∘compact shape (probe, union-find,
+      // overlay fold, generation writes) compiles its own generated
+      // classes — warm them at the smallest sf so the family's first
+      // timed member is not charged the ramp (r16: n177 rep1 ran
+      // 1.5-2x its floor in every full-run window)
+      "n177_cluster_registry" -> warmSf)
       .foreach { case (q, dir) =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, dir).write.format("noop").mode("overwrite").save()
