@@ -8743,12 +8743,17 @@ object NorthStar {
       (s, d) =>
         val path = "target/sinks/n178_registry"
         val docs = t(s, d, "documents")
+        // four micro-batches: build on the first, ingest the next
+        // three with the replay landing MID-stream (after mb-2 a
+        // later batch still arrives, so the replayed generation is
+        // probed and folded by subsequent maintenance — everything
+        // the five-batch spelling gated, one redundant ingest cheaper)
         graft.operators.ClusterRegistry.build(
-          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", path,
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", path,
           threshold = 0.8)
-        (1 to 4).foreach { r =>
+        (1 to 3).foreach { r =>
           graft.operators.ClusterRegistry.ingest(
-            docs.filter(col("doc_id") % 5 === r),
+            docs.filter(col("doc_id") % 4 === r),
             "doc_id", "text", path, batchId = s"mb-$r")
           if (r == 2) {
             // the in-flight micro-batch fails AFTER its writes but
@@ -8756,7 +8761,7 @@ object NorthStar {
             new java.io.File(s"$path/_applied/mb-2").delete()
             new java.io.File(s"$path/band/_applied/mb-2").delete()
             graft.operators.ClusterRegistry.ingest(
-              docs.filter(col("doc_id") % 5 === 2),
+              docs.filter(col("doc_id") % 4 === 2),
               "doc_id", "text", path, batchId = "mb-2")
           }
         }
