@@ -9369,18 +9369,26 @@ object NorthStar {
       "s62_corpus_time_travel",
       """SELECT 'kmv' AS layout,
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |   WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 3) AS served_asof,
+        |   WHERE doc_id % 2 = 1
+        |     AND doc_id % 3 <> 0 AND doc_id % 7 <> 3) AS served_asof,
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |   WHERE doc_id % 7 <> 3) AS served_now
+        |   WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3) AS served_now
         |UNION ALL
         |SELECT 'registry',
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |   WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 3),
+        |   WHERE doc_id % 2 = 1
+        |     AND doc_id % 3 <> 0 AND doc_id % 7 <> 3),
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |   WHERE doc_id % 7 <> 3)""".stripMargin) { (s, d) =>
+        |   WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3)""".stripMargin) { (s, d) =>
       import graft.operators._
       val root = "target/sinks/s62_corpus"
-      val docs = t(s, d, "documents")
+      // the odd-doc corpus slice (the coordination-oracle pricing
+      // convention): the pins, the generation alignment and the
+      // post-ingest forget reaching them are slice-invariant — the
+      // plans and fan-out are identical, the DuckDB twin stays
+      // closed-form, and the two full registry ingests stop re-pricing
+      // corpus volume the other oracles already price
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 1)
       val lay = CorpusLifecycle.CorpusLayouts(
         registry = Some(s"$root/registry"), kmv = Some(s"$root/kmv"))
       val a = docs.filter(col("doc_id") % 3 === 1)
