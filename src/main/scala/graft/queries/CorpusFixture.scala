@@ -56,8 +56,19 @@ object CorpusFixture {
     layoutsAt(destRoot)
   }
 
-  private def fixtureRoot(sfDir: String): String =
-    s"target/sinks/_fixture/${new java.io.File(sfDir).getName}-base3-v1"
+  /** The fixture key carries a FINGERPRINT of the source table
+    * (length + mtime of documents.parquet), not just the sf name: the
+    * harness regenerates testdata between rounds, and a cached tree
+    * built from a previous vintage would silently serve stale data
+    * against a fresh DuckDB oracle. A changed fingerprint simply
+    * misses the cache and rebuilds; stale sibling keys for the same
+    * sf are swept so target/sinks does not accumulate vintages. */
+  private def fixtureRoot(sfDir: String): String = {
+    val src = new java.io.File(sfDir, "documents.parquet")
+    val fp = java.lang.Long.toHexString(
+      src.length * 1000003L ^ src.lastModified)
+    s"target/sinks/_fixture/${new java.io.File(sfDir).getName}-$fp-base3-v1"
+  }
 
   /** Build the fixture if its `_done` marker is absent (or `rebuild`);
     * returns its root. Synchronized: one session runner drives the
@@ -69,6 +80,15 @@ object CorpusFixture {
     val root = fixtureRoot(sfDir)
     val done = Paths.get(root, "_done")
     if (rebuild || !Files.exists(done)) {
+      // sweep stale vintages of this sf (a regenerated testdata dir
+      // changes the fingerprint, so the old tree can never be read
+      // again — reclaim it)
+      val parent = new java.io.File("target/sinks/_fixture")
+      val prefix = new java.io.File(sfDir).getName + "-"
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) &&
+          f.getPath != root)
+        .foreach(f => deleteTree(f.toPath))
       deleteTree(Paths.get(root))
       val docs = graft.sources.Tables(spark, sfDir, "documents")
       val base = docs.filter(col("doc_id") % 3 =!= 0)
