@@ -547,7 +547,7 @@ object BandIndex {
     * parameters (a disagreeing caller must stay impossible). */
   private[graft] def metaOf(
       spark: SparkSession, path: String): (Int, Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = LsmLayout.cachedMetaRow(spark, s"$path/meta")
     (m.getAs[Long]("num_hashes").toInt, m.getAs[Long]("bands").toInt,
       m.getAs[Long]("shingle_n").toInt)
   }

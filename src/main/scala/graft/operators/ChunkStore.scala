@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   *    appears in exactly one generation under the single-writer
   *    contract);
   *  - `manifest/` (doc_id, pos, chunk_h, seq) partitioned by `gen` —
-  *    `seq` is the monotone generation NUMBER (derived from directory
-  *    metadata, retry-stable); [[reconstruct]] folds each doc to its
-  *    LATEST manifest, so re-ingesting an EDITED doc under its
-  *    existing doc_id is last-writer-wins (the edited-doc sync
-  *    workflow n169 measures) instead of silently merging two manifest
-  *    versions into one garbled reconstruction;
+  *    `seq` is the monotone INGEST ORDINAL (derived from directory
+  *    metadata, retry-stable, NEVER restarting at a compact — the
+  *    shared `committedGenerationOrdinal` spelling, aligned with the
+  *    registry/KMV generation numbers under coordinated ingest);
+  *    [[reconstruct]] folds each doc to its LATEST manifest, so
+  *    re-ingesting an EDITED doc under its existing doc_id is
+  *    last-writer-wins (the edited-doc sync workflow n169 measures)
+  *    instead of silently merging two manifest versions into one
+  *    garbled reconstruction — and `asOf = g` pins the fold to the
+  *    corpus as of ingest g (membership-exact across compacts);
   *  - `meta/` one row (mask_bits) — self-describing (the LexicalIndex
   *    lesson: cut points from a disagreeing mask would produce valid-
   *    looking manifests whose chunks never match the store).
@@ -125,17 +129,19 @@ object ChunkStore {
       maybeAutoCompact(spark, path, compactAfterGenerations, writerEpoch)
       return
     }
-    val maskBits = spark.read.parquet(s"$path/meta")
-      .head().getAs[Long]("mask_bits").toInt
+    val maskBits = LsmLayout.cachedMetaRow(spark, s"$path/meta")
+      .getAs[Long]("mask_bits").toInt
     val snap = LsmLayout.snapshot(spark, path)
-    // the manifest sequence number: LIVE-generation COUNT from
-    // directory metadata, excluding this batch's own (possibly
-    // partial) dir — monotone across batches (live generations only
-    // vanish at compact, which restarts seq at 0 on the folded base),
-    // identical under retry, no data read
-    val seq = LsmLayout
-      .liveGenerationNames(spark, s"$path/manifest", "gen=", snap)
-      .count(_ != batchId).toLong
+    // the manifest sequence number: the metadata-monotone ingest
+    // ordinal (shared spelling) — NEVER restarts at a compact (folded
+    // names accumulate in the snapshot), which is what makes `seq` a
+    // corpus-wide time-travel pin: the old live-count spelling
+    // restarted at every fold, so a post-compact refresh could mint a
+    // seq below a superseded version's and latest-wins would resolve
+    // an EDITED doc to its stale text. Identical under retry (own dir
+    // excluded), no data read.
+    val seq = LsmLayout.committedGenerationOrdinal(
+      spark, s"$path/manifest", "gen=", snap, batchId)
     val rows = Materialize.shared(chunkRows(delta, idCol, textCol, maskBits))
     val cand = rows.groupBy(col("chunk_h"))
       .agg(min(col("chunk")).as("chunk"))
@@ -199,10 +205,20 @@ object ChunkStore {
     * forget-set anti-joins broadcast — a delete is visible before any
     * compact), then each doc folded to its LATEST manifest (one
     * partitioned window over the narrow manifest — superseded versions
-    * of re-ingested docs drop here). */
+    * of re-ingested docs drop here). `asOf` pins the fold to the
+    * manifests written by ingest generation ≤ g (seq is the monotone
+    * ingest ordinal). The output's `seq` is the doc's FIRST-APPEARANCE
+    * ordinal (min over its surviving versions), not the surviving
+    * version's: that is what [[compact]] stamps the fold with, so a
+    * membership pin keeps resolving after the fold — an edited doc is
+    * a member since its FIRST ingest, and stamping the fold with the
+    * edit's ordinal instead would make pins between the two silently
+    * drop the doc (caught by the spec's cross-compact pin). One window
+    * computes both bounds. */
   private def latestManifests(
       spark: SparkSession, path: String,
-      snap: Option[LayoutSnapshot] = None): DataFrame = {
+      snap: Option[LayoutSnapshot] = None,
+      asOf: Option[Long] = None): DataFrame = {
     val sn = snap.getOrElse(LsmLayout.snapshot(spark, path))
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/manifest", "gen=", sn)
@@ -210,24 +226,38 @@ object ChunkStore {
       .readGenerations(spark, s"$path/manifest", "gen=", live)
       .drop("gen")
     val scoped = LsmLayout.antiJoinTombstones(spark, path, sn, man, "doc_id")
-    scoped
-      .withColumn("graft__mx",
-        max(col("seq")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    asOf.fold(scoped)(g => scoped.filter(col("seq") <= g))
+      .withColumn("graft__mx", max(col("seq")).over(w))
+      .withColumn("graft__mn", min(col("seq")).over(w))
       .filter(col("seq") === col("graft__mx"))
-      .select(col("doc_id"), col("pos"), col("chunk_h"))
+      .select(col("doc_id"), col("pos"), col("chunk_h"),
+        col("graft__mn").as("seq"))
   }
 
   /** Lossless reconstruction from the two stored tables: the surviving
     * latest manifests ([[latestManifests]]) through one manifest⋈store
     * join + ordered rejoin per doc — (doc_id, n_chunks, text_md5), the
-    * s42 serving shape. */
-  def reconstruct(spark: SparkSession, path: String): DataFrame = {
+    * s42 serving shape.
+    *
+    * `asOf` is the corpus-wide time-travel pin (seq = the monotone
+    * ingest ordinal shared with the registry/KMV numbering):
+    * MEMBERSHIP-EXACT across any number of compacts — per-row seqs are
+    * preserved through the fold, so docs ingested after g never appear
+    * — while VERSION history collapses at compact (a pre-compact pin
+    * resolves an edited doc to its version as of g; post-compact, to
+    * its latest-as-of-fold text, whose chunks the refcount sweep
+    * retains by construction — a pinned manifest row can never
+    * reference a swept chunk). Tombstones apply to every pin (GDPR
+    * outranks time travel, the s43 rule). */
+  def reconstruct(
+      spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     // ONE snapshot resolution for manifest + store: a compact flipping
     // between the two reads would join live manifests against a store
     // whose duplicate-held chunks (old base + new base) multiply rows
     val snap = LsmLayout.snapshot(spark, path)
-    latestManifests(spark, path, Some(snap))
+    latestManifests(spark, path, Some(snap), asOf)
       .join(storeScoped(spark, path, snap), Seq("chunk_h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -247,14 +277,18 @@ object ChunkStore {
     * 100 TB this is the difference between a compliance audit that
     * scans one id column and one that reassembles every surviving
     * document's text only to distinct the ids. */
-  def servedDocIds(spark: SparkSession, path: String): DataFrame = {
+  def servedDocIds(
+      spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
     val snap = LsmLayout.snapshot(spark, path)
     val live = LsmLayout.liveGenerationNames(
       spark, s"$path/manifest", "gen=", snap)
     val man = LsmLayout
       .readGenerations(spark, s"$path/manifest", "gen=", live)
+      .select(col("doc_id"), col("seq"))
+    val pinned = asOf.fold(man)(g => man.filter(col("seq") <= g))
       .select(col("doc_id"))
-    LsmLayout.antiJoinTombstones(spark, path, snap, man, "doc_id")
+    LsmLayout.antiJoinTombstones(spark, path, snap, pinned, "doc_id")
       .distinct()
   }
 
@@ -320,9 +354,8 @@ object ChunkStore {
     * docs' unique chunks AND dead superseded chunks leave disk.
     * Deliberately the one corpus-sized maintenance op (the compact
     * contract): one manifest fold + one hash semi-join. Markers kept;
-    * forget-set cleared; seq restarts at 0 (the refresh counter
-    * restarts with the directory count, exactly like the registry's
-    * gen). */
+    * forget-set cleared; per-row seqs preserved (the counter itself
+    * never restarts — the monotone-ordinal contract). */
   def compact(
       spark: SparkSession, path: String,
       writerEpoch: Option[Long] = None): Unit = {
@@ -331,10 +364,13 @@ object ChunkStore {
     val newBase = snap.nextBase
     LsmLayout.clearStaleGeneration(spark, s"$path/manifest", "gen=", newBase)
     LsmLayout.clearStaleGeneration(spark, s"$path/store", "gen=", newBase)
+    // per-row `seq` is PRESERVED through the fold (the KMV compact
+    // discipline): membership pins keep resolving exactly across
+    // compacts — what collapses is superseded VERSION history (and
+    // with it the swept chunks), per the reconstruct() contract
     val (man, manIds, _) = IterationCheckpoint.localCounted(
       latestManifests(spark, path, Some(snap)))
     man
-      .withColumn("seq", lit(0L))
       .withColumn("gen", lit(newBase))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -331,7 +331,7 @@ object ClusterRegistry {
       // text) — now it is rejected before touching any relation
       LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       val metaRow = Trace("reg.ingest:meta")(
-        spark.read.parquet(s"$path/meta").head())
+        LsmLayout.cachedMetaRow(spark, s"$path/meta"))
       val threshold = metaRow.getAs[Double]("threshold")
       // MIGRATION NOTE: layouts built before the layout-owned ledger
       // (round 15) carry no `ledger_buckets` in meta and no ledger/
@@ -381,16 +381,15 @@ object ClusterRegistry {
             (id: org.apache.spark.sql.Column) =>
               ledgerBucket(id, ledgerBuckets)))
         else None
-      // the generation number = committed-generation count from
-      // directory metadata, excluding this batch's own (possibly
-      // partial) dir — monotone (dirs only vanish at compact, which
-      // folds every live gen into base gen 0 and resets the count),
-      // identical under retry, and never a data scan (the KMV
-      // max(gen) derivation, made metadata-sized)
-      val nextGen = LsmLayout
-        .liveGenerationNames(spark, s"$path/assignments", "batch=",
-          LsmLayout.snapshot(spark, path))
-        .count(_ != batchId).toLong
+      // the generation number = the metadata-monotone ingest ordinal
+      // (shared spelling): never restarts at a compact — folded names
+      // accumulate in the snapshot, so the ordinal keeps counting and
+      // stays ALIGNED with the coordinator's other layouts even when
+      // one layout compacts independently under maintain() — identical
+      // under retry (own dir excluded), and never a data scan
+      val nextGen = LsmLayout.committedGenerationOrdinal(
+        spark, s"$path/assignments", "batch=",
+        LsmLayout.snapshot(spark, path), batchId)
       // the registry state as of BEFORE this batch: a marker-less
       // replay would otherwise read its own (possibly partial) first
       // attempt's generation — e.g. an already-applied merge re-map —
@@ -547,8 +546,10 @@ object ClusterRegistry {
   }
 
   /** Fold the assignment log back to one base generation (≤1 row per
-    * doc, gen reset to 0 — the generation counter restarts with the
-    * live directory count) and drop tombstoned docs physically, here
+    * doc, folded rows stamped gen 0 so any later overlay generation
+    * wins the read fold; the ingest ORDINAL itself never restarts —
+    * the monotone-ordinal contract, so pins stay aligned across
+    * layouts) and drop tombstoned docs physically, here
     * and in the internal band index — SNAPSHOT-ATOMICALLY for
     * concurrent readers: the fold lands in a brand-new immutable
     * `base-<id>` generation, one manifest flip makes it (and the

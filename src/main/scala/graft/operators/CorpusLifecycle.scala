@@ -432,25 +432,34 @@ object CorpusLifecycle {
 
   /** Corpus-level time travel over the layouts that keep
     * generation-stamped immutable history (the registry's assignment
-    * log and the KMV sketch generations — the s54/s43 pins, fanned
-    * out): per layout, the served doc population at ingest generation
-    * `gen` and now — the drift report an operator reads before
-    * replaying a pipeline against a pinned corpus state.
+    * log, the KMV sketch generations, and the chunk store's
+    * seq-stamped manifests — the s54/s43/s65 pins, fanned out): per
+    * layout, the served doc population at ingest generation `gen` and
+    * now — the drift report an operator reads before replaying a
+    * pipeline against a pinned corpus state.
     *
     * Generation numbers ALIGN across coordinated layouts by
-    * construction: both derive them as the committed-generation count,
-    * both start at 0 at build, and [[ingest]] delivers every batch to
-    * every configured layout — so "generation g" names the same ingest
-    * everywhere. The shared caveats carry over: GDPR tombstones apply
-    * to every pin (a delete reaches time-travel reads), and a compact
-    * collapses history — pins address the post-compact state only.
-    * Layouts without stored history (band/lexical/IVF/chunks serve
-    * only the present) are absent by design, not silently wrong. */
+    * construction: every layout derives them through the SAME
+    * metadata-monotone ingest ordinal (`committedGenerationOrdinal` —
+    * folded names accumulate in the snapshot, so the ordinal never
+    * restarts at a compact, even one layout compacting INDEPENDENTLY
+    * under [[maintain]]), all start at 0 at build, and [[ingest]]
+    * delivers every batch to every configured layout — so "generation
+    * g" names the same ingest everywhere, forever. The shared caveats:
+    * GDPR tombstones apply to every pin (a delete reaches time-travel
+    * reads). Pin strength differs by what each layout stores: KMV and
+    * chunk pins are MEMBERSHIP-EXACT across compacts (per-row
+    * gen/seq stamps survive the fold); the registry's pin collapses to
+    * the post-compact state once its mutable assignment values fold
+    * (documented at [[ClusterRegistry.assignments]]). Layouts without
+    * stored history (band/lexical/IVF serve only the present) are
+    * absent by design, not silently wrong. */
   def asOfAudit(
       spark: SparkSession, layouts: CorpusLayouts, gen: Long): DataFrame = {
-    require(layouts.registry.isDefined || layouts.kmv.isDefined,
+    require(layouts.registry.isDefined || layouts.kmv.isDefined ||
+      layouts.chunks.isDefined,
       "asOfAudit needs at least one history-keeping layout " +
-        "(registry or kmv)")
+        "(registry, kmv, or chunks)")
     def row(name: String, asof: DataFrame, now: DataFrame): DataFrame =
       asof.agg(
         org.apache.spark.sql.functions.count(lit(1)).as("served_asof"))
@@ -464,7 +473,10 @@ object CorpusLifecycle {
         ClusterRegistry.assignments(spark, p))).toSeq ++
       layouts.kmv.map(p => row("kmv",
         KmvLayout.servedDocIds(spark, p, Some(gen)),
-        KmvLayout.servedDocIds(spark, p)))
+        KmvLayout.servedDocIds(spark, p))) ++
+      layouts.chunks.map(p => row("chunks",
+        ChunkStore.servedDocIds(spark, p, Some(gen)),
+        ChunkStore.servedDocIds(spark, p)))
     parts.reduce(_ unionByName _)
   }
 

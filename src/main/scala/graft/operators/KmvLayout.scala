@@ -103,19 +103,18 @@ object KmvLayout {
     val spark = delta.sparkSession
     LsmLayout.requireValidBatchId(batchId)
     if (!LsmLayout.isApplied(spark, path, batchId)) {
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = LsmLayout.cachedMetaRow(spark, s"$path/meta")
       val (k, salt) = (m.getAs[Long]("k").toInt, m.getAs[String]("hash_salt"))
-      // exclude the batch's own (possibly partial) partition so a retry
-      // derives the SAME generation number as the failed first attempt;
-      // LIVE batches only (folded generations awaiting GC carry the
-      // pre-compact numbering this counter must restart from)
-      val liveNames = LsmLayout.liveGenerationNames(
+      // the metadata-monotone ingest ordinal (shared spelling): never
+      // restarts at a compact — so pins stay unambiguous across compact
+      // boundaries and aligned with the coordinator's other layouts —
+      // excludes this batch's own (possibly partial) partition so a
+      // retry re-stamps the same gen, and replaces the old max(gen)
+      // AGGREGATE over the stored sketches (a data read per refresh)
+      // with one listStatus
+      val nextGen = LsmLayout.committedGenerationOrdinal(
         spark, s"$path/sketches", "batch=",
-        LsmLayout.snapshot(spark, path))
-        .filterNot(_ == batchId)
-      val nextGen = LsmLayout
-        .readGenerations(spark, s"$path/sketches", "batch=", liveNames)
-        .agg(max(col("gen"))).head().getLong(0) + 1L
+        LsmLayout.snapshot(spark, path), batchId)
       docSketches(delta, groupCol, idCol, textCol, salt, k)
         .withColumn("gen", lit(nextGen))
         .withColumn("batch", lit(batchId))
@@ -126,10 +125,10 @@ object KmvLayout {
       LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
     }
-    // file-count hygiene (the s46 policy); collapses time-travel
-    // history by the compact contract, so a deployment that pins
-    // snapshots sizes the threshold to its retention window. LIVE
-    // count; the auto-compact runs under the caller's writer epoch.
+    // file-count hygiene (the s46 policy). Membership pins SURVIVE the
+    // compact (per-row gens are preserved through the fold), so the
+    // threshold is purely a file-hygiene knob here. LIVE count; the
+    // auto-compact runs under the caller's writer epoch.
     if (compactAfterGenerations > 0 &&
       LsmLayout.liveGenerationCount(
         spark, path, s"$path/sketches", "batch=") >
@@ -180,9 +179,11 @@ object KmvLayout {
 
   /** Physically drop tombstoned rows and fold the per-doc rows into
     * one generation directory (file-count hygiene; the per-doc
-    * granularity is KEPT — it is the deletability index). Collapses
-    * time-travel history: after a compact, `asOf` pins address the
-    * post-compact state only (the LexicalIndex compact contract).
+    * granularity is KEPT — it is the deletability index). Time-travel
+    * pins SURVIVE: per-row `gen` stamps are preserved through the
+    * fold, so `asOf` keeps resolving membership exactly across any
+    * number of compacts (what physically leaves is tombstoned rows —
+    * GDPR outranks pins, the s43 rule).
     * Applied markers are kept so late retries of folded batches
     * still no-op. SNAPSHOT-ATOMIC for concurrent readers (the shared
     * discipline): new immutable base generation + one manifest flip +
@@ -194,11 +195,18 @@ object KmvLayout {
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     val newBase = snap.nextBase
     LsmLayout.clearStaleGeneration(spark, s"$path/sketches", "batch=", newBase)
+    // per-row `gen` is PRESERVED through the fold (each doc's sketch is
+    // written once, at its ingest — the re-ingest contract): a pin
+    // `asOf = g` therefore keeps answering with exactly the docs
+    // ingested by generation g even after any number of compacts.
+    // What a compact still collapses is VERSION history the layout
+    // never had (per-doc sketches are immutable facts), so time travel
+    // here is membership-exact, not merely post-compact (gated by the
+    // s43 oracle, which now compacts between the refresh and the pin).
     val (rows, ckIds, _) = IterationCheckpoint.localCounted(
       docRowsScoped(spark, path, snap)
-        .select(col("group"), col("doc_id"), col("sk")))
+        .select(col("group"), col("doc_id"), col("sk"), col("gen")))
     rows
-      .withColumn("gen", lit(0L))
       .withColumn("batch", lit(newBase))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -268,7 +276,7 @@ object KmvLayout {
   def sketches(
       spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
-    val k = spark.read.parquet(s"$path/meta").head().getAs[Long]("k").toInt
+    val k = LsmLayout.cachedMetaRow(spark, s"$path/meta").getAs[Long]("k").toInt
     val base = docRows(spark, path)
     asOf.fold(base)(g => base.filter(col("gen") <= g))
       .select(col("group"), explode(col("sk")).as("graft__h"))
@@ -283,7 +291,7 @@ object KmvLayout {
   def overlapMatrix(
       spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
-    val k = spark.read.parquet(s"$path/meta").head().getAs[Long]("k").toInt
+    val k = LsmLayout.cachedMetaRow(spark, s"$path/meta").getAs[Long]("k").toInt
     val sk = sketches(spark, path, asOf)
     sk.select(col("group").as("source_a"), col("sk").as("graft__ska"))
       .join(broadcast(

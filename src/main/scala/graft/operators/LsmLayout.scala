@@ -264,6 +264,25 @@ private[graft] object LsmLayout {
     generationNames(spark, dir, prefix).filter(n =>
       n == snap.base || (!isBaseName(n) && !snap.folded.contains(n)))
 
+  /** The metadata-monotone INGEST ORDINAL for the next batch: 1 +
+    * (generations ever committed in this index life). Folded names
+    * accumulate in the snapshot across compacts and live non-base names
+    * cover the rest, so the number NEVER restarts at a compact — the
+    * old live-count spelling did, which (a) silently broke the
+    * cross-layout pin alignment the moment ONE layout compacted
+    * independently under `CorpusLifecycle.maintain` (its numbering
+    * restarted while its siblings' kept counting), and (b) made a
+    * generation number ambiguous across compact boundaries. Excludes
+    * the in-flight batch's own (possibly partial) directory so an
+    * at-least-once retry re-derives the same ordinal; one listStatus,
+    * never a data read. */
+  def committedGenerationOrdinal(
+      spark: SparkSession, dir: String, prefix: String,
+      snap: LayoutSnapshot, excludeBatch: String): Long =
+    1L + snap.folded.size +
+      liveGenerationNames(spark, dir, prefix, snap)
+        .count(n => n != snap.base && n != excludeBatch)
+
   /** Live-generation count under the CURRENT snapshot — what an
     * auto-compaction policy compares against its threshold (physical
     * directory counts include superseded generations awaiting GC and
@@ -453,6 +472,49 @@ private[graft] object LsmLayout {
     if (dirExists(spark, s"$root/tombstones") &&
       generationNames(spark, s"$root/tombstones", "batch=").isEmpty)
       deleteDir(spark, s"$root/tombstones")
+  }
+
+  // ---- immutable-meta caching ----------------------------------------
+  // The band/registry/KMV/chunk layouts each write a ONE-ROW `meta/`
+  // relation at build time and never again within an index life — yet
+  // every ingest/refresh used to re-run a full parquet read JOB just to
+  // re-learn those constants (measured: a few hundred ms of fixed cost
+  // per maintenance call, dominating small-delta ingests). The cache
+  // keys by the meta directory's file fingerprint (part-file names
+  // carry a per-write UUID, so ANY rewrite — a rebuild at the same
+  // path — changes the key), making a hit one metadata listing and a
+  // rebuild a natural invalidation. Driver-side only, like every other
+  // plan-time constant.
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.Row)]()
+
+  private def metaFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).iterator
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .toSeq.sorted.mkString(";")
+  }
+
+  /** The single meta row under `dir`, cached against the directory's
+    * file fingerprint — one listStatus on a hit, the parquet read job
+    * only on first touch or after a rewrite. Use ONLY for relations
+    * that are immutable within an index life (the build-time constant
+    * metas); generational metas (the lexical layout's) fold sums across
+    * generations and must keep reading live. */
+  def cachedMetaRow(
+      spark: SparkSession, dir: String): org.apache.spark.sql.Row = {
+    val fp = metaFingerprint(spark, dir)
+    val hit = metaCache.get(dir)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val row = spark.read.parquet(dir).head()
+      metaCache.put(dir, (fp, row))
+      row
+    }
   }
 
   // ---- writer fencing -----------------------------------------------

@@ -8038,6 +8038,10 @@ object NorthStar {
       KmvLayout.refresh(
         docs.filter(col("doc_id") % 10 === 0), "source", "doc_id", "text",
         path, batchId = "b1")
+      // the pin SURVIVES a compact (per-row gens are preserved through
+      // the fold — the monotone-ordinal contract): the pinned answer
+      // below is identical with or without this fold in between
+      KmvLayout.compact(s, path)
       KmvLayout.overlapMatrix(s, path, asOf = Some(0L))
     },
 
@@ -9478,5 +9482,58 @@ object NorthStar {
       CorpusLifecycle.consistencyAudit(s, lay,
         expected = Some((base.select("doc_id"), "doc_id")))
         .orderBy(col("layout"))
+    },
+
+    // ----- s65: chunk-store time travel + pin alignment under -----------
+    // ----- INDEPENDENT maintenance ---------------------------------------
+    // s62 pinned the registry+KMV populations; the chunk store could
+    // not join — its seq restarted at every compact, so a pin across a
+    // fold boundary was ambiguous (the round-15 deferral note). With
+    // every layout deriving generation numbers through the shared
+    // metadata-monotone ingest ordinal, the chunk store serves pins
+    // MEMBERSHIP-EXACTLY across compacts — and the alignment claim
+    // survives the harder case this drive exercises: a compact of ONE
+    // layout between coordinated ingests (what maintain() does daily),
+    // which under restart numbering would silently renumber that
+    // layout's later generations while its siblings kept counting.
+    // GDPR reaches pins (the s43 rule): the forget lands after both
+    // ingests and must hide its docs at the pin too. Even-doc slice
+    // (the coordination-oracle pricing convention; s62 prices the odd
+    // half). Twin closed-form.
+    QuerySpec(
+      "s65_chunk_time_travel",
+      """SELECT 'chunks' AS layout,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0
+        |     AND doc_id % 3 <> 0 AND doc_id % 7 <> 5) AS served_asof,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0 AND doc_id % 7 <> 5) AS served_now
+        |UNION ALL
+        |SELECT 'kmv',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0
+        |     AND doc_id % 3 <> 0 AND doc_id % 7 <> 5),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0 AND doc_id % 7 <> 5)""".stripMargin) { (s, d) =>
+      import graft.operators._
+      val root = "target/sinks/s65_corpus"
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+      val lay = CorpusLifecycle.CorpusLayouts(
+        kmv = Some(s"$root/kmv"), chunks = Some(s"$root/chunks"))
+      def g(df: DataFrame) = df.withColumn("g", col("doc_id"))
+      val a = docs.filter(col("doc_id") % 3 === 1)
+      KmvLayout.build(g(a), "g", "doc_id", "text", s"$root/kmv", k = 32)
+      ChunkStore.build(a, "doc_id", "text", s"$root/chunks")
+      CorpusLifecycle.ingest(g(docs.filter(col("doc_id") % 3 === 2)),
+        "doc_id", "text", lay, batchId = "b1", groupCol = Some("g"))
+      // INDEPENDENT maintenance mid-history: only the chunk store
+      // folds — the pin below must stay aligned with KMV's regardless
+      ChunkStore.compact(s, s"$root/chunks")
+      CorpusLifecycle.ingest(g(docs.filter(col("doc_id") % 3 === 0)),
+        "doc_id", "text", lay, batchId = "b2", groupCol = Some("g"))
+      // the delete lands AFTER both ingests and must reach the pin
+      CorpusLifecycle.forget(docs.filter(col("doc_id") % 7 === 5),
+        "doc_id", "text", lay, batchId = "g1")
+      CorpusLifecycle.asOfAudit(s, lay, gen = 1L).orderBy(col("layout"))
     })
 }

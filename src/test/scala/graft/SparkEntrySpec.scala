@@ -7,7 +7,7 @@ class SparkEntrySpec extends SparkTestBase {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
     assert(names.forall(_.matches("[a-z0-9_]+")))
-    assert(names.size >= 287) // registry-loss guard (round 16, continued)
+    assert(names.size >= 288) // registry-loss guard (round 16, continued)
   }
 
   test("oracle keys are a subset of query keys") {

@@ -244,6 +244,23 @@ class SketchesSpec extends SparkTestBase {
       .as[(String, Seq[Long])].collect().toMap
     assert(skAsOf(inc, Some(0L)) === skAsOf(base, None))
     assert(skAsOf(inc, Some(1L)) === sk(full))
+    // pins SURVIVE a compact: per-row gens are preserved through the
+    // fold, so asOf(0) keeps answering with exactly the build corpus —
+    // and the next refresh's ordinal CONTINUES (never restarts), so a
+    // later pin stays unambiguous
+    KmvLayout.compact(spark, inc)
+    assert(skAsOf(inc, Some(0L)) === skAsOf(base, None),
+      "a membership pin must survive the compact")
+    KmvLayout.refresh(
+      (400 until 420).map(i => (i.toLong, s"g${i % 3}", s"z$i"))
+        .toDF("doc_id", "g", "text"),
+      "g", "doc_id", "text", inc, batchId = "b2")
+    assert(spark.read.parquet(s"$inc/sketches")
+      .filter(col("batch") === "b2")
+      .select(col("gen")).distinct().as[Long].collect().toSeq === Seq(2L),
+      "the post-compact ordinal must continue at 2, not restart at 1")
+    assert(skAsOf(inc, Some(1L)) === sk(full),
+      "the pre-compact pin still resolves after a post-compact refresh")
   }
 
   test("KmvLayout: refresh retry is idempotent; forget == rebuild on the remaining corpus") {

@@ -162,4 +162,63 @@ class ChunkStoreSpec extends SparkTestBase {
       "a replayed batch must replace its generation, not append")
     assert(spark.read.parquet(s"$p/manifest").count() === manifest)
   }
+
+  test("asOf pins are membership-exact across compacts; versions collapse at fold; GDPR reaches pins") {
+    val p = "target/test_chunkstore/asof"
+    val base = corpus.filter(col("doc_id") < 10)          // seq 0
+    val editedText = "pin EDITED " + (5 until 25).map(j => s"w${j % 40}").mkString(" ")
+    val b1 = Seq((10L, "n1 n2 n3 n4 n5"), (3L, editedText))
+      .toDF("doc_id", "text")                             // seq 1 (+ edit of 3)
+    val b2 = Seq((11L, "m1 m2 m3 m4 m5")).toDF("doc_id", "text") // seq 2
+    ChunkStore.build(base, "doc_id", "text", p)
+    ChunkStore.refresh(b1, "doc_id", "text", p, batchId = "b1")
+    ChunkStore.refresh(b2, "doc_id", "text", p, batchId = "b2")
+    def served(asOf: Option[Long]) = ChunkStore
+      .servedDocIds(spark, p, asOf)
+      .as[Long].collect().sorted.toSeq
+    def md5Of(asOf: Option[Long]) = ChunkStore
+      .reconstruct(spark, p, asOf)
+      .select(col("doc_id"), col("text_md5"))
+      .as[(Long, String)].collect().toMap
+    val origMd5 = base.select(col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    val editMd5 = Seq(editedText).toDF("t").select(md5(col("t")))
+      .as[String].head()
+    // pre-compact: pins are version-exact — asOf 0 serves the ORIGINAL
+    // doc-3 text, asOf 1 the edited one; membership follows the seq
+    assert(served(Some(0L)) === (0L until 10L),
+      "pin 0 must serve exactly the build set")
+    assert(served(Some(1L)) === ((0L until 10L) :+ 10L))
+    assert(md5Of(Some(0L)) === origMd5)
+    assert(md5Of(Some(1L))(3L) === editMd5)
+    ChunkStore.compact(spark, p)
+    // post-compact: membership pins still exact (per-row seqs survive
+    // the fold); VERSION history collapsed — doc 3 now serves its
+    // latest-as-of-fold text under every pin that includes it (the
+    // documented partial-collapse semantics), and no pinned manifest
+    // row can reference a swept chunk (reconstruct must not lose rows)
+    assert(served(Some(0L)) === (0L until 10L),
+      "membership pins must survive the compact")
+    assert(served(Some(1L)) === ((0L until 10L) :+ 10L))
+    val pinned0 = md5Of(Some(0L))
+    assert(pinned0.keySet === (0L until 10L).toSet)
+    assert(pinned0(3L) === editMd5,
+      "post-compact, the pinned doc serves its latest-as-of-fold text")
+    assert(pinned0.filterNot(_._1 == 3L) === origMd5.filterNot(_._1 == 3L))
+    // the ordinal never restarts: a post-compact refresh mints seq 3
+    val b3 = Seq((12L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    ChunkStore.refresh(b3, "doc_id", "text", p, batchId = "b3")
+    val b3Seqs = spark.read.parquet(s"$p/manifest")
+      .filter(col("gen") === "b3")
+      .select(col("seq")).distinct().as[Long].collect().toSeq
+    assert(b3Seqs === Seq(3L),
+      "the post-compact ingest ordinal must continue, not restart at 1")
+    assert(served(Some(2L)) === ((0L until 10L) ++ Seq(10L, 11L)))
+    assert(served(None) === ((0L until 10L) ++ Seq(10L, 11L, 12L)))
+    // GDPR outranks pins: a tombstone hides the doc at EVERY pin
+    ChunkStore.tombstone(Seq(5L).toDF("doc_id"), "doc_id", p,
+      batchId = "g1")
+    assert(served(Some(0L)) === (0L until 10L).filterNot(_ == 5L))
+    assert(!md5Of(Some(0L)).contains(5L))
+  }
 }

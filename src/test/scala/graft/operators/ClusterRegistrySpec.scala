@@ -164,8 +164,9 @@ class ClusterRegistrySpec extends SparkTestBase {
     assert(spark.read.parquet(s"$p/band/postings")
       .filter(col("doc_id") === 2L).count() === 0L)
     assert(!LsmLayout.dirExists(spark, s"$p/band/tombstones"))
-    // the generation counter restarts consistently: a post-compact
-    // ingest lands gen 1 on top of the folded gen-0 base
+    // the ingest ordinal CONTINUES across the compacts (the monotone
+    // contract): a post-compact ingest lands on the folded gen-0 base
+    // with a gen above every generation ever committed
     val more = Seq((40L, (1 to 20).map(i => s"y$i").mkString(" ")))
       .toDF("doc_id", "text")
     ClusterRegistry.ingest(more, "doc_id", "text", p, batchId = "b2")
