@@ -96,15 +96,21 @@ object BandIndex {
     LsmLayout.clearSnapshots(spark, path)
     val sk = preSketched.getOrElse(sketchRelation(
       docs, idCol, textCol, shingleWidth, numHashes, bands))
-    sk.select(col("doc_id"), col("sig"))
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/sigs")
-    sk.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
-      .withColumn("gen", lit(BaseGen))
-      .repartition(col("band"))
-      .sortWithinPartitions(col("band_val"))
-      .write.mode("overwrite").partitionBy("gen", "band")
-      .parquet(s"$path/postings")
+    // sigs/ and postings/ are disjoint relations derived from the same
+    // sketch — write them CONCURRENTLY (the wall is the larger write,
+    // not the sum; a shared pre-materialized sketch is computed once
+    // under the block manager's per-block lock either way)
+    Overlap.all(spark)(
+      () => sk.select(col("doc_id"), col("sig"))
+        .withColumn("gen", lit(BaseGen))
+        .write.mode("overwrite").partitionBy("gen").parquet(s"$path/sigs"),
+      () => sk
+        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+        .withColumn("gen", lit(BaseGen))
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band_val"))
+        .write.mode("overwrite").partitionBy("gen", "band")
+        .parquet(s"$path/postings"))
     spark.range(1)
       .select(lit(numHashes.toLong).as("num_hashes"),
         lit(bands.toLong).as("bands"),
@@ -136,20 +142,25 @@ object BandIndex {
       // instead of re-running the scan→shingle→sketch chain
       val sk = preSketched.getOrElse(sketchRelation(
         delta, idCol, textCol, shingleWidth, numHashes, bands))
-      sk.select(col("doc_id"), col("sig"))
-        .withColumn("gen", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen")
-        .parquet(s"$path/sigs")
-      sk.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
-        .withColumn("gen", lit(batchId))
-        .repartition(col("band"))
-        .sortWithinPartitions(col("band_val"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen", "band")
-        .parquet(s"$path/postings")
+      // disjoint generation directories under disjoint relations —
+      // the two delta-sized writes overlap (the build discipline); the
+      // applied marker below still lands only after BOTH settle
+      Overlap.all(spark)(
+        () => sk.select(col("doc_id"), col("sig"))
+          .withColumn("gen", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen")
+          .parquet(s"$path/sigs"),
+        () => sk
+          .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "band_val")))
+          .withColumn("gen", lit(batchId))
+          .repartition(col("band"))
+          .sortWithinPartitions(col("band_val"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen", "band")
+          .parquet(s"$path/postings"))
       LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       LsmLayout.markApplied(spark, path, batchId)
     }
@@ -229,25 +240,33 @@ object BandIndex {
     val newBase = snap.nextBase
     LsmLayout.clearStaleGeneration(spark, s"$path/postings", "gen=", newBase)
     LsmLayout.clearStaleGeneration(spark, s"$path/sigs", "gen=", newBase)
-    val (post, postIds, _) = IterationCheckpoint.localCounted(
-      postingsScoped(spark, path, None, snap))
-    post
-      .withColumn("gen", lit(newBase))
-      .repartition(col("band")).sortWithinPartitions(col("band_val"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "band")
-      .parquet(s"$path/postings")
-    IterationCheckpoint.release(spark.sparkContext, postIds)
-    val (sigs, sigIds, _) = IterationCheckpoint.localCounted(
-      signaturesScoped(spark, path, None, snap))
-    sigs
-      .withColumn("gen", lit(newBase))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/sigs")
-    IterationCheckpoint.release(spark.sparkContext, sigIds)
+    // the two relation folds are independent (disjoint read and write
+    // directories) — overlap them; the manifest flip below still lands
+    // only after BOTH settle
+    Overlap.all(spark)(
+      () => {
+        val (post, postIds, _) = IterationCheckpoint.localCounted(
+          postingsScoped(spark, path, None, snap))
+        post
+          .withColumn("gen", lit(newBase))
+          .repartition(col("band")).sortWithinPartitions(col("band_val"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen", "band")
+          .parquet(s"$path/postings")
+        IterationCheckpoint.release(spark.sparkContext, postIds)
+      },
+      () => {
+        val (sigs, sigIds, _) = IterationCheckpoint.localCounted(
+          signaturesScoped(spark, path, None, snap))
+        sigs
+          .withColumn("gen", lit(newBase))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen")
+          .parquet(s"$path/sigs")
+        IterationCheckpoint.release(spark.sparkContext, sigIds)
+      })
     val folded = snap.folded ++
       (LsmLayout.liveGenerationNames(spark, s"$path/postings", "gen=", snap) ++
         LsmLayout.liveGenerationNames(spark, s"$path/sigs", "gen=", snap))

@@ -163,28 +163,29 @@ object ChunkStore {
       .select(col("chunk_h"))
       .join(broadcast(cand.select(col("chunk_h"))),
         Seq("chunk_h"), "left_semi")
-    // eager-checkpoint the (delta-bounded) new-chunk set BEFORE the
-    // overwrite: its plan reads the same store path the write targets
-    // (the read-while-overwrite hazard every compact() checkpoints
-    // against) — own-partition exclusion plus dynamic-overwrite
-    // staging happens to make the self-read safe today, but the
-    // checkpoint removes the hazard class outright at delta cost
-    val (newChunks, ckIds, _) = IterationCheckpoint.localCounted(
-      cand.join(broadcast(present), Seq("chunk_h"), "left_anti"))
-    newChunks
-      .withColumn("gen", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/store")
-    IterationCheckpoint.release(spark.sparkContext, ckIds)
-    rows.select(col("doc_id"), col("pos"), col("chunk_h"))
-      .withColumn("seq", lit(seq))
-      .withColumn("gen", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/manifest")
+    // the store and manifest generations are disjoint relations from
+    // the one shared (materialized) chunk projection — write them
+    // CONCURRENTLY; the marker below lands only after both settle. The
+    // new-chunk plan's self-read of the store is safe by construction
+    // (it reads explicit live generation paths that EXCLUDE this
+    // batch's own directory, and the dynamic overwrite replaces only
+    // gen=<batch> — the compact() ledger-fold disjointness argument),
+    // so the old delta-sized eager checkpoint bought nothing but one
+    // extra materialization pass per refresh.
+    Overlap.all(spark)(
+      () => cand.join(broadcast(present), Seq("chunk_h"), "left_anti")
+        .withColumn("gen", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/store"),
+      () => rows.select(col("doc_id"), col("pos"), col("chunk_h"))
+        .withColumn("seq", lit(seq))
+        .withColumn("gen", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/manifest"))
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.markApplied(spark, path, batchId)
     maybeAutoCompact(spark, path, compactAfterGenerations, writerEpoch)
@@ -370,24 +371,31 @@ object ChunkStore {
     // with it the swept chunks), per the reconstruct() contract
     val (man, manIds, _) = IterationCheckpoint.localCounted(
       latestManifests(spark, path, Some(snap)))
-    man
-      .withColumn("gen", lit(newBase))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/manifest")
-    val (store, storeIds, _) = IterationCheckpoint.localCounted(
-      storeScoped(spark, path, snap)
-        .join(man.select(col("chunk_h")).distinct(), Seq("chunk_h"),
-          "left_semi"))
-    store
-      .withColumn("gen", lit(newBase))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/store")
+    // the manifest rewrite and the refcount-swept store rewrite both
+    // consume the checkpointed manifest fold and write disjoint
+    // relations — overlap them; the one manifest flip below still
+    // covers both only after both settle
+    Overlap.all(spark)(
+      () => man
+        .withColumn("gen", lit(newBase))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/manifest"),
+      () => {
+        val (store, storeIds, _) = IterationCheckpoint.localCounted(
+          storeScoped(spark, path, snap)
+            .join(man.select(col("chunk_h")).distinct(), Seq("chunk_h"),
+              "left_semi"))
+        store
+          .withColumn("gen", lit(newBase))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen")
+          .parquet(s"$path/store")
+        IterationCheckpoint.release(spark.sparkContext, storeIds)
+      })
     IterationCheckpoint.release(spark.sparkContext, manIds)
-    IterationCheckpoint.release(spark.sparkContext, storeIds)
     // ONE manifest flip covers both relations: a reader never joins a
     // swept store against un-folded manifests (or vice versa)
     val folded = snap.folded ++

@@ -149,32 +149,49 @@ object ClusterRegistry {
       shingleWidth = BandIndex.DefaultShingleWidth,
       numHashes = BandIndex.DefaultNumHashes,
       bands = BandIndex.DefaultBands))
-    Trace("reg.build:band")(BandIndex.build(docs, idCol, textCol, s"$path/band",
-      preSketched = Some(sk)))
-    val comp = Trace("reg.build:components")(DedupClusters.components(
-      MinHashNearDup.pairsFromSketched(sk, threshold,
-        numHashes = BandIndex.DefaultNumHashes),
-      "id_a", "id_b"))
-      .select(col("id").as("doc_id"), col("comp"))
-    Trace("reg.build:assignments")(docs.select(col(idCol).as("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-      .withColumn("gen", lit(0L))
-      .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$path/assignments"))
+    // the four build relations are pairwise disjoint (band/, the
+    // assignment base, ledger/, meta/), so the index build and the
+    // text-ledger write run CONCURRENTLY with the clustering chain —
+    // the wall is the longest of the three, not their sum. Racing
+    // consumers of the shared sketch are safe: cached partitions are
+    // computed once under the block manager's per-block lock.
+    val bandFut = Overlap.future(spark)(
+      Trace("reg.build:band")(BandIndex.build(docs, idCol, textCol,
+        s"$path/band", preSketched = Some(sk))))
     // the layout-owned text ledger starts with the build set — from
     // here on, ingests are self-contained (delta-only). Bucketed for
     // rehydration pruning; repartitioned by bucket so each task writes
     // one bucket directory (no small-files fan-out).
-    Trace("reg.build:ledger")(docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
-      .repartition(col("bucket"))
-      .withColumn("batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("batch", "bucket")
-      .parquet(s"$path/ledger"))
+    val ledgerFut = Overlap.future(spark)(
+      Trace("reg.build:ledger")(docs
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
+        .repartition(col("bucket"))
+        .withColumn("batch", lit(BaseBatch))
+        .write.mode("overwrite").partitionBy("batch", "bucket")
+        .parquet(s"$path/ledger")))
+    try {
+      val comp = Trace("reg.build:components")(DedupClusters.components(
+        MinHashNearDup.pairsFromSketched(sk, threshold,
+          numHashes = BandIndex.DefaultNumHashes),
+        "id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("comp"))
+      Trace("reg.build:assignments")(docs.select(col(idCol).as("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .withColumn("gen", lit(0L))
+        .withColumn("batch", lit(BaseBatch))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$path/assignments"))
+      Overlap.await(bandFut)
+      Overlap.await(ledgerFut)
+    } catch {
+      case e: Throwable =>
+        Overlap.settle(bandFut)
+        Overlap.settle(ledgerFut)
+        throw e
+    }
     spark.range(1)
       .select(lit(threshold).as("threshold"),
         lit(ledgerBuckets.toLong).as("ledger_buckets"))
@@ -200,13 +217,22 @@ object ClusterRegistry {
   private def ledgerScoped(
       spark: SparkSession, path: String,
       excludeBatch: Option[String], snap: LayoutSnapshot): DataFrame = {
-    val dir = s"$path/ledger"
     // the ledger tracks its own fold state (a compact may fold the
     // assignment log while skipping the corpus-sized ledger rewrite)
-    val live = LsmLayout.liveGenerationNames(spark, dir, "batch=",
-        snap.ledgerView)
+    val live = LsmLayout.liveGenerationNames(spark, s"$path/ledger",
+        "batch=", snap.ledgerView)
       .filterNot(excludeBatch.contains)
-    val rows = LsmLayout.readGenerations(spark, dir, "batch=", live)
+    ledgerFromNames(spark, path, live, snap)
+  }
+
+  /** The ledger read over an ALREADY-LISTED live-generation name set —
+    * callers that also need the names for a byte-budget decision
+    * (ingest's rehydration gate) list once and reuse. */
+  private def ledgerFromNames(
+      spark: SparkSession, path: String,
+      live: Seq[String], snap: LayoutSnapshot): DataFrame = {
+    val rows = LsmLayout.readGenerations(spark, s"$path/ledger", "batch=",
+        live)
       .select(col("doc_id"), col("text"),
         col("bucket").cast("long").as("bucket"))
     LsmLayout.antiJoinTombstones(spark, path, snap, rows, "doc_id")
@@ -236,13 +262,17 @@ object ClusterRegistry {
   private def assignmentsScoped(
       spark: SparkSession, path: String,
       excludeBatch: Option[String],
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      snapOpt: Option[LayoutSnapshot] = None): DataFrame = {
     val dir = s"$path/assignments"
     // ONE snapshot resolution per read: the base pointer, the
     // recent-overlay name set and the pending forget-set all come from
     // the same committed manifest, so a compact flipping mid-read is
-    // invisible (pre- or post-compact state, never a mix)
-    val snap = LsmLayout.snapshot(spark, path)
+    // invisible (pre- or post-compact state, never a mix). A caller
+    // that already resolved the snapshot for its own decisions (the
+    // ingest path) hands it in, so one maintenance call reads ONE
+    // manifest resolution everywhere.
+    val snap = snapOpt.getOrElse(LsmLayout.snapshot(spark, path))
     // committed LIVE generation NAMES from directory metadata — also
     // what keeps the recent-overlay scan pinned to the non-base
     // partitions (folded generations awaiting GC are invisible)
@@ -342,133 +372,170 @@ object ClusterRegistry {
           "(meta lacks ledger_buckets) — re-build the registry with " +
           "ClusterRegistry.build to start an owned-ledger index life")
       val ledgerBuckets = metaRow.getAs[Long]("ledger_buckets").toInt
-      // append the delta's text to the layout-owned ledger FIRST (its
-      // own batch-keyed generation — dynamic overwrite, so a partial
-      // first attempt is replaced bit-for-bit on retry); the probe
-      // below reads the ledger EXCLUDING this generation, so the
-      // replay input is the state before the batch either way
-      Trace("reg.ingest:ledger-append")(delta
-        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
-        .repartition(col("bucket"))
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch", "bucket")
-        .parquet(s"$path/ledger"))
-      // the probe corpus keeps the ledger's PHYSICAL bucket column and
-      // hands the bucket function to the verify stage, so the
-      // candidate-text semi-join dynamically prunes the ledger scan to
-      // the candidate buckets — the rehydration reads candidate-bucket
-      // text, never the corpus (plan-pinned in ClusterRegistrySpec).
-      // BYTE-GATED (the hintBroadcast discipline): while the ledger is
-      // small, one full text scan beats the pruning machinery's fixed
-      // cost (the dynamic-pruning subquery + bucket-keyed join), so
-      // the hint engages only past the threshold — measured: the
-      // un-gated hint cost ~+3.5 s per small-corpus ingest for a scan
-      // it could not meaningfully shrink.
+      // ONE snapshot resolution for the whole ingest: appends never
+      // flip the manifest (only compacts do, and the writer fence
+      // serializes those), so the ordinal, the probe's read scope and
+      // the fold below all see the same committed state.
       val snapNow = LsmLayout.snapshot(spark, path)
-      val corpus = ledgerScoped(spark, path, Some(batchId), snapNow)
-        .select(col("doc_id").as(idCol), col("text").as(textCol),
-          col("bucket").as("graft__lbucket"))
-      val ledgerBytes = LsmLayout.dirBytes(spark, s"$path/ledger",
-        LsmLayout.liveGenerationNames(spark, s"$path/ledger", "batch=",
-          snapNow.ledgerView).filterNot(_ == batchId),
-        "batch=")
-      val bucketHint =
-        if (ledgerBytes > LsmLayout.rehydrationPruneBytes)
-          Some(("graft__lbucket",
-            (id: org.apache.spark.sql.Column) =>
-              ledgerBucket(id, ledgerBuckets)))
-        else None
-      // the generation number = the metadata-monotone ingest ordinal
-      // (shared spelling): never restarts at a compact — folded names
-      // accumulate in the snapshot, so the ordinal keeps counting and
-      // stays ALIGNED with the coordinator's other layouts even when
-      // one layout compacts independently under maintain() — identical
-      // under retry (own dir excluded), and never a data scan
-      val nextGen = LsmLayout.committedGenerationOrdinal(
-        spark, s"$path/assignments", "batch=",
-        LsmLayout.snapshot(spark, path), batchId)
-      // the registry state as of BEFORE this batch: a marker-less
-      // replay would otherwise read its own (possibly partial) first
-      // attempt's generation — e.g. an already-applied merge re-map —
-      // and recompute a DIFFERENT row set, which the dynamic overwrite
-      // would then replace the full generation with (dropping the
-      // re-map). Excluding the batch's own partition makes the replay
-      // input identical to the first attempt's, so the overwrite is a
-      // bit-for-bit replacement. (The same discipline as the band
-      // probe's excludeGen below and the KMV gen derivation.)
-      val reg = assignmentsScoped(spark, path, Some(batchId))
-      // delta ↔ indexed-corpus pairs, corpus side collapsed to its
-      // cluster id; the probe skips this batch's own (possibly
-      // partially appended) band generation so replays are
-      // deterministic
-      // materialized ONCE: the edge list feeds BOTH the component
-      // resolution and the absorbed-cluster remap below — un-shared,
-      // `touched` re-executed the entire probe pipeline (band join,
-      // prefilter, ledger rehydration, exact verify) a second time per
-      // ingest (measured: ~1.5 s of the 6 s sf0.1 ingest wall)
-      val edgesDC = Materialize.shared(BandIndex.probe(
-        corpus, delta, idCol, textCol, s"$path/band", threshold,
-        excludeGen = Some(batchId), preSketched = Some(deltaSketch),
-        corpusBucket = bucketHint)
-        .join(reg.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
-        .select(col("delta_id").as("u"), col("cluster_id").as("v")))
-      val edgesDD = MinHashNearDup
-        .pairsFromSketched(deltaSketch, threshold,
-          numHashes = bandMeta._1)
-        .select(col("id_a").as("u"), col("id_b").as("v"))
-      val comp = Trace("reg.ingest:components")(
-        Materialize.shared(DedupClusters.components(
-          edgesDC.unionByName(edgesDD), "u", "v")))
-      // delta assignments: component min if paired, else singleton
-      val deltaAssign = delta.select(col(idCol).as("doc_id"))
-        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-      // absorbed clusters: a cluster-id vertex whose component is
-      // smaller re-maps ALL its members (bounded by the absorbed
-      // clusters — the merge appends, never rewrites the registry)
-      val touched = edgesDC.select(col("v").as("id")).distinct()
-      val remapTargets = comp
-        .join(broadcast(touched), Seq("id"), "left_semi")
-        .filter(col("comp") < col("id"))
-        .select(col("id").as("cluster_id"), col("comp"))
-      val remapRows = reg
-        .join(broadcast(remapTargets), Seq("cluster_id"))
-        .select(col("doc_id"), col("comp").as("cluster_id"))
-      // eager-checkpoint the (delta+absorbed-sized) generation BEFORE
-      // the overwrite: its plan reads the same assignments path the
-      // write targets (own-partition exclusion + dynamic-overwrite
-      // staging happens to make the self-read safe, but the
-      // checkpoint removes the read-while-overwrite hazard class
-      // outright — the compact() discipline, at delta cost)
-      val (genRows, ckIds, _) = Trace("reg.ingest:gen-rows")(
-        IterationCheckpoint.localCounted(
-          deltaAssign.unionByName(remapRows)))
-      Trace("reg.ingest:gen-write")(genRows
-        .withColumn("gen", lit(nextGen))
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(s"$path/assignments"))
-      IterationCheckpoint.release(spark.sparkContext, ckIds)
-      LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
-      LsmLayout.markApplied(spark, path, batchId)
+      // append the delta's text to the layout-owned ledger (its own
+      // batch-keyed generation — dynamic overwrite, so a partial first
+      // attempt is replaced bit-for-bit on retry). Runs CONCURRENTLY
+      // with the probe below: the probe reads the ledger EXCLUDING
+      // this generation (explicit live-generation paths), so the
+      // write's target directory is invisible to every concurrent
+      // read — the replay input is the state before the batch either
+      // way, appended or mid-append.
+      val ledgerFut = Overlap.future(spark)(
+        Trace("reg.ingest:ledger-append")(delta
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          .withColumn("bucket", ledgerBucket(col("doc_id"), ledgerBuckets))
+          .repartition(col("bucket"))
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "bucket")
+          .parquet(s"$path/ledger")))
+      var bandFut: java.util.concurrent.Future[Unit] = null
+      try {
+        // the probe corpus keeps the ledger's PHYSICAL bucket column
+        // and hands the bucket function to the verify stage, so the
+        // candidate-text semi-join dynamically prunes the ledger scan
+        // to the candidate buckets — the rehydration reads
+        // candidate-bucket text, never the corpus (plan-pinned in
+        // ClusterRegistrySpec). BYTE-GATED (the hintBroadcast
+        // discipline): while the ledger is small, one full text scan
+        // beats the pruning machinery's fixed cost (the dynamic-
+        // pruning subquery + bucket-keyed join), so the hint engages
+        // only past the threshold — measured: the un-gated hint cost
+        // ~+3.5 s per small-corpus ingest for a scan it could not
+        // meaningfully shrink. The live names are listed ONCE and feed
+        // both the read and the byte gate.
+        val ledgerLive = LsmLayout.liveGenerationNames(
+          spark, s"$path/ledger", "batch=", snapNow.ledgerView)
+          .filterNot(_ == batchId)
+        val corpus = ledgerFromNames(spark, path, ledgerLive, snapNow)
+          .select(col("doc_id").as(idCol), col("text").as(textCol),
+            col("bucket").as("graft__lbucket"))
+        val ledgerBytes = LsmLayout.dirBytes(spark, s"$path/ledger",
+          ledgerLive, "batch=")
+        val bucketHint =
+          if (ledgerBytes > LsmLayout.rehydrationPruneBytes)
+            Some(("graft__lbucket",
+              (id: org.apache.spark.sql.Column) =>
+                ledgerBucket(id, ledgerBuckets)))
+          else None
+        // the generation number = the metadata-monotone ingest ordinal
+        // (shared spelling): never restarts at a compact — folded names
+        // accumulate in the snapshot, so the ordinal keeps counting and
+        // stays ALIGNED with the coordinator's other layouts even when
+        // one layout compacts independently under maintain() — identical
+        // under retry (own dir excluded), and never a data scan
+        val nextGen = LsmLayout.committedGenerationOrdinal(
+          spark, s"$path/assignments", "batch=", snapNow, batchId)
+        // the registry state as of BEFORE this batch: a marker-less
+        // replay would otherwise read its own (possibly partial) first
+        // attempt's generation — e.g. an already-applied merge re-map —
+        // and recompute a DIFFERENT row set, which the dynamic overwrite
+        // would then replace the full generation with (dropping the
+        // re-map). Excluding the batch's own partition makes the replay
+        // input identical to the first attempt's, so the overwrite is a
+        // bit-for-bit replacement. (The same discipline as the band
+        // probe's excludeGen below and the KMV gen derivation.)
+        val reg = assignmentsScoped(spark, path, Some(batchId),
+          snapOpt = Some(snapNow))
+        // delta ↔ indexed-corpus pairs, corpus side collapsed to its
+        // cluster id; the probe skips this batch's own (possibly
+        // partially appended) band generation so replays are
+        // deterministic
+        // materialized ONCE: the edge list feeds BOTH the component
+        // resolution and the absorbed-cluster remap below — un-shared,
+        // `touched` re-executed the entire probe pipeline (band join,
+        // prefilter, ledger rehydration, exact verify) a second time per
+        // ingest (measured: ~1.5 s of the 6 s sf0.1 ingest wall)
+        val edgesDC = Materialize.shared(BandIndex.probe(
+          corpus, delta, idCol, textCol, s"$path/band", threshold,
+          excludeGen = Some(batchId), preSketched = Some(deltaSketch),
+          corpusBucket = bucketHint)
+          .join(reg.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
+          .select(col("delta_id").as("u"), col("cluster_id").as("v")))
+        val edgesDD = MinHashNearDup
+          .pairsFromSketched(deltaSketch, threshold,
+            numHashes = bandMeta._1)
+          .select(col("id_a").as("u"), col("id_b").as("v"))
+        val comp = Trace("reg.ingest:components")(
+          Materialize.shared(DedupClusters.components(
+            edgesDC.unionByName(edgesDD), "u", "v")))
+        // the delta sketch is materialized by now (the probe consumed
+        // it) — index the batch into the band layout CONCURRENTLY with
+        // the assignment-generation work below: the two touch disjoint
+        // relations (band/sigs+postings vs assignments), and the band
+        // append commits its own applied marker after its own writes,
+        // so every crash interleaving is one the marker-gated retry
+        // already repairs
+        bandFut = Overlap.future(spark)(Trace("reg.ingest:band-append")(
+          BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
+            writerEpoch = writerEpoch, preSketched = Some(deltaSketch))))
+        // delta assignments: component min if paired, else singleton
+        val deltaAssign = delta.select(col(idCol).as("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        // absorbed clusters: a cluster-id vertex whose component is
+        // smaller re-maps ALL its members (bounded by the absorbed
+        // clusters — the merge appends, never rewrites the registry)
+        val touched = edgesDC.select(col("v").as("id")).distinct()
+        val remapTargets = comp
+          .join(broadcast(touched), Seq("id"), "left_semi")
+          .filter(col("comp") < col("id"))
+          .select(col("id").as("cluster_id"), col("comp"))
+        val remapRows = reg
+          .join(broadcast(remapTargets), Seq("cluster_id"))
+          .select(col("doc_id"), col("comp").as("cluster_id"))
+        // the (delta+absorbed-sized) generation is written DIRECTLY:
+        // its plan reads only explicit live-generation paths that
+        // exclude this batch's own partition, and the dynamic
+        // overwrite replaces only batch=<id> — read and write sets are
+        // disjoint by construction (the compact() ledger-fold
+        // argument). The old eager checkpoint paid one extra
+        // materialization pass per ingest to exclude a hazard the
+        // explicit-path read shape already excludes; the heavy
+        // subtrees (edges, components, the fold overlay) are persisted
+        // above, so the write job re-executes none of them.
+        Trace("reg.ingest:gen-write")(deltaAssign.unionByName(remapRows)
+          .withColumn("gen", lit(nextGen))
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(s"$path/assignments"))
+        // the ledger generation must be committed before the batch is
+        // marked applied (the marker asserts EVERY registry relation
+        // holds the batch)
+        Overlap.await(ledgerFut)
+        LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+        LsmLayout.markApplied(spark, path, batchId)
+        Overlap.await(bandFut)
+      } catch {
+        case e: Throwable =>
+          // settle in-flight writes before surfacing: no background
+          // mutation may still be landing when the caller handles the
+          // failure (the retry contract assumes a quiesced layout)
+          Overlap.settle(ledgerFut)
+          if (bandFut != null) Overlap.settle(bandFut)
+          throw e
+      }
+    } else {
+      // the next batch must see this one in the band index (its own
+      // idempotency marker lives inside BandIndex); a clean retry whose
+      // registry half short-circuited only sketches if the band half
+      // actually needs to run (it checks its own marker first)
+      Trace("reg.ingest:band-append")(
+        BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
+          writerEpoch = writerEpoch,
+          preSketched =
+            if (LsmLayout.isApplied(spark, s"$path/band", batchId)) None
+            else Some(deltaSketch)))
     }
-    // the next batch must see this one in the band index (its own
-    // idempotency marker lives inside BandIndex); on the common path
-    // the shared sketch is already materialized — a clean retry whose
-    // registry half short-circuited only sketches if the band half
-    // actually needs to run (it checks its own marker first)
-    Trace("reg.ingest:band-append")(
-      BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
-      writerEpoch = writerEpoch,
-      preSketched =
-        if (LsmLayout.isApplied(spark, s"$path/band", batchId)) None
-        else Some(deltaSketch)))
     // file-count + overlay-size hygiene (the s46 policy): the fold's
     // broadcast overlay grows with every generation until a compact
     // folds it into base — one listStatus, no data read. LIVE count

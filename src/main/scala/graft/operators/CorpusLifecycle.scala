@@ -66,19 +66,24 @@ object CorpusLifecycle {
       layouts: CorpusLayouts, batchId: String,
       epochOf: String => Option[Long] = _ => None): Unit = {
     val ids = forgetDocs.select(col(idCol))
-    layouts.registry.foreach(p =>
-      ClusterRegistry.forget(ids, idCol, p, batchId, epochOf(p)))
-    layouts.band.foreach(p =>
-      BandIndex.tombstone(ids, idCol, p, batchId, epochOf(p)))
-    layouts.lexical.foreach(p =>
-      LexicalIndex.tombstone(forgetDocs, idCol, textCol, p, batchId,
-        epochOf(p)))
-    layouts.kmv.foreach(p =>
-      KmvLayout.tombstone(ids, idCol, p, batchId, epochOf(p)))
-    layouts.ivf.foreach(p =>
-      IvfLayout.tombstone(ids, idCol, p, batchId, epochOf(p)))
-    layouts.chunks.foreach(p =>
-      ChunkStore.tombstone(ids, idCol, p, batchId, epochOf(p)))
+    // the six per-layout forgets touch disjoint paths and are each
+    // marker-gated — fan them out CONCURRENTLY (Overlap settles every
+    // branch before surfacing a failure, so an error mid-fan-out
+    // leaves exactly the partial state the retry contract repairs)
+    Overlap.all(forgetDocs.sparkSession)(
+      (layouts.registry.map(p => () =>
+        ClusterRegistry.forget(ids, idCol, p, batchId, epochOf(p))) ++
+      layouts.band.map(p => () =>
+        BandIndex.tombstone(ids, idCol, p, batchId, epochOf(p))) ++
+      layouts.lexical.map(p => () =>
+        LexicalIndex.tombstone(forgetDocs, idCol, textCol, p, batchId,
+          epochOf(p))) ++
+      layouts.kmv.map(p => () =>
+        KmvLayout.tombstone(ids, idCol, p, batchId, epochOf(p))) ++
+      layouts.ivf.map(p => () =>
+        IvfLayout.tombstone(ids, idCol, p, batchId, epochOf(p))) ++
+      layouts.chunks.map(p => () =>
+        ChunkStore.tombstone(ids, idCol, p, batchId, epochOf(p)))).toSeq: _*)
   }
 
   /** Corpus-wide delta ingest: ONE delta batch, ONE batch id, every
@@ -120,27 +125,35 @@ object CorpusLifecycle {
     require(layouts.ivf.isEmpty || deltaVectors.isDefined,
       "an IVF layout is configured but no deltaVectors were supplied — " +
         "the layout would silently miss this batch")
-    layouts.registry.foreach(p => Trace("corpus.ingest:registry")(
-      ClusterRegistry.ingest(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p))))
-    layouts.band.foreach(p => Trace("corpus.ingest:band")(
-      BandIndex.append(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p))))
-    layouts.lexical.foreach(p => Trace("corpus.ingest:lexical")(
-      LexicalIndex.refresh(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p))))
-    layouts.kmv.foreach(p => Trace("corpus.ingest:kmv")(
-      KmvLayout.refresh(delta, groupCol.get, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p))))
-    layouts.ivf.foreach { p =>
-      val (vecs, vid, vcol) = deltaVectors.get
-      Trace("corpus.ingest:ivf")(
-        IvfLayout.refresh(vecs, vid, vcol, p, batchId,
-          compactAfterGenerations, epochOf(p)))
-    }
-    layouts.chunks.foreach(p => Trace("corpus.ingest:chunks")(
-      ChunkStore.refresh(delta, idCol, textCol, p, batchId,
-        compactAfterGenerations, epochOf(p))))
+    // the six per-layout ingests touch disjoint paths and are each
+    // marker-gated — fan them out CONCURRENTLY: at bench scale each
+    // branch's wall is dominated by per-action fixed cost, and at
+    // 100 TB the small layouts' commit latency hides behind the
+    // registry's probe. Failure semantics are unchanged (Overlap
+    // settles every branch, then rethrows the first error — a partial
+    // fan-out the same retry call repairs).
+    Overlap.all(delta.sparkSession)(
+      (layouts.registry.map(p => () => Trace("corpus.ingest:registry")(
+        ClusterRegistry.ingest(delta, idCol, textCol, p, batchId,
+          compactAfterGenerations, epochOf(p)))) ++
+      layouts.band.map(p => () => Trace("corpus.ingest:band")(
+        BandIndex.append(delta, idCol, textCol, p, batchId,
+          compactAfterGenerations, epochOf(p)))) ++
+      layouts.lexical.map(p => () => Trace("corpus.ingest:lexical")(
+        LexicalIndex.refresh(delta, idCol, textCol, p, batchId,
+          compactAfterGenerations, epochOf(p)))) ++
+      layouts.kmv.map(p => () => Trace("corpus.ingest:kmv")(
+        KmvLayout.refresh(delta, groupCol.get, idCol, textCol, p, batchId,
+          compactAfterGenerations, epochOf(p)))) ++
+      layouts.ivf.map { p => () =>
+        val (vecs, vid, vcol) = deltaVectors.get
+        Trace("corpus.ingest:ivf")(
+          IvfLayout.refresh(vecs, vid, vcol, p, batchId,
+            compactAfterGenerations, epochOf(p)))
+      } ++
+      layouts.chunks.map(p => () => Trace("corpus.ingest:chunks")(
+        ChunkStore.refresh(delta, idCol, textCol, p, batchId,
+          compactAfterGenerations, epochOf(p))))).toSeq: _*)
   }
 
   /** Fan out the snapshot-atomic compacts — physical reclamation of
@@ -153,13 +166,20 @@ object CorpusLifecycle {
   def compact(
       spark: SparkSession, layouts: CorpusLayouts,
       epochOf: String => Option[Long] = _ => None): Unit = {
-    layouts.registry.foreach(p =>
-      ClusterRegistry.compact(spark, p, epochOf(p)))
-    layouts.band.foreach(p => BandIndex.compact(spark, p, epochOf(p)))
-    layouts.lexical.foreach(p => LexicalIndex.compact(spark, p, epochOf(p)))
-    layouts.kmv.foreach(p => KmvLayout.compact(spark, p, epochOf(p)))
-    layouts.ivf.foreach(p => IvfLayout.compact(spark, p, epochOf(p)))
-    layouts.chunks.foreach(p => ChunkStore.compact(spark, p, epochOf(p)))
+    // independent snapshot-atomic compacts on disjoint paths — fan out
+    // concurrently; a failure leaves the other layouts' forget-sets
+    // applied or pending exactly as a crash would (still correct at
+    // serve time, repaired by the next call)
+    Overlap.all(spark)(
+      (layouts.registry.map(p => () =>
+        ClusterRegistry.compact(spark, p, epochOf(p))) ++
+      layouts.band.map(p => () => BandIndex.compact(spark, p, epochOf(p))) ++
+      layouts.lexical.map(p => () =>
+        LexicalIndex.compact(spark, p, epochOf(p))) ++
+      layouts.kmv.map(p => () => KmvLayout.compact(spark, p, epochOf(p))) ++
+      layouts.ivf.map(p => () => IvfLayout.compact(spark, p, epochOf(p))) ++
+      layouts.chunks.map(p => () =>
+        ChunkStore.compact(spark, p, epochOf(p)))).toSeq: _*)
   }
 
   /** The maintenance policy [[maintain]] decides with — every
@@ -224,14 +244,14 @@ object CorpusLifecycle {
       policy: MaintenancePolicy = MaintenancePolicy(),
       epochOf: String => Option[Long] = _ => None): DataFrame = {
     import spark.implicits._
-    val out = Seq.newBuilder[(String, String, Double, Double, String)]
+    type Decision = (String, String, Double, Double, String)
     def genRule(name: String, p: String, dir: String, prefix: String)(
-        run: => Unit): Unit = {
+        run: => Unit): Decision = {
       val n = LsmLayout.liveGenerationCount(spark, p, dir, prefix)
       val act = n > policy.maxLiveGenerations
       if (act) run
-      out += ((name, "live_generations", n.toDouble,
-        policy.maxLiveGenerations.toDouble, if (act) "compact" else "none"))
+      (name, "live_generations", n.toDouble,
+        policy.maxLiveGenerations.toDouble, if (act) "compact" else "none")
     }
     // the dead-share rule, tried BEFORE the count rule (the chunk
     // branch's shape, uniform across the posting/sketch families): a
@@ -240,7 +260,7 @@ object CorpusLifecycle {
     // → share 0 from metadata alone, no report scan runs.
     def deadOrGenRule(
         name: String, p: String, dir: String, prefix: String,
-        threshold: Double, stats: => DataFrame)(run: => Unit): Unit = {
+        threshold: Double, stats: => DataFrame)(run: => Unit): Decision = {
       val pending = LsmLayout.liveTombstoneBatches(
         spark, p, LsmLayout.snapshot(spark, p)).nonEmpty
       val share =
@@ -253,50 +273,57 @@ object CorpusLifecycle {
         }
       if (share > threshold) {
         run
-        out += ((name, "dead_row_share", share, threshold, "compact"))
+        (name, "dead_row_share", share, threshold, "compact")
       } else genRule(name, p, dir, prefix)(run)
     }
-    layouts.registry.foreach(p =>
-      deadOrGenRule("registry", p, s"$p/assignments", "batch=",
-        policy.maxRegistryDeadShare, ClusterRegistry.deadRowStats(spark, p))(
-        ClusterRegistry.compact(spark, p, epochOf(p))))
-    layouts.band.foreach(p =>
-      deadOrGenRule("band", p, s"$p/sigs", "gen=",
-        policy.maxBandDeadShare, BandIndex.deadRowStats(spark, p))(
-        BandIndex.compact(spark, p, epochOf(p))))
-    layouts.lexical.foreach(p =>
-      deadOrGenRule("lexical", p, s"$p/lexicon", "gen=",
-        policy.maxLexicalDeadShare, LexicalIndex.deadRowStats(spark, p))(
-        LexicalIndex.compact(spark, p, epochOf(p))))
-    layouts.kmv.foreach(p =>
-      deadOrGenRule("kmv", p, s"$p/sketches", "batch=",
-        policy.maxKmvDeadShare, KmvLayout.deadRowStats(spark, p))(
-        KmvLayout.compact(spark, p, epochOf(p))))
-    layouts.ivf.foreach { p =>
-      val shares = IvfLayout.cellStats(spark, p)
-        .select(col("share")).as[Double].collect()
-      val mx = if (shares.isEmpty) 0.0 else shares.max
-      if (mx > policy.maxIvfCellShare) {
-        IvfLayout.retrain(spark, p, policy.ivfRetrainRounds,
-          writerEpoch = epochOf(p))
-        out += (("ivf", "max_cell_share", mx,
-          policy.maxIvfCellShare, "retrain"))
-      } else genRule("ivf", p, s"$p/vectors", "gen=")(
-        IvfLayout.compact(spark, p, epochOf(p)))
-    }
-    layouts.chunks.foreach { p =>
-      val r = ChunkStore.deadChunkStats(spark, p).head()
-      val (live, dead) = (r.getLong(0), r.getLong(1))
-      val share = if (live + dead == 0L) 0.0
-        else dead.toDouble / (live + dead).toDouble
-      if (share > policy.maxChunkDeadShare) {
-        ChunkStore.compact(spark, p, epochOf(p))
-        out += (("chunks", "dead_chunk_share", share,
-          policy.maxChunkDeadShare, "compact"))
-      } else genRule("chunks", p, s"$p/manifest", "gen=")(
-        ChunkStore.compact(spark, p, epochOf(p)))
-    }
-    out.result()
+    // each layout's observe→decide→act chain is independent of every
+    // other's (disjoint paths, per-layout epochs) — run the six
+    // branches CONCURRENTLY and assemble the decision relation in the
+    // canonical layout order (row content identical to the sequential
+    // spelling; actions stay snapshot-atomic and epoch-fenced inside)
+    val decisions: Seq[(String, String, Double, Double, String)] =
+      Overlap.join(spark)(
+      (layouts.registry.map(p => () =>
+        deadOrGenRule("registry", p, s"$p/assignments", "batch=",
+          policy.maxRegistryDeadShare,
+          ClusterRegistry.deadRowStats(spark, p))(
+          ClusterRegistry.compact(spark, p, epochOf(p)))) ++
+      layouts.band.map(p => () =>
+        deadOrGenRule("band", p, s"$p/sigs", "gen=",
+          policy.maxBandDeadShare, BandIndex.deadRowStats(spark, p))(
+          BandIndex.compact(spark, p, epochOf(p)))) ++
+      layouts.lexical.map(p => () =>
+        deadOrGenRule("lexical", p, s"$p/lexicon", "gen=",
+          policy.maxLexicalDeadShare, LexicalIndex.deadRowStats(spark, p))(
+          LexicalIndex.compact(spark, p, epochOf(p)))) ++
+      layouts.kmv.map(p => () =>
+        deadOrGenRule("kmv", p, s"$p/sketches", "batch=",
+          policy.maxKmvDeadShare, KmvLayout.deadRowStats(spark, p))(
+          KmvLayout.compact(spark, p, epochOf(p)))) ++
+      layouts.ivf.map { p => () =>
+        val shares = IvfLayout.cellStats(spark, p)
+          .select(col("share")).as[Double].collect()
+        val mx = if (shares.isEmpty) 0.0 else shares.max
+        if (mx > policy.maxIvfCellShare) {
+          IvfLayout.retrain(spark, p, policy.ivfRetrainRounds,
+            writerEpoch = epochOf(p))
+          ("ivf", "max_cell_share", mx, policy.maxIvfCellShare, "retrain")
+        } else genRule("ivf", p, s"$p/vectors", "gen=")(
+          IvfLayout.compact(spark, p, epochOf(p)))
+      } ++
+      layouts.chunks.map { p => () =>
+        val r = ChunkStore.deadChunkStats(spark, p).head()
+        val (live, dead) = (r.getLong(0), r.getLong(1))
+        val share = if (live + dead == 0L) 0.0
+          else dead.toDouble / (live + dead).toDouble
+        if (share > policy.maxChunkDeadShare) {
+          ChunkStore.compact(spark, p, epochOf(p))
+          ("chunks", "dead_chunk_share", share,
+            policy.maxChunkDeadShare, "compact")
+        } else genRule("chunks", p, s"$p/manifest", "gen=")(
+          ChunkStore.compact(spark, p, epochOf(p)))
+      }).toSeq)
+    decisions
       .toDF("layout", "metric", "value", "threshold", "action")
   }
 

@@ -61,15 +61,17 @@ private[graft] object IterationCheckpoint {
     * `toRdd` reuses mutable UnsafeRows, the same discipline
     * `Dataset.localCheckpoint` applies internally. */
   def localCounted(df: DataFrame): (DataFrame, scala.collection.Set[Int], Long) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val rdd = org.apache.spark.sql.GraftSqlInternals.internalRdd(df)
       .map(_.copy())
     rdd.localCheckpoint()
     val n = rdd.count()
-    val ids = sc.getPersistentRDDs.keySet -- before
+    // the release set is the checkpointed RDD's OWN id — localCheckpoint
+    // persists exactly `rdd`. (The old global persistent-keyset diff
+    // mis-attributed blocks when independent maintenance calls overlap
+    // on driver threads: releasing a FOREIGN checkpoint's blocks after
+    // its lineage was truncated loses the only copy of its rows.)
     (org.apache.spark.sql.GraftSqlInternals.internalCreateDataFrame(
-      df.sparkSession, rdd, df.schema), ids, n)
+      df.sparkSession, rdd, df.schema), Set(rdd.id), n)
   }
 
   /** Reliable-checkpoint variant (files under the session checkpoint

@@ -317,30 +317,35 @@ object LexicalIndex {
       val dposts = postingProjection(delta, idCol, textCol, n, buckets)
         .withColumn("gen", lit(batchId))
         .transform(Materialize.shared)
-      dposts
-        .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen", "bucket")
-        .parquet(s"$path/postings")
-      dposts.groupBy(col("bucket"), col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .withColumn("gen", lit(batchId))
-        .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen", "bucket")
-        .parquet(s"$path/lexicon")
-      delta
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
-        .withColumn("buckets", lit(buckets.toLong))
-        .withColumn("shingle_n", lit(n.toLong))
-        .withColumn("gen", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen")
-        .parquet(s"$path/meta")
+      // three disjoint relations from one shared delta projection —
+      // the writes overlap (the marker below lands after ALL settle;
+      // racing consumers materialize the shared frame once under the
+      // block manager's per-block lock)
+      Overlap.all(spark)(
+        () => dposts
+          .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen", "bucket")
+          .parquet(s"$path/postings"),
+        () => dposts.groupBy(col("bucket"), col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("gen", lit(batchId))
+          .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen", "bucket")
+          .parquet(s"$path/lexicon"),
+        () => delta
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+          .withColumn("buckets", lit(buckets.toLong))
+          .withColumn("shingle_n", lit(n.toLong))
+          .withColumn("gen", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen")
+          .parquet(s"$path/meta"))
       LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
       markApplied(spark, path, batchId)
     }
@@ -411,31 +416,34 @@ object LexicalIndex {
       IterationCheckpoint.release(spark.sparkContext, ids)
       return
     }
-    forget.select(col(idCol).as("doc_id"))
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
-      .parquet(s"$path/tombstones")
-    postingProjection(forget, idCol, textCol, n, buckets)
-      .groupBy(col("bucket"), col("shingle"))
-      .agg((-count(lit(1))).as("df"))
-      .withColumn("gen", lit(gen))
-      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket")
-      .parquet(s"$path/lexicon")
-    forget
-      .agg((-count(lit(1))).as("n_docs"),
-        (-sum(size(split(col(textCol), " ")).cast("long"))).as("n_tokens"))
-      .withColumn("buckets", lit(buckets.toLong))
-      .withColumn("shingle_n", lit(n.toLong))
-      .withColumn("gen", lit(gen))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/meta")
+    // three disjoint relations from the checkpointed forget-set —
+    // overlap the writes (marker after ALL settle)
+    Overlap.all(spark)(
+      () => forget.select(col(idCol).as("doc_id"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/tombstones"),
+      () => postingProjection(forget, idCol, textCol, n, buckets)
+        .groupBy(col("bucket"), col("shingle"))
+        .agg((-count(lit(1))).as("df"))
+        .withColumn("gen", lit(gen))
+        .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "bucket")
+        .parquet(s"$path/lexicon"),
+      () => forget
+        .agg((-count(lit(1))).as("n_docs"),
+          (-sum(size(split(col(textCol), " ")).cast("long"))).as("n_tokens"))
+        .withColumn("buckets", lit(buckets.toLong))
+        .withColumn("shingle_n", lit(n.toLong))
+        .withColumn("gen", lit(gen))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/meta"))
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     markApplied(spark, path, gen)
     IterationCheckpoint.release(spark.sparkContext, ids)
@@ -468,35 +476,46 @@ object LexicalIndex {
     val newBase = snap.nextBase
     Seq("postings", "lexicon", "meta").foreach(rel =>
       LsmLayout.clearStaleGeneration(spark, s"$path/$rel", "gen=", newBase))
-    val (post, postIds, _) = IterationCheckpoint.localCounted(
-      postingsScoped(spark, path, snap))
-    post
-      .withColumn("gen", lit(newBase))
-      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket")
-      .parquet(s"$path/postings")
-    IterationCheckpoint.release(spark.sparkContext, postIds)
-    val (lex, lexIds, _) = IterationCheckpoint.localCounted(
-      lexiconScoped(spark, path, snap))
-    lex
-      .withColumn("gen", lit(newBase))
-      .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket")
-      .parquet(s"$path/lexicon")
-    IterationCheckpoint.release(spark.sparkContext, lexIds)
-    val (meta, metaIds, _) = IterationCheckpoint.localCounted(
-      metaRowScoped(spark, path, snap))
-    meta
-      .withColumn("gen", lit(newBase))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen")
-      .parquet(s"$path/meta")
-    IterationCheckpoint.release(spark.sparkContext, metaIds)
+    // the three relation folds are independent (each reads its own
+    // live generations, writes its own new base) — overlap them; the
+    // ONE manifest flip below still lands only after ALL settle, so
+    // readers keep the all-or-nothing visibility contract
+    Overlap.all(spark)(
+      () => {
+        val (post, postIds, _) = IterationCheckpoint.localCounted(
+          postingsScoped(spark, path, snap))
+        post
+          .withColumn("gen", lit(newBase))
+          .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen", "bucket")
+          .parquet(s"$path/postings")
+        IterationCheckpoint.release(spark.sparkContext, postIds)
+      },
+      () => {
+        val (lex, lexIds, _) = IterationCheckpoint.localCounted(
+          lexiconScoped(spark, path, snap))
+        lex
+          .withColumn("gen", lit(newBase))
+          .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen", "bucket")
+          .parquet(s"$path/lexicon")
+        IterationCheckpoint.release(spark.sparkContext, lexIds)
+      },
+      () => {
+        val (meta, metaIds, _) = IterationCheckpoint.localCounted(
+          metaRowScoped(spark, path, snap))
+        meta
+          .withColumn("gen", lit(newBase))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen")
+          .parquet(s"$path/meta")
+        IterationCheckpoint.release(spark.sparkContext, metaIds)
+      })
     val folded = snap.folded ++
       Seq("postings", "lexicon", "meta").flatMap(rel =>
         LsmLayout.liveGenerationNames(spark, s"$path/$rel", "gen=", snap))

@@ -94,15 +94,20 @@ object CorpusFixture {
       val base = docs.filter(col("doc_id") % 3 =!= 0)
       val baseVecs = graft.sources.Tables(spark, sfDir, "embeddings")
         .filter(col("vec_id") % 3 =!= 0)
-      ClusterRegistry.build(base, "doc_id", "text", s"$root/registry")
-      BandIndex.build(base, "doc_id", "text", s"$root/band")
-      LexicalIndex.build(base, "doc_id", "text", s"$root/lexical")
-      KmvLayout.build(base.withColumn("g", col("doc_id")),
-        "g", "doc_id", "text", s"$root/kmv", k = 32)
-      IvfLayout.build(baseVecs, "vec_id", "embedding", s"$root/ivf",
-        Similarity.hyperplanes(4, 64).map(_.map(_.toDouble)))
-      ChunkStore.build(base, "doc_id", "text", s"$root/chunks",
-        maskBits = 4)
+      // six independent builds on disjoint directories — overlap them
+      // (the fixture wall is the slowest build, not the sum; each
+      // build's own internal contracts are unchanged)
+      Overlap.all(spark)(
+        () => ClusterRegistry.build(base, "doc_id", "text",
+          s"$root/registry"),
+        () => BandIndex.build(base, "doc_id", "text", s"$root/band"),
+        () => LexicalIndex.build(base, "doc_id", "text", s"$root/lexical"),
+        () => KmvLayout.build(base.withColumn("g", col("doc_id")),
+          "g", "doc_id", "text", s"$root/kmv", k = 32),
+        () => IvfLayout.build(baseVecs, "vec_id", "embedding", s"$root/ivf",
+          Similarity.hyperplanes(4, 64).map(_.map(_.toDouble))),
+        () => ChunkStore.build(base, "doc_id", "text", s"$root/chunks",
+          maskBits = 4))
       Files.createFile(done)
     }
     root
