@@ -653,35 +653,34 @@ object ClusterRegistry {
     // maintenance op and a full-corpus text pass on every policy trip.
     val foldLedger = liveTs.nonEmpty ||
       ledgerLive.size > LedgerFoldAfterGenerations
-    val (rows, ckIds, _) = Trace("reg.compact:fold-rows")(
-      IterationCheckpoint.localCounted(
-        assignments(spark, path)))
-    Trace("reg.compact:fold-write")(rows
-      .withColumn("gen", lit(0L))
-      .withColumn("batch", lit(newBase))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
-      .parquet(s"$path/assignments"))
-    IterationCheckpoint.release(spark.sparkContext, ckIds)
-    // fold the text ledger the same way — this is where a forgotten
-    // doc's TEXT physically leaves the layout (the GDPR contract now
-    // covers the stored ledger, not just ids and postings). No
-    // checkpoint for the corpus-sized text: the fold reads explicit
-    // live-generation paths and writes only the just-cleared
-    // batch=<newBase> directory, so read and write sets are disjoint
-    // by construction (checkpointing here would materialize the whole
-    // corpus text a second time inside the one deliberately
-    // corpus-sized maintenance op).
-    if (foldLedger)
-      Trace("reg.compact:ledger-fold")(
-        ledgerScoped(spark, path, None, snap)
-          .repartition(col("bucket"))
+    // both folds read explicit live-generation paths and write only
+    // the just-cleared batch=<newBase> directories, so read and write
+    // sets are disjoint by construction — no checkpoint needed
+    // (materializing the corpus-sized relations a second time inside
+    // the one deliberately corpus-sized maintenance op), and the two
+    // folds touch disjoint relations, so they OVERLAP. The ledger fold
+    // is where a forgotten doc's TEXT physically leaves the layout
+    // (the GDPR contract covers the stored ledger, not just ids and
+    // postings); the snapshot commit below lands only after both.
+    Overlap.all(spark)(
+      (Seq(() => Trace("reg.compact:fold-write")(
+        assignments(spark, path)
+          .withColumn("gen", lit(0L))
           .withColumn("batch", lit(newBase))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch", "bucket")
-          .parquet(s"$path/ledger"))
+          .partitionBy("batch")
+          .parquet(s"$path/assignments"))) ++
+      (if (foldLedger)
+        Seq(() => Trace("reg.compact:ledger-fold")(
+          ledgerScoped(spark, path, None, snap)
+            .repartition(col("bucket"))
+            .withColumn("batch", lit(newBase))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "bucket")
+            .parquet(s"$path/ledger")))
+      else Seq.empty)): _*)
     // per-relation fold sets (each relation records ONLY its own
     // folded generation names — the shared-set spelling recorded every
     // batch twice and the duplicates accumulated across compacts)

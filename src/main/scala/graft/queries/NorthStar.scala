@@ -9286,17 +9286,21 @@ object NorthStar {
       // HISTORICAL hand-rolled fan-out the audit exists to catch
       val lay = CorpusFixture.cloneBase(s, d, root)
       // the historical hand-rolled fan-out: five layouts got the
-      // batch, lexical never did — no per-batch audit ran back then
-      ClusterRegistry.ingest(delta, "doc_id", "text",
-        s"$root/registry", batchId = "b1")
-      BandIndex.append(delta, "doc_id", "text", s"$root/band",
-        batchId = "b1")
-      KmvLayout.refresh(delta.withColumn("g", col("doc_id")),
-        "g", "doc_id", "text", s"$root/kmv", batchId = "b1")
-      IvfLayout.refresh(emb.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", s"$root/ivf", batchId = "b1")
-      ChunkStore.refresh(delta, "doc_id", "text", s"$root/chunks",
-        batchId = "b1")
+      // batch, lexical never did — no per-batch audit ran back then.
+      // (The five calls are the coordinator-less shape under test;
+      // they are pairwise independent, so they overlap — the audited
+      // state is identical either way.)
+      Overlap.all(s)(
+        () => ClusterRegistry.ingest(delta, "doc_id", "text",
+          s"$root/registry", batchId = "b1"),
+        () => BandIndex.append(delta, "doc_id", "text", s"$root/band",
+          batchId = "b1"),
+        () => KmvLayout.refresh(delta.withColumn("g", col("doc_id")),
+          "g", "doc_id", "text", s"$root/kmv", batchId = "b1"),
+        () => IvfLayout.refresh(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", s"$root/ivf", batchId = "b1"),
+        () => ChunkStore.refresh(delta, "doc_id", "text", s"$root/chunks",
+          batchId = "b1"))
       CorpusLifecycle.consistencyAudit(s, lay).orderBy(col("layout"))
     },
 
@@ -9396,9 +9400,11 @@ object NorthStar {
       val lay = CorpusLifecycle.CorpusLayouts(
         registry = Some(s"$root/registry"), kmv = Some(s"$root/kmv"))
       val a = docs.filter(col("doc_id") % 3 === 1)
-      ClusterRegistry.build(a, "doc_id", "text", s"$root/registry")
-      KmvLayout.build(a.withColumn("g", col("doc_id")),
-        "g", "doc_id", "text", s"$root/kmv", k = 32)
+      // two independent builds on disjoint paths — overlap them
+      Overlap.all(s)(
+        () => ClusterRegistry.build(a, "doc_id", "text", s"$root/registry"),
+        () => KmvLayout.build(a.withColumn("g", col("doc_id")),
+          "g", "doc_id", "text", s"$root/kmv", k = 32))
       def g(df: DataFrame) = df.withColumn("g", col("doc_id"))
       CorpusLifecycle.ingest(g(docs.filter(col("doc_id") % 3 === 2)),
         "doc_id", "text", lay, batchId = "b1", groupCol = Some("g"))
@@ -9522,8 +9528,11 @@ object NorthStar {
         kmv = Some(s"$root/kmv"), chunks = Some(s"$root/chunks"))
       def g(df: DataFrame) = df.withColumn("g", col("doc_id"))
       val a = docs.filter(col("doc_id") % 3 === 1)
-      KmvLayout.build(g(a), "g", "doc_id", "text", s"$root/kmv", k = 32)
-      ChunkStore.build(a, "doc_id", "text", s"$root/chunks")
+      // two independent builds on disjoint paths — overlap them
+      Overlap.all(s)(
+        () => KmvLayout.build(g(a), "g", "doc_id", "text", s"$root/kmv",
+          k = 32),
+        () => ChunkStore.build(a, "doc_id", "text", s"$root/chunks"))
       CorpusLifecycle.ingest(g(docs.filter(col("doc_id") % 3 === 2)),
         "doc_id", "text", lay, batchId = "b1", groupCol = Some("g"))
       // INDEPENDENT maintenance mid-history: only the chunk store
