@@ -395,7 +395,22 @@ object ClusterRegistry {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch", "bucket")
           .parquet(s"$path/ledger")))
-      var bandFut: java.util.concurrent.Future[Unit] = null
+      // the band append needs ONLY the shared delta sketch — launch it
+      // WITH the ledger append, so its two delta-sized writes (and
+      // their commit latency) hide behind the probe/components chain
+      // below instead of serializing after it. Disjoint by
+      // construction: it writes the band layout's gen=<batchId>
+      // directories, which every probe read EXCLUDES explicitly
+      // (excludeGen — the replay discipline), and the band layout
+      // commits its own applied marker after its own writes, so every
+      // crash interleaving is one the marker-gated retry already
+      // repairs. Racing first consumers of the lazy shared sketch are
+      // safe: cached partitions are computed once under the block
+      // manager's per-block lock (and the Scala lazy val itself
+      // synchronizes initialization).
+      val bandFut = Overlap.future(spark)(Trace("reg.ingest:band-append")(
+        BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
+          writerEpoch = writerEpoch, preSketched = Some(deltaSketch))))
       try {
         // the probe corpus keeps the ledger's PHYSICAL bucket column
         // and hands the bucket function to the verify stage, so the
@@ -465,16 +480,6 @@ object ClusterRegistry {
         val comp = Trace("reg.ingest:components")(
           Materialize.shared(DedupClusters.components(
             edgesDC.unionByName(edgesDD), "u", "v")))
-        // the delta sketch is materialized by now (the probe consumed
-        // it) — index the batch into the band layout CONCURRENTLY with
-        // the assignment-generation work below: the two touch disjoint
-        // relations (band/sigs+postings vs assignments), and the band
-        // append commits its own applied marker after its own writes,
-        // so every crash interleaving is one the marker-gated retry
-        // already repairs
-        bandFut = Overlap.future(spark)(Trace("reg.ingest:band-append")(
-          BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
-            writerEpoch = writerEpoch, preSketched = Some(deltaSketch))))
         // delta assignments: component min if paired, else singleton
         val deltaAssign = delta.select(col(idCol).as("doc_id"))
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -508,20 +513,22 @@ object ClusterRegistry {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch")
           .parquet(s"$path/assignments"))
-        // the ledger generation must be committed before the batch is
-        // marked applied (the marker asserts EVERY registry relation
-        // holds the batch)
+        // the ledger AND band generations must be committed before the
+        // batch is marked applied (the marker asserts EVERY registry
+        // relation — assignments, ledger, internal band — holds the
+        // batch; awaiting the band here is free, its writes overlapped
+        // the whole probe/components chain)
         Overlap.await(ledgerFut)
+        Overlap.await(bandFut)
         LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
         LsmLayout.markApplied(spark, path, batchId)
-        Overlap.await(bandFut)
       } catch {
         case e: Throwable =>
           // settle in-flight writes before surfacing: no background
           // mutation may still be landing when the caller handles the
           // failure (the retry contract assumes a quiesced layout)
           Overlap.settle(ledgerFut)
-          if (bandFut != null) Overlap.settle(bandFut)
+          Overlap.settle(bandFut)
           throw e
       }
     } else {

@@ -434,8 +434,8 @@ object CorpusLifecycle {
           served(BandIndex.signatures(spark, p), "doc_id"))
       } ++
       layouts.lexical.map { p =>
-        val w = LexicalIndex.metaRow(spark, p)
-          .head().getAs[Long]("shingle_n").toInt
+        val w = LexicalIndex.layoutConstants(
+          spark, p, LsmLayout.snapshot(spark, p))._1
         diff("lexical", ref.filter(col("graft__ntok") >= w),
           served(LexicalIndex.postings(spark, p), "doc_id"))
       } ++

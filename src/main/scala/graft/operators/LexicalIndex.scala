@@ -85,29 +85,37 @@ object LexicalIndex {
     LsmLayout.deleteDir(spark, s"$path/tombstones")
     LsmLayout.clearApplied(spark, path)
     LsmLayout.clearSnapshots(spark, path)
-    postingProjection(docs, idCol, textCol, n, buckets)
-      .withColumn("gen", lit(BaseGen))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("gen", "bucket")
-      .parquet(s"$path/postings")
-    // document frequency from the STORED postings — one groupBy over
-    // the narrow index, no second pass over text
-    spark.read.parquet(s"$path/postings")
-      .groupBy(col("bucket"), col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .withColumn("gen", lit(BaseGen))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("shingle"))
-      .write.mode("overwrite").partitionBy("gen", "bucket")
-      .parquet(s"$path/lexicon")
-    docs
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
-      .withColumn("buckets", lit(buckets.toLong))
-      .withColumn("shingle_n", lit(n.toLong))
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/meta")
+    // meta/ is disjoint from the postings→lexicon chain (its counts
+    // come from the DOCS, not the stored postings — docs shorter than
+    // the shingle width have no postings but still count), so its
+    // corpus scan runs CONCURRENTLY with the chain instead of
+    // serializing as a third action after it
+    Overlap.all(spark)(
+      () => {
+        postingProjection(docs, idCol, textCol, n, buckets)
+          .withColumn("gen", lit(BaseGen))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("shingle"))
+          .write.mode("overwrite").partitionBy("gen", "bucket")
+          .parquet(s"$path/postings")
+        // document frequency from the STORED postings — one groupBy
+        // over the narrow index, no second pass over text
+        spark.read.parquet(s"$path/postings")
+          .groupBy(col("bucket"), col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("gen", lit(BaseGen))
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("shingle"))
+          .write.mode("overwrite").partitionBy("gen", "bucket")
+          .parquet(s"$path/lexicon")
+      },
+      () => docs
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+        .withColumn("buckets", lit(buckets.toLong))
+        .withColumn("shingle_n", lit(n.toLong))
+        .withColumn("gen", lit(BaseGen))
+        .write.mode("overwrite").partitionBy("gen").parquet(s"$path/meta"))
   }
 
   /** The generation name the one-shot [[build]] writes. Incremental
@@ -161,7 +169,8 @@ object LexicalIndex {
   private def postingsScoped(
       spark: SparkSession, path: String, snap: LayoutSnapshot): DataFrame =
     LsmLayout.antiJoinTombstones(spark, path, snap,
-      scopedRel(spark, path, "postings", snap).drop("gen"), "doc_id")
+      scopedRel(spark, path, "postings", snap.ledgerView).drop("gen"),
+      "doc_id")
 
   /** The LOGICAL document-frequency table: refresh appends delta df
     * generations LSM-style (never rewrites the stored table), so the
@@ -193,6 +202,21 @@ object LexicalIndex {
         sum(col("n_tokens")).as("n_tokens"),
         max(col("buckets")).as("buckets"),
         max(col("shingle_n")).as("shingle_n"))
+
+  /** The layout CONSTANTS (shingle_n, buckets) — identical in every
+    * meta generation row by construction, so they read from the
+    * snapshot's BASE generation only, through the driver-side
+    * fingerprint cache (one listStatus on a hit; the parquet read job
+    * only on first touch or after a compact/rebuild rewrites the
+    * base). Every maintenance call used to pay a full
+    * `metaRow().head()` Spark job just to re-learn these build-time
+    * constants. The summed counters (n_docs/n_tokens) are generational
+    * and keep reading live via [[metaRow]]. */
+  private[operators] def layoutConstants(
+      spark: SparkSession, path: String, snap: LayoutSnapshot): (Int, Int) = {
+    val row = LsmLayout.cachedMetaRow(spark, s"$path/meta/gen=${snap.base}")
+    (row.getAs[Long]("shingle_n").toInt, row.getAs[Long]("buckets").toInt)
+  }
 
   /** Driver-side shingling of a LITERAL query string — the serving
     * path's query side is plan-time constants, not a data scan. Same
@@ -232,12 +256,10 @@ object LexicalIndex {
     // flips the manifest mid-planning
     val snap = LsmLayout.snapshot(spark, path)
     // shingle width and bucket count are properties of the STORED
-    // layout — read them from meta (1 row, plan-time) rather than
-    // trusting caller parameters that would silently return empty or
-    // mis-pruned results on disagreement
-    val m = metaRowScoped(spark, path, snap)
-      .select(col("shingle_n"), col("buckets")).head()
-    val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
+    // layout — read them from meta (constants, driver-cached) rather
+    // than trusting caller parameters that would silently return empty
+    // or mis-pruned results on disagreement
+    val (n, buckets) = layoutConstants(spark, path, snap)
     val qsh = literalShingles(queryText, n)
     require(qsh.nonEmpty, s"query shorter than the shingle width: $queryText")
     val qb = qsh.map(bucketOf(_, buckets)).distinct
@@ -310,10 +332,10 @@ object LexicalIndex {
       // the layout owns its shingle width and bucket count — caller-
       // supplied values that disagreed with the build would scatter the
       // delta into wrong directories or mix gram widths, silently
-      // corrupting every probe
-      val m = metaRow(spark, path)
-        .select(col("shingle_n"), col("buckets")).head()
-      val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
+      // corrupting every probe. Constants, so they come from the
+      // driver-side cache (no per-refresh meta read job).
+      val (n, buckets) = layoutConstants(
+        spark, path, LsmLayout.snapshot(spark, path))
       val dposts = postingProjection(delta, idCol, textCol, n, buckets)
         .withColumn("gen", lit(batchId))
         .transform(Materialize.shared)
@@ -395,11 +417,12 @@ object LexicalIndex {
     requireValidBatchId(batchId)
     val gen = s"ts-$batchId"
     if (isApplied(spark, path, gen)) return
-    val m = metaRow(spark, path)
-      .select(col("shingle_n"), col("buckets")).head()
-    val (n, buckets) = (m.getLong(0).toInt, m.getLong(1).toInt)
+    // ONE snapshot resolution for the whole call: the constants lookup
+    // and the pending-tombstone filter read the same committed state
+    val snap = LsmLayout.snapshot(spark, path)
+    val (n, buckets) = layoutConstants(spark, path, snap)
     val filtered = LsmLayout.pendingTombstonesSized(
-      spark, path, LsmLayout.snapshot(spark, path)) match {
+      spark, path, snap) match {
       case None => forgetDocs
       case Some((ts, bytes)) => forgetDocs.join(
         LsmLayout.hintBroadcast(ts
@@ -449,15 +472,34 @@ object LexicalIndex {
     IterationCheckpoint.release(spark.sparkContext, ids)
   }
 
+  /** Hygiene bound for the POSTINGS fold (the registry's
+    * LedgerFoldAfterGenerations discipline): with no tombstones
+    * pending, the corpus-sized postings rewrite runs only once this
+    * many generations are live — probes read explicit live-generation
+    * paths, so extra posting generations cost directory fan-out and
+    * per-bucket file count, never read shape or scan bytes. */
+  private val PostingsFoldAfterGenerations = 8
+
   /** Fold accumulated generations back to one — the compaction half
     * of the LSM contract (run when the generation/file count starts to
-    * matter; probes are correct either way). Lexicon and meta fold
-    * their sums; the postings (already logically final — appends never
-    * duplicate a (doc, gram) row) are rewritten once per bucket to
-    * restore the one-sorted-file-per-bucket layout the row-group
-    * pruning story assumes (the s19 discipline).
+    * matter; probes are correct either way). Lexicon and meta ALWAYS
+    * fold their sums (their generations grow the read-side fold — ≤
+    * #generations rows per shingle / meta row). The postings are
+    * already logically final (appends never duplicate a (doc, gram)
+    * row; reads resolve explicit live-generation paths), so the ONE
+    * corpus-sized rewrite in this op runs only when it has WORK to do:
+    * pending tombstones (the GDPR contract — forgotten postings must
+    * leave the stored layout physically at compact) or a generation
+    * count past the hygiene bound (restore the
+    * one-sorted-file-per-bucket layout the row-group pruning story
+    * assumes — the s19 discipline). The postings relation tracks its
+    * own fold state in the snapshot's second fold track (the
+    * ClusterRegistry ledger spelling), so a count-triggered compact is
+    * a vocabulary-sized fold, not a full-corpus posting pass — at
+    * 100 TB the difference between an O(vocab) policy trip and an
+    * O(corpus) one.
     *
-    * SNAPSHOT-ATOMIC for concurrent readers: the three folds land in a
+    * SNAPSHOT-ATOMIC for concurrent readers: the folds land in a
     * brand-new immutable `base-<id>` generation and ONE manifest flip
     * makes postings, lexicon and meta visible together — a probe never
     * mixes a folded lexicon with an un-folded meta (which would skew
@@ -466,8 +508,12 @@ object LexicalIndex {
     * scans intact files. The `_applied` markers are KEPT: a late retry
     * of a pre-compact batch must still no-op (its data survives inside
     * the folded generation). `writerEpoch` fences the flip and the GC.
-    * Folded frames are checkpointed before each write (a parquet path
-    * cannot be overwritten while a live plan reads it). */
+    * The folds run WITHOUT eager checkpoints: each reads explicit
+    * live-generation paths and writes only the just-cleared
+    * gen=<newBase> directories, so read and write sets are disjoint by
+    * construction (the ClusterRegistry.compact fold argument — if a
+    * read path ever stops being explicit-path-scoped, the checkpoints
+    * must come back). */
   def compact(
       spark: SparkSession, path: String,
       writerEpoch: Option[Long] = None): Unit = {
@@ -476,58 +522,67 @@ object LexicalIndex {
     val newBase = snap.nextBase
     Seq("postings", "lexicon", "meta").foreach(rel =>
       LsmLayout.clearStaleGeneration(spark, s"$path/$rel", "gen=", newBase))
-    // the three relation folds are independent (each reads its own
-    // live generations, writes its own new base) — overlap them; the
-    // ONE manifest flip below still lands only after ALL settle, so
+    val liveTs = LsmLayout.liveTombstoneBatches(spark, path, snap)
+    val postsLive = LsmLayout.liveGenerationNames(
+      spark, s"$path/postings", "gen=", snap.ledgerView)
+    val foldPostings = liveTs.nonEmpty ||
+      postsLive.size > PostingsFoldAfterGenerations
+    // the relation folds are independent (each reads its own live
+    // generations, writes its own new base) — overlap them; the ONE
+    // manifest flip below still lands only after ALL settle, so
     // readers keep the all-or-nothing visibility contract
     Overlap.all(spark)(
-      () => {
-        val (post, postIds, _) = IterationCheckpoint.localCounted(
-          postingsScoped(spark, path, snap))
-        post
-          .withColumn("gen", lit(newBase))
-          .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen", "bucket")
-          .parquet(s"$path/postings")
-        IterationCheckpoint.release(spark.sparkContext, postIds)
-      },
-      () => {
-        val (lex, lexIds, _) = IterationCheckpoint.localCounted(
-          lexiconScoped(spark, path, snap))
-        lex
-          .withColumn("gen", lit(newBase))
-          .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen", "bucket")
-          .parquet(s"$path/lexicon")
-        IterationCheckpoint.release(spark.sparkContext, lexIds)
-      },
-      () => {
-        val (meta, metaIds, _) = IterationCheckpoint.localCounted(
-          metaRowScoped(spark, path, snap))
-        meta
-          .withColumn("gen", lit(newBase))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen")
-          .parquet(s"$path/meta")
-        IterationCheckpoint.release(spark.sparkContext, metaIds)
-      })
+      ((if (foldPostings)
+        Seq(() => Trace("lex.compact:postings-fold")(
+          postingsScoped(spark, path, snap)
+            .withColumn("gen", lit(newBase))
+            .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen", "bucket")
+            .parquet(s"$path/postings")))
+      else Seq.empty[() => Unit]) ++
+      Seq(
+        () => Trace("lex.compact:lexicon-fold")(
+          lexiconScoped(spark, path, snap)
+            .withColumn("gen", lit(newBase))
+            .repartition(col("bucket")).sortWithinPartitions(col("shingle"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen", "bucket")
+            .parquet(s"$path/lexicon")),
+        () => Trace("lex.compact:meta-fold")(
+          metaRowScoped(spark, path, snap)
+            .withColumn("gen", lit(newBase))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen")
+            .parquet(s"$path/meta")))): _*)
     val folded = snap.folded ++
-      Seq("postings", "lexicon", "meta").flatMap(rel =>
+      Seq("lexicon", "meta").flatMap(rel =>
         LsmLayout.liveGenerationNames(spark, s"$path/$rel", "gen=", snap))
         .filterNot(_ == snap.base)
+    // per-relation fold state: a skipped postings fold keeps its base
+    // and its live generations — they stay readable, unfolded
+    val (pbase, pfolded) =
+      if (foldPostings)
+        (newBase, snap.ledgerFolded ++ postsLive.filterNot(_ == snap.ledgerBase))
+      else (snap.ledgerBase, snap.ledgerFolded)
     val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
-      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+      snap.appliedTs ++ liveTs, Some(pbase), Some(pfolded))
     LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
     LsmLayout.commitSnapshot(spark, path, next)
     LsmLayout.gcSuperseded(spark, path,
-      Seq((s"$path/postings", "gen="), (s"$path/lexicon", "gen="),
-        (s"$path/meta", "gen=")),
+      Seq((s"$path/lexicon", "gen="), (s"$path/meta", "gen=")),
       snap, next)
+    // postings GC runs against the postings fold track: on a fold it
+    // sweeps what the previous snapshot stopped referencing; on a skip
+    // it still owes the PREVIOUS postings fold its one-cycle-deferred
+    // sweep (the registry band-skip discipline), so physical removal
+    // keeps its two-cycle contract through a skip history
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/postings", "gen=")),
+      snap.ledgerView, next.ledgerView)
   }
 
   /** Reclamation report (the deadChunkStats pattern on the lexical
@@ -539,7 +594,7 @@ object LexicalIndex {
   def deadRowStats(spark: SparkSession, path: String): DataFrame = {
     val snap = LsmLayout.snapshot(spark, path)
     val live = LsmLayout.liveGenerationNames(
-      spark, s"$path/postings", "gen=", snap)
+      spark, s"$path/postings", "gen=", snap.ledgerView)
     LsmLayout.deadRowStats(spark, path, snap,
       LsmLayout.readGenerations(spark, s"$path/postings", "gen=", live)
         .select(col("doc_id")),

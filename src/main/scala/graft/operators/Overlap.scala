@@ -48,6 +48,14 @@ private[graft] object Overlap {
     pool.submit(new java.util.concurrent.Callable[A] {
       def call(): A = {
         SparkSession.setActiveSession(spark)
+        // cached-pool threads inherit the SPAWNING thread's local
+        // properties (InheritableThreadLocal) at creation and keep
+        // them for the thread's lifetime — a stale job group or SQL
+        // execution id would mis-attribute unrelated overlapped jobs
+        // in the UI and mis-scope a future cancelJobGroup. Clear them
+        // at task entry.
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.setLocalProperty("spark.sql.execution.id", null)
         body
       }
     })
@@ -66,7 +74,14 @@ private[graft] object Overlap {
     * a layout when the caller handles it); its own failure, if any, is
     * swallowed — the primary error wins. */
   def settle(f: java.util.concurrent.Future[_]): Unit =
-    try f.get() catch { case _: Throwable => () }
+    try f.get() catch {
+      case _: InterruptedException =>
+        // a driver interrupt must not be swallowed on the error path —
+        // re-assert the flag so the caller's interruption semantics
+        // survive the settle
+        Thread.currentThread().interrupt()
+      case _: Throwable => ()
+    }
 
   /** Run the thunks concurrently, settle ALL, return their results in
     * declaration order — or rethrow the first failure. */

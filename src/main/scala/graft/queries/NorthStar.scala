@@ -6334,6 +6334,9 @@ object NorthStar {
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
       val hist = counts.groupBy(col("n"))
         .agg(count(lit(1)).as("graft__types"))
+      // unpartitioned window over the count-of-counts HISTOGRAM: rows =
+      // distinct frequency values, O(sqrt(total token mass)) under any
+      // Zipf-like corpus — thousands at 100 TB, never corpus-sized
       val ord = Window.orderBy(col("n").desc)
       val h = hist
         .withColumn("graft__cumt", sum(col("graft__types")).over(ord))
@@ -6649,6 +6652,9 @@ object NorthStar {
       val hist = counts.groupBy(col("n"))
         .agg(count(lit(1)).as("graft__types"))
       val h = hist
+        // unpartitioned window over the count-of-counts histogram —
+        // rows = distinct bigram frequencies, O(sqrt(total bigram
+        // mass)); bounded by construction, never corpus-sized
         .withColumn("graft__cumt",
           sum(col("graft__types")).over(Window.orderBy(col("n").desc)))
         .withColumn("graft__lo",
@@ -7344,6 +7350,9 @@ object NorthStar {
       val g = base.groupBy(col("graft__sc"))
         .agg(sum(col("graft__y")).as("graft__pos"),
           sum(lit(1L) - col("graft__y")).as("graft__neg"))
+      // unpartitioned window over the per-score-bucket aggregate: the
+      // score grid is n_chars % 41 (+9) — ≤ 50 rows by construction at
+      // any corpus size, so the single-partition sort is constant-sized
       val c = g.withColumn("graft__cneg",
         coalesce(sum(col("graft__neg")).over(
           Window.orderBy(col("graft__sc"))
@@ -8084,6 +8093,9 @@ object NorthStar {
           expr("(1000000L * toks) div graft__ctot").as("graft__fl"),
           ((lit(1000000L) * col("toks")) % col("graft__ctot")).as("graft__rem"))
       val lft = q.agg((lit(1000000L) - sum(col("graft__fl"))).as("graft__lft"))
+      // unpartitioned window over the per-SOURCE quota relation — one
+      // row per corpus source (dozens), not per document; bounded by
+      // the source catalog at any corpus size
       q.withColumn("graft__rk",
         row_number().over(
           Window.orderBy(col("graft__rem").desc, col("source"))))
@@ -8198,6 +8210,9 @@ object NorthStar {
       val tot = h.agg(sum(col("graft__ca")).as("na"),
         sum(col("graft__cb")).as("nb"))
       val c = h
+        // unpartitioned windows over the length HISTOGRAM (one row per
+        // tokens-div-10 bucket — bounded by max doc length, not corpus
+        // size); both cumulative sums share the one constant-sized sort
         .withColumn("graft__cuma",
           sum(col("graft__ca")).over(Window.orderBy(col("graft__bucket"))))
         .withColumn("graft__cumb",

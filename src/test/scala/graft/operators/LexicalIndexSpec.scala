@@ -284,6 +284,61 @@ class LexicalIndexSpec extends SparkTestBase {
       "a post-compact retry of a folded batch must not re-append")
   }
 
+  test("a count-triggered compact folds lexicon/meta WITHOUT rewriting the stored postings") {
+    val p = "target/test_lexidx/foldskip"
+    LexicalIndex.build(
+      corpus.filter(col("doc_id") === 1), "doc_id", "text", p,
+      n = 2, buckets = 4)
+    Seq(2L, 4L).foreach { id =>
+      LexicalIndex.refresh(
+        corpus.filter(col("doc_id") === id), "doc_id", "text", p,
+        batchId = s"b$id")
+    }
+    LexicalIndex.compact(spark, p)
+    val snap = LsmLayout.snapshot(spark, p)
+    // lexicon and meta folded into the new base (their generations grow
+    // the read-side fold) ...
+    assert(spark.read.parquet(s"$p/lexicon")
+      .filter(col("gen") === snap.base)
+      .groupBy("shingle").count().filter(col("count") > 1).count() === 0L)
+    assert(spark.read.parquet(s"$p/meta")
+      .filter(col("gen") === snap.base).count() === 1L)
+    // ... but with no tombstones pending and the generation count under
+    // the hygiene bound, the corpus-sized postings rewrite is SKIPPED:
+    // the stored generation directories survive untouched and no new
+    // postings base exists (the registry's ledger fold-skip discipline)
+    assert(!new java.io.File(s"$p/postings/gen=${snap.base}").exists(),
+      "a count-triggered compact must not rewrite the stored postings")
+    Seq("base", "b2", "b4").foreach(g =>
+      assert(new java.io.File(s"$p/postings/gen=$g").exists(),
+        s"the stored postings generation $g must survive a fold-skip"))
+    // logical relations and the served answer still equal the rebuild
+    val full = "target/test_lexidx/foldskip_full"
+    LexicalIndex.build(corpus.filter(col("doc_id") =!= 3),
+      "doc_id", "text", full, n = 2, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(LexicalIndex.lexicalTopK(spark, p, 1L, 10)) ===
+      rows(LexicalIndex.lexicalTopK(spark, full, 1L, 10)))
+    def posts(q: String) = LexicalIndex.postings(spark, q)
+      .select("doc_id", "ns", "dl", "shingle", "tf", "bucket")
+      .collect().map(_.toSeq).toSet
+    assert(posts(p) === posts(full))
+    // a pending tombstone forces the physical fold on the NEXT compact
+    // (the GDPR contract is untouched by the skip)
+    LexicalIndex.tombstone(
+      corpus.filter(col("doc_id") === 4), "doc_id", "text", p,
+      batchId = "d1")
+    LexicalIndex.compact(spark, p)
+    val snap2 = LsmLayout.snapshot(spark, p)
+    assert(new java.io.File(s"$p/postings/gen=${snap2.base}").exists(),
+      "a tombstone-triggered compact must rewrite the postings")
+    assert(spark.read.parquet(s"$p/postings")
+      .filter(col("gen") === snap2.base && col("doc_id") === 4)
+      .count() === 0L,
+      "the fold must drop the tombstoned postings from the new base")
+  }
+
   test("tombstoned serving answers match the rebuilt index's answers") {
     val del = "target/test_lexidx/forget_serve"
     val rem = "target/test_lexidx/remain_serve"
