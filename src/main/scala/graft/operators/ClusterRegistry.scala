@@ -395,22 +395,7 @@ object ClusterRegistry {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch", "bucket")
           .parquet(s"$path/ledger")))
-      // the band append needs ONLY the shared delta sketch — launch it
-      // WITH the ledger append, so its two delta-sized writes (and
-      // their commit latency) hide behind the probe/components chain
-      // below instead of serializing after it. Disjoint by
-      // construction: it writes the band layout's gen=<batchId>
-      // directories, which every probe read EXCLUDES explicitly
-      // (excludeGen — the replay discipline), and the band layout
-      // commits its own applied marker after its own writes, so every
-      // crash interleaving is one the marker-gated retry already
-      // repairs. Racing first consumers of the lazy shared sketch are
-      // safe: cached partitions are computed once under the block
-      // manager's per-block lock (and the Scala lazy val itself
-      // synchronizes initialization).
-      val bandFut = Overlap.future(spark)(Trace("reg.ingest:band-append")(
-        BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
-          writerEpoch = writerEpoch, preSketched = Some(deltaSketch))))
+      var bandFut: java.util.concurrent.Future[Unit] = null
       try {
         // the probe corpus keeps the ledger's PHYSICAL bucket column
         // and hands the bucket function to the verify stage, so the
@@ -480,6 +465,25 @@ object ClusterRegistry {
         val comp = Trace("reg.ingest:components")(
           Materialize.shared(DedupClusters.components(
             edgesDC.unionByName(edgesDD), "u", "v")))
+        // index the batch into the band layout CONCURRENTLY with the
+        // assignment-generation work below: the two touch disjoint
+        // relations (band/sigs+postings vs assignments), and the band
+        // append commits its own applied marker after its own writes,
+        // so every crash interleaving is one the marker-gated retry
+        // already repairs. Launched HERE, not with the ledger append:
+        // the gen-write window below is commit-latency-bound, so the
+        // band's two delta-sized writes hide in it for free, whereas an
+        // earlier launch contends with the probe/components chain's
+        // CPU-bound critical path (a back-to-back drill read the early
+        // launch ~0.2 s/ingest slower; the variants sit within the
+        // box's noise band, so the non-contending site stays).
+        // Safe consumption of the shared delta sketch either way — a
+        // racing first consumer computes cached partitions once under
+        // the block manager's per-block lock (the lazy val itself
+        // synchronizes initialization).
+        bandFut = Overlap.future(spark)(Trace("reg.ingest:band-append")(
+          BandIndex.append(delta, idCol, textCol, s"$path/band", batchId,
+            writerEpoch = writerEpoch, preSketched = Some(deltaSketch))))
         // delta assignments: component min if paired, else singleton
         val deltaAssign = delta.select(col(idCol).as("doc_id"))
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -516,8 +520,8 @@ object ClusterRegistry {
         // the ledger AND band generations must be committed before the
         // batch is marked applied (the marker asserts EVERY registry
         // relation — assignments, ledger, internal band — holds the
-        // batch; awaiting the band here is free, its writes overlapped
-        // the whole probe/components chain)
+        // batch; the band await costs nothing extra here, its writes
+        // overlapped the gen-write window)
         Overlap.await(ledgerFut)
         Overlap.await(bandFut)
         LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
@@ -528,7 +532,7 @@ object ClusterRegistry {
           // mutation may still be landing when the caller handles the
           // failure (the retry contract assumes a quiesced layout)
           Overlap.settle(ledgerFut)
-          Overlap.settle(bandFut)
+          if (bandFut != null) Overlap.settle(bandFut)
           throw e
       }
     } else {
