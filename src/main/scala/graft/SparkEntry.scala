@@ -50,6 +50,7 @@ object SparkEntry {
     "s60_corpus_consistency", "s61_dead_mass_policy",
     "s62_corpus_time_travel", "s63_registry_dead_mass",
     "s64_consistency_anchor", "s65_chunk_time_travel",
+    "s66_chunk_retention",
     "n101_balanced_shards", "n121_hybrid_serve", "n122_bm25_topk",
     "n124_stream_index_parity", "n174_refresh_retry",
     "n175_band_append_retry", "n176_maintenance_interleave",

@@ -96,10 +96,13 @@ object BandIndex {
     LsmLayout.clearSnapshots(spark, path)
     val sk = preSketched.getOrElse(sketchRelation(
       docs, idCol, textCol, shingleWidth, numHashes, bands))
-    // sigs/ and postings/ are disjoint relations derived from the same
-    // sketch — write them CONCURRENTLY (the wall is the larger write,
-    // not the sum; a shared pre-materialized sketch is computed once
-    // under the block manager's per-block lock either way)
+    // sigs/, postings/ and meta/ are disjoint relations (the first two
+    // derive from the same sketch, meta is a one-row literal) — write
+    // all three CONCURRENTLY (the wall is the largest write, not the
+    // sum; a shared pre-materialized sketch is computed once under the
+    // block manager's per-block lock either way). A crashed partial
+    // build was never servable in any ordering — builds clear the
+    // markers/snapshot first and carry no marker of their own.
     Overlap.all(spark)(
       () => sk.select(col("doc_id"), col("sig"))
         .withColumn("gen", lit(BaseGen))
@@ -110,12 +113,12 @@ object BandIndex {
         .repartition(col("band"))
         .sortWithinPartitions(col("band_val"))
         .write.mode("overwrite").partitionBy("gen", "band")
-        .parquet(s"$path/postings"))
-    spark.range(1)
-      .select(lit(numHashes.toLong).as("num_hashes"),
-        lit(bands.toLong).as("bands"),
-        lit(shingleWidth.toLong).as("shingle_n"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+        .parquet(s"$path/postings"),
+      () => spark.range(1)
+        .select(lit(numHashes.toLong).as("num_hashes"),
+          lit(bands.toLong).as("bands"),
+          lit(shingleWidth.toLong).as("shingle_n"))
+        .write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** Index the delta batch too (the next batch must see this one):

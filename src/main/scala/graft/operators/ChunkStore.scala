@@ -85,17 +85,23 @@ object ChunkStore {
     LsmLayout.clearApplied(spark, path)
     LsmLayout.clearSnapshots(spark, path)
     val rows = Materialize.shared(chunkRows(docs, idCol, textCol, maskBits))
-    rows.groupBy(col("chunk_h"))
-      .agg(min(col("chunk")).as("chunk"))
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/store")
-    rows.select(col("doc_id"), col("pos"), col("chunk_h"))
-      .withColumn("seq", lit(0L))
-      .withColumn("gen", lit(BaseGen))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/manifest")
-    spark.range(1)
-      .select(lit(maskBits.toLong).as("mask_bits"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // store/, manifest/ and the one-row meta are disjoint relations
+    // (the first two derive from the shared chunk rows, computed once
+    // under the block manager's per-block lock) — write all three
+    // concurrently; a crashed partial build was never servable in any
+    // ordering
+    Overlap.all(spark)(
+      () => rows.groupBy(col("chunk_h"))
+        .agg(min(col("chunk")).as("chunk"))
+        .withColumn("gen", lit(BaseGen))
+        .write.mode("overwrite").partitionBy("gen").parquet(s"$path/store"),
+      () => rows.select(col("doc_id"), col("pos"), col("chunk_h"))
+        .withColumn("seq", lit(0L))
+        .withColumn("gen", lit(BaseGen))
+        .write.mode("overwrite").partitionBy("gen").parquet(s"$path/manifest"),
+      () => spark.range(1)
+        .select(lit(maskBits.toLong).as("mask_bits"))
+        .write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** Ingest a delta batch: chunk the delta (delta-sized, map-only),
@@ -398,6 +404,86 @@ object ChunkStore {
     IterationCheckpoint.release(spark.sparkContext, manIds)
     // ONE manifest flip covers both relations: a reader never joins a
     // swept store against un-folded manifests (or vice versa)
+    val folded = snap.folded ++
+      Seq("manifest", "store").flatMap(rel =>
+        LsmLayout.liveGenerationNames(spark, s"$path/$rel", "gen=", snap))
+        .filterNot(_ == snap.base)
+    val next = LayoutSnapshot(snap.id + 1L, newBase, folded,
+      snap.appliedTs ++ LsmLayout.liveTombstoneBatches(spark, path, snap))
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    LsmLayout.commitSnapshot(spark, path, next)
+    LsmLayout.gcSuperseded(spark, path,
+      Seq((s"$path/manifest", "gen="), (s"$path/store", "gen=")),
+      snap, next)
+  }
+
+  /** History-retention vacuum — the s27 "keep the last N" lifecycle op
+    * applied to the layout's VERSION history (the generalized
+    * [[compact]]: compact collapses ALL superseded versions; this
+    * collapses only those older than a retention floor). For each doc,
+    * the latest version at-or-before `keepFrom` becomes its retention
+    * FLOOR (stamped with the doc's first-appearance ordinal, the
+    * compact discipline, so membership pins below the floor keep
+    * resolving) and every version newer than `keepFrom` survives
+    * VERBATIM — so every asOf pin g ≥ keepFrom serves version-exactly
+    * as before the vacuum, while pre-floor edit history (and the store
+    * chunks only it referenced, via the same refcount sweep) physically
+    * leaves disk. Tombstoned docs leave entirely (GDPR outranks
+    * retention like it outranks time travel). Snapshot-atomic with the
+    * same one-flip/two-cycle-GC contract as compact; markers kept;
+    * `writerEpoch` fences the flip and the GC. */
+  def retentionVacuum(
+      spark: SparkSession, path: String, keepFrom: Long,
+      writerEpoch: Option[Long] = None): Unit = {
+    val snap = LsmLayout.snapshot(spark, path)
+    LsmLayout.requireCurrentEpoch(spark, path, writerEpoch)
+    val newBase = snap.nextBase
+    LsmLayout.clearStaleGeneration(spark, s"$path/manifest", "gen=", newBase)
+    LsmLayout.clearStaleGeneration(spark, s"$path/store", "gen=", newBase)
+    val live = LsmLayout.liveGenerationNames(
+      spark, s"$path/manifest", "gen=", snap)
+    val man0 = LsmLayout
+      .readGenerations(spark, s"$path/manifest", "gen=", live)
+      .drop("gen")
+    val scoped = LsmLayout.antiJoinTombstones(spark, path, snap, man0,
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // per doc, over the narrow manifest: the floor version (max seq at
+    // or below keepFrom — null when the doc only exists after the
+    // floor) and the first-appearance ordinal; ONE window computes both
+    val kept = scoped
+      .withColumn("graft__fl",
+        max(when(col("seq") <= keepFrom, col("seq"))).over(w))
+      .withColumn("graft__mn", min(col("seq")).over(w))
+      .filter(col("seq") > keepFrom || col("seq") === col("graft__fl"))
+      .select(col("doc_id"), col("pos"), col("chunk_h"),
+        when(col("seq") === col("graft__fl"), col("graft__mn"))
+          .otherwise(col("seq")).as("seq"))
+    val (man, manIds, _) = IterationCheckpoint.localCounted(kept)
+    // manifest rewrite + refcount-swept store rewrite, disjoint
+    // relations from the checkpointed fold — overlap (the compact
+    // spelling); the one manifest flip below covers both
+    Overlap.all(spark)(
+      () => man
+        .withColumn("gen", lit(newBase))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(s"$path/manifest"),
+      () => {
+        val (store, storeIds, _) = IterationCheckpoint.localCounted(
+          storeScoped(spark, path, snap)
+            .join(man.select(col("chunk_h")).distinct(), Seq("chunk_h"),
+              "left_semi"))
+        store
+          .withColumn("gen", lit(newBase))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen")
+          .parquet(s"$path/store")
+        IterationCheckpoint.release(spark.sparkContext, storeIds)
+      })
+    IterationCheckpoint.release(spark.sparkContext, manIds)
     val folded = snap.folded ++
       Seq("manifest", "store").flatMap(rel =>
         LsmLayout.liveGenerationNames(spark, s"$path/$rel", "gen=", snap))

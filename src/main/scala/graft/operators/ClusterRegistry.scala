@@ -158,6 +158,15 @@ object ClusterRegistry {
     val bandFut = Overlap.future(spark)(
       Trace("reg.build:band")(BandIndex.build(docs, idCol, textCol,
         s"$path/band", preSketched = Some(sk))))
+    // the one-row meta literal is disjoint from every other relation —
+    // launched with the fan-out instead of serializing after it (a
+    // crashed partial build was never servable in any ordering; ingest
+    // fails loudly on a missing meta either way)
+    val metaFut = Overlap.future(spark)(
+      spark.range(1)
+        .select(lit(threshold).as("threshold"),
+          lit(ledgerBuckets.toLong).as("ledger_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta"))
     // the layout-owned text ledger starts with the build set — from
     // here on, ingests are self-contained (delta-only). Bucketed for
     // rehydration pruning; repartitioned by bucket so each task writes
@@ -186,16 +195,14 @@ object ClusterRegistry {
         .parquet(s"$path/assignments"))
       Overlap.await(bandFut)
       Overlap.await(ledgerFut)
+      Overlap.await(metaFut)
     } catch {
       case e: Throwable =>
         Overlap.settle(bandFut)
         Overlap.settle(ledgerFut)
+        Overlap.settle(metaFut)
         throw e
     }
-    spark.range(1)
-      .select(lit(threshold).as("threshold"),
-        lit(ledgerBuckets.toLong).as("ledger_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** The stored text ledger of every SURVIVING doc — what candidate

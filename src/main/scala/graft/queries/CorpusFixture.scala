@@ -123,7 +123,20 @@ object CorpusFixture {
       if (Files.isDirectory(s)) Files.createDirectories(d)
       else {
         Files.createDirectories(d.getParent)
-        Files.copy(s, d)
+        // HARD-LINK the clone where the filesystem allows it: metadata
+        // cost per file instead of a corpus-proportional byte copy (the
+        // fixture clone is otherwise the coordination oracles' growing
+        // fixed cost at large SF). Safe because every stored file is
+        // immutable once written — the layouts mutate by writing NEW
+        // files, unlinking, or renaming, never by writing through an
+        // existing file — so a linked clone cannot observe or cause
+        // cross-tree interference. Byte-copy fallback where links are
+        // unsupported.
+        try Files.createLink(d, s)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(s, d)
+        }
       }
     } finally walk.close()
   }

@@ -5327,7 +5327,23 @@ object NorthStar {
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       val lexPath = "target/sinks/n121_lex"
       val pqPath = "target/sinks/n121_pq"
-      LexicalIndex.build(t(s, d, "documents"), "doc_id", "text", lexPath, n = 3)
+      val emb = t(s, d, "embeddings")
+      // the two stored-index builds are disjoint paths fed by disjoint
+      // sources (documents text vs embeddings) — build them
+      // CONCURRENTLY; the serve plans below are constructed only after
+      // both settle (the PQ read needs the files for schema inference)
+      val pqFut = graft.operators.Overlap.future(s)(
+        Similarity.pqCodes(
+          emb.filter(col("vec_id") =!= 3), "vec_id", "embedding",
+          pqCodebook, 4)
+          .write.mode("overwrite").parquet(pqPath))
+      try LexicalIndex.build(
+        t(s, d, "documents"), "doc_id", "text", lexPath, n = 3)
+      catch {
+        case e: Throwable =>
+          graft.operators.Overlap.settle(pqFut); throw e
+      }
+      graft.operators.Overlap.await(pqFut)
       val post = LexicalIndex.postings(s, lexPath)
       val qsh = post.filter(col("doc_id") === 3).select(col("shingle"))
       val textRank = post.filter(col("doc_id") =!= 3)
@@ -5338,11 +5354,6 @@ object NorthStar {
           row_number().over(Window
             .orderBy(col("graft__c").desc, col("doc_id")))
             .cast("long").as("graft__rt"))
-      val emb = t(s, d, "embeddings")
-      Similarity.pqCodes(
-        emb.filter(col("vec_id") =!= 3), "vec_id", "embedding",
-        pqCodebook, 4)
-        .write.mode("overwrite").parquet(pqPath)
       val vecRank = Similarity.pqAdc(
         s.read.parquet(pqPath), "vec_id",
         emb.filter(col("vec_id") === 3), "embedding",
@@ -9559,5 +9570,62 @@ object NorthStar {
       CorpusLifecycle.forget(docs.filter(col("doc_id") % 7 === 5),
         "doc_id", "text", lay, batchId = "g1")
       CorpusLifecycle.asOfAudit(s, lay, gen = 1L).orderBy(col("layout"))
+    },
+
+    // ----- s66: history-retention vacuum on the chunk store -------------
+    // The r15-deferred retention-window op (unblocked by the
+    // metadata-monotone ordinals): "keep version history from
+    // generation g on" as a PHYSICAL operation — the generalized
+    // compact that collapses only versions older than the retention
+    // floor and keeps every newer version VERBATIM, so in-window asOf
+    // pins stay VERSION-exact while pre-floor edit history (and the
+    // store chunks only it referenced, via the same refcount sweep)
+    // leaves disk. Drive: build (v1, seq 0) → edit re-sync of the %5
+    // slice (v2, seq 1) → edit re-sync of the %7 slice (v3, seq 2) → a
+    // GDPR forget (%11 = 3) → retentionVacuum(keepFrom = 1). The
+    // require pins the physical drop (no doc holds 3 versions
+    // anymore — pre-vacuum the %35 slice did); the oracle proves the
+    // serve contract closed-form: the pin at g = 1 reconstructs v2/v1
+    // exactly and NOW reconstructs v3/v2/v1, both minus the forget-set
+    // (GDPR outranks retention like it outranks time travel).
+    QuerySpec(
+      "s66_chunk_retention",
+      """SELECT 'asof' AS pin, doc_id,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' r2'
+        |           ELSE text END) AS text_md5
+        |FROM documents WHERE doc_id % 11 <> 3
+        |UNION ALL
+        |SELECT 'now', doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' r3'
+        |           WHEN doc_id % 5 = 0 THEN text || ' r2'
+        |           ELSE text END)
+        |FROM documents WHERE doc_id % 11 <> 3""".stripMargin) { (s, d) =>
+      import graft.operators._
+      val path = "target/sinks/s66_chunks"
+      val docs = t(s, d, "documents")
+      ChunkStore.build(docs, "doc_id", "text", path)
+      ChunkStore.refresh(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" r2"))),
+        "doc_id", "text", path, batchId = "b1")
+      ChunkStore.refresh(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" r3"))),
+        "doc_id", "text", path, batchId = "b2")
+      ChunkStore.tombstone(
+        docs.filter(col("doc_id") % 11 === 3).select("doc_id"),
+        "doc_id", path, batchId = "g1")
+      ChunkStore.retentionVacuum(s, path, keepFrom = 1L)
+      // the vacuum's physical teeth: the twice-edited %35 slice held
+      // three manifest versions; the pre-floor one must be GONE from
+      // the new base (not merely out-served)
+      require(s.read.parquet(s"$path/manifest")
+        .filter(col("gen") === LsmLayout.snapshot(s, path).base)
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("seq")).as("graft__v"))
+        .agg(max(col("graft__v"))).head().getLong(0) == 2L,
+        "retention vacuum did not drop the pre-floor versions")
+      ChunkStore.reconstruct(s, path, asOf = Some(1L))
+        .select(lit("asof").as("pin"), col("doc_id"), col("text_md5"))
+        .unionByName(ChunkStore.reconstruct(s, path)
+          .select(lit("now").as("pin"), col("doc_id"), col("text_md5")))
     })
 }

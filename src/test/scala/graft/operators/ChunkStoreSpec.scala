@@ -221,4 +221,62 @@ class ChunkStoreSpec extends SparkTestBase {
     assert(served(Some(0L)) === (0L until 10L).filterNot(_ == 5L))
     assert(!md5Of(Some(0L)).contains(5L))
   }
+
+  test("retentionVacuum drops pre-floor versions physically; in-window pins stay version-exact") {
+    val p = "target/test_chunkstore/retention"
+    val base = corpus.filter(col("doc_id") < 10)          // seq 0
+    val edit1 = "ret E1 " + (5 until 25).map(j => s"w${j % 40}").mkString(" ")
+    val edit2 = "ret E2 " + (9 until 29).map(j => s"w${j % 40}").mkString(" ")
+    ChunkStore.build(base, "doc_id", "text", p)
+    // doc 3 edited TWICE (seq 1 and 2); doc 10 arrives at seq 1
+    ChunkStore.refresh(
+      Seq((3L, edit1), (10L, "n1 n2 n3 n4 n5")).toDF("doc_id", "text"),
+      "doc_id", "text", p, batchId = "b1")
+    ChunkStore.refresh(Seq((3L, edit2)).toDF("doc_id", "text"),
+      "doc_id", "text", p, batchId = "b2")
+    def served(asOf: Option[Long]) = ChunkStore
+      .servedDocIds(spark, p, asOf).as[Long].collect().sorted.toSeq
+    def md5Of(asOf: Option[Long]) = ChunkStore
+      .reconstruct(spark, p, asOf)
+      .select(col("doc_id"), col("text_md5"))
+      .as[(Long, String)].collect().toMap
+    def strMd5(t: String) =
+      Seq(t).toDF("t").select(md5(col("t"))).as[String].head()
+    val before1 = md5Of(Some(1L))
+    val beforeNow = md5Of(None)
+    ChunkStore.retentionVacuum(spark, p, keepFrom = 1L)
+    // physical teeth: doc 3's seq-0 version is GONE from the new base
+    // (it was superseded at-or-before the floor); its floor version is
+    // re-stamped with the first-appearance ordinal so membership pins
+    // below the floor keep resolving
+    val snap = LsmLayout.snapshot(spark, p)
+    val man = spark.read.parquet(s"$p/manifest")
+      .filter(col("gen") === snap.base)
+    assert(man.filter(col("doc_id") === 3L)
+      .select(col("seq")).distinct().as[Long].collect().sorted.toSeq
+      === Seq(0L, 2L),
+      "doc 3 must keep exactly its floor (re-stamped 0) and in-window versions")
+    // in-window pins are VERSION-exact (stronger than compact): pin 1
+    // serves edit1, NOW serves edit2, both unchanged by the vacuum
+    assert(md5Of(Some(1L)) === before1)
+    assert(md5Of(Some(1L))(3L) === strMd5(edit1))
+    assert(md5Of(None) === beforeNow)
+    assert(md5Of(None)(3L) === strMd5(edit2))
+    // membership pins below the floor still resolve (the compact
+    // discipline); doc 3's pre-floor TEXT collapsed to the floor's
+    assert(served(Some(0L)) === (0L until 10L))
+    assert(md5Of(Some(0L))(3L) === strMd5(edit1))
+    // orphaned chunks swept: no stored chunk is unreferenced
+    val liveRefs = spark.read.parquet(s"$p/manifest")
+      .filter(col("gen") === snap.base).select("chunk_h").distinct()
+    assert(spark.read.parquet(s"$p/store")
+      .filter(col("gen") === snap.base)
+      .join(liveRefs, Seq("chunk_h"), "left_anti").count() === 0L,
+      "the refcount sweep must drop chunks only pre-floor history referenced")
+    // second cycle: GC sweeps the superseded dirs (the two-cycle rule)
+    ChunkStore.compact(spark, p)
+    assert(!spark.read.parquet(s"$p/manifest")
+      .select(col("gen")).distinct().as[String].collect().contains("b1"),
+      "the next cycle's GC must sweep the vacuumed generations")
+  }
 }
